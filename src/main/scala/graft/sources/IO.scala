@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Sources and sinks (SURVEY.md §2.1, S1-S6).
+  *
+  * Reference behavior re-expressed Spark-first:
+  *  - S1/S2/S3: CSV scan with `header=true`, `nullValue="NA"`, transparent
+  *    bz2 (`/root/reference/src/main/helper_methods.py:372-380`, `:215-221`).
+  *    Unlike the reference we default to an explicit schema (no extra
+  *    inference pass over the data — matters at 100 TB); `inferSchema=true`
+  *    remains available for dynamic inputs.
+  *  - S4: parquet sink, overwrite (`main.py:116-121`).
+  *  - S5: single-file CSV sink — coalesce(1) + part-file rename
+  *    (`main.py:145-162`).
+  *  - S6: CSV-safe projection — only primitive-typed columns survive a CSV
+  *    write (`main.py:126-148`); ML vectors are not CSV-encodable.
+  */
+object IO {
+
+  /** S1/S2: flights CSV scan. `schema=None` ⇒ reference-compatible inference. */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None,
+      nullValue: String = "NA"): DataFrame = {
+    val base = spark.read
+      .option("header", "true")
+      .option("nullValue", nullValue)
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S3: small-dimension CSV scan (plane-data, airports, carriers). */
+  def readDimensionCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readCsv(spark, path, Some(schema))
+
+  /** S4: parquet sink, overwrite mode. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** CSV-encodable types (reference allowlist, `main.py:126-128`). */
+  private val csvSafe: Set[DataType] = Set(
+    IntegerType, LongType, DoubleType, FloatType, StringType, BooleanType,
+    ShortType, ByteType, DateType, TimestampType)
+
+  /** S6: project to CSV-safe (primitive) columns only. */
+  def csvSafeColumns(df: DataFrame): DataFrame = {
+    val keep = df.schema.fields.collect { case f if csvSafe(f.dataType) => f.name }
+    df.select(keep.map(df.col): _*)
+  }
+
+  /** S5: single-file CSV with header: coalesce(1) → write dir → move the
+    * lone part file to `finalFile`. The single-task funnel is intentional
+    * reference semantics (one output file), not a scaling strategy — large
+    * outputs should use [[writeParquet]].
+    */
+  def writeSingleCsv(df: DataFrame, dir: String, finalFile: String): Path = {
+    csvSafeColumns(df)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val part = Files.list(Paths.get(dir)).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("part-") && n.endsWith(".csv")
+    }.findFirst.orElseThrow(() => new IllegalStateException(s"no part file in $dir"))
+    val target = Paths.get(finalFile)
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
+  /** Convenience loader for the driver-provided parquet fixtures. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
