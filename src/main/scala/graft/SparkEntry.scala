@@ -42,7 +42,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag")))
   )
@@ -52,7 +52,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_a1_group_mean" ->
       """SELECT l_returnflag,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )

@@ -53,7 +53,9 @@ object Cleaning {
     flights
       .join(broadcast(planePrepared),
         flights("TailNum") === planePrepared("tailnum"), "inner")
-      .drop("tailnum")
+      // drop via the dim's column reference: a bare drop("tailnum") would
+      // case-insensitively drop the fact side's TailNum too
+      .drop(planePrepared("tailnum"))
 
   /** J2/SO1: tail numbers present in flights but missing from plane-data.
     *
@@ -62,10 +64,12 @@ object Cleaning {
     * driver-side materialization that cannot work at scale. Same result set
     * via a distributed left-anti join.
     */
-  def missingTailNums(flights: DataFrame, plane: DataFrame): DataFrame =
-    flights.select(col("TailNum")).distinct()
-      .join(broadcast(plane.select(col("tailnum")).distinct()),
-        col("TailNum") === col("tailnum"), "left_anti")
+  def missingTailNums(flights: DataFrame, plane: DataFrame): DataFrame = {
+    val flightKeys = flights.select(col("TailNum")).distinct()
+    val planeKeys = plane.select(col("tailnum")).distinct()
+    flightKeys.join(broadcast(planeKeys),
+      flightKeys("TailNum") === planeKeys("tailnum"), "left_anti")
+  }
 
   /** Reference-exact variant of J2 for the capability surface: EXCEPT
     * DISTINCT of the two key sets (`dataset_utils.py:12-14`). */
