@@ -2,21 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Local smoke runner for the driver's `SparkEntry.entry` rows>0 check. */
-object EntrySmoke {
+/** Dev-only scratch main: schema/plan probes against the fixture tables.
+  * Not part of the driver contract; edit freely. */
+object DevProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.entry(spark)
-    df.show(20, truncate = false)
-    println(s"[entry-smoke] rows=${df.count()}")
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e.printSchema()
+    e.show(3, truncate = false)
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -9,11 +10,35 @@ import org.apache.spark.sql.functions._
   * (a `(SparkSession, sfDir) => DataFrame`) and, when SQL-expressible, a
   * matching DuckDB oracle in [[oracleSql]]. Column names/aliases MUST match
   * between the two — the driver sorts columns by name before hashing.
+  *
+  * Cross-engine determinism rules used throughout (so value hashes match
+  * bit-for-bit between Spark and DuckDB):
+  *  - Float SUM/AVG: sum a DECIMAL cast (order-independent, exact), cast the
+  *    sum to DOUBLE, divide by COUNT for averages. Raw double SUM is
+  *    aggregation-order-dependent and WILL differ in the last ulp.
+  *  - Irrational functions (sin/cos/corr): ROUND(…, 6) in both engines —
+  *    libm vs JVM may differ in the final ulp.
+  *  - double→int casts: Spark truncates toward zero, DuckDB rounds — oracle
+  *    uses CAST(TRUNC(x) AS INTEGER) to match.
+  *  - events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
+  *    (epoch nanos) under `spark.sql.legacy.parquet.nanosAsLong=true`;
+  *    the DuckDB side uses epoch_ns(ts). Integer arithmetic only — a double
+  *    division of an ~1.7e18 nanos value would lose precision.
+  *  - Every result has a deterministic ORDER BY on a unique key.
   */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-independent exact sum of a float column: decimal accumulate,
+    * double result. */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
+
+  /** Exact mean built from the decimal sum (same bits in both engines). */
+  private def davg(c: Column, scale: Int = 6): Column =
+    dsum(c, scale) / count(c)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
@@ -35,25 +60,508 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2 (IDs in comments). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1: group-by + mean (hash agg) — helper_methods.py:159
+
+    // ───────────────────────── scans (§2.1) ─────────────────────────
+    // S1/S4 + A3: parquet scan + count action (helper_methods.py:372-380)
+    "q_s_scan_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // ─────────────────── projection / filters (§2.2) ───────────────────
+    // P3: narrow projection (dataset_utils.py:145)
+    "q_p3_project" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))),
+
+    // P4: selectExpr SQL-expression projection (helper_methods.py:162)
+    "q_p4_selectexpr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectExpr("max(l_extendedprice) / min(l_extendedprice) AS price_ratio")),
+
+    // P5 + P6: conjunctive null/value predicates (dataset_utils.py:123-124)
+    "q_p5_filter_conj" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull && col("l_discount") > 0.05 &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P7: string-expression filter through the Catalyst SQL parser
+    // (helper_methods.py:176)
+    "q_p7_sql_filter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter("o_totalprice > 150000.0")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // P8 / F9: IN-list filter (dataset_utils.py:15-17, custom_features.py:55)
+    "q_p8_isin" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#7", "Brand#13"))
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey"))),
+
+    // P9 rewrite: ALL per-column null counts in one pass
+    // (vs one job per column, helper_methods.py:68 — SURVEY §4.3)
+    "q_p9_null_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn_qty"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("nn_discount"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn_ship"))),
+
+    // ───────────────────────── joins (§2.3) ─────────────────────────
+    // J1: fact ⋈ broadcast dim + aggregate (dataset_utils.py:47-50)
+    "q_j1_dim_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J1 at fact-fact scale: lineitem ⋈ orders (shuffle join path; at 100 TB
+    // this is the bucketed/sort-merge join, not a broadcast)
+    "q_j1_fact_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J2: anti-join — keys on the left with no match on the right
+    // (rewrite of the reference's collect+isin, dataset_utils.py:12-17)
+    "q_j2_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2 dual: semi-join (EXISTS)
+    "q_j_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J1 chained: star-schema dim chain, both dims broadcast
+    "q_j_multi_dim" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ─────────────────────── aggregations (§2.4) ───────────────────────
+    // A1: group-by + mean, exact decimal-sum mean (helper_methods.py:159)
     "q_a1_group_mean" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // A2 + A10: global scalar aggregate panel (helper_methods.py:332, main.py:38)
+    "q_a2_global_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    // A4 rewrite: all distinct counts in ONE aggregate job
+    // (vs one job per column, helper_methods.py:60-61 — SURVEY §4.3)
+    "q_a4_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_returnflag")).as("d_flag"),
+        countDistinct(col("l_linestatus")).as("d_status"),
+        countDistinct(col("l_partkey")).as("d_part"))),
+
+    // A5: exact interpolated percentiles (approxQuantile with relErr=0,
+    // helper_methods.py:70; both engines interpolate linearly)
+    "q_a5_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").selectExpr(
+        "percentile(l_quantity, array(0.05D, 0.25D, 0.5D, 0.75D, 0.95D)) AS q")
+        .selectExpr(
+          "element_at(q, 1) AS p05", "element_at(q, 2) AS p25",
+          "element_at(q, 3) AS p50", "element_at(q, 4) AS p75",
+          "element_at(q, 5) AS p95")),
+
+    // A6: Pearson correlation (helper_methods.py:69), rounded — the moment
+    // accumulation order differs between engines
+    "q_a6_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))),
+
+    // A8: frequency crosstab in long form (generate_report_figures.py:43-44)
+    "q_a8_crosstab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("source"))),
+
+    // A9: mean of a measure by group, exact (generate_report_figures.py:122)
+    "q_a9_group_means" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .orderBy(col("event_type"))),
+
+    // A11: MAE/RMSE as pure SQL aggregates (helper_methods.py:346-369);
+    // prediction is a deterministic synthetic column
+    "q_a11_reg_metrics" -> ((s, dir) => {
+      val d = col("l_quantity") * lit(1000.0) - col("l_extendedprice")
+      t(s, dir, "lineitem").agg(
+        (dsum(abs(d)) / count(lit(1))).as("mae"),
+        sqrt(dsum(d * d) / count(lit(1))).as("rmse"))
+    }),
+
+    // ──────────────────────── windows (§2.5) ────────────────────────
+    // W1: row_number over (partition, order) — dedup-rank pattern
+    // (helper_methods.py:171-179)
+    "q_w1_row_number" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("event_id"), col("user_id"), col("rn"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W2 rewrite: per-row global max WITHOUT the reference's unpartitioned
+    // window (dataset_utils.py:55-60) — scalar agg + broadcast cross join;
+    // the fact side keeps its partitioning at any scale
+    "q_w2_global_max_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(col("o_totalprice")).as("__max_total"))
+      o.crossJoin(broadcast(mx))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") / col("__max_total")).as("price_share"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // W3: lag over (partition, order) (notebook cell 26)
+    "q_w3_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          coalesce(lag(col("value"), 1).over(w), lit(-1.0)).as("prev_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W-frame: running sum over ROWS UNBOUNDED PRECEDING..CURRENT, exact
+    "q_w_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("run_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ─────────────── dedup / sort / limit / sample (§2.6) ───────────────
+    // D1: distinct projection (dropDuplicates semantics on the projected key)
+    "q_d1_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // D2: seeded Bernoulli sample (helper_methods.py:44) — engine-specific
+    // RNG, so no SQL oracle; driver records a rows-only check
+    "q_d2_sample" -> ((s, dir) =>
+      t(s, dir, "lineitem").sample(0.1, 42L)
+        .agg(count(lit(1)).as("n"))),
+
+    // D5 + D7: distributed top-k (TakeOrderedAndProject)
+    "q_d5_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // D7: full descending sort (small dim)
+    "q_d7_sort_desc" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_name").desc)),
+
+    // ─────────────────────── set ops (§2.7) ───────────────────────
+    // SO1: EXCEPT DISTINCT (dataset_utils.py:14)
+    "q_so1_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
+        .orderBy(col("key"))),
+
+    // SO: UNION DISTINCT + INTERSECT counts in one row
+    "q_so2_union_intersect" -> ((s, dir) => {
+      val ck = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val nk = t(s, dir, "nation").select(col("n_nationkey").as("k"))
+      val u = ck.union(nk).distinct().agg(count(lit(1)).as("n_union"))
+      val i = ck.intersect(nk).agg(count(lit(1)).as("n_intersect"))
+      u.crossJoin(i)
+    }),
+
+    // ─────────────── scalar-function battery (§2.8, F1-F12) ───────────────
+    // F1 concat_ws, F2 regexp_replace, F3 substring, F4 cast, F5 when,
+    // F6 sin (rounded), F7 arithmetic incl. integer div/mod on epoch nanos,
+    // F8 lit, F9 isin, F11 alias, F12 comparisons — one per-row battery
+    "q_f_expr_battery" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        concat_ws("_", col("user_id"), col("event_type")).as("uid"),
+        regexp_replace(col("props"), "[^0-9]", "").as("digits"),
+        substring(col("event_type"), 1, 2).as("et2"),
+        col("value").cast("int").as("val_int"),
+        when(col("value").isNull, "null")
+          .when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high").as("bucket"),
+        expr("CAST((ts DIV 60000000000) % 1440 AS INT)").as("minute_of_day"),
+        round(sin(lit(2 * math.Pi) *
+          expr("CAST((ts DIV 60000000000) % 1440 AS INT)") / lit(1440.0)), 6)
+          .as("minute_sin"),
+        (col("value") % 100.0).as("val_mod"),
+        lit(1).as("one"),
+        col("event_type").isin("signup", "error").as("is_sig"))
+        .orderBy(col("event_id"))),
+
+    // F1 composite key on its own (dataset_utils.py:131-134)
+    "q_f1_unique_id" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          concat_ws("_", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+            .as("unique_id"))
+        .orderBy(col("o_orderkey"))),
+
+    // F-date: year/month extraction from a timestamp column
+    "q_f_date_parts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("m"))),
+
+    // ──────────────────────── UDF surface (§2.9) ────────────────────────
+    // U1: the reference's Python time-of-day UDF as a registered Scala UDF
+    // (custom_features.py:7-36); oracle is the equivalent CASE expression —
+    // proves UDF output matches the native path
+    "q_u1_udf_tod" -> ((s, dir) => {
+      graft.operators.Features.registerTimeOfDayUdf(s)
+      t(s, dir, "events")
+        .withColumn("h", expr("CAST((ts DIV 3600000000000) % 24 AS INT)"))
+        .withColumn("tod", call_udf("categorize_time", col("h")))
+        .groupBy(col("tod")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tod"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for engine-specific ops (seeded
+    * sampling) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "q_s_scan_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+
+    "q_p3_project" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+
+    "q_p4_selectexpr" ->
+      "SELECT MAX(l_extendedprice) / MIN(l_extendedprice) AS price_ratio FROM lineitem",
+
+    "q_p5_filter_conj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_discount > 0.05 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_p7_sql_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_p8_isin" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_p9_null_counts" ->
+      """SELECT CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_qty,
+        |       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_discount,
+        |       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ship
+        |FROM lineitem""".stripMargin,
+
+    "q_j1_dim_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_j1_fact_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_j2_anti" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j_semi" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j_multi_dim" ->
+      """SELECT r_name, COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
     "q_a1_group_mean" ->
       """SELECT l_returnflag,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a2_global_stats" ->
+      """SELECT COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "q_a4_distinct_counts" ->
+      """SELECT COUNT(DISTINCT l_returnflag) AS d_flag,
+        |       COUNT(DISTINCT l_linestatus) AS d_status,
+        |       COUNT(DISTINCT l_partkey) AS d_part
+        |FROM lineitem""".stripMargin,
+
+    "q_a5_percentiles" ->
+      """SELECT quantile_cont(l_quantity, 0.05) AS p05,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5)  AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem""".stripMargin,
+
+    "q_a6_corr" ->
+      """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax
+        |FROM lineitem""".stripMargin,
+
+    "q_a8_crosstab" ->
+      """SELECT lang, source, COUNT(*) AS n FROM documents
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_a9_group_means" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_a11_reg_metrics" ->
+      """SELECT CAST(SUM(CAST(ABS(l_quantity * 1000.0 - l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mae,
+        |       SQRT(CAST(SUM(CAST((l_quantity * 1000.0 - l_extendedprice) * (l_quantity * 1000.0 - l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) AS rmse
+        |FROM lineitem""".stripMargin,
+
+    "q_w1_row_number" ->
+      """SELECT event_id, user_id, rn FROM (
+        |  SELECT event_id, user_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 2 ORDER BY event_id""".stripMargin,
+
+    "q_w2_global_max_share" ->
+      """SELECT o_orderkey,
+        |       o_totalprice / (SELECT MAX(o_totalprice) FROM orders) AS price_share
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_w3_lag" ->
+      """SELECT event_id,
+        |       COALESCE(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_w_running_sum" ->
+      """SELECT event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_d1_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q_d2_sample: intentionally no oracle — seeded RNG is engine-specific
+
+    "q_d5_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_d7_sort_desc" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_name DESC",
+
+    "q_so1_except" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT SELECT o_custkey AS key FROM orders
+        |ORDER BY key""".stripMargin,
+
+    "q_so2_union_intersect" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer
+        |    UNION SELECT n_nationkey FROM nation)) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer
+        |    INTERSECT SELECT n_nationkey FROM nation)) AS n_intersect""".stripMargin,
+
+    "q_f_expr_battery" ->
+      """SELECT event_id,
+        |       CONCAT_WS('_', user_id, event_type) AS uid,
+        |       REGEXP_REPLACE(props, '[^0-9]', '', 'g') AS digits,
+        |       SUBSTRING(event_type, 1, 2) AS et2,
+        |       CAST(TRUNC(value) AS INTEGER) AS val_int,
+        |       CASE WHEN value IS NULL THEN 'null'
+        |            WHEN value < 50 THEN 'low'
+        |            WHEN value < 150 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       CAST((epoch_ns(ts) // 60000000000) % 1440 AS INTEGER) AS minute_of_day,
+        |       ROUND(SIN(2 * PI() * ((epoch_ns(ts) // 60000000000) % 1440) / 1440.0), 6) AS minute_sin,
+        |       value % 100.0 AS val_mod,
+        |       1 AS one,
+        |       event_type IN ('signup', 'error') AS is_sig
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_f1_unique_id" ->
+      """SELECT o_orderkey,
+        |       CONCAT_WS('_', o_orderkey, o_custkey, o_orderstatus) AS unique_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_f_date_parts" ->
+      """SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS y,
+        |       CAST(MONTH(l_shipdate) AS INTEGER) AS m,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_u1_udf_tod" ->
+      """SELECT CASE WHEN h BETWEEN 5 AND 11 THEN 'morning'
+        |            WHEN h BETWEEN 12 AND 18 THEN 'afternoon'
+        |            WHEN h BETWEEN 19 AND 23 THEN 'evening'
+        |            WHEN h BETWEEN 0 AND 4 THEN 'night'
+        |            ELSE 'unknown' END AS tod,
+        |       COUNT(*) AS n
+        |FROM (SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS h FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
