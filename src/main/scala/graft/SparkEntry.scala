@@ -367,6 +367,76 @@ object SparkEntry {
         .withColumn("tod", call_udf("categorize_time", col("h")))
         .groupBy(col("tod")).agg(count(lit(1)).as("n"))
         .orderBy(col("tod"))
+    }),
+
+    // ───────── training-data-pipeline extensions (documents/embeddings) ─────────
+    // X-dedup: exact-dup census over the corpus
+    "q_x_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"))),
+
+    // X-text: token counting (whitespace + BPE-ish regex)
+    "q_x_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.operators.TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+        graft.operators.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))),
+
+    // X-text: quality scoring (length/punct/stopword ratios + composite)
+    "q_x_quality" -> ((s, dir) =>
+      graft.operators.TextAnalysis.withQualitySignals(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("pr"),
+          round(col("stopword_ratio"), 6).as("sr"),
+          round(col("quality_score"), 6).as("score"))
+        .orderBy(col("doc_id"))),
+
+    // X-text: language-ID heuristic (marker-word argmax)
+    "q_x_langid" -> ((s, dir) =>
+      graft.operators.TextAnalysis.withLanguageId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang_guess"), col("hits_en"))
+        .orderBy(col("doc_id"))),
+
+    // X-sim: brute-force cosine top-k against the vec_id=0 embedding —
+    // the exact ANN baseline (fused native cosine expression)
+    "q_x_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // X-text: winnowed 64-bit document fingerprint (xxhash64-based —
+    // engine-specific hash, so rows-only check)
+    "q_x_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint64(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // X-dedup: SimHash fingerprints (rows-only — xxhash64-based)
+    "q_x_simhash" -> ((s, dir) =>
+      graft.operators.Dedup.withSimhash(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select("doc_id", "fp").orderBy(col("doc_id"))),
+
+    // X-dedup: MinHash LSH band table (rows-only — xxhash64-based)
+    "q_x_minhash_bands" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sig = d.select(col("doc_id"),
+        graft.operators.Dedup.minhashSignature(
+          graft.operators.Dedup.shingles(col("text"), 3), 32).as("sig"))
+      graft.operators.Dedup.lshBands(sig, "doc_id", "sig", 32, 8)
+        .orderBy(col("doc_id"), col("band_idx"))
+    }),
+
+    // X-sim: hyperplane-LSH ANN top-k (rows-only — approximate by design)
+    "q_x_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
     })
   )
 
@@ -562,6 +632,67 @@ object SparkEntry {
         |            ELSE 'unknown' END AS tod,
         |       COUNT(*) AS n
         |FROM (SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS h FROM events)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_x_dedup_exact" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique
+        |FROM documents""".stripMargin,
+
+    "q_x_tokens" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_ws,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_x_quality" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_q,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        |    len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CASE WHEN n_chars_q > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_q ELSE 0.0 END, 6) AS pr,
+        |  ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS sr,
+        |  ROUND(
+        |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.4 +
+        |    LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5) * 0.3 +
+        |    (1.0 - LEAST(1.0, (CASE WHEN n_chars_q > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_q ELSE 0.0 END) * 4)) * 0.3,
+        |  6) AS score
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_x_langid" ->
+      """WITH hits AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|den|mit|ist|im)\b')) AS INTEGER) AS h_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(的|了|是|我|不|在|有|人|这|他)\b')) AS INTEGER) AS h_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+        |       WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |       WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |       WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |       ELSE 'de' END AS lang_guess,
+        |  h_en AS hits_en
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_x_cosine_topk" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+    // q_x_fingerprint / q_x_simhash / q_x_minhash_bands / q_x_lsh_topk:
+    // intentionally no oracle — xxhash64-based sketches and approximate ANN
+    // are engine-specific; they get rows-only checks plus unit-test coverage
+    // with planted duplicates (DedupSpec / SimilaritySpec).
   )
 }

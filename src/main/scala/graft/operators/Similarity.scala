@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column (training-data-pipeline extension surface).
+  *
+  *  - [[bruteForceTopK]] — the exact baseline: fused-cosine scan + top-k
+  *    (TakeOrderedAndProject; no shuffle of the corpus).
+  *  - [[hyperplaneBuckets]] / [[lshTopK]] — the scale path: random
+  *    hyperplane signs bucket the corpus so each query probes one bucket.
+  *  - [[ivfAssign]] / [[ivfTopK]] — IVF-style coarse quantization against a
+  *    (small, broadcast) centroid table.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of the corpus against one literal query vector.
+    * The corpus is scanned once; ordering is (rounded cos desc, id asc) so
+    * results are stable under float noise. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    corpus
+      .select(col(idCol), round(VectorExprs.cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `planes` unit-free direction vectors
+    * of dimension `dim`, seeded — the driver-side constant that parameterizes
+    * the LSH family (broadcast as literals, not data). */
+  def randomPlanes(dim: Int, planes: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Sign-of-dot-product LSH bucket id for every row: bit p of `bucket` is
+    * set when dot(vec, plane_p) > 0. Same-direction vectors collide with
+    * high probability; the corpus shuffles once on the bucket key at most. */
+  def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int,
+      seed: Long): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val ps = randomPlanes(dim, planes, seed)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      when(VectorExprs.dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k through hyperplane buckets: the query's bucket (and
+    * optionally its single-bit-flip neighbors) is scanned exactly. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, planes: Int = 12, seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
+    val bucketed = hyperplaneBuckets(corpus, vecCol, planes, seed)
+    val ps = randomPlanes(query.length, planes, seed)
+    def dotQ(p: Array[Float]): Double =
+      p.iterator.zip(query.iterator).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val qBucket = ps.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      if (dotQ(p) > 0) acc | (1L << i) else acc
+    }
+    val probes: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until planes).map(i => qBucket ^ (1L << i))
+      else Seq(qBucket)
+    bucketed
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(VectorExprs.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF coarse assignment: nearest centroid per row. `centroids` is a
+    * small (id, vec) table — broadcast, so assignment is a map-side join +
+    * per-row argmax, no shuffle of the corpus. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidId: String = "cid",
+      centroidVec: String = "cvec"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__cos", VectorExprs.cosine(col(vecCol), col(centroidVec)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col(centroidId))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cos", centroidVec)
+  }
+
+  /** IVF top-k: assign the corpus to centroid lists once (typically cached /
+    * written bucketed-by-cid), then a query scans only the `nprobe` closest
+    * lists. */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, query: Array[Float], k: Int, nprobe: Int = 2,
+      centroidId: String = "cid", centroidVec: String = "cvec"): DataFrame = {
+    val probeIds = centroids
+      .select(col(centroidId), VectorExprs.cosine(col(centroidVec), typedLit(query)).as("c"))
+      .orderBy(col("c").desc)
+      .limit(nprobe)
+      .select(centroidId)
+      .collect().map(_.get(0))
+    assigned
+      .filter(col(centroidId).isin(probeIds.toIndexedSeq: _*))
+      .select(col(idCol), round(VectorExprs.cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact cosine for a small broadcastable query set against the
+    * corpus: one scan of the corpus, queries broadcast. Returns per query
+    * the top-k corpus ids. */
+  def batchTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(queryId), col(idCol),
+        round(VectorExprs.cosine(col(vecCol), col(queryVec)), 6).as("cos"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (build brief):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure Catalyst expressions over the `documents` table — per-row,
+  * embarrassingly parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  // ───────────────────── token counting ─────────────────────
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a cheap stand-in for
+    * a real tokenizer's piece count. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  // ───────────────────── language ID ─────────────────────
+
+  /** Tiny per-language marker lexicons (function words — the classic
+    * n-gram/stopword heuristic). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  /** Adds `lang_guess` (argmax of marker hits; "und" when nothing matched)
+    * and one `hits_<lang>` count per language. */
+  def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
+    val withHits = LangMarkers.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"hits_$lang", markerHits(col(textCol), words))
+    }
+    // argmax via a struct-max: (hits, lang) pairs, greatest wins; ties break
+    // toward the lexicographically larger lang — documented, deterministic
+    val pairs = LangMarkers.keys.toSeq.sorted.map(l =>
+      struct(col(s"hits_$l").as("h"), lit(l).as("l")))
+    withHits.withColumn("lang_guess",
+      when(greatest(pairs: _*).getField("h") === 0, lit("und"))
+        .otherwise(greatest(pairs: _*).getField("l")))
+  }
+
+  // ───────────────────── quality scoring ─────────────────────
+
+  /** Adds the standard cheap quality signals:
+    * `n_chars`, `n_tokens`, `mean_token_len`, `punct_ratio`,
+    * `stopword_ratio` (English markers), `upper_ratio`, and a composite
+    * `quality_score` ∈ [0,1] (weights documented inline). */
+  def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", wsTokenCount(t))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(col("n_chars_q") > 0,
+          regexp_count(t, lit("[\\p{Punct}]")).cast("double") / col("n_chars_q"))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          markerHits(t, LangMarkers("en")).cast("double") / col("n_tokens"))
+          .otherwise(0.0))
+      .withColumn("upper_ratio",
+        when(col("n_chars_q") > 0,
+          regexp_count(t, lit("[A-Z]")).cast("double") / col("n_chars_q"))
+          .otherwise(0.0))
+      // composite: reasonable length (saturating), some stopwords, low punct
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 100) * lit(0.4) +
+          least(lit(1.0), col("stopword_ratio") * 5) * lit(0.3) +
+          (lit(1.0) - least(lit(1.0), col("punct_ratio") * 4)) * lit(0.3))
+  }
+
+  // ───────────────────── fingerprinting ─────────────────────
+
+  /** Winnowing-style document fingerprint: the `keep` smallest xxhash64
+    * values over the word `n`-gram shingles, sorted — a compact,
+    * order-independent sketch; equal fingerprints ⇒ near-identical content. */
+  def fingerprint(text: Column, n: Int = 3, keep: Int = 8): Column =
+    slice(sort_array(transform(Dedup.shingles(text, n), s => xxhash64(s))), 1, keep)
+
+  /** Single 64-bit rolled-up fingerprint (hash of the winnowed sketch). */
+  def fingerprint64(text: Column, n: Int = 3, keep: Int = 8): Column =
+    xxhash64(fingerprint(text, n, keep))
+}

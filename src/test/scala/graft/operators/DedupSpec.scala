@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Dedup-family semantics: exact groups, shingles, MinHash/LSH recall on
+  * planted near-duplicates, SimHash Hamming banding, embedding cosine. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+  private val unrelated = (100 to 160).map(i => s"z$i").mkString(" ")
+
+  private def docs = Seq(
+    (1L, baseText), (2L, nearDup), (3L, unrelated), (4L, baseText)
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds identical texts; exactByKey keeps one per key") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 4L))
+
+    val kept = Dedup.exactByKey(docs, xxhash64(col("text")), col("doc_id"))
+    assert(kept.count() == 3)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("shingles: sliding n-grams, distinct, short-text fallback") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b")) // shorter than n → whole text
+  }
+
+  test("minhash: identical docs share signatures; near-dups found, unrelated not") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    // near-dup: most mins agree
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree > 16, s"only $agree/32 minhashes agree for a 95%-overlap pair")
+
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught
+    assert(pairs.contains((1L, 4L)))                             // exact dup caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))         // unrelated not
+  }
+
+  test("simhash: identical → distance 0; near-dup close; banding finds it") {
+    val fps = Dedup.withSimhash(docs, "text")
+      .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L))
+    val dNear = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val dFar = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+
+    val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = dNear)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 4L)))
+  }
+
+  test("ngramJaccard: exact dup = 1.0; near-dup high; via candidate pairs") {
+    val pairs = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("embeddingNearDups finds planted near-identical vectors only") {
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val vNear = v.clone(); vNear(0) = vNear(0) + 0.001f
+    val vFar = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v.toSeq), (2L, vNear.toSeq), (3L, vFar.toSeq))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val pairs = Dedup.embeddingNearDups(df, "id", "vec", threshold = 0.999, planes = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

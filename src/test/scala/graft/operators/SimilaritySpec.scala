@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorExprs
+
+/** ANN operators over the embeddings fixture: native-expression cosine
+  * equivalence, brute-force baseline, LSH and IVF probes. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private lazy val query: Array[Float] = emb
+    .filter(col("vec_id") === 0).select("embedding")
+    .as[Seq[Float]].head().toArray
+
+  test("native cosine matches the HOF formula and self-cosine is 1") {
+    val viaHof = emb.limit(50).select(col("vec_id"),
+      (aggregate(zip_with(col("embedding"), col("embedding"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)).as("norm2"))
+    viaHof.collect().foreach { r => assert(r.getDouble(1) > 0) }
+
+    val bad = emb.limit(50)
+      .select(abs(VectorExprs.cosine(col("embedding"), col("embedding")) - 1.0).as("d"))
+      .filter(col("d") > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("cosine expression agrees with a driver-side computation") {
+    val rows = emb.limit(20)
+      .select(col("vec_id"), col("embedding"),
+        VectorExprs.cosine(col("embedding"), typedLit(query)).as("cos"))
+      .as[(Long, Seq[Float], Double)].collect()
+    rows.foreach { case (_, v, cos) =>
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      v.indices.foreach { i =>
+        dot += v(i).toDouble * query(i).toDouble
+        nx += v(i).toDouble * v(i).toDouble
+        ny += query(i).toDouble * query(i).toDouble
+      }
+      val expected = dot / (math.sqrt(nx) * math.sqrt(ny))
+      assert(math.abs(cos - expected) < 1e-12)
+    }
+  }
+
+  test("bruteForceTopK puts the query vector itself first") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(top.head.getDouble(1) == 1.0)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("lshTopK (multi-probe) finds the exact-match vector") {
+    val top = Similarity.lshTopK(emb, "vec_id", "embedding", query, 5, planes = 8)
+    assert(top.collect().head.getLong(0) == 0L)
+  }
+
+  test("ivf assignment + probe finds the exact-match vector") {
+    val centroids = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    assert(assigned.count() == emb.count()) // exactly one centroid per row
+    val top = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+      query, 5, nprobe = 2)
+    assert(top.collect().head.getLong(0) == 0L)
+  }
+
+  test("batchTopK ranks self-match first for every query") {
+    val queries = emb.limit(3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.batchTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 3)
+    val selfRank = top.filter(col("qid") === col("vec_id"))
+      .select("rank").as[Int].collect()
+    assert(selfRank.length == 3 && selfRank.forall(_ == 1))
+  }
+}
