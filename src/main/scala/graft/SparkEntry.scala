@@ -31,6 +31,18 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Wide variant for per-row compute-heavy queries: the fixture tables are
+    * single-file/single-row-group parquet — an unsplittable scan, so every
+    * stage before the first exchange runs as ONE task no matter how many
+    * cores exist. One cheap round-robin exchange spreads the expensive
+    * projection across the cluster; on a real multi-file dataset
+    * (partitions ≥ cores) the fan-out is a no-op. */
+  private def tw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Order-independent exact sum of a float column: decimal accumulate,
     * double result. */
   private def dsum(c: Column, scale: Int = 6): Column =
@@ -226,7 +238,7 @@ object SparkEntry {
     // prediction is a deterministic synthetic column
     "q_a11_reg_metrics" -> ((s, dir) => {
       val d = col("l_quantity") * lit(1000.0) - col("l_extendedprice")
-      t(s, dir, "lineitem").agg(
+      tw(s, dir, "lineitem").agg(
         (dsum(abs(d)) / count(lit(1))).as("mae"),
         sqrt(dsum(d * d) / count(lit(1))).as("rmse"))
     }),
@@ -322,7 +334,7 @@ object SparkEntry {
     // F6 sin (rounded), F7 arithmetic incl. integer div/mod on epoch nanos,
     // F8 lit, F9 isin, F11 alias, F12 comparisons — one per-row battery
     "q_f_expr_battery" -> ((s, dir) =>
-      t(s, dir, "events").select(
+      tw(s, dir, "events").select(
         col("event_id"),
         concat_ws("_", col("user_id"), col("event_type")).as("uid"),
         regexp_replace(col("props"), "[^0-9]", "").as("digits"),
@@ -343,7 +355,7 @@ object SparkEntry {
 
     // F1 composite key on its own (dataset_utils.py:131-134)
     "q_f1_unique_id" -> ((s, dir) =>
-      t(s, dir, "orders")
+      tw(s, dir, "orders")
         .select(col("o_orderkey"),
           concat_ws("_", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
             .as("unique_id"))
@@ -362,7 +374,7 @@ object SparkEntry {
     // proves UDF output matches the native path
     "q_u1_udf_tod" -> ((s, dir) => {
       graft.operators.Features.registerTimeOfDayUdf(s)
-      t(s, dir, "events")
+      tw(s, dir, "events")
         .withColumn("h", expr("CAST((ts DIV 3600000000000) % 24 AS INT)"))
         .withColumn("tod", call_udf("categorize_time", col("h")))
         .groupBy(col("tod")).agg(count(lit(1)).as("n"))
@@ -378,7 +390,7 @@ object SparkEntry {
 
     // X-text: token counting (whitespace + BPE-ish regex)
     "q_x_tokens" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      tw(s, dir, "documents").select(
         col("doc_id"),
         graft.operators.TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
         graft.operators.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
@@ -386,7 +398,7 @@ object SparkEntry {
 
     // X-text: quality scoring (length/punct/stopword ratios + composite)
     "q_x_quality" -> ((s, dir) =>
-      graft.operators.TextAnalysis.withQualitySignals(t(s, dir, "documents"), "text")
+      graft.operators.TextAnalysis.withQualitySignals(tw(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("punct_ratio"), 6).as("pr"),
           round(col("stopword_ratio"), 6).as("sr"),
@@ -395,7 +407,7 @@ object SparkEntry {
 
     // X-text: language-ID heuristic (marker-word argmax)
     "q_x_langid" -> ((s, dir) =>
-      graft.operators.TextAnalysis.withLanguageId(t(s, dir, "documents"), "text")
+      graft.operators.TextAnalysis.withLanguageId(tw(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang_guess"), col("hits_en"))
         .orderBy(col("doc_id"))),
 
@@ -409,21 +421,24 @@ object SparkEntry {
     }),
 
     // X-text: winnowed 64-bit document fingerprint (xxhash64-based —
-    // engine-specific hash, so rows-only check)
+    // engine-specific hash, so rows-only check). Projection AFTER the sort:
+    // orderBy's range-partition sampling pass re-evaluates its child, so an
+    // expensive projection below the sort would be computed twice.
     "q_x_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.operators.TextAnalysis.fingerprint64(col("text")).as("fp"))
-        .orderBy(col("doc_id"))),
+      tw(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.fingerprint64(col("text")).as("fp"))),
 
     // X-dedup: SimHash fingerprints (rows-only — xxhash64-based)
     "q_x_simhash" -> ((s, dir) =>
       graft.operators.Dedup.withSimhash(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        tw(s, dir, "documents").select(col("doc_id"), col("text")), "text")
         .select("doc_id", "fp").orderBy(col("doc_id"))),
 
     // X-dedup: MinHash LSH band table (rows-only — xxhash64-based)
     "q_x_minhash_bands" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tw(s, dir, "documents")
       val sig = d.select(col("doc_id"),
         graft.operators.Dedup.minhashSignature(
           graft.operators.Dedup.shingles(col("text"), 3), 32).as("sig"))

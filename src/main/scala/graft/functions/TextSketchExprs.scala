@@ -1,0 +1,354 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-sketch hot paths.
+  *
+  * The composable formulation (`transform(sequence(0,k-1), i ->
+  * array_min(transform(shingles, s -> xxhash64(i, s))))`) walks the shingle
+  * array k times through interpreted lambda dispatch and allocates k
+  * intermediate arrays per row — measured 436 s for the MinHash band table
+  * at sf0.1 vs ~2 s for the fused loop below. Each expression generates a
+  * single static-helper call, so enclosing stages stay inside whole-stage
+  * codegen.
+  */
+object TextSketches {
+
+  /** k-seed MinHash over a string array: mins(i) = min over elements of
+    * xxhash64(bytes, seed=i). One pass over the elements. */
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(java.lang.Long.MAX_VALUE)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val s = arr.getUTF8String(e)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, i.toLong)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over a token array: bit j set when the ±1 vote of the
+    * token hashes' bit j is positive. One pass. */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val s = arr.getUTF8String(e)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      e += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** The k smallest distinct xxhash64 values of a string array, ascending —
+    * a winnowing-style fingerprint sketch. Insertion into a k-slot buffer:
+    * O(n·k) with k tiny, no full sort. */
+  def minKHashes(arr: ArrayData, k: Int): ArrayData = {
+    val buf = Array.fill(k)(java.lang.Long.MAX_VALUE)
+    var filled = 0
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      if (!arr.isNullAt(e)) {
+        val s = arr.getUTF8String(e)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 7L)
+        if (h < buf(k - 1)) {
+          // find insert position (skip exact dups for distinctness)
+          var i = 0
+          var dup = false
+          while (i < filled && buf(i) < h) i += 1
+          if (i < filled && buf(i) == h) dup = true
+          if (!dup) {
+            var j = math.min(filled, k - 1)
+            while (j > i) { buf(j) = buf(j - 1); j -= 1 }
+            buf(i) = h
+            if (filled < k) filled += 1
+          }
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(buf.take(math.max(filled, 1)))
+  }
+
+  /** Distinct word n-gram shingles in first-occurrence order; texts shorter
+    * than n words collapse to one whole-text shingle. Replaces a
+    * transform/slice/concat_ws/array_distinct HOF chain whose interpreted
+    * lambda dispatch was the dominant (and erratic) cost at sf0.1. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length == 0 || (toks.length == 1 && toks(0).isEmpty)) {
+      new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    } else if (toks.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    } else {
+      val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Count of whitespace-separated tokens whose ASCII-lowercased form is in
+    * `set`. Matches `regexp_count(lower(text), '\b(w1|w2|…)\b')` for
+    * space-separated ASCII text — without the regex engine (the regex
+    * formulation was the bench's least stable hot path: JIT warm-up of the
+    * generated matcher code produced 10-100× run-to-run swings). */
+  def tokenSetHits(text: UTF8String, set: java.util.HashSet[String]): Int = {
+    val s = text.toString
+    var hits = 0
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || Character.isWhitespace(c)) {
+        if (sb.length > 0) {
+          if (set.contains(sb.toString)) hits += 1
+          sb.setLength(0)
+        }
+      } else {
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** Whitespace token count (== `size(split(trim(text), "\\s+"))`, 0 for
+    * blank text). */
+  def wsTokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    count
+  }
+
+  private def isAsciiPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  /** Count of ASCII punctuation chars (Java `\p{Punct}` / RE2
+    * `[[:punct:]]`). */
+  def punctCount(text: UTF8String): Int = {
+    val s = text.toString
+    var c = 0; var i = 0
+    while (i < s.length) { if (isAsciiPunct(s.charAt(i))) c += 1; i += 1 }
+    c
+  }
+
+  /** Count of ASCII uppercase chars (`[A-Z]`). */
+  def upperCount(text: UTF8String): Int = {
+    val s = text.toString
+    var c = 0; var i = 0
+    while (i < s.length) { val ch = s.charAt(i); if (ch >= 'A' && ch <= 'Z') c += 1; i += 1 }
+    c
+  }
+
+  /** BPE-ish token count: alpha runs + digit runs + each single
+    * non-alphanumeric non-space code point
+    * (== `regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')`). */
+  def bpeishCount(text: UTF8String): Int = {
+    val s = text.toString
+    var count = 0
+    var i = 0
+    var state = 0 // 0 none, 1 alpha run, 2 digit run
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val isAlpha = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+      val isDigit = cp >= '0' && cp <= '9'
+      val isSpace = Character.isWhitespace(cp)
+      if (isAlpha) { if (state != 1) { count += 1; state = 1 } }
+      else if (isDigit) { if (state != 2) { count += 1; state = 2 } }
+      else { state = 0; if (!isSpace) count += 1 }
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
+  /** Count of non-whitespace chars (== `length(regexp_replace(t, "\\s+", ""))`). */
+  def nonWsCount(text: UTF8String): Int = {
+    val s = text.toString
+    var c = 0; var i = 0
+    while (i < s.length) { if (!Character.isWhitespace(s.charAt(i))) c += 1; i += 1 }
+    c
+  }
+
+  def textStat(text: UTF8String, mode: Int): Int = mode match {
+    case 0 => wsTokenCount(text)
+    case 1 => punctCount(text)
+    case 2 => upperCount(text)
+    case 3 => bpeishCount(text)
+    case 4 => nonWsCount(text)
+  }
+
+  // Column builders
+  def minhashSig(arr: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(arr), k))
+  def simhash(arr: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(arr)))
+  def fingerprintSketch(arr: Column, k: Int): Column =
+    ColumnBridge.column(MinKHashes(ColumnBridge.expression(arr), k))
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def tokenHits(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokenSetHits(ColumnBridge.expression(text), words))
+  def stat(text: Column, mode: TextStatMode.Value): Column =
+    ColumnBridge.column(TextStat(ColumnBridge.expression(text), mode.id))
+}
+
+/** Stat selector for [[TextStat]]. */
+object TextStatMode extends Enumeration {
+  val WsTokens, Punct, Upper, Bpeish, NonWs = Value
+}
+
+/** array<string> → array<long> (length k) fused MinHash signature. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextSketches.minhash(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.minhash($a, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<string> → long fused SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(TextSketches.simhash64(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.simhash64($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string → int: tokens whose lowercased form is in the marker set. */
+case class TokenSetHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def prettyName: String = "token_set_hits"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(w => s.add(w.toLowerCase))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(TextSketches.tokenSetHits(v.asInstanceOf[UTF8String], set))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: janino's generics support is unreliable in casts
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.tokenSetHits($a, $setRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string → int: one of the [[TextStatMode]] counters. */
+case class TextStat(child: Expression, mode: Int) extends UnaryExpression {
+  override def prettyName: String = "text_stat"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Integer.valueOf(TextSketches.textStat(v.asInstanceOf[UTF8String], mode))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.textStat($a, $mode);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string → array<string> fused word-n-gram shingling. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextSketches.wordShingles(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.wordShingles($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<string> → array<long>: the k smallest distinct element hashes. */
+case class MinKHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "min_k_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextSketches.minKHashes(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.minKHashes($a, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -40,27 +40,21 @@ object Dedup {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles. Texts shorter than `n` words collapse
-    * to a single whole-text shingle (sequence(1, k) would otherwise run
-    * DESCENDING for k < 1 and fabricate shingles). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - lit(n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    array_distinct(
-      when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
-  }
+  /** Distinct word n-gram shingles, first-occurrence order; texts shorter
+    * than `n` words collapse to a single whole-text shingle. Fused native
+    * expression — see [[graft.functions.TextSketches.wordShingles]]. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextSketches.shingles(text, n)
 
   // ──────────────────────── MinHash + LSH ────────────────────────
 
   /** k-permutation MinHash signature of a shingle array: for seed i,
-    * min over shingles of xxhash64(i, shingle). Pure expressions, one pass
-    * per row. */
+    * min over shingles of xxhash64(shingle, seed=i). Fused native
+    * expression — the equivalent higher-order-function formulation walks
+    * the shingle array k times through interpreted lambdas (measured 200×
+    * slower at sf0.1; see [[graft.functions.TextSketches]]). */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+    graft.functions.TextSketches.minhashSig(shingleArr, k)
 
   /** LSH banding: split a k-length signature into `bands` bands of
     * k/bands rows and hash each band (band index salts the hash).
@@ -103,16 +97,11 @@ object Dedup {
   // ───────────────────────── SimHash ─────────────────────────
 
   /** Adds a 64-bit SimHash fingerprint column: per bit j, sum ±1 over the
-    * token hashes; bit j is set when the sum is positive. Expression-only
-    * (the bit loop needs SQL shift operators on a lambda variable, so it
-    * goes through `expr` over named intermediate columns). */
+    * token hashes; bit j is set when the sum is positive. Fused native
+    * expression (the SQL-lambda formulation re-walks the hash array 64
+    * times; see [[graft.functions.TextSketches]]). */
   def withSimhash(df: DataFrame, textCol: String, out: String = "fp"): DataFrame =
-    df.withColumn("__hashes", transform(tokens(col(textCol)), t => xxhash64(t)))
-      .withColumn(out, expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) -> acc +
-          |  if(aggregate(__hashes, 0, (s, h) -> s + if(((h >> j) & 1) = 1, 1, -1)) > 0,
-          |     shiftleft(1L, j), 0L))""".stripMargin))
-      .drop("__hashes")
+    df.withColumn(out, graft.functions.TextSketches.simhash(tokens(col(textCol))))
 
   /** Hamming distance between two 64-bit fingerprint columns. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -11,16 +11,20 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   // ───────────────────── token counting ─────────────────────
+  // All counters are native char-scan expressions
+  // ([[graft.functions.TextSketches]]) — semantically identical to the
+  // regex formulations noted per function, but without the regex engine
+  // (Java-regex hot paths were the bench's least stable cost).
 
-  /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+  import graft.functions.{TextSketches, TextStatMode}
+
+  /** Whitespace token count (== `size(split(trim(text), "\\s+"))`, 0 when blank). */
+  def wsTokenCount(text: Column): Column = TextSketches.stat(text, TextStatMode.WsTokens)
 
   /** BPE-ish subword proxy: alpha runs, digit runs, and single
-    * non-alphanumeric marks each count as one token — a cheap stand-in for
-    * a real tokenizer's piece count. */
-  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+    * non-alphanumeric marks each count as one token
+    * (== `regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")`). */
+  def bpeishTokenCount(text: Column): Column = TextSketches.stat(text, TextStatMode.Bpeish)
 
   // ───────────────────── language ID ─────────────────────
 
@@ -33,8 +37,11 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
 
+  /** Marker-word occurrences: tokens (lowercased) that are in the lexicon
+    * (== `regexp_count(lower(text), "\\b(w1|…)\\b")` on space-separated
+    * ASCII text). */
   private def markerHits(text: Column, words: Seq[String]): Column =
-    regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"))
+    TextSketches.tokenHits(text, words)
 
   /** Adds `lang_guess` (argmax of marker hits; "und" when nothing matched)
     * and one `hits_<lang>` count per language. */
@@ -62,11 +69,12 @@ object TextAnalysis {
     df.withColumn("n_chars_q", length(t))
       .withColumn("n_tokens", wsTokenCount(t))
       .withColumn("mean_token_len",
-        when(col("n_tokens") > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          TextSketches.stat(t, TextStatMode.NonWs).cast("double") / col("n_tokens"))
           .otherwise(0.0))
       .withColumn("punct_ratio",
         when(col("n_chars_q") > 0,
-          regexp_count(t, lit("[\\p{Punct}]")).cast("double") / col("n_chars_q"))
+          TextSketches.stat(t, TextStatMode.Punct).cast("double") / col("n_chars_q"))
           .otherwise(0.0))
       .withColumn("stopword_ratio",
         when(col("n_tokens") > 0,
@@ -74,7 +82,7 @@ object TextAnalysis {
           .otherwise(0.0))
       .withColumn("upper_ratio",
         when(col("n_chars_q") > 0,
-          regexp_count(t, lit("[A-Z]")).cast("double") / col("n_chars_q"))
+          TextSketches.stat(t, TextStatMode.Upper).cast("double") / col("n_chars_q"))
           .otherwise(0.0))
       // composite: reasonable length (saturating), some stopwords, low punct
       .withColumn("quality_score",
@@ -85,11 +93,12 @@ object TextAnalysis {
 
   // ───────────────────── fingerprinting ─────────────────────
 
-  /** Winnowing-style document fingerprint: the `keep` smallest xxhash64
-    * values over the word `n`-gram shingles, sorted — a compact,
-    * order-independent sketch; equal fingerprints ⇒ near-identical content. */
+  /** Winnowing-style document fingerprint: the `keep` smallest distinct
+    * hash values over the word `n`-gram shingles, ascending — a compact,
+    * order-independent sketch; equal fingerprints ⇒ near-identical content.
+    * Fused native expression (no full hash-array materialization + sort). */
   def fingerprint(text: Column, n: Int = 3, keep: Int = 8): Column =
-    slice(sort_array(transform(Dedup.shingles(text, n), s => xxhash64(s))), 1, keep)
+    graft.functions.TextSketches.fingerprintSketch(Dedup.shingles(text, n), keep)
 
   /** Single 64-bit rolled-up fingerprint (hash of the winnowed sketch). */
   def fingerprint64(text: Column, n: Int = 3, keep: Int = 8): Column =
