@@ -446,6 +446,12 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("band_idx"))
     }),
 
+    // ST: batch twin of the streaming windowed aggregation — event-time
+    // tumbling 1-hour buckets (graft.streaming.EventStreams; the streaming
+    // variant adds the watermark and runs on readStream sources)
+    "q_st_window_counts" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedTypeCountsBatch(t(s, dir, "events"))),
+
     // X-sim: hyperplane-LSH ANN top-k (rows-only — approximate by design)
     "q_x_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -648,6 +654,12 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM (SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS h FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_st_window_counts" ->
+      """SELECT CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR,
+        |         make_timestamp(epoch_ns(ts) // 1000))) AS BIGINT) AS bucket_ms,
+        |       event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_x_dedup_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` shape (build brief §
+  * "Structured Streaming for streams"). The reference is batch-only
+  * (SURVEY §2.11), so this is extension surface: event-time windowed
+  * aggregation with watermarks, stateful sessionization via
+  * flatMapGroupsWithState, and stateful stream dedup.
+  *
+  * Every transform is `DataFrame => DataFrame` so the same code runs on
+  * `readStream` sources in production and on MemoryStream / batch frames in
+  * tests; the batch twin of the windowed aggregation is correctness-gated
+  * against DuckDB (`q_st_window_counts`).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Per-user state for [[sessionize]] — public: the state encoder's
+    * generated code can't access a private nested class. */
+  final case class OpenSession(start: Long, end: Long, n: Int, total: Double)
+
+  /** Event-time tumbling-window counts with a watermark: the canonical
+    * streaming aggregate. State is bounded by the watermark — windows older
+    * than `watermark` are finalized and evicted. */
+  def windowedTypeCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"), col("n"))
+
+  private val functions = org.apache.spark.sql.functions
+
+  /** Stateful gap-based sessionization: events within `gap` of each other
+    * (per user) belong to one session; a later event closes and emits the
+    * previous session. State per user is one open session — O(users), not
+    * O(events). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.end <= gapMs =>
+                open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                closed += Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.end), s.n, s.total)
+                open = Some(OpenSession(t, t, 1, e.value))
+              case None =>
+                open = Some(OpenSession(t, t, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Stateful exact stream dedup on event_id; with a watermark the dedup
+    * state is evicted as event time advances (bounded state at 100 TB/day
+    * rates — an unwatermarked stream dedup grows forever). */
+  def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch twin of [[windowedTypeCounts]] over the fixture `events` table
+    * (epoch-nano long ts) — used by the DuckDB-oracled correctness query. */
+  def windowedTypeCountsBatch(eventsNs: DataFrame): DataFrame =
+    eventsNs
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(functions.window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+}

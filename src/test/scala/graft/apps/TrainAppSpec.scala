@@ -1,0 +1,34 @@
+package graft.apps
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.{FlightsGenerator, IO}
+
+/** End-to-end CLI lifecycle smoke: CSV in → train → parquet + single CSV
+  * out, then score a held-out file with the same run (SURVEY §3.1/§3.2). */
+class TrainAppSpec extends SparkSpec {
+
+  test("train + score lifecycle writes both sinks and a scoreable model") {
+    val dir = Files.createTempDirectory("trainapp").toFile.getAbsolutePath
+    // synthesize input CSVs through our own sink path
+    val flights = FlightsGenerator.flights(spark, 2500, seed = 7L)
+    IO.writeSingleCsv(flights, s"$dir/in_csv", s"$dir/flights.csv")
+    val holdout = FlightsGenerator.flights(spark, 500, seed = 8L)
+    IO.writeSingleCsv(holdout, s"$dir/hold_csv", s"$dir/holdout.csv")
+
+    TrainApp.run(spark, s"$dir/flights.csv", s"$dir/out",
+      countOnly = false, planePath = None, testFile = Some(s"$dir/holdout.csv"))
+
+    val preds = spark.read.parquet(s"$dir/out/predictions.parquet")
+    assert(preds.count() > 0)
+    assert(preds.columns.contains("prediction"))
+    assert(preds.columns.contains("predicted_label"))
+    assert(preds.columns.contains("actual_label"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/out/predictions.csv")))
+
+    val scored = spark.read.parquet(s"$dir/out/test_predictions.parquet")
+    assert(scored.count() > 0)
+    assert(scored.columns.contains("prediction"))
+  }
+}

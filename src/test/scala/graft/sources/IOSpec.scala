@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Source/sink semantics (SURVEY §2.1 S1-S6): CSV with NA nulls, explicit
+  * vs inferred schema, parquet round-trip, CSV-safe projection, single-file
+  * CSV sink. */
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("readCsv: header, NA→null, explicit schema beats inference") {
+    val dir = tmpDir("csv-in")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "Year,Month,DayofMonth,DayOfWeek,DepTime,CRSDepTime,ArrTime,CRSArrTime," +
+        "UniqueCarrier,FlightNum,TailNum,ActualElapsedTime,CRSElapsedTime,AirTime," +
+        "ArrDelay,DepDelay,Origin,Dest,Distance,TaxiIn,TaxiOut,Cancelled," +
+        "CancellationCode,Diverted,CarrierDelay,WeatherDelay,NASDelay," +
+        "SecurityDelay,LateAircraftDelay\n" +
+        "2007,1,2,3,NA,900,1100,1050,AA,100,N1,120,115,90,5,2,JFK,LAX,2475,5,15,0," +
+        "NA,0,0,0,0,0,0\n")
+    val df = IO.readCsv(spark, s"$dir/f.csv", Some(Schemas.flights))
+    val row = df.first()
+    assert(df.schema == Schemas.flights)
+    assert(row.isNullAt(df.columns.indexOf("DepTime")))    // NA → null
+    assert(row.getAs[Int]("ArrDelay") == 5)
+    // inference path keeps the capability
+    val inferred = IO.readCsv(spark, s"$dir/f.csv", None)
+    assert(inferred.count() == 1)
+  }
+
+  test("csvSafeColumns drops non-primitive columns") {
+    val df = Seq((1, "a", Seq(1.0, 2.0))).toDF("i", "s", "arr")
+    assert(IO.csvSafeColumns(df).columns.toSeq == Seq("i", "s"))
+  }
+
+  test("writeSingleCsv produces exactly one CSV file with header") {
+    val out = tmpDir("csv-out")
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val target = IO.writeSingleCsv(df, s"$out/dir", s"$out/final.csv")
+    val lines = Files.readAllLines(target)
+    assert(lines.get(0) == "id,v")
+    assert(lines.size == 3)
+  }
+
+  test("parquet sink round-trips") {
+    val out = tmpDir("pq-out")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    IO.writeParquet(df, s"$out/t.parquet")
+    val back = spark.read.parquet(s"$out/t.parquet")
+    assert(back.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+}

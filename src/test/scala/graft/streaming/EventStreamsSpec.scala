@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Streaming semantics on MemoryStream sources: watermarked windowed
+  * aggregation, gap sessionization state, stream dedup. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedTypeCounts aggregates per event-time hour with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(in.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 1.0),
+        Event(3, ts(65), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("bucket_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(60), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 7, "click", 2.0),
+        Event(2, ts(10), 7, "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+
+      in.addData(Event(3, ts(180), 7, "click", 1.0)) // 3h later → closes it
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.user_id == 7 && s.n_events == 2 && s.total_value == 5.0)
+      assert(s.session_start == ts(0) && s.session_end == ts(10))
+    } finally q.stop()
+  }
+
+  test("dedupeStream suppresses duplicate event ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupeStream(in.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(0), 1, "click", 1.0), Event(3, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").select("event_id").as[Long].collect().toSet
+        == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("batch twin groups the fixture events into hour buckets") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = EventStreams.windowedTypeCountsBatch(events)
+    assert(out.count() > 0)
+    val total = out.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0)
+    assert(total == events.count())
+  }
+}
