@@ -2,30 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only scratch main: repeated-run timing probe for bench stability. */
+/** Dev-only scratch main: explain-plan audit for key queries. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sfDir = "/root/testdata/sf0.1"
-
-    def time(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    for (q <- Seq("q_x_langid", "q_x_langid", "q_x_langid")) {
-      val times = (1 to 3).map { _ =>
-        time(q) {
-          SparkEntry.queries(q)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-        }
-      }
-      println(f"[probe] $q%-22s ${times.map(t => f"$t%.2f").mkString(" ")}")
+    val sfDir = "/root/testdata/sf0.01"
+    for (q <- Seq("q_p5_filter_conj", "q_j1_dim_join", "q_j1_fact_join",
+        "q_a1_group_mean", "q_w2_global_max_share", "q_x_cosine_topk")) {
+      println(s"\n########## $q ##########")
+      println(SparkEntry.queries(q)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

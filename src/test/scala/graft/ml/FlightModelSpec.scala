@@ -63,6 +63,24 @@ class FlightModelSpec extends SparkSpec {
     assert(imps.map(_._1).exists(_.contains("DepDelay")))
   }
 
+  test("cross-validation returns a model from the reference grid (M10)") {
+    val pm = FlightPipeline().fit(prepared)
+    val small = pm.transform(prepared.sample(0.1, 42L))
+    val cv = FlightModel.crossValidate(small)
+    val best = cv.bestModel.asInstanceOf[
+      org.apache.spark.ml.regression.DecisionTreeRegressionModel]
+    assert(Set(5, 10, 15).contains(best.getMaxDepth))
+    assert(Set(20, 40, 60).contains(best.getMaxBins))
+    assert(cv.avgMetrics.length == 9) // 3×3 grid
+  }
+
+  test("linear baseline trains with the notebook hyperparameters (M8)") {
+    val pm = FlightPipeline().fit(prepared)
+    val lr = FlightModel.linearBaseline(pm.transform(prepared.sample(0.2, 42L)))
+    assert(lr.getMaxIter == 3 && lr.getRegParam == 0.01 && lr.getElasticNetParam == 0.5)
+    assert(!lr.coefficients.toArray.forall(_ == 0.0))
+  }
+
   test("empty input short-circuits; unfittable input falls back to constant") {
     val empty = prepared.filter(lit(false))
     val pm = FlightPipeline().fit(prepared)

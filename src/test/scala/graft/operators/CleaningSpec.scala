@@ -61,6 +61,15 @@ class CleaningSpec extends SparkSpec {
     assert(anti == except)
   }
 
+  test("dropForbidden removes exactly the 10 leakage columns (P1)") {
+    val wide = graft.sources.FlightsGenerator.flights(spark, 5)
+    val out = Cleaning.dropForbidden(wide)
+    assert(wide.columns.length - out.columns.length == 10)
+    graft.sources.Schemas.forbiddenVariables.foreach(c =>
+      assert(!out.columns.contains(c), s"$c not dropped"))
+    assert(out.columns.contains("DepDelay")) // predictors survive
+  }
+
   test("duplicateRows returns only rank>1 rows within the key") {
     val dups = Cleaning.duplicateRows(Cleaning.appendUniqueId(flights), "unique_id")
     assert(dups.count() == 1)

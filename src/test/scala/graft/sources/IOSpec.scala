@@ -34,6 +34,16 @@ class IOSpec extends SparkSpec {
     assert(inferred.count() == 1)
   }
 
+  test("bz2-compressed CSV round-trips through the same reader (S2)") {
+    val dir = tmpDir("csv-bz2")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    df.coalesce(1).write.option("header", "true")
+      .option("compression", "bzip2").csv(s"$dir/out")
+    val back = IO.readCsv(spark, s"$dir/out", None)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("id", "v"))
+  }
+
   test("csvSafeColumns drops non-primitive columns") {
     val df = Seq((1, "a", Seq(1.0, 2.0))).toDF("i", "s", "arr")
     assert(IO.csvSafeColumns(df).columns.toSeq == Seq("i", "s"))
