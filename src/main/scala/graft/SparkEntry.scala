@@ -446,6 +446,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("band_idx"))
     }),
 
+    // J-asof: point-in-time lookup — every event joined to the latest
+    // 'purchase' event of the same user at or before it (AsOfJoin: tagged
+    // union + running last() — ONE shuffle on the key; DuckDB's native
+    // ASOF JOIN is the oracle)
+    "q_j_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rt"), col("value").as("rv"))
+      graft.operators.AsOfJoin.backward(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, Seq("user_id"), "ts", "rt", Seq("rv"))
+        .select(col("event_id"),
+          coalesce(col("asof_rv"), lit(-1.0)).as("prev_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ST: batch twin of the streaming windowed aggregation — event-time
     // tumbling 1-hour buckets (graft.streaming.EventStreams; the streaming
     // variant adds the watermark and runs on readStream sources)
@@ -654,6 +670,14 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM (SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS h FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j_asof" ->
+      """SELECT e.event_id,
+        |       COALESCE(p.value, -1.0) AS prev_purchase_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_st_window_counts" ->
       """SELECT CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR,

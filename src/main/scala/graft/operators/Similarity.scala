@@ -108,6 +108,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Train IVF centroids with distributed k-means over the embedding
+    * column: the real construction for [[ivfAssign]]'s coarse quantizer
+    * (the tests' "every-100th-vector" centroids are a stand-in). Returns a
+    * small (cid, cvec) table — broadcastable config data. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val featured = corpus
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(featured)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+  }
+
   /** All-pairs exact cosine for a small broadcastable query set against the
     * corpus: one scan of the corpus, queries broadcast. Returns per query
     * the top-k corpus ids. */

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support for co-located joins (build brief: "bucketing for
+  * co-located joins"). Writing both join sides bucketed+sorted on the join
+  * key lets a sort-merge join read each bucket pair directly — NO exchange
+  * and NO sort at query time, which at 100 TB removes the dominant cost of
+  * every recurring fact-fact join.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed, sorted managed table (idempotent: drops a
+    * pre-existing table and any orphaned location first — Overwrite alone
+    * refuses to reuse a location the catalog no longer tracks). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two identically-bucketed tables on their bucket key. With equal
+    * bucket counts Catalyst plans a SortMergeJoin whose children are the
+    * bucketed scans themselves — `.explain` shows no Exchange. */
+  def cocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      on: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), on)
+}

@@ -68,6 +68,16 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().head.getLong(0) == 0L)
   }
 
+  test("kmeans-trained centroids drive the IVF probe") {
+    val centroids = Similarity.trainCentroids(emb, "embedding", k = 4, maxIter = 3)
+    assert(centroids.count() == 4)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    assert(assigned.count() == emb.count())
+    val top = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+      query, 5, nprobe = 2)
+    assert(top.collect().head.getLong(0) == 0L)
+  }
+
   test("batchTopK ranks self-match first for every query") {
     val queries = emb.limit(3)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
