@@ -446,6 +446,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("band_idx"))
     }),
 
+    // SQL entry path: temp views + spark.sql through the full parser
+    // (same Catalyst pipeline; proves the SQL front door)
+    "q_sql_entry" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+          |FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // X-capstone: composed training-data pipeline — quality gate + language
+    // gate + exact dedup (keep lowest doc_id per distinct text)
+    "q_x_pipeline" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      val scored = ta.withLanguageId(
+        ta.withQualitySignals(tw(s, dir, "documents"), "text"), "text")
+      scored
+        .filter(col("quality_score") >= 0.5 && col("lang_guess") === "en")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // J-asof: point-in-time lookup — every event joined to the latest
     // 'purchase' event of the same user at or before it (AsOfJoin: tagged
     // union + running last() — ONE shuffle on the key; DuckDB's native
@@ -670,6 +696,44 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM (SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS h FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_entry" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_x_pipeline" ->
+      """WITH sig AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars_q,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        |    len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS n_stop,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|den|mit|ist|im)\b')) AS INTEGER) AS h_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(的|了|是|我|不|在|有|人|这|他)\b')) AS INTEGER) AS h_zh
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.4 +
+        |    LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5) * 0.3 +
+        |    (1.0 - LEAST(1.0, (CASE WHEN n_chars_q > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_q ELSE 0.0 END) * 4)) * 0.3
+        |      AS quality_score,
+        |    CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_zh = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+        |         WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |         WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |         WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM sig)
+        |SELECT MIN(doc_id) AS doc_id FROM scored
+        |WHERE quality_score >= 0.5 AND lang_guess = 'en'
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "q_j_asof" ->
       """SELECT e.event_id,
