@@ -276,6 +276,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // W-stacked: batch sessionization — lag marks gap starts, running sum
+    // numbers the sessions (the batch twin of the streaming
+    // flatMapGroupsWithState sessionizer; 30-min gap on epoch-nano ts)
+    "q_w_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapStart = when(
+        col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("session_idx",
+          sum(gapStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+        .orderBy(col("event_id"))
+    }),
+
     // W-frame: running sum over ROWS UNBOUNDED PRECEDING..CURRENT, exact
     "q_w_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -626,6 +641,19 @@ object SparkEntry {
       """SELECT event_id,
         |       COALESCE(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_w_sessionize" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(gap_start) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+        |         THEN 1 ELSE 0 END AS gap_start
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "q_w_running_sum" ->
       """SELECT event_id,

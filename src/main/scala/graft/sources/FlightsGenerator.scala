@@ -28,11 +28,22 @@ object FlightsGenerator {
   /** `n` synthetic flights with the 29-column reference schema. ~`nullFrac`
     * of rows carry a null ArrDelay/DepTime/Distance and ~2% are cancelled,
     * so cleaning paths have something to remove. `tailPool` controls the
-    * TailNum universe (join selectivity against [[planeData]]). */
-  def flights(spark: SparkSession, n: Int, seed: Long = 42L,
+    * TailNum universe (join selectivity against [[planeData]]).
+    *
+    * Generation is DISTRIBUTED: `spark.range(n)` partitions the id space
+    * and every row derives its own splitmix-seeded RNG from (seed, id), so
+    * output is deterministic, independent of partitioning, and scales to
+    * any n (the driver never materializes rows — a driver-side Seq capped
+    * the old version at memory and shipped megabyte tasks). */
+  def flights(spark: SparkSession, n: Long, seed: Long = 42L,
       tailPool: Int = 500, nullFrac: Double = 0.03): DataFrame = {
-    val rnd = new Random(seed)
-    val rows = (0 until n).map { i =>
+    val numPartitions = math.max(1, math.min(200, n / 5000)).toInt
+    val rows = spark.range(0, n, 1, numPartitions).rdd.map { i =>
+      // splitmix64 scramble so per-row Randoms are decorrelated
+      var z = seed + i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      val rnd = new Random(z ^ (z >>> 31))
       val month = 1 + rnd.nextInt(12)
       val dayOfMonth = 1 + rnd.nextInt(28)
       val dayOfWeek = 1 + rnd.nextInt(7)
@@ -76,9 +87,7 @@ object FlightsGenerator {
         Integer.valueOf(0), Integer.valueOf(0), Integer.valueOf(0),
         Integer.valueOf(0), Integer.valueOf(0))                  // delay components
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, n / 5000)),
-      Schemas.flights)
+    spark.createDataFrame(rows, Schemas.flights)
   }
 
   /** Plane-data dimension covering `coverage` of the flight TailNum pool;
