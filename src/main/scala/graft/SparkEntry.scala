@@ -234,6 +234,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
         .orderBy(col("event_type"))),
 
+    // A-rollup: hierarchical subtotals (SURVEY §2.4 "built-in if needed");
+    // null group markers are coalesced to a sentinel so cross-engine NULL
+    // ordering never matters
+    "q_a_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // A-cube: full cross-dimensional subtotals
+    "q_a_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // A8-wide: static pivot (fixed value list keeps the schema static)
+    "q_a8_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("l_returnflag"))),
+
     // A11: MAE/RMSE as pure SQL aggregates (helper_methods.py:346-369);
     // prediction is a deterministic synthetic column
     "q_a11_reg_metrics" -> ((s, dir) => {
@@ -620,6 +650,28 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_a_rollup" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |       COALESCE(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_a_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |       COALESCE(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_a8_pivot" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O,
+        |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'P') AS BIGINT) AS P
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_a11_reg_metrics" ->
       """SELECT CAST(SUM(CAST(ABS(l_quantity * 1000.0 - l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mae,
