@@ -406,6 +406,27 @@ object SparkEntry {
             .as("unique_id"))
         .orderBy(col("o_orderkey"))),
 
+    // F-json: semi-structured extraction from the props JSON column
+    // (get_json_object path expression + typed cast + aggregation)
+    "q_f_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // F-array: explode/collect round trip — per-user sorted distinct event
+    // types joined to a string (string output: array renderings differ
+    // between engines' dataframe bridges)
+    "q_f_array_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type"))))
+          .as("types"))
+        .orderBy(col("user_id"))),
+
     // F-date: year/month extraction from a timestamp column
     "q_f_date_parts" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -760,6 +781,17 @@ object SparkEntry {
       """SELECT o_orderkey,
         |       CONCAT_WS('_', o_orderkey, o_custkey, o_orderstatus) AS unique_id
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_f_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_f_array_agg" ->
+      """SELECT user_id,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_f_date_parts" ->
       """SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS y,
