@@ -43,35 +43,58 @@ object EventStreams {
   private val functions = org.apache.spark.sql.functions
 
   /** Stateful gap-based sessionization: events within `gap` of each other
-    * (per user) belong to one session; a later event closes and emits the
-    * previous session. State per user is one open session — O(users), not
-    * O(events). */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    * (per user) belong to one session. A later event closes and emits the
+    * previous session, and — the part a NoTimeout formulation gets wrong —
+    * an *idle* session is emitted when the event-time watermark passes
+    * `session_end + gap`, which also evicts the user's state. State per
+    * user is therefore one open session, bounded by the watermark:
+    * O(users active inside the watermark window), not O(all users ever
+    * seen), and the last session of a user who never returns still
+    * materializes. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            open match {
-              case Some(s) if t - s.end <= gapMs =>
-                open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
-                  total = s.total + e.value))
-              case Some(s) =>
-                closed += Session(userId, new Timestamp(s.start),
-                  new Timestamp(s.end), s.n, s.total)
-                open = Some(OpenSession(t, t, 1, e.value))
-              case None =>
-                open = Some(OpenSession(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed end+gap with no new events: the session is
+            // final — emit it and evict the state
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the gap horizon; the timeout
+              // timestamp must stay ahead of the current watermark (late
+              // sessions would otherwise throw on an in-the-past timeout)
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
   }
 

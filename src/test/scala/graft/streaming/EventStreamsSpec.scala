@@ -59,6 +59,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize emits an idle session once the watermark passes end+gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L,
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("idle_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7 has two events then goes idle forever
+      in.addData(
+        Event(1, ts(0), 7, "click", 2.0),
+        Event(2, ts(10), 7, "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").count() == 0) // still open
+
+      // a different user's much-later event advances the watermark to
+      // ts(600) - 1h = ts(540), far past user 7's end+gap = ts(40): the
+      // timeout must fire and emit user 7's session even though user 7
+      // never produced another event
+      in.addData(Event(3, ts(600), 9, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("idle_sessions").as[Session].collect()
+        .filter(_.user_id == 7)
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.n_events == 2 && s.total_value == 5.0)
+      assert(s.session_start == ts(0) && s.session_end == ts(10))
+
+      // state for user 7 is evicted: advancing the watermark further must
+      // not re-emit the session
+      in.addData(Event(4, ts(1300), 9, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").as[Session].collect()
+        .count(_.user_id == 7) == 1)
+    } finally q.stop()
+  }
+
   test("dedupeStream suppresses duplicate event ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
