@@ -525,16 +525,17 @@ object SparkEntry {
     }),
 
     // X-capstone: composed training-data pipeline — quality gate + language
-    // gate + exact dedup (keep lowest doc_id per distinct text)
+    // gate + exact dedup (keep lowest doc_id per distinct text). The dedup
+    // groups on xxhash64(text) with a salted-hash collision verify
+    // (Dedup.distinctMinIds): the shuffle carries 24-byte keys, not bodies.
     "q_x_pipeline" -> ((s, dir) => {
       val ta = graft.operators.TextAnalysis
       val scored = ta.withLanguageId(
         ta.withQualitySignals(tw(s, dir, "documents"), "text"), "text")
-      scored
-        .filter(col("quality_score") >= 0.5 && col("lang_guess") === "en")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
+      graft.operators.Dedup.distinctMinIds(
+          scored.filter(col("quality_score") >= 0.5 && col("lang_guess") === "en"),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"))
         .orderBy(col("doc_id"))
     }),
 

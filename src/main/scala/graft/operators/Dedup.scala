@@ -29,11 +29,71 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact-duplicate groups: content hash → sorted ids sharing it (n > 1). */
-  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+  /** Exact text dedup keeping the first row by `tieBreaker`. The window
+    * keys are (xxhash64(text), text): the 8-byte digest leads every
+    * partition-hash and sort comparison, so full texts are only compared
+    * on digest ties (true duplicates or 64-bit collisions) — exact at any
+    * scale without sorting document bodies against each other. */
+  def exactByText(df: DataFrame, textCol: String, tieBreaker: Column): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+      .orderBy(tieBreaker)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Salt for the independent second content hash used to detect 64-bit
+    * collisions in the hash-grouped exact paths. */
+  private val VerifySalt = 0x9E3779B97F4A7C15L
+
+  /** Exact-duplicate groups: content hash → sorted ids sharing it (n > 1).
+    *
+    * Groups on the 8-byte xxhash64 digest — never the document body — and
+    * guards against 64-bit birthday collisions with an independent salted
+    * hash: groups where the second hash is not constant are re-aggregated
+    * by the actual text (a join against only the collided digests; with AQE
+    * the empty-build-side join collapses, so the refinement costs nothing
+    * in the no-collision case). An escape needs the same pair to collide
+    * in both hashes (~2^-128 per pair). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(
+      xxhash64(col(textCol)).as("content_hash"),
+      xxhash64(lit(VerifySalt), col(textCol)).as("__h2"),
+      col(idCol).as("__id"), col(textCol).as("__t"))
+    val grouped = hashed.groupBy("content_hash")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("__id"))).as("ids"),
+        (min(col("__h2")) === max(col("__h2"))).as("__uniform"))
+    val clean = grouped.filter(col("__uniform") && col("n") > 1)
+      .select("content_hash", "n", "ids")
+    val refined = hashed
+      .join(grouped.filter(!col("__uniform")).select("content_hash"), "content_hash")
+      .groupBy(col("content_hash"), col("__t"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("__id"))).as("ids"))
       .filter(col("n") > 1)
+      .select("content_hash", "n", "ids")
+    clean.unionByName(refined)
+  }
+
+  /** Distinct-text census keeping the minimum id per distinct text — the
+    * capstone-pipeline dedup. Shuffles (hash, salted-hash, id): 24 bytes
+    * per row instead of the document body as grouping key; collided hash
+    * groups (second hash not constant) are refined exactly via the text,
+    * and AQE eliminates that subtree when no collision exists. */
+  def distinctMinIds(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(
+      xxhash64(col(textCol)).as("__h"),
+      xxhash64(lit(VerifySalt), col(textCol)).as("__h2"),
+      col(idCol).as("id"), col(textCol).as("__t"))
+    val grouped = hashed.groupBy("__h")
+      .agg(min(col("id")).as("id"),
+        (min(col("__h2")) === max(col("__h2"))).as("__uniform"))
+    val clean = grouped.filter(col("__uniform")).select("id")
+    val refined = hashed
+      .join(grouped.filter(!col("__uniform")).select("__h"), "__h")
+      .groupBy(col("__t")).agg(min(col("id")).as("id"))
+      .select("id")
+    clean.unionByName(refined)
+  }
 
   // ─────────────────────────── shingling ───────────────────────────
 
@@ -153,8 +213,10 @@ object Dedup {
     * bucket join; candidates are distinct'd on ids before the exact cosine
     * verify with the fused native expression. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L): DataFrame = {
-    val bucketed = Similarity.hyperplaneBuckets(df, vecCol, planes, seed)
+      threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
+    val bucketed = Similarity.hyperplaneBuckets(df, vecCol, planes, seed, d)
     val a = bucketed.select(col("bucket"), col(idCol).as("id1"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id2"))
     val candidates = a.join(b, "bucket")

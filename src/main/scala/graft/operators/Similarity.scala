@@ -40,12 +40,31 @@ object Similarity {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
+  /** Plane count sized so expected bucket occupancy ≈ `targetBucketSize`:
+    * `ceil(log2(n / target))`, floored at 1 and capped at 62 (the bucket id
+    * is a signed-long bitmask). Small corpora get few planes — the probe
+    * then covers most buckets, which is correct: LSH only pays once buckets
+    * are smaller than the corpus. */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 128): Int = {
+    val ratio = math.max(1.0, corpusSize.toDouble / math.max(1, targetBucketSize))
+    math.min(62, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** Vector dimension read off the first row — ONE small driver job. Kept
+    * out of the transforms so callers on a hot path can pass `dim`
+    * explicitly (e.g. from their model config) and stay action-free. */
+  def inferDim(df: DataFrame, vecCol: String): Int = {
+    val head = df.select(size(col(vecCol))).limit(1).collect()
+    require(head.nonEmpty, s"cannot infer vector dim of empty corpus ($vecCol)")
+    head(0).getInt(0)
+  }
+
   /** Sign-of-dot-product LSH bucket id for every row: bit p of `bucket` is
     * set when dot(vec, plane_p) > 0. Same-direction vectors collide with
-    * high probability; the corpus shuffles once on the bucket key at most. */
+    * high probability; the corpus shuffles once on the bucket key at most.
+    * `dim` is the embedding dimension (see [[inferDim]] when unknown). */
   def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int,
-      seed: Long): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+      seed: Long, dim: Int): DataFrame = {
     val ps = randomPlanes(dim, planes, seed)
     val bucket = ps.zipWithIndex.map { case (p, i) =>
       when(VectorExprs.dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -53,21 +72,34 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
-  /** ANN top-k through hyperplane buckets: the query's bucket (and
-    * optionally its single-bit-flip neighbors) is scanned exactly. */
+  /** All bucket ids within Hamming distance `maxHamming` of `center`.
+    * Size is Σ C(planes, r) — with the default radius 2 that is ≤ 1 954
+    * even at the 62-plane cap, small enough for an IN-list (which keeps the
+    * probe prunable when the corpus is stored bucketed on `bucket`). */
+  def probeSet(center: Long, planes: Int, maxHamming: Int): Seq[Long] =
+    (0 to math.min(maxHamming, planes)).flatMap { r =>
+      (0 until planes).combinations(r).map(
+        _.foldLeft(center)((b, i) => b ^ (1L << i)))
+    }
+
+  /** ANN top-k through hyperplane buckets. `planes <= 0` (the default)
+    * auto-scales the plane count to the corpus size via [[planesFor]] —
+    * that costs one `count()` at plan time; pass `planes` explicitly on a
+    * hot path. The probe scans every bucket within `maxHamming` bit flips
+    * of the query's bucket, so recall degrades gracefully instead of
+    * collapsing when buckets outnumber the corpus. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], k: Int, planes: Int = 12, seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
-    val bucketed = hyperplaneBuckets(corpus, vecCol, planes, seed)
-    val ps = randomPlanes(query.length, planes, seed)
+      query: Array[Float], k: Int, planes: Int = 0, seed: Long = 42L,
+      maxHamming: Int = 2, targetBucketSize: Int = 128): DataFrame = {
+    val nPlanes = if (planes > 0) planes else planesFor(corpus.count(), targetBucketSize)
+    val bucketed = hyperplaneBuckets(corpus, vecCol, nPlanes, seed, query.length)
+    val ps = randomPlanes(query.length, nPlanes, seed)
     def dotQ(p: Array[Float]): Double =
       p.iterator.zip(query.iterator).map { case (a, b) => a.toDouble * b.toDouble }.sum
     val qBucket = ps.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
       if (dotQ(p) > 0) acc | (1L << i) else acc
     }
-    val probes: Seq[Long] =
-      if (multiProbe) qBucket +: (0 until planes).map(i => qBucket ^ (1L << i))
-      else Seq(qBucket)
+    val probes = probeSet(qBucket, nPlanes, maxHamming)
     bucketed
       .filter(col("bucket").isin(probes: _*))
       .select(col(idCol), round(VectorExprs.cosine(col(vecCol), typedLit(query)), 6).as("cos"))

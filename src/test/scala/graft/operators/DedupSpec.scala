@@ -26,6 +26,17 @@ class DedupSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("exactByText and distinctMinIds agree with a raw-text groupBy") {
+    val kept = Dedup.exactByText(docs, "text", col("doc_id"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    val viaHash = Dedup.distinctMinIds(docs, "doc_id", "text")
+      .as[Long].collect().toSet
+    val viaText = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+      .select("id").as[Long].collect().toSet
+    assert(viaHash == viaText && viaHash == Set(1L, 2L, 3L))
+  }
+
   test("shingles: sliding n-grams, distinct, short-text fallback") {
     val out = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.shingles(col("text"), 3).as("sh"))

@@ -58,6 +58,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().head.getLong(0) == 0L)
   }
 
+  test("lshTopK auto-parametrization: k rows and recall@10 >= 0.8 vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10, s"expected k=10 rows, got ${approx.size}")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+
+  test("planesFor scales with corpus size; probeSet covers the Hamming ball") {
+    assert(Similarity.planesFor(500) == 2)       // tiny corpus → probe ≈ everything
+    assert(Similarity.planesFor(1000000) == 13)  // 1M/128 ≈ 8k buckets
+    assert(Similarity.planesFor(Long.MaxValue) == 56)    // 63 - log2(128)
+    assert(Similarity.planesFor(Long.MaxValue, 1) == 62) // bitmask cap
+    val probes = Similarity.probeSet(5L, 4, 2)
+    assert(probes.size == 1 + 4 + 6 && probes.distinct.size == probes.size)
+    assert(probes.contains(5L) && probes.contains(5L ^ 3L))
+  }
+
   test("ivf assignment + probe finds the exact-match vector") {
     val centroids = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
