@@ -53,7 +53,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line gets [info]-decorated under sbt, which defeats a
+    // machine parse — also write the bare JSON to a file (SPARK_GRAFT_OUT
+    // overrides the default repo-root location)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

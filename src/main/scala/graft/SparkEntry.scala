@@ -264,6 +264,31 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("l_returnflag"))),
 
+    // A6-matrix: full pairwise Pearson correlation matrix in one aggregate
+    // pass (helper_methods.py:82-90 does it via toPandas().corr() on a
+    // sample; here it is distributed), rounded for cross-engine moments
+    "q_a6_corr_matrix" -> ((s, dir) =>
+      graft.operators.Profiling.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
+        .orderBy(col("col_a"), col("col_b"))),
+
+    // A8-norm: row-normalized crosstab — the reference's
+    // pd.crosstab(..., normalize='index') (generate_report_figures.py:44)
+    "q_a8_crosstab_norm" -> ((s, dir) =>
+      graft.operators.Profiling.crosstabNormalized(
+          t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(col("l_returnflag"),
+          round(col("F"), 6).as("F"), round(col("O"), 6).as("O"))
+        .orderBy(col("l_returnflag"))),
+
+    // A-histogram: equal-width bucketed counts (width_bucket semantics) —
+    // the data side of the residual histogram (generate_report_figures.py:113)
+    "q_a_histogram" -> ((s, dir) =>
+      graft.operators.Profiling.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", lo = 0.0, hi = 110000.0, bins = 11)
+        .orderBy(col("bucket"))),
+
     // A11: MAE/RMSE as pure SQL aggregates (helper_methods.py:346-369);
     // prediction is a deterministic synthetic column
     "q_a11_reg_metrics" -> ((s, dir) => {
@@ -561,12 +586,26 @@ object SparkEntry {
     "q_st_window_counts" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedTypeCountsBatch(t(s, dir, "events"))),
 
-    // X-sim: hyperplane-LSH ANN top-k (rows-only — approximate by design)
+    // X-sim: hyperplane-LSH ANN top-k (rows-only — approximate by design;
+    // recall@10 >= 0.8 vs brute force asserted in SimilaritySpec)
     "q_x_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       graft.operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // X-sim: IVF ANN top-k — kmeans-trained coarse quantizer (broadcast
+    // centroids, map-side assign), nprobe-list probe (rows-only —
+    // approximate by design; recall asserted in SimilaritySpec)
+    "q_x_ivf_topk" -> ((s, dir) => {
+      val sim = graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val centroids = sim.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
+      val assigned = sim.ivfAssign(emb, "vec_id", "embedding", centroids)
+      sim.ivfTopK(assigned, "vec_id", "embedding", centroids, q, 10, nprobe = 3)
     })
   )
 
@@ -694,6 +733,38 @@ object SparkEntry {
         |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O,
         |       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'P') AS BIGINT) AS P
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a6_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT corr(l_quantity, l_extendedprice) AS c_qp,
+        |         corr(l_quantity, l_discount)      AS c_qd,
+        |         corr(l_quantity, l_tax)           AS c_qt,
+        |         corr(l_extendedprice, l_discount) AS c_pd,
+        |         corr(l_extendedprice, l_tax)      AS c_pt,
+        |         corr(l_discount, l_tax)           AS c_dt
+        |  FROM lineitem)
+        |SELECT col_a, col_b, ROUND(c, 6) AS corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c_qp AS c FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', c_qd FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c_qt FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', c_pd FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c_pt FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c_dt FROM m)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q_a8_crosstab_norm" ->
+      """SELECT l_returnflag,
+        |       ROUND(CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / COUNT(*), 6) AS F,
+        |       ROUND(CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) / COUNT(*), 6) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) / 10000.0), 0), 10) AS INTEGER) AS bucket,
+        |       COUNT(*) AS n,
+        |       ROUND(0.0 + CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) / 10000.0), 0), 10) AS INTEGER) * 10000.0, 6) AS bucket_lo,
+        |       ROUND(0.0 + (CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) / 10000.0), 0), 10) AS INTEGER) + 1) * 10000.0, 6) AS bucket_hi
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a11_reg_metrics" ->
       """SELECT CAST(SUM(CAST(ABS(l_quantity * 1000.0 - l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mae,

@@ -69,12 +69,43 @@ object Profiling {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     cols.zipWithIndex.map { case (c, i) =>
-      (c, row.getLong(2 * i), row.getAs[Any](2 * i + 1) match {
+      // SUM over zero rows is null, and approxQuantile returns an empty
+      // array for an all-null column — guard both
+      val nulls = row.getAs[Any](2 * i) match {
+        case null => 0L
+        case n: Long => n
+      }
+      val cr = row.getAs[Any](2 * i + 1) match {
         case null => Double.NaN
         case d: Double => d
-      }, quantiles(i)(0), quantiles(i)(1), quantiles(i)(2), quantiles(i)(3), quantiles(i)(4))
+      }
+      def q(k: Int): Double =
+        if (quantiles(i).length > k) quantiles(i)(k) else Double.NaN
+      (c, nulls, cr, q(0), q(1), q(2), q(3), q(4))
     }.toDF("column", "nulls", "corr", "quantile_05", "quantile_25",
       "quantile_50", "quantile_75", "quantile_95")
+  }
+
+  /** Full pairwise Pearson correlation matrix in ONE aggregate pass —
+    * the reference computes it via `toPandas().corr()` on a driver-side
+    * sample (`helper_methods.py:82-90`, notebook cell 6); here all
+    * C(n,2) `corr` aggregates batch into a single distributed job.
+    * Long format (col_a, col_b, corr), upper triangle (col_a < col_b by
+    * input order), so the result stays a DataFrame at any column count. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    pairs.zipWithIndex.map { case ((a, b), k) =>
+      (a, b, row.getAs[Any](k) match {
+        case null => Double.NaN
+        case d: Double => d
+      })
+    }.toDF("col_a", "col_b", "corr")
   }
 
   /** A1: per-group mean of the target (`helper_methods.py:159`). */
@@ -91,6 +122,35 @@ object Profiling {
     * driver-side pandas crosstab. */
   def crosstab(df: DataFrame, actual: String, predicted: String): DataFrame =
     df.groupBy(col(actual)).pivot(predicted).count().na.fill(0L)
+
+  /** A8-norm: row-normalized crosstab — `pd.crosstab(..., normalize='index')`
+    * (`tools/generate_report_figures.py:44`): each row's counts divided by
+    * that row's total. Same single shuffle as [[crosstab]]; the division is
+    * a projection over the pivoted result. */
+  def crosstabNormalized(df: DataFrame, actual: String, predicted: String): DataFrame = {
+    val ct = crosstab(df, actual, predicted)
+    val valueCols = ct.columns.filterNot(_ == actual).toSeq
+    val total = valueCols.map(c => col(c)).reduce(_ + _)
+    ct.select(col(actual) +: valueCols.map(c => (col(c) / total).as(c)): _*)
+  }
+
+  /** Histogram data: counts over `bins` equal-width buckets of [lo, hi) —
+    * the data side of the reference's residual histogram
+    * (`tools/generate_report_figures.py:113`). width_bucket semantics with
+    * out-of-range values clamped into the edge buckets; one shuffle on the
+    * (tiny) bucket index. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"bad histogram range [$lo, $hi) / $bins")
+    val w = (hi - lo) / bins
+    val idx = least(greatest(floor((col(valueCol) - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(idx.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", round(lit(lo) + col("bucket") * lit(w), 6))
+      .withColumn("bucket_hi", round(lit(lo) + (col("bucket") + 1) * lit(w), 6))
+  }
 
   /** A9: mean of two measures by group (`tools/generate_report_figures.py:122`). */
   def meanByGroup(df: DataFrame, groupCol: String, m1: String, m2: String): DataFrame =

@@ -52,4 +52,43 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("corr") - 1.0) < 1e-9)
     assert(out.getAs[Double]("quantile_50") > 40 && out.getAs[Double]("quantile_50") < 60)
   }
+
+  test("dataDistribution survives empty input and all-null columns") {
+    val empty = Seq.empty[(Option[Int], Option[Int])].toDF("a", "ArrDelay")
+    val e = Profiling.dataDistribution(empty, Seq("a"), "ArrDelay").first()
+    assert(e.getAs[Long]("nulls") == 0L && e.getAs[Double]("corr").isNaN)
+    assert(e.getAs[Double]("quantile_50").isNaN)
+
+    val allNull = Seq((Option.empty[Int], Some(1)), (Option.empty[Int], Some(2)))
+      .toDF("a", "ArrDelay")
+    val n = Profiling.dataDistribution(allNull, Seq("a"), "ArrDelay").first()
+    assert(n.getAs[Long]("nulls") == 2L && n.getAs[Double]("quantile_50").isNaN)
+  }
+
+  test("correlationMatrix computes every i<j pair in one pass") {
+    val data = (1 to 50).map(i => (i.toDouble, i * 2.0, 51.0 - i)).toDF("a", "b", "c")
+    val m = Profiling.correlationMatrix(data, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 3)
+    assert(math.abs(m(("a", "b")) - 1.0) < 1e-9)
+    assert(math.abs(m(("a", "c")) + 1.0) < 1e-9)
+    assert(math.abs(m(("b", "c")) + 1.0) < 1e-9)
+  }
+
+  test("crosstabNormalized rows sum to 1") {
+    val ctn = Profiling.crosstabNormalized(df, "g", "g")
+    ctn.collect().foreach { r =>
+      val total = (1 until r.length).map(r.getDouble).sum
+      assert(math.abs(total - 1.0) < 1e-9)
+    }
+  }
+
+  test("histogram buckets equal-width counts and clamps out-of-range values") {
+    val data = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 19.9, 25.0).toDF("v")
+    val h = Profiling.histogram(data, "v", lo = 0.0, hi = 20.0, bins = 2)
+      .orderBy("bucket").collect()
+    assert(h.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 4L), (1, 3L)))
+    assert(h.head.getAs[Double]("bucket_lo") == 0.0)
+    assert(h.head.getAs[Double]("bucket_hi") == 10.0)
+  }
 }

@@ -88,6 +88,17 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().head.getLong(0) == 0L)
   }
 
+  test("ivfTopK (kmeans centroids, gated-query parameters) recall@10 >= 0.8") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val centroids = Similarity.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val approx = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+      query, 10, nprobe = 3).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall@10 = $recall")
+  }
+
   test("kmeans-trained centroids drive the IVF probe") {
     val centroids = Similarity.trainCentroids(emb, "embedding", k = 4, maxIter = 3)
     assert(centroids.count() == 4)
