@@ -132,11 +132,22 @@ object TextSketches {
     }
   }
 
-  /** Count of whitespace-separated tokens whose ASCII-lowercased form is in
-    * `set`. Matches `regexp_count(lower(text), '\b(w1|w2|…)\b')` for
-    * space-separated ASCII text — without the regex engine (the regex
-    * formulation was the bench's least stable hot path: JIT warm-up of the
-    * generated matcher code produced 10-100× run-to-run swings). */
+  /** Word-char test for marker tokenization: regex `\w` (`[A-Za-z0-9_]`)
+    * plus non-ASCII letters, so accented/CJK words form their own tokens
+    * instead of merging with neighbors. */
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || (c > 127 && Character.isLetter(c))
+
+  /** Count of word-runs whose ASCII-lowercased form is in `set`. Word-runs
+    * are maximal `\w`-ish runs (see [[isWordChar]]), so punctuation is a
+    * token boundary and this matches `regexp_count(lower(text),
+    * '\b(w1|w2|…)\b')` for ASCII marker words — 'the,' and 'the.' count —
+    * without the regex engine (the regex formulation was the bench's least
+    * stable hot path: JIT warm-up of the generated matcher code produced
+    * 10-100× run-to-run swings). CJK caveat: unsegmented CJK text forms one
+    * long run, so single-char markers only match pre-segmented text (the
+    * RE2 `\b` formulation cannot match them after whitespace either). */
   def tokenSetHits(text: UTF8String, set: java.util.HashSet[String]): Int = {
     val s = text.toString
     var hits = 0
@@ -144,19 +155,65 @@ object TextSketches {
     val n = s.length
     val sb = new java.lang.StringBuilder(16)
     while (i <= n) {
-      val atEnd = i == n
-      val c = if (atEnd) ' ' else s.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || Character.isWhitespace(c)) {
-        if (sb.length > 0) {
-          if (set.contains(sb.toString)) hits += 1
-          sb.setLength(0)
-        }
-      } else {
+      val c = if (i == n) ' ' else s.charAt(i)
+      if (i < n && isWordChar(c)) {
         sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      } else if (sb.length > 0) {
+        if (set.contains(sb.toString)) hits += 1
+        sb.setLength(0)
       }
       i += 1
     }
     hits
+  }
+
+  /** ONE fused scan computing every per-document text signal the
+    * quality/language-ID surface needs: whitespace token count, ASCII punct
+    * count, ASCII uppercase count, non-whitespace char count, and per-
+    * lexicon marker hits (word-run tokenization as [[tokenSetHits]]).
+    * Replaces up to 9 separate char scans in the capstone pipeline.
+    * `lookup` maps a lowercased marker word to a bitmask of lexicon
+    * indices (a word may belong to several lexicons). */
+  def textProfile(text: UTF8String, lookup: java.util.HashMap[String, Integer],
+      nLex: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val hits = new Array[Int](nLex)
+    var nTokens = 0; var nPunct = 0; var nUpper = 0; var nNonWs = 0
+    var inWsTok = false
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else s.charAt(i)
+      val ws = Character.isWhitespace(c)
+      if (!atEnd) {
+        if (!ws) {
+          nNonWs += 1
+          if (!inWsTok) { nTokens += 1; inWsTok = true }
+        } else inWsTok = false
+        if (isAsciiPunct(c)) nPunct += 1
+        if (c >= 'A' && c <= 'Z') nUpper += 1
+      }
+      if (!atEnd && isWordChar(c)) {
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      } else if (sb.length > 0) {
+        val mask = lookup.get(sb.toString)
+        if (mask != null) {
+          var b = mask.intValue()
+          var lx = 0
+          while (b != 0) {
+            if ((b & 1) != 0) hits(lx) += 1
+            b >>>= 1
+            lx += 1
+          }
+        }
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTokens, nPunct, nUpper, nNonWs, new GenericArrayData(hits))
   }
 
   /** Whitespace token count (== `size(split(trim(text), "\\s+"))`, 0 for
@@ -246,6 +303,8 @@ object TextSketches {
     ColumnBridge.column(TokenSetHits(ColumnBridge.expression(text), words))
   def stat(text: Column, mode: TextStatMode.Value): Column =
     ColumnBridge.column(TextStat(ColumnBridge.expression(text), mode.id))
+  def profile(text: Column, lexicons: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TextProfile(ColumnBridge.expression(text), lexicons))
 }
 
 /** Stat selector for [[TextStat]]. */
@@ -302,6 +361,48 @@ case class TokenSetHits(child: Expression, words: Seq[String]) extends UnaryExpr
     val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextSketches.tokenSetHits($a, $setRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string → struct(n_tokens, n_punct, n_upper, n_nonws, hits array<int>):
+  * the fused one-pass text profile (see [[TextSketches.textProfile]]). */
+case class TextProfile(child: Expression, lexicons: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def prettyName: String = "text_profile"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_punct",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_upper",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_nonws",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("hits",
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false)))
+
+  @transient private lazy val lookup: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    lexicons.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val k = w.toLowerCase
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextSketches.textProfile(v.asInstanceOf[UTF8String], lookup, lexicons.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("lexLookup", lookup, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.textProfile($a, $mapRef, ${lexicons.size});")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -37,21 +37,35 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
 
-  /** Marker-word occurrences: tokens (lowercased) that are in the lexicon
-    * (== `regexp_count(lower(text), "\\b(w1|…)\\b")` on space-separated
-    * ASCII text). */
+  /** Marker-word occurrences: word-runs (lowercased, punctuation-bounded)
+    * that are in the lexicon — `regexp_count(lower(text), "\\b(w1|…)\\b")`
+    * semantics for ASCII markers. CJK markers require pre-segmented text
+    * (an unsegmented CJK sentence is one run; the `\b` regex cannot match
+    * it after whitespace either). */
   private def markerHits(text: Column, words: Seq[String]): Column =
     TextSketches.tokenHits(text, words)
+
+  private val SortedLangs: Seq[String] = LangMarkers.keys.toSeq.sorted
+
+  /** The shared fused-profile struct (ONE char scan for token/punct/upper/
+    * non-ws counts plus every lexicon's marker hits — collapses the ~9
+    * per-document scans the quality+langid pipeline otherwise runs).
+    * Added once; both consumers reuse it if already present. */
+  private def ensureProfile(df: DataFrame, textCol: String): DataFrame =
+    if (df.columns.contains("__tp")) df
+    else df.withColumn("__tp",
+      TextSketches.profile(col(textCol), SortedLangs.map(LangMarkers)))
 
   /** Adds `lang_guess` (argmax of marker hits; "und" when nothing matched)
     * and one `hits_<lang>` count per language. */
   def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
-    val withHits = LangMarkers.foldLeft(df) { case (acc, (lang, words)) =>
-      acc.withColumn(s"hits_$lang", markerHits(col(textCol), words))
+    val withHits = SortedLangs.zipWithIndex.foldLeft(ensureProfile(df, textCol)) {
+      case (acc, (lang, i)) =>
+        acc.withColumn(s"hits_$lang", col("__tp.hits").getItem(i))
     }
     // argmax via a struct-max: (hits, lang) pairs, greatest wins; ties break
     // toward the lexicographically larger lang — documented, deterministic
-    val pairs = LangMarkers.keys.toSeq.sorted.map(l =>
+    val pairs = SortedLangs.map(l =>
       struct(col(s"hits_$l").as("h"), lit(l).as("l")))
     withHits.withColumn("lang_guess",
       when(greatest(pairs: _*).getField("h") === 0, lit("und"))
@@ -66,23 +80,25 @@ object TextAnalysis {
     * `quality_score` ∈ [0,1] (weights documented inline). */
   def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_chars_q", length(t))
-      .withColumn("n_tokens", wsTokenCount(t))
+    val enIdx = SortedLangs.indexOf("en")
+    ensureProfile(df, textCol)
+      .withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", col("__tp.n_tokens"))
       .withColumn("mean_token_len",
         when(col("n_tokens") > 0,
-          TextSketches.stat(t, TextStatMode.NonWs).cast("double") / col("n_tokens"))
+          col("__tp.n_nonws").cast("double") / col("n_tokens"))
           .otherwise(0.0))
       .withColumn("punct_ratio",
         when(col("n_chars_q") > 0,
-          TextSketches.stat(t, TextStatMode.Punct).cast("double") / col("n_chars_q"))
+          col("__tp.n_punct").cast("double") / col("n_chars_q"))
           .otherwise(0.0))
       .withColumn("stopword_ratio",
         when(col("n_tokens") > 0,
-          markerHits(t, LangMarkers("en")).cast("double") / col("n_tokens"))
+          col("__tp.hits").getItem(enIdx).cast("double") / col("n_tokens"))
           .otherwise(0.0))
       .withColumn("upper_ratio",
         when(col("n_chars_q") > 0,
-          TextSketches.stat(t, TextStatMode.Upper).cast("double") / col("n_chars_q"))
+          col("__tp.n_upper").cast("double") / col("n_chars_q"))
           .otherwise(0.0))
       // composite: reasonable length (saturating), some stopwords, low punct
       .withColumn("quality_score",

@@ -49,6 +49,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(good.getDouble(3) > junk.getDouble(3))
   }
 
+  test("marker hits treat punctuation as a token boundary (regex \\b parity)") {
+    // 'the,' / 'the.' / '(the)' all count; 'there' and 'the5' do not
+    val df = Seq(
+      (1L, "the, cat. (the) dog"),
+      (2L, "there the5 theX"),
+      (3L, "The THE the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLanguageId(df, "text")
+      .select("doc_id", "hits_en").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 2, s"punct-bounded markers: got ${out(1L)}")
+    assert(out(2L) == 0)
+    assert(out(3L) == 3) // case-insensitive
+  }
+
+  test("fused profile agrees with the individual counters") {
+    val df = Seq("The quick, brown fox! It is FAST.", "", "  a  b  ")
+      .toDF("text")
+    val out = TextAnalysis.withQualitySignals(df, "text")
+      .select(col("n_tokens"), col("__tp.n_punct"), col("__tp.n_upper"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_ref"),
+        graft.functions.TextSketches.stat(col("text"),
+          graft.functions.TextStatMode.Punct).as("punct_ref"),
+        graft.functions.TextSketches.stat(col("text"),
+          graft.functions.TextStatMode.Upper).as("upper_ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == r.getInt(3) && r.getInt(1) == r.getInt(4) &&
+        r.getInt(2) == r.getInt(5))
+    }
+  }
+
   test("fingerprints: equal for equal text, stable, distinct for distinct text") {
     val df = Seq(
       (1L, "one two three four five six seven"),
