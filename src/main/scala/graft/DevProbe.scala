@@ -37,6 +37,7 @@ object DevProbe {
     val labeled = graft.ml.FlightModel.addLabels(preds)
     val acc = labeled.filter(col("predicted_label") === col("actual_label")).count().toDouble /
       labeled.count()
+    result.release()
     val t4 = System.nanoTime()
 
     println(f"[500k] prepared_rows=$nPrepared prep=${(t1 - t0) / 1e9}%.1fs " +

@@ -76,6 +76,9 @@ object TrainApp {
         println(f"[train] MAE=$mae%.3f RMSE=$rmse%.3f")
       }
     }
+    // predictions are sunk and evaluated — safe to drop the cached feature
+    // table their lineage runs through
+    result.release()
 
     testFile.foreach { tf => // scoring lifecycle, main.py:170-260
       val test = IO.readCsv(spark, tf, Some(Schemas.flights))

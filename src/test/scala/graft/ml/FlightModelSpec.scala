@@ -50,6 +50,7 @@ class FlightModelSpec extends SparkSpec {
     assert(mae.isFinite && rmse.isFinite && rmse >= mae)
     assert(mae < constantMae, s"DT mae=$mae not better than constant mae=$constantMae")
     preds.unpersist()
+    result.release()
   }
 
   test("feature importances map back to named slots") {
@@ -57,6 +58,7 @@ class FlightModelSpec extends SparkSpec {
     val transformed = pipelineModel.transform(prepared)
     val result = FlightModel.trainModel(prepared, pipelineModel)
     val imps = FlightModel.featureImportances(result.model.get, transformed)
+    result.release()
     assert(imps.nonEmpty)
     assert(imps.map(_._2).sum <= 1.0 + 1e-9)
     // DepDelay is the generator's dominant signal; it must appear
