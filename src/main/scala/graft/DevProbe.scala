@@ -18,8 +18,9 @@ object DevProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
-    val flights = graft.sources.FlightsGenerator.flights(spark, 500000, seed = 42L,
+    val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
       tailPool = 4000)
     val plane = graft.sources.FlightsGenerator.planeData(spark, tailPool = 4000)
     val prepared = graft.operators.Prepare.prepareData(
@@ -40,13 +41,13 @@ object DevProbe {
     result.release()
     val t4 = System.nanoTime()
 
-    println(f"[500k] prepared_rows=$nPrepared prep=${(t1 - t0) / 1e9}%.1fs " +
+    println(f"[$rows] prepared_rows=$nPrepared prep=${(t1 - t0) / 1e9}%.1fs " +
       f"pipeline_fit=${(t2 - t1) / 1e9}%.1fs dt_train=${(t3 - t2) / 1e9}%.1fs " +
       f"eval=${(t4 - t3) / 1e9}%.1fs")
-    println(f"[500k] MAE=$mae%.3f RMSE=$rmse%.3f label_accuracy=$acc%.3f")
+    println(f"[$rows] MAE=$mae%.3f RMSE=$rmse%.3f label_accuracy=$acc%.3f")
     result.model.foreach { m =>
       val imps = graft.ml.FlightModel.featureImportances(m, pm.transform(prepared.limit(1)))
-      println("[500k] top importances: " + imps.take(5).map {
+      println(s"[$rows] top importances: " + imps.take(5).map {
         case (n, s) => f"$n=$s%.3f" }.mkString(", "))
     }
     spark.stop()

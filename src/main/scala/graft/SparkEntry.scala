@@ -580,6 +580,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // J-asof-fwd: the forward dual — every event joined to the EARLIEST
+    // 'purchase' of the same user at or after it (DuckDB ASOF with <=)
+    "q_j_asof_fwd" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rt"), col("value").as("rv"))
+      graft.operators.AsOfJoin.forward(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, Seq("user_id"), "ts", "rt", Seq("rv"))
+        .select(col("event_id"),
+          coalesce(col("asof_rv"), lit(-1.0)).as("next_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // X-dedup: exact word-3-gram Jaccard on explicit candidate pairs (the
+    // verify stage every sketch method shares) — fully DuckDB-oracled,
+    // unlike the hash-sketch stages
+    "q_x_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id1"))
+        .filter(col("id1") % 2 === 0)
+        .withColumn("id2", col("id1") + 1)
+        .join(d.select(col("doc_id").as("id2")), "id2")
+        .select("id1", "id2")
+      graft.operators.Dedup.ngramJaccard(pairs, d, "doc_id", "text", 3)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"))
+    }),
+
     // ST: batch twin of the streaming windowed aggregation — event-time
     // tumbling 1-hour buckets (graft.streaming.EventStreams; the streaming
     // variant adds the watermark and runs on readStream sources)
@@ -926,6 +955,28 @@ object SparkEntry {
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_j_asof_fwd" ->
+      """SELECT e.event_id,
+        |       COALESCE(p.value, -1.0) AS next_purchase_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_x_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY id1""".stripMargin,
 
     "q_st_window_counts" ->
       """SELECT CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR,

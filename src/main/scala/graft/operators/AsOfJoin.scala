@@ -70,4 +70,50 @@ object AsOfJoin {
         leftCols.filterNot(on.contains).map(c => col(s"__l_$c").as(c)) ++
         rightCols.map(c => col(s"__last_r.$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * `rightTime >= leftTime` within the same key (pandas
+    * `merge_asof(direction='forward')`, DuckDB `ASOF JOIN … ON l.t <= r.t`).
+    * Mirror of [[backward]]: left rows (side 0) sort before right rows
+    * (side 1) at equal time so `>=` includes equality, and the next right
+    * payload comes from `first(…, ignoreNulls)` over the following frame.
+    * Same ONE-shuffle cost. */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val payload = struct(col(rightTime).as("__t") +: rightCols.map(col): _*)
+
+    val taggedRight = right.select(
+      on.map(col) ++ Seq(col(rightTime).as("__time"), lit(1).as("__side"),
+        payload.as("__r")) ++
+        leftCols.filterNot(on.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+
+    val taggedLeft = left.select(
+      on.map(col) ++ Seq(col(leftTime).as("__time"), lit(0).as("__side"),
+        lit(null).cast(taggedRight.schema("__r").dataType).as("__r")) ++
+        leftCols.filterNot(on.contains).map(c => col(c).as(s"__l_$c")): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__time"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val joined = taggedRight.unionByName(taggedLeft)
+      .withColumn("__next_r", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+
+    val withinTolerance = tolerance match {
+      case Some(tol) =>
+        joined.withColumn("__next_r",
+          when(col("__next_r.__t") - col("__time") <= tol, col("__next_r")))
+      case None => joined
+    }
+
+    withinTolerance.select(
+      on.map(col) ++
+        leftCols.filterNot(on.contains).map(c => col(s"__l_$c").as(c)) ++
+        rightCols.map(c => col(s"__next_r.$c").as(s"asof_$c")): _*)
+  }
 }

@@ -29,6 +29,31 @@ class JoinOpsSpec extends SparkSpec {
       (2L, 100L, "d", None)))       // key with no right rows
   }
 
+  test("asof forward join picks the earliest right row at or after left time") {
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (1L, 50L, "c"), (2L, 100L, "d")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 100L, 10.0), (1L, 150L, 20.0), (3L, 10L, 99.0)
+    ).toDF("k", "rt", "rv")
+
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("k", "t", "lv", "asof_rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+
+    assert(out == Set(
+      (1L, 100L, "a", Some(10.0)),  // equal timestamp matches (>=)
+      (1L, 200L, "b", None),        // nothing at or after 200
+      (1L, 50L, "c", Some(10.0)),   // earliest of 100/150
+      (2L, 100L, "d", None)))       // key with no right rows
+
+    val far = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rv"),
+      tolerance = Some(10L))
+      .filter(col("t") === 50L).select("asof_rv").first()
+    assert(far.isNullAt(0)) // 100 is 50 away > tolerance 10
+  }
+
   test("asof tolerance nulls out matches that are too far back") {
     val left = Seq((1L, 1000L, "x")).toDF("k", "t", "lv")
     val right = Seq((1L, 10L, 5.0)).toDF("k", "rt", "rv")
