@@ -615,6 +615,32 @@ object SparkEntry {
     "q_st_window_counts" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedTypeCountsBatch(t(s, dir, "events"))),
 
+    // ST: batch twin of the watermarked stream-stream interval join —
+    // clicks to same-user purchases within the last hour (equi-join on the
+    // user key, time range as a filter; the streaming variant bounds state
+    // via watermarks on both sides)
+    "q_st_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStreams.intervalJoinBatch(t(s, dir, "events"))),
+
+    // X-multimodal: binary media columns + typed metadata — feature
+    // extraction through the batched mapPartitions seam plus explode-style
+    // frame sampling, aggregated per kind (rows-only: the decode stub and
+    // payloads are seeded engine-side, not a parquet table DuckDB can see)
+    "q_x_multimodal" -> ((s, dir) => {
+      val mm = graft.operators.Multimodal
+      val media = mm.syntheticMedia(s, 300).cache()
+      val feats = mm.extractFeatures(media, dim = 16)
+      val frames = mm.sampleFrames(media, fps = 1.0)
+      feats.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+        .join(
+          frames.groupBy(lit("video").as("kind"))
+            .agg(count(lit(1)).as("n_frames")),
+          Seq("kind"), "left")
+        .na.fill(0L, Seq("n_frames"))
+        .orderBy(col("kind"))
+    }),
+
     // X-sim: hyperplane-LSH ANN top-k (rows-only — approximate by design;
     // recall@10 >= 0.8 vs brute force asserted in SimilaritySpec)
     "q_x_lsh_topk" -> ((s, dir) => {
@@ -983,6 +1009,14 @@ object SparkEntry {
         |         make_timestamp(epoch_ns(ts) // 1000))) AS BIGINT) AS bucket_ms,
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_st_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       p.value AS purchase_value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_ns(p.ts) BETWEEN epoch_ns(c.ts) - 3600000000000 AND epoch_ns(c.ts)
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_x_dedup_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique

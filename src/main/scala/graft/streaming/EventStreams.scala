@@ -105,6 +105,40 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: each left event joined to the
+    * same user's right events with `r.ts ∈ [l.ts - lookback, l.ts]`. Both
+    * sides carry watermarks and the condition bounds event time relative to
+    * the other side, so each side's join state is evicted once the
+    * watermark passes its lookback horizon — the requirement for joining
+    * two unbounded streams. */
+  def intervalJoin(left: Dataset[Event], right: Dataset[Event],
+      lookback: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.toDF().withWatermark("ts", watermark).alias("l")
+    val r = right.toDF().withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"l.user_id = r.user_id AND r.ts BETWEEN l.ts - INTERVAL $lookback AND l.ts"))
+      .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("ts"), col("r.event_id").as("matched_event_id"),
+        col("r.value").as("matched_value"))
+  }
+
+  /** Batch twin of [[intervalJoin]] on the fixture `events` table
+    * (epoch-nano long ts): clicks joined to the same user's purchases
+    * within the lookback window. Equi-join on the user key (ONE shuffle);
+    * the time range is a post-join filter, not a join explosion. */
+  def intervalJoinBatch(eventsNs: DataFrame,
+      lookbackNs: Long = 3600L * 1000 * 1000 * 1000): DataFrame = {
+    val c = eventsNs.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = eventsNs.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"), col("value"))
+    c.join(p, "user_id")
+      .filter(col("pts") >= col("cts") - lit(lookbackNs) && col("pts") <= col("cts"))
+      .select(col("click_id"), col("purchase_id"), col("value").as("purchase_value"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Batch twin of [[windowedTypeCounts]] over the fixture `events` table
     * (epoch-nano long ts) — used by the DuckDB-oracled correctness query. */
   def windowedTypeCountsBatch(eventsNs: DataFrame): DataFrame =

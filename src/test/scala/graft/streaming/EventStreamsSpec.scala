@@ -96,6 +96,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin matches right events within the lookback window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(clicks.toDS(), purchases.toDS(),
+      lookback = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      purchases.addData(
+        Event(100, ts(10), 1, "purchase", 5.0),   // 20 min before click → in
+        Event(101, ts(300), 1, "purchase", 7.0),  // hours after click → out
+        Event(102, ts(10), 2, "purchase", 9.0))   // other user → out
+      clicks.addData(Event(1, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select("event_id", "matched_event_id").as[(Long, Long)]
+        .collect().toSet
+      assert(rows == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("dedupeStream suppresses duplicate event ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
