@@ -661,6 +661,63 @@ object SparkEntry {
       val centroids = sim.trainCentroids(emb, "embedding", k = 8, maxIter = 5)
       val assigned = sim.ivfAssign(emb, "vec_id", "embedding", centroids)
       sim.ivfTopK(assigned, "vec_id", "embedding", centroids, q, 10, nprobe = 3)
+    }),
+
+    // X-dedup: near-dup CLUSTERS — MinHash-LSH pairs (deterministic seeded
+    // hashes; every fixture near-dup pair sits at jaccard >= 0.9, where the
+    // 16-band/r=4 detection probability is 1 - 4e-8, so the candidate set
+    // equals the oracle's all-pairs set) fed through iterative min-label
+    // connected components. The oracle recomputes the edge set exactly and
+    // closes it with a recursive CTE.
+    "q_x_dup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.nearDupClusters(d, "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
+    // X-text: corpus vocabulary — tf + exact document frequency in one
+    // word-keyed shuffle, IDF from a broadcast scalar corpus count; top 30
+    // under a total order
+    "q_x_vocab" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.TextAnalysis.vocabulary(d, "doc_id", "text")
+        .orderBy(col("df").desc, col("tf").desc, col("word"))
+        .limit(30)
+    }),
+
+    // X-text: Gopher-style repetition signal — per-doc top-bigram share
+    "q_x_rep_ratio" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      graft.operators.TextAnalysis.topBigramFraction(d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // X-text: PII scrubbing — codegen'd regexp_replace redaction + audit
+    // counts. The fixture corpus carries no PII, so the scrubbed column is
+    // constructed deterministically from fixture fields in BOTH engines;
+    // the operator under test is the redaction expression itself.
+    "q_x_pii" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      val synth = concat(
+        lit("contact user"), col("doc_id"), lit("@mail.example.com or +1 555 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" re: "), substring(col("text"), 1, 40))
+      val (nEmails, nPhones) = ta.piiCounts(synth)
+      t(s, dir, "documents")
+        .select(col("doc_id"), ta.scrubPii(synth).as("scrubbed"),
+          nEmails.as("n_emails"), nPhones.as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D2b: seeded stratified sample (sampleBy on the lang strata) —
+    // engine-specific RNG like q_d2_sample, so rows-only; per-stratum
+    // fraction tolerance asserted in TextAnalysisSpec
+    "q_d2b_stratified" -> ((s, dir) => {
+      val fractions = Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25,
+        "de" -> 0.25, "zh" -> 0.1)
+      t(s, dir, "documents").stat.sampleBy("lang", fractions, 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1072,11 +1129,80 @@ object SparkEntry {
       """SELECT vec_id,
         |       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
-        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
-    // q_x_fingerprint / q_x_simhash / q_x_minhash_bands / q_x_lsh_topk:
-    // intentionally no oracle — xxhash64-based sketches and approximate ANN
-    // are engine-specific; they get rows-only checks plus unit-test coverage
-    // with planted duplicates (DedupSpec / SimilaritySpec).
+    // Connected-components closure of the exact near-dup pair set (all
+    // pairs at trigram jaccard >= 0.8; the Spark side reaches the same
+    // pair set through deterministic MinHash-LSH candidates — every
+    // fixture pair sits at jaccard >= 0.9 where band-detection probability
+    // is 1 - 4e-8 — then exact-jaccard verification).
+    "q_x_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |edges AS (
+        |  SELECT a.doc_id id1, b.doc_id id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (SELECT id1 a, id2 b FROM edges UNION SELECT id2, id1 FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+        |SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    "q_x_vocab" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |  ROUND(LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+        |        / COUNT(DISTINCT doc_id)), 6) AS idf
+        |FROM words GROUP BY word
+        |ORDER BY df DESC, tf DESC, word LIMIT 30""".stripMargin,
+
+    "q_x_rep_ratio" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 100)),
+        |counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac,
+        |       CAST(SUM(c) AS BIGINT) AS n_bigrams
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_x_pii" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'contact user' || doc_id || '@mail.example.com or +1 555 ' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' ||
+        |    substring(text, 1, 40) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{5,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{5,}[0-9]')) AS INTEGER) AS n_phones
+        |FROM synth ORDER BY doc_id""".stripMargin
+
+    // q_x_fingerprint / q_x_simhash / q_x_minhash_bands / q_x_lsh_topk /
+    // q_x_ivf_topk / q_d2b_stratified: intentionally no oracle —
+    // xxhash64-based sketches, approximate ANN, and engine-seeded sampling
+    // are engine-specific; they get rows-only checks plus unit-test
+    // coverage with planted duplicates / recall and fraction assertions
+    // (DedupSpec / SimilaritySpec / TextAnalysisSpec).
   )
 }

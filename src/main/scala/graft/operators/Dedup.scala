@@ -206,6 +206,64 @@ object Dedup {
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
 
+  // ─────────────── duplicate-cluster connected components ───────────────
+
+  /** Connected components over an undirected pair list (`id1`, `id2`) —
+    * the step that turns pairwise near-dup hits into duplicate *groups*
+    * (a MinHash pair list is not transitive: A~B and B~C does not emit
+    * A~C, so cluster membership needs graph connectivity).
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round a node takes the minimum of its own and its neighbors'
+    * labels; stop when a round changes nothing. Rounds = graph diameter,
+    * and near-dup clusters are near-cliques (diameter ≤ ~3), so this
+    * settles in a handful of rounds — each one a bucket-keyed shuffle
+    * join, never anything O(n²). The symmetric edge list is cached once
+    * and labels are checkpointed per round to cut the iterative lineage
+    * (localCheckpoint here; a multi-executor deployment would point
+    * `spark.checkpoint.dir` at durable storage and use `checkpoint`).
+    *
+    * Returns one row per node: (`id`, `cluster`) with `cluster` = the
+    * minimum id reachable from `id`.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nbr"))
+      val next = labels.join(nbrMin, "id")
+        .select(col("id"), least(col("cluster"), col("nbr")).as("cluster"),
+          (col("nbr") < col("cluster")).as("__chg"))
+        .localCheckpoint()
+      changed = next.filter(col("__chg")).count()
+      labels.unpersist()
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup groups end-to-end: MinHash-LSH pairs at `threshold`, then
+    * connected components — the full "pair list → duplicate clusters"
+    * pipeline a corpus-level dedup actually ships. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+      minhashNearDups(df, idCol, textCol, shingleN, k, bands, threshold)
+        .select("id1", "id2"))
+
   // ───────────────── embedding-cosine near-dup ─────────────────
 
   /** Near-duplicates by embedding cosine ≥ threshold: random-hyperplane

@@ -107,6 +107,82 @@ object TextAnalysis {
           (lit(1.0) - least(lit(1.0), col("punct_ratio") * 4)) * lit(0.3))
   }
 
+  // ───────────────────── vocabulary / document frequency ─────────────────────
+
+  /** Corpus vocabulary with term frequency, document frequency, and IDF.
+    *
+    * One explode + one grouped aggregation: `tf` is a plain count
+    * (map-side partial agg), `df` a count-distinct on doc ids (Spark
+    * plans the two together via expand — still a single shuffle keyed by
+    * the word). The corpus size for IDF is a 1-row scalar aggregate
+    * broadcast-cross-joined in (the W2 pattern) — no driver action, no
+    * second pass over the corpus. At 100 TB the shuffle carries
+    * (word, doc_id) pairs, which is the floor for exact df; callers who
+    * can tolerate error swap `countDistinct` for
+    * `approx_count_distinct` and drop the expand.
+    *
+    * Returns (`word`, `tf`, `df`, `idf`) with `idf = ln(n_docs / df)`
+    * rounded to 6 places.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("__doc"),
+      explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    words.groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("__n").cast("double") / col("df")), 6))
+      .drop("__n")
+  }
+
+  // ───────────────────── repetition ratio ─────────────────────
+
+  /** Per-document top-bigram fraction — the Gopher-style repetition
+    * signal (share of all word bigrams taken by the most frequent one;
+    * boilerplate and looped text score high). Consecutive pairs come
+    * from `zip_with` over two offset slices (no explode of an index
+    * range), then two grouped aggregations: (doc, gram) counts, then
+    * per-doc max/sum. Documents with fewer than two tokens have no
+    * bigrams and drop out, matching the SQL formulation.
+    */
+  def topBigramFraction(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"),
+        sum(col("c")).as("n_bigrams"))
+  }
+
+  // ───────────────────── PII scrubbing ─────────────────────
+
+  /** Email pattern shared by Java regex and RE2 (so the DuckDB oracle can
+    * run the identical expression). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-ish pattern: an optional +, then 7+ digits allowing separators. */
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{5,}[0-9]"
+
+  /** Redacts emails then phone numbers with typed placeholders — the
+    * codegen'd `regexp_replace` builtin, not a UDF. Email first so a
+    * digit-bearing local part is consumed as an email, not half-eaten as
+    * a phone. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of email / phone matches (pre-scrub), for audit columns. */
+  def piiCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(PhonePattern), lit(0))))
+
   // ───────────────────── fingerprinting ─────────────────────
 
   /** Winnowing-style document fingerprint: the `keep` smallest distinct

@@ -95,4 +95,28 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("connectedComponents closes chains the pair list leaves open") {
+    // chain 1-2-3-4 (no direct 1-4 edge), disjoint pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("nearDupClusters groups transitive near-dups under the min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (5L, base),                      // cluster of three near-identical docs
+      (6L, base + "lambda"),
+      (7L, base + "mu"),
+      (8L, "totally different content with its own words entirely here"),
+      (9L, "another unrelated document that shares nothing with the rest ok")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
 }

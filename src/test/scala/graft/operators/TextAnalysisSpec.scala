@@ -80,6 +80,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary: tf, exact df, and idf from the corpus count") {
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(v("a") == ((3L, 2L, math.rint(math.log(3.0 / 2) * 1e6) / 1e6)))
+    assert(v("b") == ((1L, 1L, math.rint(math.log(3.0) * 1e6) / 1e6)))
+    assert(v("c") == ((4L, 2L, math.rint(math.log(3.0 / 2) * 1e6) / 1e6)))
+  }
+
+  test("topBigramFraction: repeated bigram dominates; 1-token docs drop out") {
+    val df = Seq(
+      (1L, "x y x y x y"),   // bigrams: xy yx xy yx xy → top 'x y' 3/5
+      (2L, "a b c"),         // ab bc → 1/2
+      (3L, "solo")           // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topBigramFraction(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((0.6, 5L)), 2L -> ((0.5, 2L))))
+  }
+
+  test("scrubPii redacts emails before phones and counts both") {
+    val df = Seq(
+      "mail me at jo.doe+x@corp.example.org or call +1 555 123 4567 now",
+      "no pii here at all",
+      "two mails a@b.io c@d.org and digits 555-867-5309"
+    ).toDF("text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    val rows = df.select(TextAnalysis.scrubPii(col("text")).as("s"),
+        ne.as("ne"), np.as("np"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows(0) == (("mail me at <EMAIL> or call <PHONE> now", 1, 1)))
+    assert(rows(1) == (("no pii here at all", 0, 0)))
+    assert(rows(2) == (("two mails <EMAIL> <EMAIL> and digits <PHONE>", 2, 1)))
+  }
+
+  test("sampleBy strata respect their target fractions") {
+    val df = spark.range(0, 4000)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS k")
+    val n = df.stat.sampleBy("k", Map("a" -> 0.5, "b" -> 0.1), 42L)
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(math.abs(n("a") / 2000.0 - 0.5) < 0.05, s"stratum a: ${n("a")}")
+    assert(math.abs(n("b") / 2000.0 - 0.1) < 0.05, s"stratum b: ${n("b")}")
+  }
+
   test("fingerprints: equal for equal text, stable, distinct for distinct text") {
     val df = Seq(
       (1L, "one two three four five six seven"),
