@@ -43,7 +43,10 @@ object Bench {
     // degraded windows where the JVM runs 10-100× slow; back-to-back
     // repeats land inside the same window, so the second sample of each
     // query comes a whole pass later
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: query-name subset (dev loop); driver runs with none
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val passA = names.map(n => n -> runOne(n)).toMap
     val passB = names.map(n => n -> runOne(n)).toMap
     val results = names.map { n =>

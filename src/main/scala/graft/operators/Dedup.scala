@@ -226,29 +226,39 @@ object Dedup {
     * Returns one row per node: (`id`, `cluster`) with `cluster` = the
     * minimum id reachable from `id`.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 24): DataFrame = {
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // fused initialization + first hop: label = min(id, min neighbor) is
+    // one groupBy over the edge list, no node-table join
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
       .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
+
+    def hop(l: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
+        .join(l.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nbr"))
-      val next = labels.join(nbrMin, "id")
+      l.join(nbrMin, "id")
         .select(col("id"), least(col("cluster"), col("nbr")).as("cluster"),
           (col("nbr") < col("cluster")).as("__chg"))
-        .localCheckpoint()
-      changed = next.filter(col("__chg")).count()
+    }
+
+    // two hops per materialization+convergence probe: per-round job
+    // overhead (checkpoint write + probe) is the dominant cost for the
+    // shallow diameters dup clusters have, so check half as often; the
+    // probe is an existence scan of the cached partitions, not a count
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = hop(hop(labels).drop("__chg")).localCheckpoint()
+      converged = next.filter(col("__chg")).isEmpty
       labels.unpersist()
       labels = next.drop("__chg")
-      iter += 1
+      iter += 2
     }
     sym.unpersist()
     labels

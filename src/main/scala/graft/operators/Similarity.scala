@@ -145,12 +145,19 @@ object Similarity {
     * (the tests' "every-100th-vector" centroids are a stand-in). Returns a
     * small (cid, cvec) table — broadcastable config data. */
   def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
-      seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+      seed: Long = 42L, maxIter: Int = 10, trainCap: Int = 4096): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val featured = corpus
+    // quantizer training needs a representative sample, not the corpus:
+    // cap the training set (seeded Bernoulli) so fit cost is bounded by
+    // trainCap regardless of corpus size — the standard IVF construction
+    val n = corpus.count()
+    val sampled =
+      if (n <= trainCap) corpus
+      else corpus.sample(withReplacement = false, trainCap.toDouble / n, seed)
+    val featured = sampled
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .fit(featured)
