@@ -709,6 +709,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // X-text: fixed-width overlapping chunking — the long-document →
+    // training-window step; pure per-row sequence/transform/posexplode,
+    // no shuffle
+    "q_x_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.TextAnalysis.chunkDocuments(d, "doc_id", "text",
+          width = 120, overlap = 20)
+        .orderBy(col("id"), col("chunk_idx"))
+    }),
+
+    // X-text: sequence packing — bin assignment by running token count
+    // within each lang partition (partitioned window, not a global
+    // sequence)
+    "q_x_packed" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          ta.wsTokenCount(col("text")).cast("bigint").as("n_tokens"))
+      ta.packBins(tk, "lang", "doc_id", "n_tokens", 500L)
+        .orderBy(col("doc_id"))
+    }),
+
     // D2b: seeded stratified sample (sampleBy on the lang strata) —
     // engine-specific RNG like q_d2_sample, so rows-only; per-stratum
     // fraction tolerance asserted in TextAnalysisSpec
@@ -1196,7 +1218,29 @@ object SparkEntry {
         |    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |      '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\-\s]{5,}[0-9]')) AS INTEGER) AS n_phones
-        |FROM synth ORDER BY doc_id""".stripMargin
+        |FROM synth ORDER BY doc_id""".stripMargin,
+
+    "q_x_chunks" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, GREATEST(1,
+        |      CAST(CEIL((length(text) - 20) / 100.0) AS BIGINT)))) AS i
+        |  FROM documents)
+        |SELECT doc_id AS id, CAST(i AS INT) AS chunk_idx,
+        |  substring(text, CAST(i * 100 + 1 AS INT), 120) AS chunk
+        |FROM e ORDER BY id, chunk_idx""".stripMargin,
+
+    "q_x_packed" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |       / 500.0) AS BIGINT) AS bin
+        |FROM tk ORDER BY doc_id""".stripMargin,
 
     // q_x_fingerprint / q_x_simhash / q_x_minhash_bands / q_x_lsh_topk /
     // q_x_ivf_topk / q_d2b_stratified: intentionally no oracle —

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (build brief):
@@ -157,6 +158,52 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"),
         sum(col("c")).as("n_bigrams"))
+  }
+
+  // ───────────────────── chunking / packing ─────────────────────
+
+  /** Splits documents into fixed-width character chunks with `overlap`
+    * characters of context carried between neighbors — the
+    * long-document → training-window step of an LLM data pipeline
+    * (character width is the tokenizer-free proxy; swap the stride
+    * arithmetic for token offsets when a real tokenizer's offsets are
+    * available as a column).
+    *
+    * Pure per-row expression work: a `sequence` of chunk starts,
+    * `transform` + `explode` — no shuffle, no UDF. Output one row per
+    * chunk: (`id`, `chunk_idx`, `chunk`). Empty/blank docs yield one
+    * empty chunk (kept — droppable by filter), every chunk except
+    * possibly the last has exactly `width` chars.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 512, overlap: Int = 64): DataFrame = {
+    require(width > overlap && overlap >= 0,
+      s"need width > overlap >= 0, got $width/$overlap")
+    val stride = width - overlap
+    val t = col(textCol)
+    val nChunks = greatest(lit(1),
+      ceil((length(t) - lit(overlap)).cast("double") / stride).cast("int"))
+    docs.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => substring(t, (i * stride + 1).cast("int"), lit(width))))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** Assigns chunks/documents to training bins of ~`target` tokens:
+    * bin = floor(running-token-count-before-this-row / target) within
+    * each `groupCol` partition, rows taken in `orderCol` order. The
+    * grouping key keeps the window partitioned (one global sequence
+    * would serialize on a single partition at scale — the classic
+    * unpartitioned-window trap); bins are then globally unique as
+    * (group, bin). Greedy first-fit packs tighter but is inherently
+    * sequential; this streaming split is the order-preserving variant
+    * large pipelines use. */
+  def packBins(rows: DataFrame, groupCol: String, orderCol: String,
+      tokenCol: String, target: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.withColumn("bin",
+      floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / target))
   }
 
   // ───────────────────── PII scrubbing ─────────────────────

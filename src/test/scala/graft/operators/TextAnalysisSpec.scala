@@ -125,6 +125,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(n("b") / 2000.0 - 0.1) < 0.05, s"stratum b: ${n("b")}")
   }
 
+  test("chunkDocuments: overlapping windows cover the text; blank doc = 1 chunk") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        width = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // stride 2: starts 0,2,4,6 → "abcd","cdef","efgh","ghij" (ceil((10-2)/2)=4)
+    assert(chunks == Map(
+      (1L, 0) -> "abcd", (1L, 1) -> "cdef", (1L, 2) -> "efgh", (1L, 3) -> "ghij",
+      (2L, 0) -> "abc", (3L, 0) -> ""))
+    // overlap property: chunk i's tail == chunk i+1's head
+    assert(chunks((1L, 0)).takeRight(2) == chunks((1L, 1)).take(2))
+  }
+
+  test("packBins: running token count splits groups at the target") {
+    val df = Seq(
+      (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 300L), (4L, "g", 50L),
+      (5L, "h", 600L)
+    ).toDF("doc_id", "grp", "n_tokens")
+    val bins = TextAnalysis.packBins(df, "grp", "doc_id", "n_tokens", 500L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // g: before-counts 0,300,600,900 → bins 0,0,1,1; h: 0 → 0
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("fingerprints: equal for equal text, stable, distinct for distinct text") {
     val df = Seq(
       (1L, "one two three four five six seven"),
