@@ -731,6 +731,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // X-dedup: benchmark decontamination — docs sharing >= 3 distinct
+    // trigram shingles with the held-out "benchmark" slice (doc_id >= 490);
+    // benchmark shingles broadcast, corpus probes map-side
+    "q_x_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.contaminationFlags(
+          d.filter(col("doc_id") < 490), "doc_id", "text",
+          d.filter(col("doc_id") >= 490), "text")
+        .orderBy(col("id"))
+    }),
+
     // D2b: seeded stratified sample (sampleBy on the lang strata) —
     // engine-specific RNG like q_d2_sample, so rows-only; per-stratum
     // fraction tolerance asserted in TextAnalysisSpec
@@ -1219,6 +1230,20 @@ object SparkEntry {
         |      '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9()\-\s]{5,}[0-9]')) AS INTEGER) AS n_phones
         |FROM synth ORDER BY doc_id""".stripMargin,
+
+    "q_x_decontam" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id >= 490),
+        |doc AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id < 490)
+        |SELECT d.doc_id AS id, CAST(COUNT(DISTINCT d.s) AS BIGINT) AS n_overlap
+        |FROM doc d JOIN bench b ON d.s = b.s
+        |GROUP BY d.doc_id HAVING COUNT(DISTINCT d.s) >= 3
+        |ORDER BY id""".stripMargin,
 
     "q_x_chunks" ->
       """WITH e AS (

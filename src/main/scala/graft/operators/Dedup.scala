@@ -274,6 +274,35 @@ object Dedup {
       minhashNearDups(df, idCol, textCol, shingleN, k, bands, threshold)
         .select("id1", "id2"))
 
+  // ───────────────────── decontamination ─────────────────────
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word `n`-gram shingles with ANY benchmark
+    * document — the test-set-leakage filter a training-data pipeline runs
+    * before export.
+    *
+    * The benchmark shingle set is tiny relative to the corpus (eval sets
+    * are thousands of rows, the corpus is billions), so it is distinct'd
+    * and broadcast: the corpus side explodes its shingles and probes the
+    * broadcast hash map-side — the corpus never shuffles for the join,
+    * only the per-doc overlap count aggregates (keyed by doc id).
+    *
+    * Returns (`id`, `n_overlap`) for flagged documents only.
+    */
+  def contaminationFlags(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      minOverlap: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingles(col(benchTextCol), n)).as("__s"))
+      .distinct()
+    val docShingles = corpus.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("__s"))
+    docShingles.join(broadcast(benchShingles), "__s")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("__s")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   // ───────────────── embedding-cosine near-dup ─────────────────
 
   /** Near-duplicates by embedding cosine ≥ threshold: random-hyperplane

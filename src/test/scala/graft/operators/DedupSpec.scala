@@ -106,6 +106,21 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("contaminationFlags finds docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // contains bench trigrams
+      (2L, "completely unrelated text with zero overlap anywhere at all"),
+      (3L, "quick brown fox jumps high")                        // 2 shared trigrams only
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox jumps far away").toDF("text")
+    val flagged = Dedup.contaminationFlags(corpus, "doc_id", "text", bench, "text",
+        n = 3, minOverlap = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown","quick brown fox","brown fox jumps" = 3
+    // doc 3 shares "quick brown fox","brown fox jumps" = 2 → below threshold
+    assert(flagged == Map(1L -> 3L))
+  }
+
   test("nearDupClusters groups transitive near-dups under the min id") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val docs = Seq(
