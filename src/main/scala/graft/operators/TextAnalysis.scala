@@ -197,7 +197,13 @@ object TextAnalysis {
     * unpartitioned-window trap); bins are then globally unique as
     * (group, bin). Greedy first-fit packs tighter but is inherently
     * sequential; this streaming split is the order-preserving variant
-    * large pipelines use. */
+    * large pipelines use.
+    *
+    * At scale `groupCol` must be shard-grained — a key whose cardinality
+    * grows with the corpus (file id, `spark_partition_id()`, a hash
+    * bucket of the doc id), keeping each window's sort bounded. A
+    * low-cardinality key (the fixture query's `lang`) sorts an entire
+    * language on one task at 100 TB. */
   def packBins(rows: DataFrame, groupCol: String, orderCol: String,
       tokenCol: String, target: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
