@@ -622,17 +622,24 @@ object SparkEntry {
     "q_st_interval_join" -> ((s, dir) =>
       graft.streaming.EventStreams.intervalJoinBatch(t(s, dir, "events"))),
 
-    // X-multimodal: binary media columns + typed metadata — feature
-    // extraction through the batched mapPartitions seam plus explode-style
-    // frame sampling, aggregated per kind (rows-only: the decode stub and
-    // payloads are seeded engine-side, not a parquet table DuckDB can see)
+    // X-multimodal: binary media columns + typed metadata — REAL BMP/WAV
+    // header+signal decode and feature extraction through the batched
+    // mapPartitions seam, plus explode-style frame sampling, aggregated
+    // per kind (rows-only: payloads are seeded engine-side, not a parquet
+    // table DuckDB can see)
     "q_x_multimodal" -> ((s, dir) => {
       val mm = graft.operators.Multimodal
       val media = mm.syntheticMedia(s, 300).cache()
       val feats = mm.extractFeatures(media, dim = 16)
+      val decoded = mm.decodeMedia(media)
       val frames = mm.sampleFrames(media, fps = 1.0)
       feats.groupBy(col("kind"))
         .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+        .join(
+          decoded.groupBy(col("kind"))
+            .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_decoded"),
+              round(avg(when(col("ok"), col("signal_stat"))), 3).as("avg_signal")),
+          Seq("kind"), "left")
         .join(
           frames.groupBy(lit("video").as("kind"))
             .agg(count(lit(1)).as("n_frames")),

@@ -20,8 +20,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BMP round-trip: parse recovers header fields and exact mean pixel") {
+    val bytes = Multimodal.writeBmp(5, 3, (x, y) => x * 10 + y)
+    val Some((w, h, bpp, mean)) = Multimodal.parseBmp(bytes)
+    assert((w, h, bpp) == ((5, 3, 24)))
+    val expected = (for { y <- 0 until 3; x <- 0 until 5 } yield x * 10 + y)
+      .sum.toDouble / 15
+    assert(math.abs(mean - expected) < 1e-9)
+    assert(Multimodal.parseBmp("notabmp".getBytes).isEmpty)
+  }
+
+  test("WAV round-trip: parse recovers rate, duration, and RMS") {
+    val samples = Array.tabulate(8000)(t =>
+      (math.sin(2 * math.Pi * 440 * t / 8000.0) * 10000).toShort)
+    val Some((rate, ch, durMs, rms)) =
+      Multimodal.parseWav(Multimodal.writeWav(8000, samples))
+    assert(rate == 8000 && ch == 1 && durMs == 1000)
+    // RMS of a sine is amplitude/sqrt(2)
+    assert(math.abs(rms - 10000 / math.sqrt(2)) / rms < 0.01)
+    assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeMedia: every image and audio payload decodes, video stays stub") {
+    val decoded = Multimodal.decodeMedia(media, batchSize = 7).collect()
+    assert(decoded.length == 30)
+    val byKind = decoded.groupBy(_.kind)
+    assert(byKind("image").forall(d => d.ok && d.bpp == 24 &&
+      d.width >= 4 && d.height >= 4))
+    assert(byKind("audio").forall(d => d.ok && d.sample_rate == 8000 &&
+      d.duration_ms > 0 && d.signal_stat > 0))
+    assert(byKind("video").forall(!_.ok))
+    // decoded headers agree with the generator's metadata columns
+    val meta = media.collect().map(r => r.media_id -> r).toMap
+    byKind("image").foreach { d =>
+      assert(d.width == meta(d.media_id).width &&
+        d.height == meta(d.media_id).height)
+    }
+    byKind("audio").foreach { d =>
+      assert(d.duration_ms == meta(d.media_id).duration_ms)
+    }
+  }
+
   test("resizeMeta clamps to the box preserving aspect") {
-    val out = Multimodal.resizeMeta(media.toDF(), maxSide = 128)
+    // audio rows carry no pixel dims (width = 0) — resize applies to visual kinds
+    val out = Multimodal.resizeMeta(media.filter(_.kind != "audio").toDF(), maxSide = 128)
       .select("width", "height", "out_width", "out_height").collect()
     out.foreach { r =>
       val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
