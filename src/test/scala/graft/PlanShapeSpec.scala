@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression guards: the scale-critical physical-plan
+  * properties the 100 TB design depends on, locked in as assertions so a
+  * future edit can't silently trade them away. Each test inspects the
+  * executed plan of a gated query on the sf0.001 fixtures.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dimension join broadcasts the small side (no shuffled SMJ)") {
+    val p = plan("q_j1_dim_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_d5_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("filters reach the parquet scan as PushedFilters") {
+    val p = plan("q_x_rep_ratio")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)"),
+      s"doc_id filter not pushed:\n$p")
+  }
+
+  test("scans prune to the referenced columns only") {
+    val p = plan("q_p3_project")
+    // the projection query touches 3 of part's 9 columns
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>"),
+      s"scan reads more than the projection:\n$p")
+  }
+
+  test("aggregations are partial+final (map-side combine present)") {
+    val p = plan("q_a1_group_mean")
+    assert(p.contains("partial_"), s"no partial aggregation stage:\n$p")
+  }
+
+  test("global max is a scalar broadcast, not a single-partition window") {
+    val p = plan("q_w2_global_max_share")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected 1-row broadcast:\n$p")
+    assert(!p.contains("Window"), s"W2 regressed to a window:\n$p")
+  }
+
+  test("near-dup candidate generation joins on bucket keys, never cross-joins") {
+    val p = plan("q_x_minhash_bands")
+    assert(!p.contains("CartesianProduct"), s"cross join in LSH banding:\n$p")
+  }
+
+  test("anti-join stays a join, not a collect-then-isin") {
+    val p = plan("q_j2_anti")
+    assert(p.contains("LeftAnti") || p.contains("BroadcastHashJoin"),
+      s"expected anti join operator:\n$p")
+  }
+}
