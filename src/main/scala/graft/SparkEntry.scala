@@ -622,8 +622,8 @@ object SparkEntry {
     "q_st_interval_join" -> ((s, dir) =>
       graft.streaming.EventStreams.intervalJoinBatch(t(s, dir, "events"))),
 
-    // X-multimodal: binary media columns + typed metadata — REAL BMP/WAV
-    // header+signal decode and feature extraction through the batched
+    // X-multimodal: binary media columns + typed metadata — REAL BMP/WAV/
+    // Y4M header+signal decode and feature extraction through the batched
     // mapPartitions seam, plus explode-style frame sampling, aggregated
     // per kind (rows-only: payloads are seeded engine-side, not a parquet
     // table DuckDB can see)

@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
   * fixed batch shape, typed output schema — is real and tested. Decoding
-  * is REAL for the two headerable formats parseable with pure byte
-  * arithmetic and no codec libraries: uncompressed 24-bpp BMP (images)
-  * and PCM16 WAV (audio) — [[decodeMedia]] parses the headers and
-  * computes genuine signal statistics (mean pixel value, RMS amplitude).
-  * Only compressed-video decode remains a deterministic STUB
-  * ([[decodeStub]]): a real container/codec parser is out of scope for
-  * this environment, and that seam is where one would plug in.
+  * is REAL for all three modalities, via the headerable formats parseable
+  * with pure byte arithmetic and no codec libraries: uncompressed 24-bpp
+  * BMP (images), PCM16 WAV (audio), and uncompressed YUV4MPEG2/Y4M 4:2:0
+  * (video) — [[decodeMedia]] parses the headers and computes genuine
+  * signal statistics (mean pixel value, RMS amplitude, mean luma across
+  * frames). Compressed codecs (JPEG/H.264/AAC) would plug into the same
+  * per-batch setup seam; [[decodeStub]] remains only as the deterministic
+  * feature-vector placeholder inside [[extractFeatures]].
   */
 object Multimodal {
 
@@ -40,13 +41,13 @@ object Multimodal {
       frame_hash: Long)
 
   /** Typed decode output: header fields + a real signal statistic per
-    * modality (mean pixel for BMP, RMS amplitude for WAV). `ok = false`
-    * rows carry zeroed fields — malformed payloads degrade to a flag, not
-    * a task failure. */
+    * modality (mean pixel for BMP, RMS amplitude for WAV, mean luma for
+    * Y4M). `ok = false` rows carry zeroed fields — malformed payloads
+    * degrade to a flag, not a task failure. */
   final case class DecodedMedia(media_id: Long, kind: String, ok: Boolean,
       width: Int, height: Int, bpp: Int,
       sample_rate: Int, n_channels: Int, duration_ms: Int,
-      signal_stat: Double)
+      n_frames: Int, signal_stat: Double)
 
   // ─────────── dependency-free codecs (byte arithmetic only) ───────────
 
@@ -141,11 +142,109 @@ object Multimodal {
     Some((rate, channels, durationMs, math.sqrt(sumSq / n)))
   }
 
+  /** Valid uncompressed YUV4MPEG2 (Y4M) 4:2:0 stream: ASCII stream header
+    * `YUV4MPEG2 W.. H.. F<num>:<den> Ip A1:1 C420jpeg`, then per frame an
+    * ASCII `FRAME` marker followed by raw Y (w*h), U and V (w/2*h/2)
+    * planes. Even dimensions required (4:2:0 chroma subsampling). */
+  private[operators] def writeY4m(width: Int, height: Int,
+      fpsNum: Int, fpsDen: Int, nFrames: Int,
+      luma: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "Y4M 4:2:0 needs even dims")
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val ySize = width * height
+    val cSize = (width / 2) * (height / 2)
+    val frameBytes = marker.length + ySize + 2 * cSize
+    val b = new Array[Byte](header.length + nFrames.toLong.toInt * frameBytes)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var f = 0
+    while (f < nFrames) {
+      val base = header.length + f * frameBytes
+      System.arraycopy(marker, 0, b, base, marker.length)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          b(base + marker.length + y * width + x) = (luma(f, x, y) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      java.util.Arrays.fill(b, base + marker.length + ySize,
+        base + frameBytes, 128.toByte) // neutral chroma
+      f += 1
+    }
+    b
+  }
+
+  /** Parses an uncompressed Y4M 4:2:0 stream; returns
+    * (w, h, nFrames, durationMs, mean luma over all frames). */
+  private[operators] def parseY4m(b: Array[Byte]): Option[(Int, Int, Int, Int, Double)] = {
+    val magic = "YUV4MPEG2 "
+    if (b.length < magic.length + 2) return None
+    var i = 0
+    while (i < magic.length) {
+      if (b(i) != magic.charAt(i).toByte) return None
+      i += 1
+    }
+    var nl = i
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    if (nl >= b.length) return None
+    var w = -1; var h = -1; var num = -1; var den = -1
+    // tokenize "W640 H480 F25:1 ..." between the magic and the newline
+    var p = i
+    while (p < nl) {
+      while (p < nl && b(p) == ' ') p += 1
+      val tag = if (p < nl) b(p).toChar else ' '
+      var e = p
+      while (e < nl && b(e) != ' ') e += 1
+      if (e > p + 1) {
+        val body = new String(b, p + 1, e - p - 1, "US-ASCII")
+        tag match {
+          case 'W' => w = body.toIntOption.getOrElse(-1)
+          case 'H' => h = body.toIntOption.getOrElse(-1)
+          case 'F' => body.split(':') match {
+            case Array(n, d) =>
+              num = n.toIntOption.getOrElse(-1); den = d.toIntOption.getOrElse(-1)
+            case _ =>
+          }
+          case _ => // Ip / A1:1 / C420jpeg — ignored
+        }
+      }
+      p = e
+    }
+    if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 || num <= 0 || den <= 0)
+      return None
+    val ySize = w * h
+    val frameData = ySize + 2 * (w / 2) * (h / 2)
+    var pos = nl + 1
+    var frames = 0
+    var lumaSum = 0L
+    while (pos < b.length) {
+      // FRAME marker line (may carry parameters before its newline)
+      if (pos + 5 > b.length || b(pos) != 'F' || b(pos + 1) != 'R' ||
+        b(pos + 2) != 'A' || b(pos + 3) != 'M' || b(pos + 4) != 'E') return None
+      var fe = pos + 5
+      while (fe < b.length && b(fe) != '\n') fe += 1
+      if (fe >= b.length || fe + 1 + frameData > b.length) return None
+      var j = fe + 1
+      val yEnd = j + ySize
+      while (j < yEnd) { lumaSum += (b(j) & 0xff); j += 1 }
+      pos = fe + 1 + frameData
+      frames += 1
+    }
+    if (frames == 0) return None
+    val durationMs = (frames.toLong * 1000L * den / num).toInt
+    Some((w, h, frames, durationMs, lumaSum.toDouble / (frames.toLong * ySize)))
+  }
+
   /** Deterministic synthetic media table (the fixture generator for this
-    * surface): image payloads are VALID 24-bpp BMPs and audio payloads
-    * VALID PCM16 WAVs (seeded content), so the decode stage exercises the
-    * real parsers; video payloads stay pseudo-random bytes for the stub
-    * seam. */
+    * surface): image payloads are VALID 24-bpp BMPs, audio payloads VALID
+    * PCM16 WAVs, and video payloads VALID Y4M 4:2:0 streams (seeded
+    * content), so the decode stage exercises all three real parsers
+    * end-to-end. */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -167,19 +266,21 @@ object Multimodal {
           MediaRow(i, kind, writeWav(rate, samples), width = 0, height = 0,
             sample_rate = rate, duration_ms = nSamples * 1000 / rate)
         case _ =>
-          val len = 256 + rnd.nextInt(1024)
-          val bytes = Array.fill(len)(rnd.nextInt().toByte)
-          MediaRow(i, kind, bytes,
-            width = 64 + rnd.nextInt(512), height = 64 + rnd.nextInt(512),
-            sample_rate = 16000, duration_ms = 1000 + rnd.nextInt(30000))
+          val w = (4 + rnd.nextInt(15)) * 2; val h = (4 + rnd.nextInt(15)) * 2
+          val nFrames = 25 + rnd.nextInt(226) // 1-10 s at 25 fps
+          val phase = rnd.nextInt(256)
+          val bytes = writeY4m(w, h, fpsNum = 25, fpsDen = 1, nFrames,
+            (f, x, y) => (x * 5 + y * 11 + f * 3 + phase))
+          MediaRow(i, kind, bytes, width = w, height = h,
+            sample_rate = 0, duration_ms = nFrames * 1000 / 25)
       }
     }
   }
 
   /** REAL decode stage: batched partition-preserving parse of the payload
     * bytes — BMP headers + mean pixel for images, WAV headers + RMS for
-    * audio; video rows (and malformed payloads) come back `ok = false`
-    * rather than failing the task. */
+    * audio, Y4M headers + frame count + mean luma for video; malformed
+    * payloads come back `ok = false` rather than failing the task. */
   def decodeMedia(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -188,13 +289,18 @@ object Multimodal {
         batch.iterator.map { r =>
           val parsed = r.kind match {
             case "image" => parseBmp(r.bytes).map { case (w, h, bpp, mean) =>
-              DecodedMedia(r.media_id, r.kind, ok = true, w, h, bpp, 0, 0, 0, mean) }
+              DecodedMedia(r.media_id, r.kind, ok = true, w, h, bpp,
+                0, 0, 0, 0, mean) }
             case "audio" => parseWav(r.bytes).map { case (rate, ch, dur, rms) =>
-              DecodedMedia(r.media_id, r.kind, ok = true, 0, 0, 0, rate, ch, dur, rms) }
+              DecodedMedia(r.media_id, r.kind, ok = true, 0, 0, 0,
+                rate, ch, dur, 0, rms) }
+            case "video" => parseY4m(r.bytes).map { case (w, h, nf, dur, luma) =>
+              DecodedMedia(r.media_id, r.kind, ok = true, w, h, 12, // YUV420 bits/px
+                0, 0, dur, nf, luma) }
             case _ => None
           }
           parsed.getOrElse(DecodedMedia(r.media_id, r.kind, ok = false,
-            0, 0, 0, 0, 0, 0, 0.0))
+            0, 0, 0, 0, 0, 0, 0, 0.0))
         }
       }
     }

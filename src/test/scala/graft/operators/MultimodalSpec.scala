@@ -41,7 +41,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isEmpty)
   }
 
-  test("decodeMedia: every image and audio payload decodes, video stays stub") {
+  test("Y4M round-trip: parse recovers dims, frame count, duration, mean luma") {
+    val bytes = Multimodal.writeY4m(6, 4, fpsNum = 25, fpsDen = 1, nFrames = 50,
+      (f, x, y) => x + y + f)
+    val Some((w, h, nf, durMs, luma)) = Multimodal.parseY4m(bytes)
+    assert((w, h, nf, durMs) == ((6, 4, 50, 2000)))
+    val expected = (for { f <- 0 until 50; y <- 0 until 4; x <- 0 until 6 }
+      yield (x + y + f) & 0xff).sum.toDouble / (50 * 24)
+    assert(math.abs(luma - expected) < 1e-9)
+    assert(Multimodal.parseY4m("nota y4m stream".getBytes).isEmpty)
+    // truncated payload (half the last frame missing) must not parse
+    assert(Multimodal.parseY4m(bytes.take(bytes.length - 10)).isEmpty)
+  }
+
+  test("decodeMedia: every payload of all three kinds decodes") {
     val decoded = Multimodal.decodeMedia(media, batchSize = 7).collect()
     assert(decoded.length == 30)
     val byKind = decoded.groupBy(_.kind)
@@ -49,7 +62,8 @@ class MultimodalSpec extends SparkSpec {
       d.width >= 4 && d.height >= 4))
     assert(byKind("audio").forall(d => d.ok && d.sample_rate == 8000 &&
       d.duration_ms > 0 && d.signal_stat > 0))
-    assert(byKind("video").forall(!_.ok))
+    assert(byKind("video").forall(d => d.ok && d.n_frames >= 25 &&
+      d.bpp == 12 && d.signal_stat > 0))
     // decoded headers agree with the generator's metadata columns
     val meta = media.collect().map(r => r.media_id -> r).toMap
     byKind("image").foreach { d =>
@@ -59,6 +73,17 @@ class MultimodalSpec extends SparkSpec {
     byKind("audio").foreach { d =>
       assert(d.duration_ms == meta(d.media_id).duration_ms)
     }
+    byKind("video").foreach { d =>
+      assert(d.width == meta(d.media_id).width &&
+        d.height == meta(d.media_id).height &&
+        d.duration_ms == meta(d.media_id).duration_ms)
+    }
+    // a corrupted payload degrades to ok=false, not a task failure
+    import spark.implicits._
+    val bad = Multimodal.decodeMedia(Seq(
+      Multimodal.MediaRow(99L, "video", Array[Byte](1, 2, 3), 0, 0, 0, 0)).toDS())
+      .collect()
+    assert(bad.length == 1 && !bad(0).ok)
   }
 
   test("resizeMeta clamps to the box preserving aspect") {
