@@ -758,6 +758,72 @@ object SparkEntry {
       t(s, dir, "documents").stat.sampleBy("lang", fractions, 42L)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
+    }),
+
+    // X-text: canonical unicode cleanup — NFC normalization (native
+    // expression with a no-alloc fast path), control-char strip,
+    // whitespace collapse, trim. The fixture corpus is ASCII-clean, so a
+    // messy input (decomposed accents, a BEL, tab runs) is constructed
+    // deterministically from fixture fields in BOTH engines; the operator
+    // under test is the cleanup expression chain itself.
+    "q_x_normalize" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      val messy = concat(lit("Cafe\u0301 \t \u0007"),
+        substring(col("text"), 1, 60), lit("  nai\u0308ve"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ta.cleanText(messy).as("cleaned"),
+          length(messy).as("n_raw"), length(ta.cleanText(messy)).as("n_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X-text: sentence segmentation — terminator-preserving [.!?]+space
+    // split (lookbehind-free Java∩RE2 dialect), posexplode to one row per
+    // sentence. Sentence-bearing input constructed from fixture fields in
+    // both engines (fixture text is punctuation-free).
+    "q_x_sentences" -> ((s, dir) => {
+      val synth = concat(substring(col("text"), 1, 50), lit(". "),
+        substring(col("text"), 51, 40), lit("! "),
+        substring(col("text"), 91, 30), lit("? End"))
+      graft.operators.TextAnalysis.splitSentences(
+          t(s, dir, "documents").filter(col("doc_id") < 200)
+            .select(col("doc_id"), synth.as("synth")),
+          "doc_id", "synth")
+        .orderBy(col("id"), col("sent_idx"))
+    }),
+
+    // S-jsonl: JSONL sink + explicit-schema scan round-trip — write the
+    // documents table as line-delimited JSON, read it back (no inference
+    // pass — that's a full extra read at scale), aggregate per lang. The
+    // oracle computes the same aggregate from the parquet directly, so any
+    // round-trip corruption (types, escaping, nulls) breaks the hash.
+    "q_s_jsonl" -> ((s, dir) => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_roundtrip").getAbsolutePath
+      graft.sources.IO.writeJsonl(
+        t(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars"),
+        path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      graft.sources.IO.readJsonl(s, path, schema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_chars"),
+          countDistinct(col("text")).as("n_distinct_text"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // X-dedup: incremental ingest dedup — distributed Bloom filter over
+    // the "existing" half (broadcast 1-row build side), map-side probe of
+    // the "incoming" half, exact anti-join verify on only the positive
+    // sliver. Output is exact: incoming docs whose text never appeared in
+    // the existing corpus.
+    "q_x_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.incrementalNovel(
+          d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+          "text", expectedItems = 100000L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1273,6 +1339,59 @@ object SparkEntry {
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |       / 500.0) AS BIGINT) AS bin
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    // unicode cleanup: identical regexes (Java∩RE2 dialect), DuckDB's
+    // nfc_normalize for the NFC step, messy input built with chr()
+    "q_x_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || ' ' || chr(9) || ' ' || chr(7) ||
+        |    substr(text, 1, 60) || '  nai' || chr(776) || 've' AS messy
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, messy,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS cleaned
+        |  FROM m)
+        |SELECT doc_id, cleaned, length(messy) AS n_raw,
+        |  length(cleaned) AS n_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // sentence split: chr(1) boundary marker (lookbehind-free), parallel
+    // unnests zip positionally in DuckDB
+    "q_x_sentences" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 50) || '. ' || substr(text, 51, 40) || '! ' ||
+        |    substr(text, 91, 30) || '? End' AS synth
+        |  FROM documents WHERE doc_id < 200),
+        |sp AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(synth, '([.!?]) +', '\1' || chr(1), 'g'),
+        |    chr(1)) AS s
+        |  FROM m)
+        |SELECT doc_id AS id,
+        |  CAST(unnest(generate_series(1, len(s))) - 1 AS INT) AS sent_idx,
+        |  unnest(s) AS sentence
+        |FROM sp ORDER BY id, sent_idx""".stripMargin,
+
+    // jsonl round-trip: the oracle reads the parquet directly — a hash
+    // match proves the Spark write→read cycle preserved every value
+    "q_s_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // incremental dedup: plain NOT EXISTS anti-semantics on the text key
+    "q_x_incremental" ->
+      """SELECT a.doc_id FROM documents a
+        |WHERE a.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.doc_id < 250 AND b.text = a.text)
+        |ORDER BY a.doc_id""".stripMargin,
 
     // q_x_fingerprint / q_x_simhash / q_x_minhash_bands / q_x_lsh_topk /
     // q_x_ivf_topk / q_d2b_stratified: intentionally no oracle —

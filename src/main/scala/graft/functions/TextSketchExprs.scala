@@ -290,7 +290,20 @@ object TextSketches {
     case 4 => nonWsCount(text)
   }
 
+  /** Unicode normalization with a no-allocation fast path: clean corpora
+    * are overwhelmingly already normalized, and `isNormalized` is a scan
+    * without the rewrite buffer, so the common case returns the input
+    * `UTF8String` untouched. */
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
   // Column builders
+  def normalize(text: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
   def minhashSig(arr: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(arr), k))
   def simhash(arr: Column): Column =
@@ -310,6 +323,22 @@ object TextSketches {
 /** Stat selector for [[TextStat]]. */
 object TextStatMode extends Enumeration {
   val WsTokens, Punct, Upper, Bpeish, NonWs = Value
+}
+
+/** string → string Unicode normalization (NFC/NFD/NFKC/NFKD). */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form $form")
+  override def prettyName: String = "unicode_normalize"
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(v: Any): Any =
+    TextSketches.unicodeNormalize(v.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.TextSketches.unicodeNormalize($a, "$form");""")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** array<string> → array<long> (length k) fused MinHash signature. */

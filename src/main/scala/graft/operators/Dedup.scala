@@ -274,6 +274,53 @@ object Dedup {
       minhashNearDups(df, idCol, textCol, shingleN, k, bands, threshold)
         .select("id1", "id2"))
 
+  // ───────────────── incremental (Bloom-gated) dedup ─────────────────
+
+  /** Rows of `incoming` whose `keyCol` value does not appear in
+    * `existing` — the incremental-ingest dedup (today's crawl against the
+    * already-ingested corpus). Output is EXACT; the Bloom filter only
+    * prunes work.
+    *
+    * Staged for scale:
+    *  1. A Bloom filter over `xxhash64(key)` of the existing corpus is
+    *     built as a DISTRIBUTED aggregate (partition-local sketches,
+    *     bitsets OR-merged up the agg tree — see
+    *     [[graft.functions.BloomSketch]]) attached as a scalar subquery.
+    *     No shuffle of the existing corpus, no driver key set.
+    *  2. Incoming rows probe it map-side. `might_contain == false` PROVES
+    *     novelty (no false negatives) — those rows are emitted with zero
+    *     shuffle.
+    *  3. Only the positive sliver (true duplicates + the fpp share of
+    *     incoming) is verified exactly: existing keys semi-joined down to
+    *     the candidate 8-byte hash set, then an anti-join on
+    *     (hash, key) — full key bytes move only for rows whose hash
+    *     matched a candidate's, so at 100 TB the verify shuffles
+    *     ~(dup_rate + fpp) of incoming plus the hash-matched sliver of
+    *     existing, never either corpus wholesale.
+    */
+  def incrementalNovel(incoming: DataFrame, existing: DataFrame, keyCol: String,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomSketch
+    val bloom = existing.agg(
+      BloomSketch.bloomAgg(xxhash64(col(keyCol)), expectedItems, fpp).as("__bf"))
+    val probed = incoming
+      .withColumn("__hit", BloomSketch.mightContain(bloom, xxhash64(col(keyCol))))
+    val definitelyNovel = probed.filter(!col("__hit")).drop("__hit")
+    val candidates = probed.filter(col("__hit")).drop("__hit")
+      .withColumn("__h", xxhash64(col(keyCol)))
+    val candHashes = candidates.select(col("__h")).distinct()
+    val existingSliver = existing
+      .select(xxhash64(col(keyCol)).as("__h"), col(keyCol).as("__k"))
+      .join(candHashes, "__h")
+    val verifiedNovel = candidates
+      .join(existingSliver,
+        candidates("__h") === existingSliver("__h") &&
+          candidates(keyCol) === existingSliver("__k"),
+        "left_anti")
+      .drop("__h")
+    definitelyNovel.unionByName(verifiedNovel)
+  }
+
   // ───────────────────── decontamination ─────────────────────
 
   /** Benchmark decontamination: flag corpus documents sharing at least

@@ -212,6 +212,40 @@ object TextAnalysis {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / target))
   }
 
+  // ───────────────── normalization / sentence segmentation ─────────────────
+
+  /** Control characters stripped by [[cleanText]] (C0 minus \t\n\r, plus
+    * DEL). The class is valid in both Java regex and RE2, so the DuckDB
+    * oracle runs the identical expression. */
+  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Unicode normalization (default NFC) — native expression with a
+    * no-allocation fast path for already-normalized text (see
+    * [[graft.functions.TextSketches.unicodeNormalize]]). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.TextSketches.normalize(text, form)
+
+  /** Canonical text cleanup for corpus ingest: NFC-normalize, strip
+    * control characters, collapse whitespace runs to single spaces, trim.
+    * Per-row and codegen'd end-to-end — no shuffle, no UDF. (The \x0B/\x0C
+    * whitespace chars Java's `\s` covers but RE2's does not are removed by
+    * the control-strip BEFORE the collapse, keeping both dialects exact.) */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(normalizeUnicode(text), ControlCharClass, ""),
+      "\\s+", " "))
+
+  /** Terminator-preserving sentence segmentation: a boundary is a [.!?]
+    * run followed by spaces. Lookbehind-free (Java∩RE2 dialect): boundaries
+    * are marked with \u0001 then split — one generator expression per row,
+    * no shuffle. Returns one row per sentence: (`id`, `sent_idx`,
+    * `sentence`). */
+  def splitSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(split(
+        regexp_replace(col(textCol), "([.!?]) +", "$1\u0001"), "\u0001"))
+        .as(Seq("sent_idx", "sentence")))
+
   // ───────────────────── PII scrubbing ─────────────────────
 
   /** Email pattern shared by Java regex and RE2 (so the DuckDB oracle can

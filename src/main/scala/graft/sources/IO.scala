@@ -72,6 +72,19 @@ object IO {
     target
   }
 
+  /** JSONL (one JSON object per line) sink — the interchange format LLM
+    * data pipelines standardize on between stages/teams. Line-delimited,
+    * so the files split for parallel re-reads (unlike multiline JSON). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL scan with an explicit schema. Schema inference on JSON is a
+    * full extra pass over the data — never acceptable at 100 TB, so the
+    * schema is required here (`spark.read.json` stays available for
+    * ad-hoc exploration). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Convenience loader for the driver-provided parquet fixtures. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

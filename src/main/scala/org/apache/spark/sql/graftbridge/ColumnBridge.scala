@@ -13,6 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a 1-row/1-column DataFrame as a scalar-subquery expression —
+    * the shape expressions like `might_contain` require for their
+    * "constant" operands when the value is itself computed by a plan
+    * (Spark's own runtime-filter injection builds exactly this). */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed)
+
   /** Register a temp SQL function on an EXISTING session (the
     * `SparkSessionExtensions` path only applies at session construction;
     * the registry itself is `private[sql]`). */

@@ -121,6 +121,22 @@ class DedupSpec extends SparkSpec {
     assert(flagged == Map(1L -> 3L))
   }
 
+  test("incrementalNovel: exact novelty under a deliberately saturated bloom") {
+    // existing corpus: 200 docs; incoming: 100 overlapping + 100 novel.
+    // expectedItems=8 at fpp 0.5 saturates the filter, forcing nearly every
+    // incoming row down the verify path — the output must stay exact anyway.
+    val existing = spark.range(0, 200)
+      .selectExpr("id AS doc_id", "concat('doc ', id, ' body') AS text")
+    val incoming = spark.range(100, 300)
+      .selectExpr("id AS doc_id", "concat('doc ', id % 400, ' body') AS text")
+    for (fpp <- Seq(0.01, 0.5); items <- Seq(8L, 1000L)) {
+      val novel = Dedup.incrementalNovel(incoming, existing, "text",
+          expectedItems = items, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(novel == (200L until 300L).toSeq, s"items=$items fpp=$fpp")
+    }
+  }
+
   test("nearDupClusters groups transitive near-dups under the min id") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     val docs = Seq(

@@ -149,6 +149,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("cleanText: NFC-composes, strips controls, collapses whitespace") {
+    val messy = "Cafe\u0301 \u0007 \t xy  nai\u0308ve "
+    val out = Seq(messy).toDF("text")
+      .select(TextAnalysis.cleanText(col("text")).as("c"),
+        length(col("text")).as("raw"), length(TextAnalysis.cleanText(col("text"))).as("n"))
+      .head()
+    assert(out.getString(0) == "Caf\u00e9 xy na\u00efve")
+    // é and ï composed: 2 chars shorter; controls/extra ws gone
+    assert(out.getInt(2) == "Caf\u00e9 xy na\u00efve".length)
+    // already-clean text passes through unchanged
+    val clean = Seq("already clean text").toDF("text")
+      .select(TextAnalysis.cleanText(col("text"))).head().getString(0)
+    assert(clean == "already clean text")
+  }
+
+  test("splitSentences keeps terminators and indexes sentences per doc") {
+    val df = Seq((1L, "First one. Second two! Third three? tail"),
+      (2L, "no terminators at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.splitSentences(df, "doc_id", "text")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, "First one."), (1L, 1, "Second two!"),
+      (1L, 2, "Third three?"), (1L, 3, "tail"),
+      (2L, 0, "no terminators at all")))
+  }
+
   test("fingerprints: equal for equal text, stable, distinct for distinct text") {
     val df = Seq(
       (1L, "one two three four five six seven"),

@@ -58,6 +58,22 @@ class IOSpec extends SparkSpec {
     assert(lines.size == 3)
   }
 
+  test("jsonl sink + schema'd scan round-trips values, types, and nulls") {
+    val out = tmpDir("jsonl-out")
+    val df = Seq(
+      (1L, """quote " backslash \ and tab	end""", Some(3.5)),
+      (2L, "unicode café 中文", None),
+      (3L, "", Some(-0.0))
+    ).toDF("id", "s", "d")
+    IO.writeJsonl(df, s"$out/docs")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, s STRING, d DOUBLE")
+    val back = IO.readJsonl(spark, s"$out/docs", schema)
+      .orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(back.toSeq == orig.toSeq)
+  }
+
   test("parquet sink round-trips") {
     val out = tmpDir("pq-out")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
