@@ -812,6 +812,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // A-topk: grouped top-k via the native bounded-heap TopKAgg aggregate
+    // (partial top-k per partition, k rows/group/partition shuffled, no
+    // full-group sort) — vs the window row_number()<=k formulation the
+    // oracle uses, which is semantically identical but shuffles every row
+    "q_a_topk_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Profiling.topKPerGroup(o, Seq("o_orderpriority"),
+          col("o_totalprice"), col("o_orderkey"),
+          struct(col("o_orderkey").as("okey"), col("o_totalprice").as("price")),
+          k = 3)
+        .select(col("o_orderpriority"), col("rank"),
+          col("item.okey").as("okey"), col("item.price").as("price"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // X-dedup: incremental ingest dedup — distributed Bloom filter over
     // the "existing" half (broadcast 1-row build side), map-side probe of
     // the "incoming" half, exact anti-join verify on only the positive
@@ -1384,6 +1399,19 @@ object SparkEntry {
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // grouped top-k: the oracle uses the window formulation the aggregate
+    // replaces — same rows by construction (unique (price, okey) ordering)
+    "q_a_topk_group" ->
+      """SELECT o_orderpriority, CAST(rn - 1 AS INT) AS rank,
+        |  o_orderkey AS okey, o_totalprice AS price
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
 
     // incremental dedup: plain NOT EXISTS anti-semantics on the text key
     "q_x_incremental" ->

@@ -1,0 +1,187 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Grouped top-k as a REAL aggregate, not a window.
+  *
+  * The standard formulation — `row_number() over (partition by g order by
+  * ord desc) <= k` — shuffles EVERY row to its group's partition and sorts
+  * entire groups, just to discard all but k rows. At 100 TB with heavy-hit
+  * groups that is the dominant shuffle of the whole job. This aggregate
+  * keeps a bounded k-element min-heap per group: partial aggregation
+  * tops-k within each input partition first, so at most
+  * `k × partitions` rows per group ever reach the exchange, and no sort
+  * of the full group happens anywhere.
+  *
+  * Ordering is (ord, tie) lexicographic descending — callers pass a
+  * unique tiebreaker (an id) so results are deterministic and
+  * oracle-reproducible. Null `ord` rows are ignored, like SQL aggregates.
+  */
+object TopKAgg {
+
+  /** Bounded min-heap of (ord, tie, payload) keeping the k LARGEST
+    * entries by (ord, tie). Root = current minimum = eviction candidate. */
+  final class Buffer(val k: Int) {
+    val ords = new Array[Double](k)
+    val ties = new Array[Long](k)
+    val rows = new Array[UnsafeRow](k)
+    var size = 0
+
+    private def less(o1: Double, t1: Long, o2: Double, t2: Long): Boolean =
+      o1 < o2 || (o1 == o2 && t1 < t2)
+
+    private def swap(a: Int, b: Int): Unit = {
+      val o = ords(a); ords(a) = ords(b); ords(b) = o
+      val t = ties(a); ties(a) = ties(b); ties(b) = t
+      val r = rows(a); rows(a) = rows(b); rows(b) = r
+    }
+
+    private def siftUp(start: Int): Unit = {
+      var i = start
+      while (i > 0 && less(ords(i), ties(i), ords((i - 1) / 2), ties((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && less(ords(l), ties(l), ords(m), ties(m))) m = l
+        if (r < size && less(ords(r), ties(r), ords(m), ties(m))) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+
+    /** `row` must already be a defensive copy. */
+    def insert(o: Double, t: Long, row: => UnsafeRow): Unit =
+      if (size < k) {
+        ords(size) = o; ties(size) = t; rows(size) = row
+        size += 1; siftUp(size - 1)
+      } else if (less(ords(0), ties(0), o, t)) {
+        ords(0) = o; ties(0) = t; rows(0) = row
+        siftDown()
+      }
+
+    /** Indices of the heap entries in (ord, tie) DESCENDING order. */
+    def sortedIndices: Array[Int] =
+      (0 until size).toArray.sortBy(i => (-ords(i), -ties(i)))
+  }
+}
+
+/** `top_k(ord, tie, payload, k)` → array<payload-type> of the k largest
+  * rows by (ord, tie) descending. Explode the result for row-per-hit
+  * output (see `graft.operators.Profiling.topKPerGroup`). */
+case class TopKAgg(
+    ord: Expression, tie: Expression, payload: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKAgg.Buffer] with TernaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def first: Expression = ord
+  override def second: Expression = tie
+  override def third: Expression = payload
+
+  override def prettyName: String = "top_k"
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+  override def nullable: Boolean = false
+
+  // 1-field row wrapper so any payload type (struct or atomic) serializes
+  // through UnsafeRow uniformly
+  @transient private lazy val wrap = UnsafeProjection.create(Array(payload.dataType))
+
+  override def createAggregationBuffer(): TopKAgg.Buffer = new TopKAgg.Buffer(k)
+
+  override def update(b: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
+    val o = ord.eval(input)
+    if (o != null) {
+      val t = tie.eval(input)
+      val tl = if (t == null) Long.MinValue else t.asInstanceOf[Number].longValue()
+      b.insert(o.asInstanceOf[Number].doubleValue(), tl,
+        wrap(InternalRow(payload.eval(input))).copy())
+    }
+    b
+  }
+
+  override def merge(b: TopKAgg.Buffer, other: TopKAgg.Buffer): TopKAgg.Buffer = {
+    var i = 0
+    while (i < other.size) {
+      b.insert(other.ords(i), other.ties(i), other.rows(i))
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: TopKAgg.Buffer): Any =
+    new GenericArrayData(b.sortedIndices.map { i =>
+      b.rows(i).get(0, payload.dataType) match {
+        case r: InternalRow => r.copy()
+        case v => v
+      }
+    })
+
+  override def serialize(b: TopKAgg.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k); out.writeInt(b.size)
+    var i = 0
+    while (i < b.size) {
+      out.writeDouble(b.ords(i)); out.writeLong(b.ties(i))
+      val bytes = b.rows(i).getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new TopKAgg.Buffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val o = in.readDouble(); val t = in.readLong()
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(1)
+      row.pointTo(rowBytes, len)
+      b.insert(o, t, row)
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TopKAgg =
+    copy(ord = f, tie = s, payload = t)
+}
+
+object TopK {
+  /** Column builder: array of the k largest payloads by (ord, tie) desc.
+    * `ord` is cast to double, `tie` to long (pass a unique id for
+    * deterministic results). */
+  def topK(ord: Column, tie: Column, payload: Column, k: Int): Column =
+    ColumnBridge.column(TopKAgg(
+      ColumnBridge.expression(ord.cast("double")),
+      ColumnBridge.expression(tie.cast("long")),
+      ColumnBridge.expression(payload), k).toAggregateExpression())
+}

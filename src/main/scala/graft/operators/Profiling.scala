@@ -164,4 +164,21 @@ object Profiling {
     df.agg(
       avg(abs(col(prediction) - col(label))).as("mae"),
       sqrt(avg(pow(col(prediction) - col(label), 2))).as("rmse"))
+
+  /** Grouped top-k via the native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]) instead of the
+    * `row_number() <= k` window: partial aggregation tops-k inside each
+    * input partition, so the exchange carries at most k rows per group
+    * per partition and no full-group sort exists anywhere — the window
+    * formulation shuffles and sorts EVERY row of every group.
+    *
+    * Ordering is (`ord`, `tie`) descending; pass a unique `tie` (an id)
+    * for fully deterministic output. Returns the group keys plus
+    * `rank` (0-based) and `item` (the payload column). */
+  def topKPerGroup(df: DataFrame, keyCols: Seq[String], ord: Column,
+      tie: Column, payload: Column, k: Int): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.TopK.topK(ord, tie, payload, k).as("__topk"))
+      .select(keyCols.map(col) :+
+        posexplode(col("__topk")).as(Seq("rank", "item")): _*)
 }
