@@ -42,14 +42,16 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point: injects the graft functions at
-  * session construction. */
+/** `spark.sql.extensions` entry point: injects the graft functions and
+  * the grouped-top-k window rewrite at session construction. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+  }
 }

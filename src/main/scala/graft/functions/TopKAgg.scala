@@ -82,9 +82,16 @@ object TopKAgg {
 
 /** `top_k(ord, tie, payload, k)` → array<payload-type> of the k largest
   * rows by (ord, tie) descending. Explode the result for row-per-hit
-  * output (see `graft.operators.Profiling.topKPerGroup`). */
+  * output (see `graft.operators.Profiling.topKPerGroup`).
+  *
+  * `nullAsLowest = false` (the default) skips null-ord rows like SQL
+  * aggregates; `true` ranks them below every non-null value — the exact
+  * semantics of `ORDER BY ord DESC NULLS LAST`, which the window-rewrite
+  * rule ([[graft.plans.TopKWindowRewrite]]) needs to be row-for-row
+  * equivalent when groups have fewer than k non-null rows. */
 case class TopKAgg(
     ord: Expression, tie: Expression, payload: Expression, k: Int,
+    nullAsLowest: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKAgg.Buffer] with TernaryLike[Expression] {
@@ -107,11 +114,12 @@ case class TopKAgg(
 
   override def update(b: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
     val o = ord.eval(input)
-    if (o != null) {
+    if (o != null || nullAsLowest) {
+      val ov = if (o == null) Double.NegativeInfinity
+        else o.asInstanceOf[Number].doubleValue()
       val t = tie.eval(input)
       val tl = if (t == null) Long.MinValue else t.asInstanceOf[Number].longValue()
-      b.insert(o.asInstanceOf[Number].doubleValue(), tl,
-        wrap(InternalRow(payload.eval(input))).copy())
+      b.insert(ov, tl, wrap(InternalRow(payload.eval(input))).copy())
     }
     b
   }

@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.functions.TopKAgg
+
+/** Optimizer rule: rewrite the grouped-top-k window idiom
+  *
+  *   filter(row_number() over (partition by g order by ord [, tie] desc) <= k)
+  *
+  * into the bounded-heap [[graft.functions.TopKAgg]] aggregate + posexplode.
+  * The window formulation sorts every input partition and (even with
+  * Spark's own WindowGroupLimit pruning) re-sorts groups after the
+  * exchange; the aggregate form keeps k-element heaps, combines them
+  * map-side, and never sorts more than the k survivors of each group.
+  *
+  * The rewrite fires only where it is provably row-for-row equivalent:
+  *  - the single window expression is `row_number()` with the default
+  *    running row frame, and the filter is a plain bound on it
+  *    (`<= k`, `< k+1`, `= 1`);
+  *  - 1–2 sort keys, all `DESC NULLS LAST` (the `desc` default);
+  *  - the primary key is a numeric type that embeds losslessly in double
+  *    (byte/short/int/float/double — NOT long, which would collide above
+  *    2^53), the tiebreaker an integral type; null primaries rank lowest,
+  *    matching NULLS LAST;
+  *  - grouping keys are plain attributes, and k is small enough that a
+  *    per-group heap is obviously right (k ≤ 1024).
+  *
+  * Output attribute ids are preserved (group keys pass through; the other
+  * columns are re-aliased out of the payload struct under their original
+  * exprIds), so downstream operators are untouched. Registered via
+  * [[graft.functions.GraftExtensions]]; `row_number` idioms that don't
+  * match (ascending keys, long primaries, extra window functions) keep
+  * their window plans.
+  */
+object TopKWindowRewrite extends Rule[LogicalPlan] {
+
+  private val MaxK = 1024
+
+  private val ordTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, FloatType, DoubleType)
+  private val tieTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  private def boundK(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) && k == 1 => Some(1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k - 1)
+    case _ => None
+  }
+
+  private def eligible(part: Seq[Expression], order: Seq[SortOrder]): Boolean =
+    order.nonEmpty && order.size <= 2 &&
+      order.forall(so => so.direction == Descending &&
+        so.nullOrdering == NullsLast) &&
+      ordTypes.contains(order.head.child.dataType) &&
+      order.drop(1).forall(so => tieTypes.contains(so.child.dataType) &&
+        !so.child.nullable) &&
+      part.forall(_.isInstanceOf[Attribute])
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, Window(
+        Seq(alias @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(part, order,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+        _, _, child, _)) =>
+      val rnAttr = alias.toAttribute
+      boundK(cond, rnAttr) match {
+        case Some(k) if k > 0 && k <= MaxK && eligible(part, order) =>
+          rewrite(child, part, order, k, rnAttr)
+        case _ => f
+      }
+  }
+
+  private def rewrite(rawChild: LogicalPlan, part: Seq[Expression],
+      order: Seq[SortOrder], k: Int, rnAttr: Attribute): LogicalPlan = {
+    // InferWindowGroupLimit may already have inserted its rank-pruning
+    // node (+ sort) below the window; the heap aggregate subsumes it, so
+    // drop it when its limit keeps at least our k rows
+    val child = rawChild match {
+      case WindowGroupLimit(_, _, _: RowNumber, limit, c) if limit >= k => c
+      case other => other
+    }
+    val cAttrs = child.output
+    val ord = Cast(order.head.child, DoubleType)
+    val tie = order.drop(1).headOption
+      .map(so => Cast(so.child, LongType): Expression)
+      .getOrElse(Literal(0L))
+    val payload = CreateStruct(cAttrs)
+    val aggAlias = Alias(
+      TopKAgg(ord, tie, payload, k, nullAsLowest = true)
+        .toAggregateExpression(), "__topk")()
+    val grouping = part.map(_.asInstanceOf[Attribute])
+    val aggregate = Aggregate(grouping, grouping :+ aggAlias, child)
+    val posAttr = AttributeReference("__pos", IntegerType, nullable = false)()
+    val itemAttr = AttributeReference("__item", payload.dataType,
+      nullable = false)()
+    val gen = Generate(PosExplode(aggAlias.toAttribute),
+      unrequiredChildIndex = Seq(grouping.size), outer = false,
+      qualifier = None, generatorOutput = Seq(posAttr, itemAttr), aggregate)
+    val restored: Seq[NamedExpression] = cAttrs.zipWithIndex.map {
+      case (a, i) =>
+        if (grouping.exists(_.semanticEquals(a))) a
+        else Alias(GetStructField(itemAttr, i, Some(a.name)), a.name)(
+          exprId = a.exprId)
+    }
+    val rn = Alias(Add(posAttr, Literal(1)), rnAttr.name)(exprId = rnAttr.exprId)
+    Project(restored :+ rn, gen)
+  }
+}

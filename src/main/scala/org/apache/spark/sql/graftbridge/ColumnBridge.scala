@@ -21,6 +21,23 @@ object ColumnBridge {
     org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
       df.queryExecution.analyzed)
 
+  /** Materialize a (resolved) logical plan as a DataFrame — for driving
+    * hand-built or rule-rewritten plans in tests. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The optimizer rules a SparkSessionExtensions instance would inject —
+    * lets tests assert the extensions wiring without constructing a whole
+    * second SparkSession. */
+  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** Register a temp SQL function on an EXISTING session (the
     * `SparkSessionExtensions` path only applies at session construction;
     * the registry itself is `private[sql]`). */
