@@ -812,6 +812,16 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // X-text: per-document codepoint entropy (gibberish/boilerplate
+    // signal) — native one-pass expression vs the oracle's
+    // unnest-groupBy-sum formulation; ROUND(…,6) absorbs summation order
+    "q_x_entropy" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("doc_id"), round(ta.charEntropy(col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A-topk: grouped top-k via the native bounded-heap TopKAgg aggregate
     // (partial top-k per partition, k rows/group/partition shuffled, no
     // full-group sort) — vs the window row_number()<=k formulation the
@@ -1399,6 +1409,19 @@ object SparkEntry {
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // char entropy: -sum p ln p over the codepoint frequencies
+    "q_x_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+        |  FROM documents),
+        |freq AS (
+        |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+        |  FROM chars GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM freq GROUP BY doc_id)
+        |SELECT f.doc_id, ROUND(SUM(-(n / t) * ln(n / t)), 6) AS entropy
+        |FROM freq f JOIN tot USING (doc_id)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // grouped top-k: the oracle uses the window formulation the aggregate
     // replaces — same rows by construction (unique (price, okey) ordering)

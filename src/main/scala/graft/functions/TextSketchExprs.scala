@@ -301,9 +301,34 @@ object TextSketches {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
+  /** Shannon entropy (nats) of the codepoint distribution — one pass to
+    * count, one over the (tiny) alphabet to sum. Empty text → 0. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * math.log(p)
+    }
+    h
+  }
+
   // Column builders
   def normalize(text: Column, form: String = "NFC"): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+  def entropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
   def minhashSig(arr: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(arr), k))
   def simhash(arr: Column): Column =
@@ -323,6 +348,21 @@ object TextSketches {
 /** Stat selector for [[TextStat]]. */
 object TextStatMode extends Enumeration {
   val WsTokens, Punct, Upper, Bpeish, NonWs = Value
+}
+
+/** string → double codepoint-distribution Shannon entropy (nats). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_entropy"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(TextSketches.charEntropy(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.charEntropy($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** string → string Unicode normalization (NFC/NFD/NFKC/NFKD). */

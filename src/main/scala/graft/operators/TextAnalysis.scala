@@ -212,6 +212,13 @@ object TextAnalysis {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / target))
   }
 
+  /** Shannon entropy (nats) of each document's codepoint distribution —
+    * the cheap gibberish/boilerplate detector (natural text sits ~2.5-3.2
+    * nats; base64 blobs, repeated padding, and single-char spam fall far
+    * outside). Native single-pass expression
+    * ([[graft.functions.TextSketches.charEntropy]]). */
+  def charEntropy(text: Column): Column = TextSketches.entropy(text)
+
   // ───────────────── normalization / sentence segmentation ─────────────────
 
   /** Control characters stripped by [[cleanText]] (C0 minus \t\n\r, plus

@@ -164,6 +164,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean == "already clean text")
   }
 
+  test("charEntropy: uniform > skewed > constant; codepoint-counted; empty = 0") {
+    val out = Seq("abcd", "aab", "aaaa", "", "中中文文")
+      .toDF("text")
+      .select(TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(out(0) - math.log(4)) < 1e-12)           // 4 distinct, uniform
+    val skew = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(out(1) - skew) < 1e-12)
+    assert(out(2) == 0.0)                                    // constant text
+    assert(out(3) == 0.0)                                    // empty text
+    assert(math.abs(out(4) - math.log(2)) < 1e-12)           // CJK codepoints
+  }
+
   test("splitSentences keeps terminators and indexes sentences per doc") {
     val df = Seq((1L, "First one. Second two! Third three? tail"),
       (2L, "no terminators at all")).toDF("doc_id", "text")
