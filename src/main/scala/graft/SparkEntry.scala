@@ -812,6 +812,49 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // S-orc: ORC sink + scan round-trip (the Hive-lineage columnar
+    // format) — same oracle-reads-parquet trick as q_s_jsonl
+    "q_s_orc" -> ((s, dir) => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_roundtrip").getAbsolutePath
+      graft.sources.IO.writeOrc(
+        t(s, dir, "documents").select("doc_id", "text", "lang", "source"), path)
+      graft.sources.IO.readOrc(s, path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
+    }),
+
+    // S-part: hive-partitioned parquet sink + partition-pruned scan — a
+    // lang filter on the partitioned layout prunes whole directories at
+    // planning time (PartitionFilters, asserted in PlanShapeSpec)
+    "q_s_partitioned" -> ((s, dir) => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_partitioned").getAbsolutePath
+      graft.sources.IO.writePartitioned(
+        t(s, dir, "documents").select("doc_id", "text", "n_chars", "lang"),
+        path, Seq("lang"))
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // X-mix: deterministic source reweighting (data mixing) — modulo
+    // gate on the dense doc id, exact proportions, no RNG, map-side only
+    "q_x_mixture" -> ((s, dir) => {
+      val rates = Map("src0" -> 0.5, "src1" -> 0.25, "src3" -> 1.0,
+        "src7" -> 0.1)
+      graft.operators.TextAnalysis.weightedMix(
+          t(s, dir, "documents"), "source", "doc_id", rates, denom = 100L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("source"))
+    }),
+
     // X-text: per-document codepoint entropy (gibberish/boilerplate
     // signal) — native one-pass expression vs the oracle's
     // unnest-groupBy-sum formulation; ROUND(…,6) absorbs summation order
@@ -1409,6 +1452,32 @@ object SparkEntry {
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // orc round-trip: oracle reads the parquet directly — a hash match
+    // proves the ORC write→read cycle preserved every value
+    "q_s_orc" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // partitioned round-trip: same trick, filtered to the pruned value
+    "q_s_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mixture: the same modulo gate, spelled as a CASE over the rates
+    "q_x_mixture" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE doc_id % 100 < 100 * (CASE source
+        |  WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |  WHEN 'src3' THEN 1.0 WHEN 'src7' THEN 0.1 ELSE 0 END)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // char entropy: -sum p ln p over the codepoint frequencies
     "q_x_entropy" ->

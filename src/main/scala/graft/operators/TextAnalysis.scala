@@ -253,6 +253,27 @@ object TextAnalysis {
         regexp_replace(col(textCol), "([.!?]) +", "$1\u0001"), "\u0001"))
         .as(Seq("sent_idx", "sentence")))
 
+  // ───────────────────── corpus mixing ─────────────────────
+
+  /** Deterministic per-source mixture sampling — the "data mixing" step
+    * that reweights corpus sources before training (upsample books,
+    * downsample crawl). A row survives when `key mod denom` falls below
+    * its source's rate·denom: exact proportions without RNG, stable
+    * across runs and engines, and monotone (the rate-0.2 sample is a
+    * subset of the rate-0.5 sample — so remixing never churns the kept
+    * set). Pure map-side filter, no shuffle. For non-dense keys hash
+    * first (`xxhash64(key)` — engine-specific, which is why the gated
+    * query keeps plain modulo on the dense doc id). Sources absent from
+    * `rates` are dropped. */
+  def weightedMix(docs: DataFrame, sourceCol: String, keyCol: String,
+      rates: Map[String, Double], denom: Long = 10000L): DataFrame = {
+    val rateExpr = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(r)).otherwise(acc)
+      }
+    docs.filter(pmod(col(keyCol), lit(denom)) < rateExpr * denom)
+  }
+
   // ───────────────────── PII scrubbing ─────────────────────
 
   /** Email pattern shared by Java regex and RE2 (so the DuckDB oracle can

@@ -85,6 +85,27 @@ object IO {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink/scan — the other columnar interchange format (Hive-lineage
+    * warehouses). Same predicate-pushdown/column-pruning story as
+    * parquet; Spark bundles the reader, no extra deps. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Hive-style partitioned parquet sink: one directory per distinct
+    * value of `partitionCols` (`lang=en/part-*.parquet`, …). At scale
+    * this is THE layout lever: a filter on a partition column prunes
+    * whole directories at planning time (shows as `PartitionFilters` in
+    * the scan, zero bytes read for pruned values) — data-layout
+    * clustering instead of read-time filtering. Keep partition columns
+    * low-cardinality (source, language, date); a high-cardinality key
+    * explodes the file count. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Convenience loader for the driver-provided parquet fixtures. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

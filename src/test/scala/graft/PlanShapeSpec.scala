@@ -57,6 +57,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cross join in LSH banding:\n$p")
   }
 
+  test("partition-column filter prunes at planning time (PartitionFilters)") {
+    val p = plan("q_s_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter did not reach the partition pruner:\n$p")
+    assert(p.contains("= en)"), s"literal missing from partition filter:\n$p")
+  }
+
   test("anti-join stays a join, not a collect-then-isin") {
     val p = plan("q_j2_anti")
     assert(p.contains("LeftAnti") || p.contains("BroadcastHashJoin"),

@@ -74,6 +74,28 @@ class IOSpec extends SparkSpec {
     assert(back.toSeq == orig.toSeq)
   }
 
+  test("orc sink + scan round-trips") {
+    val out = tmpDir("orc-out")
+    val df = Seq((1L, "alpha", 2.5), (2L, "beta", -1.0)).toDF("id", "s", "d")
+    IO.writeOrc(df, s"$out/t")
+    val back = IO.readOrc(spark, s"$out/t").orderBy("id").collect()
+    assert(back.toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned sink lays out hive directories and restores rows") {
+    val out = tmpDir("part-out")
+    val df = Seq((1L, "en", "a"), (2L, "fr", "b"), (3L, "en", "c"))
+      .toDF("id", "lang", "text")
+    IO.writePartitioned(df, s"$out/docs", Seq("lang"))
+    val dirs = new java.io.File(s"$out/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("lang=en", "lang=fr"))
+    val back = spark.read.parquet(s"$out/docs")
+    assert(back.count() == 3)
+    assert(back.filter(col("lang") === "en").select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("parquet sink round-trips") {
     val out = tmpDir("pq-out")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
