@@ -812,6 +812,17 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // X-capstone-2: the COMPLETE training-data ingest pipeline in one
+    // call — clean → quality/lang gate → exact dedup → benchmark
+    // decontamination → chunk → token-count → pack — raw documents to
+    // training-ready chunks, fully DuckDB-oracled end to end
+    "q_x_pipeline2" -> ((s, dir) => {
+      val d = tw(s, dir, "documents")
+      graft.operators.CorpusPipeline.trainingChunks(
+          d.filter(col("doc_id") < 490), d.filter(col("doc_id") >= 490))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // S-orc: ORC sink + scan round-trip (the Hive-lineage columnar
     // format) — same oracle-reads-parquet trick as q_s_jsonl
     "q_s_orc" -> ((s, dir) => {
@@ -1452,6 +1463,73 @@ object SparkEntry {
         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // capstone-2: the full ingest chain as one CTE pipeline — each stage
+    // is the proven oracle formulation of its individually-gated operator
+    "q_x_pipeline2" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS text
+        |  FROM documents WHERE doc_id < 490),
+        |sig AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS n_chars_q,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        |    len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS n_stop,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|den|mit|ist|im)\b')) AS INTEGER) AS h_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(的|了|是|我|不|在|有|人|这|他)\b')) AS INTEGER) AS h_zh
+        |  FROM cleaned),
+        |gate AS (
+        |  SELECT doc_id, text FROM sig
+        |  WHERE LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.4 +
+        |    LEAST(1.0, (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5) * 0.3 +
+        |    (1.0 - LEAST(1.0, (CASE WHEN n_chars_q > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_q ELSE 0.0 END) * 4)) * 0.3
+        |    >= 0.5
+        |  AND (CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+        |       WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |       WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |       WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |       ELSE 'de' END) = 'en'),
+        |dedup AS (SELECT MIN(doc_id) AS doc_id, text FROM gate GROUP BY text),
+        |shd AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM dedup)),
+        |shb AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id >= 490)),
+        |contaminated AS (
+        |  SELECT d.doc_id FROM shd d JOIN shb b ON d.s = b.s
+        |  GROUP BY d.doc_id HAVING COUNT(DISTINCT d.s) >= 3),
+        |kept AS (SELECT * FROM dedup
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    substring(text, CAST(i * 100 + 1 AS INT), 120) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, GREATEST(1,
+        |            CAST(CEIL((length(text) - 20) / 100.0) AS BIGINT)))) AS i
+        |        FROM kept)),
+        |tok AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    CAST(CASE WHEN length(trim(chunk)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(chunk), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM chunks)
+        |SELECT doc_id, chunk_idx, chunk, n_tokens,
+        |  CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |       / 200.0) AS BIGINT) AS bin
+        |FROM tok ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // orc round-trip: oracle reads the parquet directly — a hash match
     // proves the ORC write→read cycle preserved every value
