@@ -18,6 +18,12 @@ object DevProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.headOption.contains("corpus")) {
+      corpusProbe(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -51,5 +57,52 @@ object DevProbe {
         case (n, s) => f"$n=$s%.3f" }.mkString(", "))
     }
     spark.stop()
+  }
+
+  /** Text-surface scale probe: a seeded n-doc synthetic corpus (10% exact
+    * duplicates, 2% junk, a benchmark slice overlapping real docs) pushed
+    * through the full CorpusPipeline with shard-grained packing. */
+  private def corpusProbe(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    // vocab shape matters: stopwords at ~20% token frequency (so the
+    // language gate sees hits) over a 4000-word rare tail (so trigram
+    // shingles only collide between true copies — a tiny vocab makes
+    // every doc "contaminated" and the decontam probe degenerate)
+    val stop = graft.operators.TextAnalysis.LangMarkers("en").toArray
+    val vocab: Array[String] =
+      Array.tabulate(1000)(i => stop(i % stop.length)) ++
+        Array.tabulate(4000)(i => s"w$i")
+    def text(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      val len = 60 + rnd.nextInt(120)
+      Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    // cache the generated corpus: the pipeline lineage scans it several
+    // times (gate, dedup window, decontam probe, chunk) and regenerating
+    // 1M seeded docs per scan would time the generator, not the pipeline
+    val docs = spark.range(n).map { i =>
+      val t =
+        if (i % 50 == 3) "zzz qqq xxx"                   // junk → gated out
+        else if (i % 10 == 0 && i > 0) text(i - 1)       // exact dup of i-1
+        else text(i)
+      (i, t)
+    }.toDF("doc_id", "text").cache()
+    // benchmark: 1000 docs, half sharing text with corpus ids (leakage)
+    val bench = spark.range(n, n + 1000)
+      .map(i => text(if (i % 2 == 0) i - n + 1 else i)).toDF("text")
+
+    docs.count() // materialize the corpus before the clock starts
+    val t0 = System.nanoTime()
+    val chunks = graft.operators.CorpusPipeline.trainingChunks(
+      docs, bench, packShards = 128,
+      materializeDedup = _.localCheckpoint()).cache()
+    val nChunks = chunks.count()
+    val t1 = System.nanoTime()
+    val nBins = chunks.select("shard", "bin").distinct().count()
+    val nDocs = chunks.select("doc_id").distinct().count()
+    val t2 = System.nanoTime()
+    println(f"[corpus $n] chunks=$nChunks docs_kept=$nDocs bins=$nBins " +
+      f"pipeline=${(t1 - t0) / 1e9}%.1fs stats=${(t2 - t1) / 1e9}%.1fs")
+    chunks.unpersist(); docs.unpersist()
   }
 }

@@ -18,10 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** `packShards = 1` packs one global sequence (deterministic bins, the
+    * oracle-gated shape — but a single window partition). At scale pass
+    * `packShards` ≈ cores×4: packing groups by `doc_id mod shards`, bins
+    * are then unique as (shard, bin) and every window partition stays
+    * bounded.
+    *
+    * `materializeDedup` is applied to the deduplicated intermediate —
+    * the pipeline's only twice-consumed DataFrame (the decontamination
+    * probe and the keep-join both read it, so without materialization
+    * the dedup window evaluates twice per action). Pass
+    * `_.localCheckpoint()` (or persist-to-durable-storage checkpoint on
+    * a cluster) for large corpora; the identity default keeps the
+    * plan fully declarative for small/oracled runs. */
   def trainingChunks(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.5, keepLang: String = "en",
       chunkWidth: Int = 120, chunkOverlap: Int = 20,
-      packTarget: Long = 200L): DataFrame = {
+      packTarget: Long = 200L, packShards: Int = 1,
+      materializeDedup: DataFrame => DataFrame = identity): DataFrame = {
     val ta = TextAnalysis
     val cleaned = docs.select(col("doc_id"),
       ta.cleanText(col("text")).as("text"))
@@ -31,7 +45,8 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"))
     // exact dedup keeping the smallest id per distinct cleaned text
     // (hash-led window keys — document bodies only compared on digest ties)
-    val deduped = Dedup.exactByText(scored, "text", col("doc_id"))
+    val deduped = materializeDedup(
+      Dedup.exactByText(scored, "text", col("doc_id")))
     // drop docs sharing >= 3 distinct trigram shingles with the benchmark
     val contaminated = Dedup.contaminationFlags(
       deduped, "doc_id", "text", benchmark, "text")
@@ -41,12 +56,14 @@ object CorpusPipeline {
         chunkWidth, chunkOverlap)
       .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk"))
       .withColumn("n_tokens", ta.wsTokenCount(col("chunk")).cast("bigint"))
-    // one pack group here (single lang); a production corpus passes a
-    // shard-grained group key — see packBins' scale note
+    val grp =
+      if (packShards > 1) pmod(col("doc_id"), lit(packShards.toLong))
+      else lit(keepLang)
     val ordered = chunks
-      .withColumn("__g", lit(keepLang))
+      .withColumn("__g", grp)
       .withColumn("__ord", col("doc_id") * 1000000L + col("chunk_idx"))
-    ta.packBins(ordered, "__g", "__ord", "n_tokens", packTarget)
-      .drop("__g", "__ord")
+    val packed = ta.packBins(ordered, "__g", "__ord", "n_tokens", packTarget)
+    (if (packShards > 1) packed.withColumnRenamed("__g", "shard")
+     else packed.drop("__g")).drop("__ord")
   }
 }
