@@ -727,14 +727,17 @@ object SparkEntry {
     }),
 
     // X-text: sequence packing — bin assignment by running token count
-    // within each lang partition (partitioned window, not a global
-    // sequence)
+    // within each SHARD partition (`doc_id mod 16`, the scale-grained
+    // key: cardinality grows with the corpus, so every window partition
+    // stays bounded — a low-cardinality key like lang would sort an
+    // entire language on one task at 100 TB)
     "q_x_packed" -> ((s, dir) => {
       val ta = graft.operators.TextAnalysis
       val tk = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(16L)).as("shard"),
           ta.wsTokenCount(col("text")).cast("bigint").as("n_tokens"))
-      ta.packBins(tk, "lang", "doc_id", "n_tokens", 500L)
+      ta.packBins(tk, "shard", "doc_id", "n_tokens", 500L)
         .orderBy(col("doc_id"))
     }),
 
@@ -815,11 +818,15 @@ object SparkEntry {
     // X-capstone-2: the COMPLETE training-data ingest pipeline in one
     // call — clean → quality/lang gate → exact dedup → benchmark
     // decontamination → chunk → token-count → pack — raw documents to
-    // training-ready chunks, fully DuckDB-oracled end to end
+    // training-ready chunks, fully DuckDB-oracled end to end. Packing is
+    // SHARD-GRAINED (packShards = 8, the scale-safe shape: 8 bounded
+    // window partitions instead of one global sort); bins are unique as
+    // (shard, bin) and the oracle reproduces them per shard.
     "q_x_pipeline2" -> ((s, dir) => {
       val d = tw(s, dir, "documents")
       graft.operators.CorpusPipeline.trainingChunks(
-          d.filter(col("doc_id") < 490), d.filter(col("doc_id") >= 490))
+          d.filter(col("doc_id") < 490), d.filter(col("doc_id") >= 490),
+          packShards = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
@@ -1409,12 +1416,12 @@ object SparkEntry {
 
     "q_x_packed" ->
       """WITH tk AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, lang, CAST(doc_id % 16 AS BIGINT) AS shard,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM documents)
-        |SELECT doc_id, lang, n_tokens,
-        |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |       / 500.0) AS BIGINT) AS bin
         |FROM tk ORDER BY doc_id""".stripMargin,
@@ -1526,7 +1533,9 @@ object SparkEntry {
         |         ELSE len(regexp_split_to_array(trim(chunk), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM chunks)
         |SELECT doc_id, chunk_idx, chunk, n_tokens,
-        |  CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |  CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+        |       ORDER BY doc_id, chunk_idx
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |       / 200.0) AS BIGINT) AS bin
         |FROM tok ORDER BY doc_id, chunk_idx""".stripMargin,

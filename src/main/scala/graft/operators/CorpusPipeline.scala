@@ -18,23 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** `packShards = 1` packs one global sequence (deterministic bins, the
-    * oracle-gated shape — but a single window partition). At scale pass
-    * `packShards` ≈ cores×4: packing groups by `doc_id mod shards`, bins
-    * are then unique as (shard, bin) and every window partition stays
-    * bounded.
+  /** Packing is shard-grained BY DEFAULT: `packShards = 0` (auto) groups
+    * the pack window by `doc_id mod (defaultParallelism × 4)`, so every
+    * window partition stays bounded no matter the corpus size and bins
+    * are globally unique as (shard, bin). Pass an explicit `packShards
+    * > 1` for a deterministic, environment-independent shard count (the
+    * gated query uses 8), or `packShards = 1` to OPT IN to one global
+    * bin sequence — a single window partition that serializes the whole
+    * corpus on one task; only for small corpora that genuinely need one
+    * global order.
     *
     * `materializeDedup` is applied to the deduplicated intermediate —
     * the pipeline's only twice-consumed DataFrame (the decontamination
     * probe and the keep-join both read it, so without materialization
     * the dedup window evaluates twice per action). Pass
-    * `_.localCheckpoint()` (or persist-to-durable-storage checkpoint on
+    * `_.localCheckpoint()` (or [[graft.sources.IO.durableCheckpoint]] on
     * a cluster) for large corpora; the identity default keeps the
     * plan fully declarative for small/oracled runs. */
   def trainingChunks(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.5, keepLang: String = "en",
       chunkWidth: Int = 120, chunkOverlap: Int = 20,
-      packTarget: Long = 200L, packShards: Int = 1,
+      packTarget: Long = 200L, packShards: Int = 0,
       materializeDedup: DataFrame => DataFrame = identity): DataFrame = {
     val ta = TextAnalysis
     val cleaned = docs.select(col("doc_id"),
@@ -56,14 +60,18 @@ object CorpusPipeline {
         chunkWidth, chunkOverlap)
       .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk"))
       .withColumn("n_tokens", ta.wsTokenCount(col("chunk")).cast("bigint"))
+    val shards =
+      if (packShards == 0)
+        math.max(2, docs.sparkSession.sparkContext.defaultParallelism * 4)
+      else packShards
     val grp =
-      if (packShards > 1) pmod(col("doc_id"), lit(packShards.toLong))
+      if (shards > 1) pmod(col("doc_id"), lit(shards.toLong))
       else lit(keepLang)
     val ordered = chunks
       .withColumn("__g", grp)
       .withColumn("__ord", col("doc_id") * 1000000L + col("chunk_idx"))
     val packed = ta.packBins(ordered, "__g", "__ord", "n_tokens", packTarget)
-    (if (packShards > 1) packed.withColumnRenamed("__g", "shard")
+    (if (shards > 1) packed.withColumnRenamed("__g", "shard")
      else packed.drop("__g")).drop("__ord")
   }
 }

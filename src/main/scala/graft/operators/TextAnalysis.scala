@@ -201,9 +201,9 @@ object TextAnalysis {
     *
     * At scale `groupCol` must be shard-grained — a key whose cardinality
     * grows with the corpus (file id, `spark_partition_id()`, a hash
-    * bucket of the doc id), keeping each window's sort bounded. A
-    * low-cardinality key (the fixture query's `lang`) sorts an entire
-    * language on one task at 100 TB. */
+    * bucket of the doc id — the gated queries use `doc_id mod shards`),
+    * keeping each window's sort bounded. A low-cardinality key such as
+    * `lang` sorts an entire language on one task at 100 TB. */
   def packBins(rows: DataFrame, groupCol: String, orderCol: String,
       tokenCol: String, target: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))

@@ -64,6 +64,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("= en)"), s"literal missing from partition filter:\n$p")
   }
 
+  test("bin packing windows are shard-partitioned, never a single partition") {
+    // the capstone's pack stage must hash-partition on the shard key; a
+    // constant partition key would plan Exchange SinglePartition and
+    // serialize the whole corpus through one task at scale
+    val p2 = plan("q_x_pipeline2")
+    assert(!p2.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the capstone pipeline:\n$p2")
+    assert(p2.contains("hashpartitioning(__g"),
+      s"pack window not hash-partitioned on the shard key:\n$p2")
+    val pk = plan("q_x_packed")
+    assert(!pk.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q_x_packed:\n$pk")
+    assert(pk.contains("hashpartitioning(shard"),
+      s"pack window not hash-partitioned on shard:\n$pk")
+  }
+
   test("anti-join stays a join, not a collect-then-isin") {
     val p = plan("q_j2_anti")
     assert(p.contains("LeftAnti") || p.contains("BroadcastHashJoin"),
