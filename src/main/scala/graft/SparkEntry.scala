@@ -623,8 +623,9 @@ object SparkEntry {
       graft.streaming.EventStreams.intervalJoinBatch(t(s, dir, "events"))),
 
     // X-multimodal: binary media columns + typed metadata — REAL BMP/WAV/
-    // Y4M header+signal decode and feature extraction through the batched
-    // mapPartitions seam, plus explode-style frame sampling, aggregated
+    // Y4M header+signal decode plus compressed JPEG/PNG decode via the
+    // JDK's javax.imageio, feature extraction through the batched
+    // mapPartitions seam, and explode-style frame sampling, aggregated
     // per kind (rows-only: payloads are seeded engine-side, not a parquet
     // table DuckDB can see)
     "q_x_multimodal" -> ((s, dir) => {

@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-preserving mapPartitions,
   * fixed batch shape, typed output schema — is real and tested. Decoding
-  * is REAL for all three modalities, via the headerable formats parseable
-  * with pure byte arithmetic and no codec libraries: uncompressed 24-bpp
-  * BMP (images), PCM16 WAV (audio), and uncompressed YUV4MPEG2/Y4M 4:2:0
-  * (video) — [[decodeMedia]] parses the headers and computes genuine
-  * signal statistics (mean pixel value, RMS amplitude, mean luma across
-  * frames). Compressed codecs (JPEG/H.264/AAC) would plug into the same
+  * is REAL for all three modalities: uncompressed 24-bpp BMP, PCM16 WAV,
+  * and YUV4MPEG2/Y4M 4:2:0 are parsed with pure byte arithmetic, and
+  * COMPRESSED images (JPEG / PNG) decode through the JDK's bundled
+  * `javax.imageio` readers — no external codec dependency.
+  * [[decodeMedia]] recovers the headers and computes genuine signal
+  * statistics (mean pixel value, RMS amplitude, mean luma across frames).
+  * Compressed audio/video codecs (H.264/AAC) would plug into the same
   * per-batch setup seam; [[decodeStub]] remains only as the deterministic
   * feature-vector placeholder inside [[extractFeatures]].
   */
@@ -105,6 +106,55 @@ object Multimodal {
     }
     Some((w, h, bpp, sum.toDouble / (w * 3 * h)))
   }
+
+  /** Compressed image (JPEG or PNG) via the JDK's `javax.imageio` writers.
+    * `format` is an informal ImageIO name ("jpg" / "png"); pixels are gray
+    * (`pixel(x, y) & 0xff` replicated across RGB) so JPEG's chroma
+    * subsampling barely perturbs the signal statistic. */
+  private[operators] def writeImage(width: Int, height: Int, format: String,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = pixel(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Decodes a compressed image payload (JPEG/PNG — any format the JDK's
+    * `javax.imageio` registry can read); returns (w, h, bpp, mean over the
+    * RGB channel values). Malformed bytes → None, never an exception. */
+  private[operators] def parseImage(b: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file spill on executors
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val bpp = img.getColorModel.getPixelSize
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, bpp, sum.toDouble / (3L * w * h)))
+      }
+    } catch { case _: Exception => None }
 
   /** Valid mono PCM16 WAV with the canonical 44-byte header. */
   private[operators] def writeWav(sampleRate: Int,
@@ -242,14 +292,15 @@ object Multimodal {
 
   /** Deterministic synthetic media table (the fixture generator for this
     * surface): image payloads are VALID 24-bpp BMPs, audio payloads VALID
-    * PCM16 WAVs, and video payloads VALID Y4M 4:2:0 streams (seeded
-    * content), so the decode stage exercises all three real parsers
-    * end-to-end. */
+    * PCM16 WAVs, video payloads VALID Y4M 4:2:0 streams, and jpeg/png
+    * payloads VALID compressed images written through `javax.imageio`
+    * (seeded content), so the decode stage exercises all five real
+    * parsers end-to-end. */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val rnd = new scala.util.Random(seed + i)
-      val kind = Seq("image", "audio", "video")((i % 3).toInt)
+      val kind = Seq("image", "audio", "video", "jpeg", "png")((i % 5).toInt)
       kind match {
         case "image" =>
           val w = 4 + rnd.nextInt(13); val h = 4 + rnd.nextInt(13)
@@ -265,7 +316,7 @@ object Multimodal {
             (math.sin(2 * math.Pi * f * t / rate) * 12000).toShort)
           MediaRow(i, kind, writeWav(rate, samples), width = 0, height = 0,
             sample_rate = rate, duration_ms = nSamples * 1000 / rate)
-        case _ =>
+        case "video" =>
           val w = (4 + rnd.nextInt(15)) * 2; val h = (4 + rnd.nextInt(15)) * 2
           val nFrames = 25 + rnd.nextInt(226) // 1-10 s at 25 fps
           val phase = rnd.nextInt(256)
@@ -273,14 +324,22 @@ object Multimodal {
             (f, x, y) => (x * 5 + y * 11 + f * 3 + phase))
           MediaRow(i, kind, bytes, width = w, height = h,
             sample_rate = 0, duration_ms = nFrames * 1000 / 25)
+        case _ => // jpeg | png
+          val w = 8 + rnd.nextInt(25); val h = 8 + rnd.nextInt(25)
+          val phase = rnd.nextInt(128)
+          val bytes = writeImage(w, h, if (kind == "jpeg") "jpg" else "png",
+            (x, y) => (x * 3 + y * 5 + phase) % 200)
+          MediaRow(i, kind, bytes, width = w, height = h,
+            sample_rate = 0, duration_ms = 0)
       }
     }
   }
 
   /** REAL decode stage: batched partition-preserving parse of the payload
-    * bytes — BMP headers + mean pixel for images, WAV headers + RMS for
-    * audio, Y4M headers + frame count + mean luma for video; malformed
-    * payloads come back `ok = false` rather than failing the task. */
+    * bytes — BMP headers + mean pixel for images, `javax.imageio` decode +
+    * mean pixel for jpeg/png, WAV headers + RMS for audio, Y4M headers +
+    * frame count + mean luma for video; malformed payloads come back
+    * `ok = false` rather than failing the task. */
   def decodeMedia(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -289,6 +348,9 @@ object Multimodal {
         batch.iterator.map { r =>
           val parsed = r.kind match {
             case "image" => parseBmp(r.bytes).map { case (w, h, bpp, mean) =>
+              DecodedMedia(r.media_id, r.kind, ok = true, w, h, bpp,
+                0, 0, 0, 0, mean) }
+            case "jpeg" | "png" => parseImage(r.bytes).map { case (w, h, bpp, mean) =>
               DecodedMedia(r.media_id, r.kind, ok = true, w, h, bpp,
                 0, 0, 0, 0, mean) }
             case "audio" => parseWav(r.bytes).map { case (rate, ch, dur, rms) =>

@@ -54,19 +54,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseY4m(bytes.take(bytes.length - 10)).isEmpty)
   }
 
-  test("decodeMedia: every payload of all three kinds decodes") {
+  test("JPEG/PNG round-trip: imageio decode recovers dims and mean pixel") {
+    def expectedMean(w: Int, h: Int) =
+      (for { y <- 0 until h; x <- 0 until w } yield (x * 3 + y * 5) % 200)
+        .sum.toDouble / (w * h)
+    // PNG is lossless: the mean must come back exact
+    val png = Multimodal.writeImage(9, 7, "png", (x, y) => (x * 3 + y * 5) % 200)
+    val Some((pw, ph, pbpp, pmean)) = Multimodal.parseImage(png)
+    assert((pw, ph) == ((9, 7)) && pbpp > 0)
+    assert(math.abs(pmean - expectedMean(9, 7)) < 1e-9)
+    // JPEG is lossy: dims exact, mean within a small tolerance (gray input)
+    val jpg = Multimodal.writeImage(16, 12, "jpg", (x, y) => (x * 3 + y * 5) % 200)
+    val Some((jw, jh, _, jmean)) = Multimodal.parseImage(jpg)
+    assert((jw, jh) == ((16, 12)))
+    assert(math.abs(jmean - expectedMean(16, 12)) < 3.0)
+    // corrupt payloads -> None, never an exception
+    assert(Multimodal.parseImage("notanimage".getBytes).isEmpty)
+    assert(Multimodal.parseImage(jpg.take(20)).isEmpty)
+  }
+
+  test("decodeMedia: every payload of all five kinds decodes") {
     val decoded = Multimodal.decodeMedia(media, batchSize = 7).collect()
     assert(decoded.length == 30)
     val byKind = decoded.groupBy(_.kind)
+    assert(byKind.keySet == Set("image", "audio", "video", "jpeg", "png"))
     assert(byKind("image").forall(d => d.ok && d.bpp == 24 &&
       d.width >= 4 && d.height >= 4))
     assert(byKind("audio").forall(d => d.ok && d.sample_rate == 8000 &&
       d.duration_ms > 0 && d.signal_stat > 0))
     assert(byKind("video").forall(d => d.ok && d.n_frames >= 25 &&
       d.bpp == 12 && d.signal_stat > 0))
+    assert(byKind("jpeg").forall(d => d.ok && d.bpp > 0 && d.signal_stat > 0))
+    assert(byKind("png").forall(d => d.ok && d.bpp > 0 && d.signal_stat > 0))
     // decoded headers agree with the generator's metadata columns
     val meta = media.collect().map(r => r.media_id -> r).toMap
-    byKind("image").foreach { d =>
+    (byKind("image") ++ byKind("jpeg") ++ byKind("png")).foreach { d =>
       assert(d.width == meta(d.media_id).width &&
         d.height == meta(d.media_id).height)
     }
