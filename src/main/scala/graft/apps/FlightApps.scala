@@ -11,12 +11,14 @@ import graft.sources.{IO, Schemas}
   * (`/root/reference/src/main/main.py:31-263`):
   *
   *   TrainApp <flights.csv[.bz2]> <outputDir> [--count-only] [--plane-data p]
-  *            [--test-file scoring.csv]
+  *            [--test-file scoring.csv] [--save-model modelDir]
   *
   * train: CSV scan → leakage drop → prepare → pipeline fit → DT train →
   * ±10-min labels → parquet + single-file CSV sinks → MAE/RMSE report.
   * `--test-file` reuses the fitted pipeline+model on a held-out file
-  * (train-once / score-many — `main.py:170-260`).
+  * (train-once / score-many — `main.py:170-260`); `--save-model` persists
+  * the fitted pipeline+tree so [[ScoreApp]] can score later runs without
+  * retraining (the durable version of that lifecycle).
   */
 object TrainApp {
 
@@ -32,7 +34,7 @@ object TrainApp {
 
     val spark = session()
     try run(spark, inputPath, outputDir, countOnly,
-      optArg("--plane-data"), optArg("--test-file"))
+      optArg("--plane-data"), optArg("--test-file"), optArg("--save-model"))
     finally spark.stop()
   }
 
@@ -51,7 +53,8 @@ object TrainApp {
   }
 
   def run(spark: SparkSession, inputPath: String, outputDir: String,
-      countOnly: Boolean, planePath: Option[String], testFile: Option[String]): Unit = {
+      countOnly: Boolean, planePath: Option[String], testFile: Option[String],
+      saveModelDir: Option[String] = None): Unit = {
 
     val raw = IO.readCsv(spark, inputPath, Some(Schemas.flights))
     if (countOnly) { // main.py:74-77
@@ -80,6 +83,11 @@ object TrainApp {
     // table their lineage runs through
     result.release()
 
+    saveModelDir.foreach { dir =>
+      FlightModel.saveModels(dir, pipelineModel, result.model)
+      println(s"[train] model saved to $dir")
+    }
+
     testFile.foreach { tf => // scoring lifecycle, main.py:170-260
       val test = IO.readCsv(spark, tf, Some(Schemas.flights))
       val testPrepared = Prepare.prepareData(Cleaning.dropForbidden(test), plane)
@@ -101,8 +109,52 @@ object TrainApp {
 
   /** S4 + S5/S6: parquet dir + single-file CSV of the primitive columns
     * (`main.py:116-162`). */
-  private def sink(df: DataFrame, outputDir: String, name: String): Unit = {
+  private[apps] def sink(df: DataFrame, outputDir: String, name: String): Unit = {
     IO.writeParquet(df, s"$outputDir/$name.parquet")
     IO.writeSingleCsv(df, s"$outputDir/${name}_csv", s"$outputDir/$name.csv")
+  }
+}
+
+/** Score-only lifecycle against a persisted model artifact:
+  *
+  *   ScoreApp <flights.csv[.bz2]> <modelDir> <outputDir> [--plane-data p]
+  *
+  * Loads the pipeline+tree saved by `TrainApp --save-model`, prepares the
+  * input exactly as training did, scores, labels, and sinks — no fit
+  * anywhere, so a scoring run touches only the input's own data. This is
+  * the durable train-once/score-many lifecycle the reference approximates
+  * in-memory (`/root/reference/src/main/main.py:170-260`). */
+object ScoreApp {
+
+  def main(args: Array[String]): Unit = {
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.length >= 3,
+      "usage: ScoreApp <input.csv> <modelDir> <outputDir> [--plane-data p]")
+    val Array(inputPath, modelDir, outputDir) = positional.take(3)
+    def optArg(flag: String): Option[String] = {
+      val i = args.indexOf(flag); if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    val spark = TrainApp.session("FlightDelayScoringApp")
+    try run(spark, inputPath, modelDir, outputDir, optArg("--plane-data"))
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, inputPath: String, modelDir: String,
+      outputDir: String, planePath: Option[String]): Unit = {
+    val (pipelineModel, tree) = FlightModel.loadModels(spark, modelDir)
+    val raw = IO.readCsv(spark, inputPath, Some(Schemas.flights))
+    val plane = planePath
+      .map(p => IO.readCsv(spark, p, Some(Schemas.planeData)))
+      .getOrElse(graft.sources.FlightsGenerator.planeData(spark))
+    val prepared = Prepare.prepareData(Cleaning.dropForbidden(raw), plane)
+    val transformed = pipelineModel.transform(prepared)
+    val scored = tree.map(_.transform(transformed)).getOrElse(transformed)
+    val labeled = FlightModel.addLabels(scored)
+    TrainApp.sink(labeled, outputDir, "scored")
+    if (labeled.columns.contains("prediction") &&
+        labeled.columns.contains(FlightModel.TargetCol))
+      FlightModel.evaluate(labeled).foreach { case (mae, rmse) =>
+        println(f"[score] MAE=$mae%.3f RMSE=$rmse%.3f")
+      }
   }
 }

@@ -135,6 +135,35 @@ object FlightModel {
     else withPred
   }
 
+  /** Persist the fitted pipeline + tree as a reusable compiled artifact —
+    * the durable train-once/score-many lifecycle (the reference holds the
+    * fitted PipelineModel in memory across train→score,
+    * `/root/reference/src/main/main.py:82,181`; a real deployment writes
+    * it out). Uses the built-in `MLWritable` layout (metadata JSON +
+    * parquet-backed model data), so the artifact round-trips through any
+    * Hadoop-compatible filesystem — local dir here, object store on a
+    * cluster. Layout: `<dir>/pipeline` (always) + `<dir>/tree` (when a
+    * tree was fit — absent for the constant-prediction fallback). */
+  def saveModels(dir: String, pipelineModel: PipelineModel,
+      tree: Option[DecisionTreeRegressionModel]): Unit = {
+    pipelineModel.write.overwrite().save(s"$dir/pipeline")
+    tree.foreach(_.write.overwrite().save(s"$dir/tree"))
+  }
+
+  /** Load a [[saveModels]] artifact. The tree is optional (a fallback
+    * train run has none); existence is probed through the Hadoop
+    * filesystem of the path, not java.io, so remote stores work. */
+  def loadModels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (PipelineModel, Option[DecisionTreeRegressionModel]) = {
+    val pm = PipelineModel.load(s"$dir/pipeline")
+    val treePath = new org.apache.hadoop.fs.Path(s"$dir/tree")
+    val fs = treePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tree =
+      if (fs.exists(treePath)) Some(DecisionTreeRegressionModel.load(s"$dir/tree"))
+      else None
+    (pm, tree)
+  }
+
   /** M11: map feature-importance vector slots back to column names via the
     * ML attribute metadata on the `features` column
     * (`helper_methods.py:182-195`). The RobustScaler strips source names

@@ -31,4 +31,34 @@ class TrainAppSpec extends SparkSpec {
     assert(scored.count() > 0)
     assert(scored.columns.contains("prediction"))
   }
+
+  test("save-model + ScoreApp: a later run scores from the persisted artifact") {
+    val dir = Files.createTempDirectory("scoreapp").toFile.getAbsolutePath
+    val flights = FlightsGenerator.flights(spark, 2500, seed = 7L)
+    IO.writeSingleCsv(flights, s"$dir/in_csv", s"$dir/flights.csv")
+    val holdout = FlightsGenerator.flights(spark, 500, seed = 8L)
+    IO.writeSingleCsv(holdout, s"$dir/hold_csv", s"$dir/holdout.csv")
+
+    // train run persists the model; the in-session score path also runs
+    TrainApp.run(spark, s"$dir/flights.csv", s"$dir/out",
+      countOnly = false, planePath = None,
+      testFile = Some(s"$dir/holdout.csv"), saveModelDir = Some(s"$dir/model"))
+
+    // a FRESH lifecycle: only the artifact dir crosses over
+    ScoreApp.run(spark, s"$dir/holdout.csv", s"$dir/model", s"$dir/score_out",
+      planePath = None)
+    val scored = spark.read.parquet(s"$dir/score_out/scored.parquet")
+    assert(scored.count() > 0)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.columns.contains("predicted_label"))
+
+    // the loaded model reproduces the in-session scoring run exactly
+    // (same holdout, same tree → identical prediction multiset)
+    import org.apache.spark.sql.functions.col
+    val inSession = spark.read.parquet(s"$dir/out/test_predictions.parquet")
+      .select(col("prediction")).collect().map(_.getDouble(0)).sorted.toSeq
+    val fromArtifact = scored
+      .select(col("prediction")).collect().map(_.getDouble(0)).sorted.toSeq
+    assert(fromArtifact.nonEmpty && fromArtifact == inSession)
+  }
 }

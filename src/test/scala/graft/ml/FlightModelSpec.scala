@@ -90,6 +90,31 @@ class FlightModelSpec extends SparkSpec {
     assert(r.predictions.isEmpty && r.model.isEmpty)
   }
 
+  test("saved models round-trip: loaded pipeline+tree reproduce predictions exactly") {
+    val pipelineModel = FlightPipeline().fit(prepared)
+    val result = FlightModel.trainModel(prepared, pipelineModel)
+    assert(result.model.isDefined)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_rt").toString
+    try {
+      FlightModel.saveModels(dir, pipelineModel, result.model)
+      val (loadedPm, loadedTree) = FlightModel.loadModels(spark, dir)
+      assert(loadedTree.isDefined)
+      // score the same fixture batch through both artifacts: predictions
+      // must be bit-identical (same tree, same pipeline transforms)
+      val batch = prepared.limit(200)
+      val expect = result.model.get.transform(pipelineModel.transform(batch))
+        .select("prediction").as[Double].collect().toSeq
+      val actual = loadedTree.get.transform(loadedPm.transform(batch))
+        .select("prediction").as[Double].collect().toSeq
+      assert(expect.nonEmpty && actual == expect)
+      // depth/bins survive the round-trip too
+      assert(loadedTree.get.getMaxDepth == result.model.get.getMaxDepth)
+    } finally {
+      result.release()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("label thresholds: >=10 delayed, <=-10 early, else on time") {
     val df = Seq(-15.0, -10.0, -9.9, 0.0, 9.9, 10.0, 42.0).toDF("prediction")
       .withColumn("ArrDelay", col("prediction").cast("int"))
