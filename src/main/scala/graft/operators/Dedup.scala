@@ -219,23 +219,25 @@ object Dedup {
     * and near-dup clusters are near-cliques (diameter ≤ ~3), so this
     * settles in a handful of rounds — each one a bucket-keyed shuffle
     * join, never anything O(n²). The symmetric edge list is cached once
-    * and labels are checkpointed per round to cut the iterative lineage
-    * (localCheckpoint here; a multi-executor deployment would point
-    * `spark.checkpoint.dir` at durable storage and use `checkpoint`).
+    * and labels are checkpointed per round through `checkpoint` to cut
+    * the iterative lineage. The default is `localCheckpoint` (fast,
+    * executor-local — fine single-node); a multi-executor deployment
+    * passes `IO.durableCheckpoint(_, dir)` so per-round state lands on
+    * durable shared storage and survives executor loss.
     *
     * Returns one row per node: (`id`, `cluster`) with `cluster` = the
     * minimum id reachable from `id`.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 24): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 24,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .persist()
     // fused initialization + first hop: label = min(id, min neighbor) is
     // one groupBy over the edge list, no node-table join
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("cluster"))
-      .localCheckpoint()
+    var labels = checkpoint(sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster")))
 
     def hop(l: DataFrame): DataFrame = {
       val nbrMin = sym
@@ -254,7 +256,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = hop(hop(labels).drop("__chg")).localCheckpoint()
+      val next = checkpoint(hop(hop(labels).drop("__chg")))
       converged = next.filter(col("__chg")).isEmpty
       labels.unpersist()
       labels = next.drop("__chg")
@@ -266,13 +268,16 @@ object Dedup {
 
   /** Near-dup groups end-to-end: MinHash-LSH pairs at `threshold`, then
     * connected components — the full "pair list → duplicate clusters"
-    * pipeline a corpus-level dedup actually ships. */
+    * pipeline a corpus-level dedup actually ships. `checkpoint` is the
+    * per-round lineage cut (see [[connectedComponents]]). */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
     connectedComponents(
       minhashNearDups(df, idCol, textCol, shingleN, k, bands, threshold)
-        .select("id1", "id2"))
+        .select("id1", "id2"),
+      checkpoint = checkpoint)
 
   // ───────────────── incremental (Bloom-gated) dedup ─────────────────
 

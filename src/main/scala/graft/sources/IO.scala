@@ -109,4 +109,18 @@ object IO {
   /** Convenience loader for the driver-provided parquet fixtures. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Durable (reliable) checkpoint: materializes the DataFrame to the
+    * given checkpoint directory and returns a DataFrame whose lineage is
+    * CUT — the multi-executor-safe version of `localCheckpoint` (which
+    * pins blocks to executor storage and dies with the executor). This is
+    * what iterative algorithms (connected components) and reused
+    * intermediates must use on a real cluster: point `dir` at durable
+    * shared storage (HDFS/object store). Sets `spark.checkpoint.dir`
+    * once per session if unset; `eager` forces materialization now. */
+  def durableCheckpoint(df: DataFrame, dir: String, eager: Boolean = true): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    df.checkpoint(eager)
+  }
 }

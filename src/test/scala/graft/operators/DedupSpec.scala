@@ -150,4 +150,30 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(clusters == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
+
+  test("connectedComponents with a durable checkpoint matches the default exactly") {
+    // same chain/pair/triangle fixture as above, but per-round state cut
+    // to a durable checkpoint dir (the multi-executor path) instead of
+    // executor-local blocks — output must be byte-identical
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val expected = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val durable = Dedup.connectedComponents(edges,
+          checkpoint = graft.sources.IO.durableCheckpoint(_, dir))
+        .as[(Long, Long)].collect().toMap
+      assert(durable == expected)
+      // the checkpoint actually landed on disk (lineage was really cut);
+      // getCheckpointDir returns a file: URI — resolve it to a local path
+      val cd = spark.sparkContext.getCheckpointDir.getOrElse(dir)
+      val cdPath = if (cd.startsWith("file:")) new java.net.URI(cd).getPath else cd
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(cdPath))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
