@@ -525,10 +525,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // X-text: language-ID heuristic (marker-word argmax)
-    "q_x_langid" -> ((s, dir) =>
-      graft.operators.TextAnalysis.withLanguageId(tw(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("lang_guess"), col("hits_en"))
-        .orderBy(col("doc_id"))),
+    // every 25th doc is replaced by an UNSEGMENTED Chinese paragraph: the
+    // char-level CJK fallback must classify it zh in both engines (the
+    // oracle counts zh marker chars with a char class — RE2's \b cannot
+    // match inside an ideograph run)
+    "q_x_langid" -> ((s, dir) => {
+      val zhDoc = lit("这是一个没有空格的中文测试文档他说的话我不在乎但是有人了解这个情况")
+      val d = tw(s, dir, "documents").withColumn("sample",
+        when(pmod(col("doc_id"), lit(25L)) === 3, zhDoc).otherwise(col("text")))
+      graft.operators.TextAnalysis.withLanguageId(d, "sample")
+        .select(col("doc_id"), col("lang_guess"), col("hits_en"), col("hits_zh"))
+        .orderBy(col("doc_id"))
+    }),
 
     // X-sim: brute-force cosine top-k against the vec_id=0 embedding —
     // the exact ANN baseline (fused native cosine expression)
@@ -1262,7 +1270,7 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
         |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
         |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(的|了|是|我|不|在|有|人|这|他)\b')) AS INTEGER) AS h_zh
+        |    CAST(len(regexp_extract_all(text, '[的了是我不在有人这他]')) AS INTEGER) AS h_zh
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, text,
@@ -1357,14 +1365,20 @@ object SparkEntry {
         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q_x_langid" ->
-      """WITH hits AS (
+      """WITH m AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|den|mit|ist|im)\b')) AS INTEGER) AS h_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(的|了|是|我|不|在|有|人|这|他)\b')) AS INTEGER) AS h_zh
-        |  FROM documents)
+        |    CASE WHEN doc_id % 25 = 3
+        |         THEN '这是一个没有空格的中文测试文档他说的话我不在乎但是有人了解这个情况'
+        |         ELSE text END AS sample
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(sample), '\b(der|die|und|das|von|zu|den|mit|ist|im)\b')) AS INTEGER) AS h_de,
+        |    CAST(len(regexp_extract_all(lower(sample), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
+        |    CAST(len(regexp_extract_all(lower(sample), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
+        |    CAST(len(regexp_extract_all(lower(sample), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
+        |    CAST(len(regexp_extract_all(sample, '[的了是我不在有人这他]')) AS INTEGER) AS h_zh
+        |  FROM m)
         |SELECT doc_id,
         |  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
         |       WHEN h_zh = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
@@ -1372,7 +1386,7 @@ object SparkEntry {
         |       WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
         |       WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
         |       ELSE 'de' END AS lang_guess,
-        |  h_en AS hits_en
+        |  h_en AS hits_en, h_zh AS hits_zh
         |FROM hits ORDER BY doc_id""".stripMargin,
 
     "q_x_cosine_topk" ->
@@ -1548,7 +1562,7 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
         |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
         |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(的|了|是|我|不|在|有|人|这|他)\b')) AS INTEGER) AS h_zh
+        |    CAST(len(regexp_extract_all(text, '[的了是我不在有人这他]')) AS INTEGER) AS h_zh
         |  FROM cleaned),
         |gate AS (
         |  SELECT doc_id, text FROM sig

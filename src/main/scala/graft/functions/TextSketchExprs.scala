@@ -133,11 +133,20 @@ object TextSketches {
   }
 
   /** Word-char test for marker tokenization: regex `\w` (`[A-Za-z0-9_]`)
-    * plus non-ASCII letters, so accented/CJK words form their own tokens
-    * instead of merging with neighbors. */
+    * plus non-ASCII letters, so accented words form their own tokens
+    * instead of merging with neighbors. (CJK ideographs are handled
+    * separately — see [[isCjk]].) */
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_' || (c > 127 && Character.isLetter(c))
+
+  /** CJK Unified Ideographs (+ Extension A). CJK text has no whitespace
+    * word boundaries, so each ideograph is its own token — the char-level
+    * fallback that lets single-char zh markers fire on unsegmented text
+    * (equivalently: marker hits for CJK are substring-occurrence counts,
+    * `len(regexp_extract_all(text, '[的了…]'))` in the oracle dialect). */
+  @inline private def isCjk(c: Char): Boolean =
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)
 
   /** Count of word-runs whose ASCII-lowercased form is in `set`. Word-runs
     * are maximal `\w`-ish runs (see [[isWordChar]]), so punctuation is a
@@ -145,9 +154,11 @@ object TextSketches {
     * '\b(w1|w2|…)\b')` for ASCII marker words — 'the,' and 'the.' count —
     * without the regex engine (the regex formulation was the bench's least
     * stable hot path: JIT warm-up of the generated matcher code produced
-    * 10-100× run-to-run swings). CJK caveat: unsegmented CJK text forms one
-    * long run, so single-char markers only match pre-segmented text (the
-    * RE2 `\b` formulation cannot match them after whitespace either). */
+    * 10-100× run-to-run swings). CJK ideographs each form their own token
+    * ([[isCjk]]), so single-char markers match UNSEGMENTED text too — the
+    * equivalent oracle formulation for those is a char-class occurrence
+    * count, not `\b` matching (RE2's `\w` excludes ideographs, so `\b` can
+    * never fire inside a CJK run). */
   def tokenSetHits(text: UTF8String, set: java.util.HashSet[String]): Int = {
     val s = text.toString
     var hits = 0
@@ -156,11 +167,15 @@ object TextSketches {
     val sb = new java.lang.StringBuilder(16)
     while (i <= n) {
       val c = if (i == n) ' ' else s.charAt(i)
-      if (i < n && isWordChar(c)) {
+      val cjk = i < n && isCjk(c)
+      if (i < n && !cjk && isWordChar(c)) {
         sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-      } else if (sb.length > 0) {
-        if (set.contains(sb.toString)) hits += 1
-        sb.setLength(0)
+      } else {
+        if (sb.length > 0) {
+          if (set.contains(sb.toString)) hits += 1
+          sb.setLength(0)
+        }
+        if (cjk && set.contains(String.valueOf(c))) hits += 1
       }
       i += 1
     }
@@ -195,10 +210,8 @@ object TextSketches {
         if (isAsciiPunct(c)) nPunct += 1
         if (c >= 'A' && c <= 'Z') nUpper += 1
       }
-      if (!atEnd && isWordChar(c)) {
-        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-      } else if (sb.length > 0) {
-        val mask = lookup.get(sb.toString)
+      def creditToken(tok: String): Unit = {
+        val mask = lookup.get(tok)
         if (mask != null) {
           var b = mask.intValue()
           var lx = 0
@@ -208,7 +221,18 @@ object TextSketches {
             lx += 1
           }
         }
-        sb.setLength(0)
+      }
+      val cjk = !atEnd && isCjk(c)
+      if (!atEnd && !cjk && isWordChar(c)) {
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      } else {
+        if (sb.length > 0) {
+          creditToken(sb.toString)
+          sb.setLength(0)
+        }
+        // each CJK ideograph is its own token (char-level fallback for
+        // unsegmented text — see isCjk)
+        if (cjk) creditToken(String.valueOf(c))
       }
       i += 1
     }

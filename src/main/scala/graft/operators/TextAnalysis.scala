@@ -40,9 +40,11 @@ object TextAnalysis {
 
   /** Marker-word occurrences: word-runs (lowercased, punctuation-bounded)
     * that are in the lexicon — `regexp_count(lower(text), "\\b(w1|…)\\b")`
-    * semantics for ASCII markers. CJK markers require pre-segmented text
-    * (an unsegmented CJK sentence is one run; the `\b` regex cannot match
-    * it after whitespace either). */
+    * semantics for ASCII markers. CJK ideographs each count as their own
+    * token (char-level fallback), so the single-char zh markers fire on
+    * UNSEGMENTED Chinese text too — the oracle formulation for those is a
+    * char-class occurrence count (`[的了…]`), since RE2's `\b` cannot
+    * match inside an ideograph run. */
   private def markerHits(text: Column, words: Seq[String]): Column =
     TextSketches.tokenHits(text, words)
 

@@ -32,6 +32,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("language id classifies UNSEGMENTED Chinese via the char-level fallback") {
+    val df = Seq(
+      (1L, "这是一个没有空格的中文测试文档他说的话我不在乎"), // no whitespace at all
+      (2L, "这是 一个 的 文档"),                              // pre-segmented
+      (3L, "the quick fox 的 and the dog")                    // mixed: en dominates
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLanguageId(df, "text")
+      .select("doc_id", "lang_guess", "hits_zh")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == "zh", s"unsegmented zh misclassified: ${out(1L)}")
+    // marker chars in doc 1: 这,是,的,他,的,我,不,在 → count as substrings
+    assert(out(1L)._2 == "这是一个没有空格的中文测试文档他说的话我不在乎"
+      .count("的了是我不在有人这他".toSet))
+    assert(out(2L)._1 == "zh")
+    assert(out(3L)._1 == "en")
+    assert(out(3L)._2 == 1) // the lone ideograph still counts
+  }
+
   test("quality signals: ratios bounded, empty text safe, composite in [0,1]") {
     val df = Seq(
       "The quick brown fox jumps over the lazy dog and runs to the hills.",
