@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Dedup, SkewJoin}
+
 /** Dev-only scratch main: reference-scale (500k-row) training lifecycle —
   * the reference trains on 500k+ DOT flights (README.md:2,15); this runs
   * the same protocol on the seeded synthetic generator and reports
@@ -20,6 +22,13 @@ object DevProbe {
 
     if (args.headOption.contains("corpus")) {
       corpusProbe(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("skew")) {
+      skewProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L),
+        args.lift(2).map(_.toInt).getOrElse(16))
       spark.stop()
       return
     }
@@ -57,6 +66,68 @@ object DevProbe {
         case (n, s) => f"$n=$s%.3f" }.mkString(", "))
     }
     spark.stop()
+  }
+
+  /** Skew stress probe (`runMain graft.DevProbe skew [n] [salts]`):
+    * zipfian fact keys (top key holds ~1/ln(K) ≈ 14% of all rows) joined
+    * to a mid-size dim through a plain shuffle join vs [[SkewJoin
+    * .saltedInnerJoin]] — AQE and auto-broadcast are disabled for the
+    * comparison so the hot key genuinely lands on one reducer, which is
+    * the 100 TB failure mode the salt exists for. Then the same zipfian
+    * corpus runs the exact-dedup census, whose hash-grouped min(id) must
+    * stay fast under duplicate skew because partial aggregation collapses
+    * hot groups map-side before the exchange. */
+  private def skewProbe(spark: SparkSession, n: Long, salts: Int): Unit = {
+    import spark.implicits._
+    val K = 1000
+    val lnK = math.log(K.toDouble)
+    // zipf-with-a-spike, deterministic per row id: 60% of all rows hit
+    // key 0 (the "viral entity" shape), the rest follow an inverse-CDF
+    // zipf tail — the distribution where one reducer stalls the stage
+    val facts = spark.range(n).map { i =>
+      val u = new scala.util.Random(i).nextDouble()
+      val key =
+        if (u < 0.6) 0L
+        else math.min(K - 1L, math.exp((u - 0.6) / 0.4 * lnK).toLong - 1L)
+      (i, key, i % 97)
+    }.toDF("id", "key", "v").cache()
+    facts.count() // materialize before the clock starts
+    val dim = spark.range(K.toLong)
+      .map(k => (k, s"payload_$k " * 40)).toDF("key", "payload").cache()
+    dim.count()
+    val hot = facts.groupBy("key").count()
+      .orderBy(col("count").desc).limit(3).collect()
+    println(s"[skew $n] hottest keys: " +
+      hot.map(r => s"${r.get(0)}=${r.get(1)}").mkString(", "))
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[skew $n] $label rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    // aggregate over the payload so the joined bytes actually flow (a bare
+    // count() lets Catalyst prune the payload and join key-only rows)
+    def drain(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(length(col("payload")))).head().getLong(0)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      time("plain shuffle join")(drain(facts.join(dim, "key")))
+      time(s"salted join (salts=$salts)")(
+        drain(SkewJoin.saltedInnerJoin(facts, dim, "key", salts)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    // dedup under duplicate skew: the hot text covers ~14% of the corpus
+    val docs = facts.select(col("id").as("doc_id"),
+      concat(lit("document body number "), col("key")).as("text"))
+    time("exact dedup census")(
+      Dedup.distinctMinIds(docs, "doc_id", "text").count())
+    facts.unpersist(); dim.unpersist()
   }
 
   /** Text-surface scale probe: a seeded n-doc synthetic corpus (10% exact
