@@ -585,11 +585,16 @@ object SparkEntry {
       val shingled = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh"))
-      val seeds = posexplode(array((0 until 8).map(lit): _*))
-      val mins = shingled
-        .select(col("doc_id"), seeds.as(Seq("seed", "__s")), col("sh"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat_ws(":", col("seed"), col("sh")))).as("h"))
+      // 8 parallel min-aggregates over ONE pass of the exploded shingles
+      // (a seed-explode would push every shingle row through the shuffle
+      // 8×); the wide row then unpivots to (seed, h) for the bucket join
+      val minAggs = (0 until 8).map(i =>
+        min(md5(concat_ws(":", lit(i), col("sh")))).as(s"h$i"))
+      val wide = shingled.groupBy(col("doc_id"))
+        .agg(minAggs.head, minAggs.tail: _*)
+      val mins = wide.select(col("doc_id"),
+        posexplode(array((0 until 8).map(i => col(s"h$i")): _*))
+          .as(Seq("seed", "h")))
       val a = mins.select(col("seed"), col("h"), col("doc_id").as("id1"))
       val b = mins.select(col("seed"), col("h"), col("doc_id").as("id2"))
       a.join(b, Seq("seed", "h"))
