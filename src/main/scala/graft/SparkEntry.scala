@@ -725,6 +725,24 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
+    // X-dedup: embedding-cosine near-dup pairs — hyperplane-bucket
+    // candidate join + fused-cosine exact verify. The fixture has no
+    // natural near-dups (max pairwise cos ≈ 0.51), so 20 exact duplicate
+    // vectors are planted identically in both engines; identical vectors
+    // share every hyperplane sign, so the bucket join finds each planted
+    // pair with probability 1 and the result is fully DuckDB-oracled
+    // (the oracle verifies via exact all-pairs cosine).
+    "q_x_emb_neardups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(planted)
+      graft.operators.Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
+          threshold = 0.999, planes = 8, dim = 64)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // X-sim: IVF ANN top-k against a PRE-BUILT index (kmeans quantizer +
     // cid-partitioned lists, built once offline — see [[ivfIndex]]): the
     // gated query measures the per-query probe only — broadcast-centroid
@@ -1676,6 +1694,22 @@ object SparkEntry {
         |  SELECT 1 FROM documents b
         |  WHERE b.doc_id < 250 AND b.text = a.text)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // embedding near-dups: the oracle checks ALL pairs with exact cosine
+    // (no bucketing) — a hash match proves the bucket-join candidate
+    // generation lost no qualifying pair
+    "q_x_emb_neardups" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20),
+        |p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM p WHERE cos >= 0.999
+        |ORDER BY id1, id2""".stripMargin,
 
     // md5-minhash twin: identical sketch formulation in both engines —
     // md5 hex is lowercase fixed-length in each, so MIN() compares
