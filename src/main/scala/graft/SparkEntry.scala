@@ -604,6 +604,23 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X-text: MD5 winnow fingerprint — the cross-engine twin of the
+    // xxhash64 min-k sketch (q_x_fingerprint stays rows-only): the 4
+    // smallest distinct md5(shingle) values per doc, ranked. Same
+    // fixed-length-hex ordering argument as q_x_minhash_md5, so fully
+    // DuckDB-oracled.
+    "q_x_fingerprint_md5" -> ((s, dir) => {
+      val hashed = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+      hashed.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // SQL entry path: temp views + spark.sql through the full parser
     // (same Catalyst pipeline; proves the SQL front door)
     "q_sql_entry" -> ((s, dir) => {
@@ -1694,6 +1711,22 @@ object SparkEntry {
         |  SELECT 1 FROM documents b
         |  WHERE b.doc_id < 250 AND b.text = a.text)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // md5 winnow fingerprint: same distinct-shingle formulation, ranked
+    // by the hex hash (lexicographic == numeric for fixed-length hex)
+    "q_x_fingerprint_md5" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 200)),
+        |sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh0),
+        |r AS (
+        |  SELECT doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY h) AS INT) AS rank
+        |  FROM sh)
+        |SELECT doc_id, h, rank FROM r WHERE rank <= 4
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // embedding near-dups: the oracle checks ALL pairs with exact cosine
     // (no bucketing) — a hash match proves the bucket-join candidate

@@ -55,6 +55,10 @@ class PlanShapeSpec extends SparkSpec {
   test("near-dup candidate generation joins on bucket keys, never cross-joins") {
     val p = plan("q_x_minhash_bands")
     assert(!p.contains("CartesianProduct"), s"cross join in LSH banding:\n$p")
+    val pm = plan("q_x_minhash_md5")
+    assert(!pm.contains("CartesianProduct"), s"cross join in md5 minhash:\n$pm")
+    val pe = plan("q_x_emb_neardups")
+    assert(!pe.contains("CartesianProduct"), s"cross join in embedding near-dup:\n$pe")
   }
 
   test("partition-column filter prunes at planning time (PartitionFilters)") {
