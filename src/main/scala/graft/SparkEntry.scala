@@ -1016,7 +1016,98 @@ object SparkEntry {
           "text", expectedItems = 100000L)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // S-bucketed: bucketed-table co-located join — both sides written
+    // bucketed+sorted on the join key, so the recurring join runs with NO
+    // exchange and NO sort (asserted in JoinOpsSpec); at 100 TB this is
+    // the layout that amortizes one shuffle across every future join.
+    // The oracle joins the raw parquet — a hash match proves the bucketed
+    // write→catalog→scan→join cycle preserved every row.
+    "q_s_bucketed" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bucketed").getAbsolutePath
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        "graft_orders_b", Seq("o_custkey"), 8, Some(s"$tmp/orders"))
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        "graft_customer_b", Seq("c_custkey"), 8, Some(s"$tmp/customer"))
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(38,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // W-battery: rank-family windows — dense_rank / ntile / percent_rank /
+    // cume_dist over one key-partitioned, uniquely-ordered window (shared
+    // WindowExec, single shuffle on the partition key)
+    "q_w_rank_battery" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A-gsets: GROUPING SETS — the generalized rollup/cube; Spark expands
+    // to one Expand + one aggregate exchange, not one pass per set
+    "q_a_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_li_gsets")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+          |       COALESCE(l_linestatus, '(all)') AS ls,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+          |FROM v_li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          |                        (l_returnflag, l_linestatus))
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    // F-resample: time-series regularization — per-user daily grid between
+    // first and last observation, observed buckets carry the exact mean,
+    // gaps forward-fill from the latest preceding bucket (key-partitioned
+    // window; grid generation distributes with the key)
+    "q_f_resample" -> ((s, dir) =>
+      graft.operators.TimeSeries.resampleFill(
+          t(s, dir, "events"), "user_id", "ts", "value",
+          bucketWidth = 86400L * 1000 * 1000 * 1000)
+        .orderBy(col("user_id"), col("bucket"))),
+
+    // X-tfidf: sparse text similarity via the inverted-index join — only
+    // documents sharing a surviving term ever meet (term-partitioned
+    // shuffle), vs the all-pairs cross product; df cap bounds the
+    // candidate fan-out. Decimal-accumulated dots/norms keep the cosine
+    // aggregation-order-independent, so the oracle hash-matches.
+    "q_x_tfidf_pairs" -> ((s, dir) =>
+      graft.operators.SparseSimilarity.tfidfPairs(
+          tw(s, dir, "documents"), "doc_id", "text",
+          maxDf = 50L, minCos = 0.30)
+        .orderBy(col("id1"), col("id2"))),
+
+    // A-freq: heavy hitters via the Misra-Gries bounded-memory sketch —
+    // at most `capacity` counters per partial buffer regardless of the
+    // item domain, mergeable across partitions. capacity=32 > the
+    // distinct event_type count, so the sketch is provably exact here and
+    // the oracle is plain GROUP BY/ORDER BY/LIMIT.
+    "q_a_freq_items" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(graft.functions.FreqItems.freqItems(col("event_type"),
+          capacity = 32, k = 5).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "hit")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("hit.item").as("item"), col("hit.est").as("n"))
+        .orderBy(col("rank")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1763,6 +1854,105 @@ object SparkEntry {
         |FROM mins a JOIN mins b
         |  ON a.seed = b.seed AND a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bucketed round-trip: the oracle joins the raw parquet — a hash match
+    // proves the bucketed write→scan→join cycle preserved every row
+    "q_s_bucketed" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // rank battery: identical window spec; ranks cast to INT to match
+    // Spark's IntegerType outputs; fractional ranks ROUND(,6) both sides
+    "q_w_rank_battery" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS prank,
+        |  ROUND(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_a_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |       COALESCE(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
+
+    // resample: same grid/fill formulation — integer epoch-nanos floor
+    // division for buckets, decimal-exact bucket means, LAST_VALUE IGNORE
+    // NULLS running fill
+    "q_f_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket,
+        |         CAST(count(value) AS BIGINT) AS n_obs,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |           / count(value) AS v_obs
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        |  FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |        FROM obs GROUP BY 1)),
+        |j AS (
+        |  SELECT s.user_id, s.bucket,
+        |         COALESCE(o.n_obs, 0) AS n_obs, o.v_obs
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.user_id = o.user_id AND s.bucket = o.bucket)
+        |SELECT user_id, bucket, n_obs, v_obs,
+        |  LAST_VALUE(v_obs IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
+
+    // tf-idf pairs: same inverted-index formulation — whitespace tokens,
+    // idf ROUND(ln(n/df),6) (libm parity), df cap, DECIMAL-accumulated
+    // dots and norms (order-independent), cosine ROUND(,6); the filter
+    // compares the ROUNDED value in both engines so the threshold can
+    // never flip on an ulp
+    "q_x_tfidf_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (
+        |  SELECT word, count(*) AS df FROM tf
+        |  GROUP BY 1 HAVING count(*) <= 50),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.word,
+        |         tf.tf * ROUND(ln(n.n_docs / df.df), 6) AS w
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |nr AS (
+        |  SELECT doc_id,
+        |         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |dotp AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, ROUND(dot / (x.nrm * y.nrm), 6) AS cos
+        |FROM dotp JOIN nr x ON x.doc_id = id1 JOIN nr y ON y.doc_id = id2
+        |WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= 0.30
+        |ORDER BY id1, id2""".stripMargin,
+
+    // freq items: capacity > distinct(event_type), so the Misra-Gries
+    // sketch is exact and the oracle is the plain exact top-k
+    "q_a_freq_items" ->
+      """SELECT CAST(rn AS INTEGER) AS rank, item, n FROM (
+        |  SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY 1)
+        |WHERE rn <= 5 ORDER BY rank""".stripMargin,
 
     // q_x_fingerprint / q_x_simhash / q_x_minhash_bands / q_x_lsh_topk /
     // q_x_ivf_topk / q_d2b_stratified: intentionally no oracle —

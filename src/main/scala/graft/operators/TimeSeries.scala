@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling and gap-filling over event tables.
+  *
+  * The reference's data model is batch-only, but any telemetry/metrics
+  * corpus at 100 TB needs regularization to a fixed grid before windowed
+  * features (the events fixture carries irregular per-user event times).
+  * Everything here is expressed per-key:
+  *
+  *  - bucket assignment is a map-side integer division;
+  *  - the per-key grid is generated with `sequence()` off a per-key
+  *    min/max aggregate — the spine explode is distributed by key, no
+  *    driver-side range materialization;
+  *  - forward fill is `last(_, ignoreNulls)` over a key-partitioned
+  *    running window — bounded by the key's own rows, never a global sort.
+  *
+  * At cluster scale the only shuffles are the per-key aggregate and the
+  * window partition — both on the series key, both AQE-coalescible.
+  */
+object TimeSeries {
+
+  /** Resample `df` onto a fixed `bucketWidth` grid per `keyCol` and
+    * forward-fill buckets with no observations.
+    *
+    * `tsCol` must be an integral epoch column (the fixture's nanos-as-long
+    * timestamps); `bucketWidth` is in the same unit. Observed buckets carry
+    * the exact mean of `valCol` (decimal-accumulated, order-independent);
+    * empty buckets take the latest preceding bucket's mean (null until the
+    * key's first observed value — there is nothing to fill from).
+    *
+    * Output: (key, bucket, n_obs, v_obs, v_filled) — one row per grid cell
+    * between the key's first and last observation inclusive.
+    */
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, bucketWidth: Long): DataFrame = {
+    // integer division — `/` on longs is DOUBLE division in Spark, and an
+    // epoch-nanos value (~1.7e18) exceeds double's 2^53 integer range, so
+    // bucket boundaries would shift by rounding
+    val bucket = expr(s"`$tsCol` div ${bucketWidth}L")
+    val obs = df
+      .select(col(keyCol), bucket.as("bucket"), col(valCol).as("__v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(
+        count(col("__v")).as("n_obs"),
+        (sum(col("__v").cast("decimal(38,6)")).cast("double") /
+          count(col("__v"))).as("v_obs"))
+    // per-key grid: one sequence per key spanning its observed range —
+    // the explode fans out on the key, so grid generation is distributed
+    val spine = obs
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val fill = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("v_obs"),
+        last(col("v_obs"), ignoreNulls = true).over(fill).as("v_filled"))
+  }
+}

@@ -10,23 +10,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, sorted managed table (idempotent: drops a
+  /** Persist `df` as a bucketed, sorted table (idempotent: drops a
     * pre-existing table and any orphaned location first — Overwrite alone
-    * refuses to reuse a location the catalog no longer tracks). */
+    * refuses to reuse a location the catalog no longer tracks). With
+    * `location` set the table is external at that path (the gated queries
+    * use a tmpdir so driver runs never litter the working directory);
+    * otherwise it is managed under the session warehouse. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      buckets: Int): Unit = {
+      buckets: Int, location: Option[String] = None): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val loc = new org.apache.hadoop.fs.Path(
+      location.getOrElse(s"$warehouse/$table"))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    val writer = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    location.foreach(p => writer.option("path", p))
+    writer.saveAsTable(table)
   }
 
   /** Join two identically-bucketed tables on their bucket key. With equal

@@ -89,4 +89,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti") || p.contains("BroadcastHashJoin"),
       s"expected anti join operator:\n$p")
   }
+
+  test("tf-idf pair generation joins term-partitioned, never cross-joins") {
+    // the only nested-loop allowed is the 1-row corpus-count scalar attach
+    // (the W2 pattern); the pair join itself must stay an equi-join
+    val p = plan("q_x_tfidf_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"cross join in tf-idf pair generation:\n$p")
+  }
+
+  test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
+    // a selective dim-side filter must reach the hive-partitioned fact as
+    // a runtime partition filter — at 100 TB this is the difference
+    // between scanning one partition and scanning the fleet. Both sides
+    // are parquet-backed: a LocalRelation dim would be constant-folded
+    // before the pruning rule looks for a selective predicate.
+    import org.apache.spark.sql.functions._
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dpp").getAbsolutePath
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    graft.sources.IO.writePartitioned(docs, s"$tmp/fact", Seq("lang"))
+    // the dim predicate must be one the planner's isLikelySelective
+    // heuristic recognizes (attribute-vs-literal comparison) — a bare
+    // boolean attribute does not qualify for pruning insertion
+    spark.createDataFrame(Seq(("en", "gold"), ("de", "bronze"), ("fr", "bronze")))
+      .toDF("lang", "tier")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("tier") === "gold")
+    val q = fact.join(dim, Seq("lang")).groupBy(col("lang")).count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
 }

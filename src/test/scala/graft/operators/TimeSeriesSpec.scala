@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Resample + forward-fill semantics: grid coverage, gap fill, null heads. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fill(rows: Seq[(String, Long, java.lang.Double)]) =
+    TimeSeries.resampleFill(
+      rows.toDF("k", "ts", "v"), "k", "ts", "v", bucketWidth = 10L)
+      .orderBy("k", "bucket")
+      .collect()
+
+  test("grid spans first..last bucket per key and fills gaps forward") {
+    val out = fill(Seq(
+      ("a", 5L, Double.box(1.0)),   // bucket 0
+      ("a", 12L, Double.box(2.0)),  // bucket 1
+      ("a", 45L, Double.box(8.0)),  // bucket 4 — gap at 2, 3
+      ("b", 71L, Double.box(7.0)))) // single-point key: one bucket
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(a.map(r => Option(r.get(4)).map(_.asInstanceOf[Double])).toSeq ==
+      Seq(Some(1.0), Some(2.0), Some(2.0), Some(2.0), Some(8.0)))
+    assert(a.map(_.getLong(2)).toSeq == Seq(1L, 1L, 0L, 0L, 1L))
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.map(_.getLong(1)).toSeq == Seq(7L))
+    assert(b.head.getDouble(4) == 7.0)
+  }
+
+  test("observed buckets average their rows; empty v_obs stays null") {
+    val out = fill(Seq(
+      ("a", 1L, Double.box(1.0)), ("a", 9L, Double.box(3.0)), // same bucket
+      ("a", 25L, Double.box(5.0))))
+    val byBucket = out.map(r => r.getLong(1) ->
+      (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(byBucket(0L) == (2L, Some(2.0))) // mean of 1 and 3
+    assert(byBucket(1L) == (0L, None))      // gap: no observation recorded
+    assert(byBucket(2L) == (1L, Some(5.0)))
+  }
+
+  test("null values hold the grid open but never fill") {
+    val out = fill(Seq(
+      ("c", 5L, null),                      // bucket 0: observed row, null value
+      ("c", 25L, Double.box(3.0))))         // bucket 2
+    val filled = out.map(r => Option(r.get(4)).map(_.asInstanceOf[Double])).toSeq
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(filled == Seq(None, None, Some(3.0))) // nothing to fill from yet
+  }
+}
