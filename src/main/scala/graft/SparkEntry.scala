@@ -1095,6 +1095,29 @@ object SparkEntry {
           maxDf = 50L, minCos = 0.30)
         .orderBy(col("id1"), col("id2"))),
 
+    // X-spans: exact duplicated-passage detection — stride-sampled char
+    // windows keyed by md5 (cross-engine), reduced per hash; the shuffle
+    // carries hashes and ids, never text. Catches verbatim spans repeated
+    // across otherwise-distinct documents, which whole-doc dedup and
+    // per-doc sketches both miss.
+    "q_x_dup_spans" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedSpans(
+          tw(s, dir, "documents"), "doc_id", "text",
+          window = 40, stride = 10, minDocs = 2)
+        .orderBy(col("h"))),
+
+    // X-gate: adaptive per-source quality gate — keep docs at/above their
+    // OWN source's p25 by length; a per-group percentile instead of one
+    // global threshold. Output is the per-source census of survivors.
+    "q_x_quality_gate" -> ((s, dir) =>
+      graft.operators.TextAnalysis.percentileGate(
+          t(s, dir, "documents"), Seq("source"), "n_chars", "doc_id",
+          minPct = 0.25)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_len"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("source"))),
+
     // A-freq: heavy hitters via the Misra-Gries bounded-memory sketch —
     // at most `capacity` counters per partial buffer regardless of the
     // item domain, mergeable across partitions. capacity=32 > the
@@ -1944,6 +1967,33 @@ object SparkEntry {
         |FROM dotp JOIN nr x ON x.doc_id = id1 JOIN nr y ON y.doc_id = id2
         |WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= 0.30
         |ORDER BY id1, id2""".stripMargin,
+
+    // duplicated spans: identical stride/window formulation — md5 hex is
+    // engine-shared, positions are 1-based in both substring dialects
+    "q_x_dup_spans" ->
+      """WITH spans AS (
+        |  SELECT doc_id, md5(substring(text, i, 40)) AS h
+        |  FROM documents,
+        |       LATERAL unnest(range(1, length(text) - 38, 10)) t(i)
+        |  WHERE length(text) >= 40)
+        |SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY h""".stripMargin,
+
+    // percentile gate: same percent_rank-within-source formulation
+    "q_x_quality_gate" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         percent_rank() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       min(n_chars) AS min_len,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM ranked WHERE pr >= 0.25
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // freq items: capacity > distinct(event_type), so the Misra-Gries
     // sketch is exact and the oracle is the plain exact top-k

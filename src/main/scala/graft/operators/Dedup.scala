@@ -355,6 +355,43 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Exact duplicated-PASSAGE detection — the fine-grained complement to
+    * whole-document dedup (cf. "Deduplicating Training Data Makes Language
+    * Models Better": verbatim spans repeat across otherwise-distinct
+    * documents, and per-document sketches never see them).
+    *
+    * Every document emits fixed-width character windows on a stride;
+    * windows are keyed by `md5(window)` (cross-engine hashable) and
+    * reduced per key. The shuffle carries (32-hex-hash, doc_id) — never
+    * the window text; a true suffix-array pass is the offline refinement,
+    * this is the scan-shaped signal that feeds it. Stride trades recall
+    * for cost: copies whose start offsets agree mod `stride` (identical
+    * docs, prefix-aligned boilerplate) are always detected once the
+    * passage covers a full window; arbitrarily-shifted copies need
+    * `stride = 1`, or content-defined anchoring (emit windows only at
+    * rolling-hash-selected positions) as the offset-independent
+    * refinement at the same emission rate.
+    *
+    * Returns one row per span hash seen in >= `minDocs` distinct
+    * documents: (h, n_docs, n_occ, min_doc, max_doc).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).as("__id"),
+        explode(sequence(lit(1), length(col(textCol)) - (window - 1),
+          lit(stride))).as("__pos"),
+        col(textCol).as("__t"))
+      .select(col("__id"),
+        md5(col("__t").substr(col("__pos"), lit(window))).as("h"))
+    spans.groupBy(col("h"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("__id")).as("min_doc"), max(col("__id")).as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ───────────────── embedding-cosine near-dup ─────────────────
 
   /** Near-duplicates by embedding cosine ≥ threshold: random-hyperplane

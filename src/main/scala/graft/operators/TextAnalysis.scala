@@ -276,6 +276,29 @@ object TextAnalysis {
     docs.filter(pmod(col(keyCol), lit(denom)) < rateExpr * denom)
   }
 
+  /** Adaptive (percentile-based) quality gate: keep rows whose `scoreCol`
+    * sits at or above the `minPct` percentile WITHIN their own group —
+    * per-source thresholds instead of one global cutoff, so a clean
+    * source is not decimated by a threshold tuned for a dirty one.
+    *
+    * Implemented as `percent_rank` over a (group)-partitioned window with
+    * a unique tiebreaker — exact, deterministic, and bounded by each
+    * group's own rows (a per-group sort, the floor for an exact
+    * percentile). When groups are huge and approximate thresholds are
+    * acceptable, the scale refinement is a per-group `approx_percentile`
+    * aggregate broadcast back as a threshold — same shape as the corpus
+    * IDF scalar, one aggregate plus a map-side filter, no window.
+    */
+  def percentileGate(docs: DataFrame, groupCols: Seq[String],
+      scoreCol: String, tieCol: String, minPct: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol), col(tieCol))
+    docs.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= minPct)
+      .drop("__pr")
+  }
+
   // ───────────────────── PII scrubbing ─────────────────────
 
   /** Email pattern shared by Java regex and RE2 (so the DuckDB oracle can

@@ -176,4 +176,25 @@ class DedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("duplicatedSpans finds a verbatim passage shared by distinct docs") {
+    val passage = "x" * 15 + "THE EXACT SAME FIFTY CHARACTER PASSAGE HERE!" + "y" * 15
+    val docs = Seq(
+      (1L, passage),                          // copy 1
+      (2L, passage),                          // copy 2 (same alignment)
+      (3L, "z" * 80)).toDF("id", "text")      // unique filler, no dups
+    val out = Dedup.duplicatedSpans(docs, "id", "text",
+        window = 40, stride = 10, minDocs = 2)
+      .collect()
+    assert(out.nonEmpty, "shared passage not detected")
+    assert(out.forall(r => r.getLong(1) == 2L &&
+      r.getLong(3) == 1L && r.getLong(4) == 2L),
+      "span rows must span exactly docs 1 and 2")
+  }
+
+  test("duplicatedSpans ignores docs shorter than the window") {
+    val docs = Seq((1L, "short text"), (2L, "short text")).toDF("id", "text")
+    assert(Dedup.duplicatedSpans(docs, "id", "text",
+      window = 40, stride = 10).count() == 0)
+  }
 }

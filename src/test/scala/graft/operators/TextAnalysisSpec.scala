@@ -218,4 +218,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("percentileGate keeps each group's own upper quantile") {
+    // group a: scores 1..8 → p25 cuts the bottom quarter (1, 2);
+    // group b: scores 101..104 — its OWN p25 cuts 101, not a global one
+    val df = ((1 to 8).map(i => ("a", i.toLong, i.toLong)) ++
+      (101 to 104).map(i => ("b", i.toLong, i.toLong)))
+      .toDF("src", "id", "score")
+    val kept = TextAnalysis.percentileGate(df, Seq("src"), "score", "id", 0.25)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(kept.filter(_._1 == "a").map(_._3) == Seq(3L, 4L, 5L, 6L, 7L, 8L))
+    assert(kept.filter(_._1 == "b").map(_._3) == Seq(102L, 103L, 104L))
+  }
+
+  test("percentileGate single-row groups always survive (percent_rank 0)") {
+    val df = Seq(("solo", 1L, 42L)).toDF("src", "id", "score")
+    assert(TextAnalysis.percentileGate(df, Seq("src"), "score", "id", 0.0)
+      .count() == 1)
+  }
 }
