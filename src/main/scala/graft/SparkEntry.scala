@@ -1095,6 +1095,45 @@ object SparkEntry {
           maxDf = 50L, minCos = 0.30)
         .orderBy(col("id1"), col("id2"))),
 
+    // J-range: band (range) join — points equi-joined to quantized range
+    // buckets then refined, instead of the BroadcastNestedLoopJoin a raw
+    // BETWEEN join plans (quadratic at scale; no-BNLJ asserted in
+    // PlanShapeSpec). Overlapping price bands over orders.
+    "q_j_range" -> ((s, dir) => {
+      val bands = t(s, dir, "nation")
+        .select(col("n_nationkey").as("band_id"),
+          (col("n_nationkey").cast("double") * 8000.0).as("lo"),
+          (col("n_nationkey").cast("double") * 8000.0 + 19999.0).as("hi"))
+      graft.operators.RangeJoin.bandJoin(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "o_totalprice", bands, "lo", "hi", bucketWidth = 8000L)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(38,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("band_id"))
+    }),
+
+    // S-compact: sorted-compaction maintenance pass — range-partitioned,
+    // within-file-sorted rewrite (restores row-group skipping for key
+    // predicates); the oracle aggregates the source directly, so the
+    // round-trip proves the rewrite lost/changed nothing
+    "q_s_compacted" -> ((s, dir) => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_compacted").getAbsolutePath
+      graft.sources.IO.compact(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        path, Seq("l_orderkey", "l_linenumber"), partitions = 8,
+        maxRecordsPerFile = 100000L)
+      s.read.parquet(path)
+        .groupBy((col("l_orderkey") % 7).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(38,2)")).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"))
+        .orderBy(col("grp"))
+    }),
+
     // X-spans: exact duplicated-passage detection — stride-sampled char
     // windows keyed by md5 (cross-engine), reduced per hash; the shuffle
     // carries hashes and ids, never text. Catches verbatim spans repeated
@@ -1967,6 +2006,27 @@ object SparkEntry {
         |FROM dotp JOIN nr x ON x.doc_id = id1 JOIN nr y ON y.doc_id = id2
         |WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= 0.30
         |ORDER BY id1, id2""".stripMargin,
+
+    // range join: the oracle uses the raw BETWEEN join — a hash match
+    // proves the bucket-explode + refine rewrite is exactly equivalent
+    "q_j_range" ->
+      """WITH bands AS (
+        |  SELECT n_nationkey AS band_id,
+        |         CAST(n_nationkey AS DOUBLE) * 8000.0 AS lo,
+        |         CAST(n_nationkey AS DOUBLE) * 8000.0 + 19999.0 AS hi
+        |  FROM nation)
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice <= hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // compaction round-trip: oracle reads the source parquet directly
+    "q_s_compacted" ->
+      """SELECT l_orderkey % 7 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        |       min(l_orderkey) AS min_key
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // duplicated spans: identical stride/window formulation — md5 hex is
     // engine-shared, positions are 1-based in both substring dialects

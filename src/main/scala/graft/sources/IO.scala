@@ -110,6 +110,27 @@ object IO {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Sorted compaction: rewrite a dataset as range-partitioned,
+    * within-partition-sorted parquet with a bounded per-file row count.
+    * This is the periodic maintenance pass every large table needs:
+    * streaming/parallel ingest leaves thousands of small unsorted files
+    * (planning overhead, no row-group skipping), and compaction restores
+    * the layout — `repartitionByRange` clusters by the sort key across
+    * files, `sortWithinPartitions` orders inside each file so parquet
+    * min/max row-group stats become selective for key predicates, and
+    * `maxRecordsPerFile` caps file size without an extra shuffle.
+    */
+  def compact(df: DataFrame, path: String, sortCols: Seq[String],
+      partitions: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    val w = df
+      .repartitionByRange(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w).parquet(path)
+  }
+
   /** Durable (reliable) checkpoint: materializes the DataFrame to the
     * given checkpoint directory and returns a DataFrame whose lineage is
     * CUT — the multi-executor-safe version of `localCheckpoint` (which

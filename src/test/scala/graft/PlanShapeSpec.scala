@@ -98,6 +98,16 @@ class PlanShapeSpec extends SparkSpec {
       s"cross join in tf-idf pair generation:\n$p")
   }
 
+  test("range join is an equi join on buckets, not a nested loop") {
+    // a raw BETWEEN join has no equi-key and plans BNLJ — quadratic; the
+    // band rewrite must keep the pair generation hash/merge-joinable
+    val p = plan("q_j_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cross join in range join:\n$p")
+  }
+
   test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
     // a selective dim-side filter must reach the hive-partitioned fact as
     // a runtime partition filter — at 100 TB this is the difference

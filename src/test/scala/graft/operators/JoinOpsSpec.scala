@@ -95,4 +95,36 @@ class JoinOpsSpec extends SparkSpec {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bandJoin equals the naive between-join on overlapping float ranges") {
+    val points = (0 to 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "v")
+    val ranges = Seq((1L, 10.0, 39.9), (2L, 30.0, 59.9), (3L, 120.0, 121.0),
+      (4L, -5.0, 4.9)).toDF("rid", "lo", "hi")
+    val naive = points.join(ranges,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "rid").collect().toSet
+    val banded = RangeJoin.bandJoin(points, "v", ranges, "lo", "hi", 25L)
+      .select("pid", "rid").collect().toSet
+    assert(banded == naive && naive.nonEmpty)
+  }
+
+  test("bandJoin handles negative integral domains (trunc-div quantizer)") {
+    val points = (-50L to 50L).map(i => (i, i)).toDF("pid", "v")
+    val ranges = Seq((1L, -45L, -12L), (2L, -5L, 5L), (3L, 40L, 60L))
+      .toDF("rid", "lo", "hi")
+    val naive = points.join(ranges,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "rid").collect().toSet
+    val banded = RangeJoin.bandJoin(points, "v", ranges, "lo", "hi", 7L)
+      .select("pid", "rid").collect().toSet
+    assert(banded == naive && naive.nonEmpty)
+  }
+
+  test("bandJoin rejects mixed integral/floating join columns") {
+    val points = Seq((1L, 5L)).toDF("pid", "v")
+    val ranges = Seq((1L, 0.0, 10.0)).toDF("rid", "lo", "hi")
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.bandJoin(points, "v", ranges, "lo", "hi", 5L)
+    }
+  }
 }

@@ -103,4 +103,32 @@ class IOSpec extends SparkSpec {
     val back = spark.read.parquet(s"$out/t.parquet")
     assert(back.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
+
+  test("compact range-clusters files: per-file key ranges never overlap") {
+    val out = tmpDir("compact-out")
+    // deliberately scrambled input, as ingest leaves it
+    val df = scala.util.Random.shuffle((1 to 4000).toList)
+      .map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    IO.compact(df, s"$out/t", Seq("k"), partitions = 4,
+      maxRecordsPerFile = 600L)
+    val files = new java.io.File(s"$out/t").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 4, s"maxRecordsPerFile did not split: ${files.length}")
+    // the layout property compaction exists for: each file covers a key
+    // range disjoint from every other, so min/max stats prune whole files
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping file ranges: $hi vs $lo")
+      case _ =>
+    }
+    // nothing lost or changed
+    val back = spark.read.parquet(s"$out/t")
+    assert(back.count() == 4000)
+    assert(back.agg(sum(col("k"))).head().getLong(0) == 4000L * 4001 / 2)
+  }
 }
