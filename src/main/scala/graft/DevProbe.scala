@@ -33,6 +33,18 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("spans")) {
+      spansProbe(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("tfidf")) {
+      tfidfProbe(spark, args.lift(1).map(_.toLong).getOrElse(100000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -128,6 +140,70 @@ object DevProbe {
     time("exact dedup census")(
       Dedup.distinctMinIds(docs, "doc_id", "text").count())
     facts.unpersist(); dim.unpersist()
+  }
+
+  /** Duplicated-passage scale probe (`runMain graft.DevProbe spans [n]`):
+    * n docs of ~60-180 tokens, 10% exact dups + a boilerplate footer on
+    * every 7th doc — the shape where span detection has real work. At 1M
+    * docs this emits tens of millions of (md5, id) rows; the probe proves
+    * the hash-keyed reduce holds (no text in the shuffle, partial
+    * aggregation collapses repeated spans map-side). */
+  private def spansProbe(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val footer = " CONFIDENTIAL DO NOT DISTRIBUTE COPYRIGHT TWENTY TWENTY SIX ALL RIGHTS RESERVED"
+    val docs = spark.range(n).map { i =>
+      val rnd = new scala.util.Random(i)
+      val base = Array.fill(60 + rnd.nextInt(120))(s"w${rnd.nextInt(4000)}")
+        .mkString(" ")
+      val t =
+        if (i % 10 == 0 && i > 0) {
+          val prev = new scala.util.Random(i - 1)
+          Array.fill(60 + prev.nextInt(120))(s"w${prev.nextInt(4000)}")
+            .mkString(" ")                              // exact dup of i-1
+        } else if (i % 7 == 0) base + footer            // shared boilerplate
+        else base
+      (i, t)
+    }.toDF("doc_id", "text").cache()
+    docs.count()
+    val t0 = System.nanoTime()
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 40, stride = 10, minDocs = 2).cache()
+    val nSpans = spans.count()
+    val maxDocs = spans.agg(max(col("n_docs"))).head().getLong(0)
+    println(f"[spans $n] dup_span_hashes=$nSpans max_docs_per_span=$maxDocs " +
+      f"time=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    spans.unpersist(); docs.unpersist()
+  }
+
+  /** Inverted-index TF-IDF scale probe (`runMain graft.DevProbe tfidf [n]`):
+    * measures the term-partitioned pair join at corpus scale with the df
+    * cap doing its job — the probe prints the candidate-pair count so the
+    * fan-out bound is visible, not assumed. The vocabulary must out-scale
+    * the corpus (a rare tail, like real text): with a small vocab every
+    * term's df exceeds the cap and ALL pairs vanish — the cap working as
+    * designed, but measuring nothing. */
+  private def tfidfProbe(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val vocab = math.max(1000000L, n * 10)
+    val docs = spark.range(n).map { i =>
+      val rnd = new scala.util.Random(i)
+      val t =
+        if (i % 10 == 0 && i > 0) {
+          val prev = new scala.util.Random(i - 1)
+          Array.fill(40 + prev.nextInt(40))(s"w${prev.nextInt(vocab.toInt)}")
+            .mkString(" ")                              // exact dup of i-1
+        } else Array.fill(40 + rnd.nextInt(40))(s"w${rnd.nextInt(vocab.toInt)}")
+          .mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text").cache()
+    docs.count()
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.SparseSimilarity.tfidfPairs(
+      docs, "doc_id", "text", maxDf = 50L, minCos = 0.8).cache()
+    val nPairs = pairs.count()
+    println(f"[tfidf $n] pairs_cos_ge_0.8=$nPairs " +
+      f"time=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    pairs.unpersist(); docs.unpersist()
   }
 
   /** Text-surface scale probe: a seeded n-doc synthetic corpus (10% exact
