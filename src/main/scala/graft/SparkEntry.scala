@@ -1095,6 +1095,50 @@ object SparkEntry {
           maxDf = 50L, minCos = 0.30)
         .orderBy(col("id1"), col("id2"))),
 
+    // D-hash-sample: deterministic content-keyed sampling — md5-threshold
+    // gate, engine-reproducible (unlike seeded RNG sampling, which is
+    // partition-layout-dependent and rows-only in this gate), monotone in
+    // the fraction. THE oracled sampling path.
+    "q_d_hash_sample" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(
+          t(s, dir, "documents"), "doc_id", fraction = 0.25, salt = "g1")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("lang"))),
+
+    // D-group-split: leakage-safe train/val/test folds — every row of a
+    // source lands in the same fold (correlated rows never straddle a
+    // train/eval boundary); deterministic salted-hash cuts
+    "q_d_group_split" -> ((s, dir) =>
+      graft.operators.Sampling.groupSplit(
+          t(s, dir, "documents"), "source", cuts = Seq(0.8, 0.9), salt = "g2")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("fold"))),
+
+    // S-evolved: schema-evolution scan — two ingest batches written under
+    // different schema versions (v2 adds n_chars) reconcile through
+    // mergeSchema; old-batch rows surface the new column as null. The
+    // oracle emulates the evolution with a CASE over the source table.
+    "q_s_evolved" -> ((s, dir) => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_evolved").getAbsolutePath
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") < 250).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      d.filter(col("doc_id") >= 250).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      graft.sources.IO.readEvolved(s, path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
     // J-range: band (range) join — points equi-joined to quantized range
     // buckets then refined, instead of the BroadcastNestedLoopJoin a raw
     // BETWEEN join plans (quadratic at scale; no-BNLJ asserted in
@@ -2006,6 +2050,38 @@ object SparkEntry {
         |FROM dotp JOIN nr x ON x.doc_id = id1 JOIN nr y ON y.doc_id = id2
         |WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= 0.30
         |ORDER BY id1, id2""".stripMargin,
+
+    // hash sample: identical md5-threshold gate — fixed-length lowercase
+    // hex compares identically in both engines; 0.25 → 0x40000000 prefix
+    "q_d_hash_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR) || 'g1')
+        |      < '40000000000000000000000000000000'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // group split: same salted-hash cuts (0.8 → 0xcccccccc, 0.9 → 0xe6666666)
+    "q_d_group_split" ->
+      """SELECT CAST(fold AS INTEGER) AS fold, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CASE WHEN md5(source || 'g2') < 'cccccccc000000000000000000000000' THEN 0
+        |         WHEN md5(source || 'g2') < 'e6666666000000000000000000000000' THEN 1
+        |         ELSE 2 END AS fold
+        |  FROM documents)
+        |GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // schema evolution: the oracle emulates the two-batch layout with a
+    // CASE — v1 rows (doc_id < 250) never carried n_chars
+    "q_s_evolved" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN doc_id >= 250 THEN n_chars END) AS BIGINT) AS n_with_chars,
+        |  CAST(sum(CASE WHEN doc_id >= 250 THEN n_chars END) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // range join: the oracle uses the raw BETWEEN join — a hash match
     // proves the bucket-explode + refine rewrite is exactly equivalent

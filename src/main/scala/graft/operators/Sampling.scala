@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling and splitting.
+  *
+  * `df.sample(fraction, seed)` is partition-layout-dependent: the same
+  * seed yields a different sample when the file count, cluster size, or
+  * upstream plan changes — unacceptable for a training corpus that must
+  * be reproducible across reruns and engines. These operators key the
+  * decision on a content hash instead: a row's fate depends only on its
+  * key, so samples are stable across runs, partitionings, engines
+  * (md5 is md5 everywhere), and are MONOTONE in the fraction (the 10%
+  * sample is a subset of the 20% sample — growing a corpus never churns
+  * the already-selected rows). Pure map-side filters, no shuffle, no RNG.
+  */
+object Sampling {
+
+  /** Lowercase-hex md5 threshold covering `fraction` of the hash space:
+    * fixed-length hex compares lexicographically == numerically, so
+    * `md5(key) < threshold` keeps an unbiased `fraction` of distinct keys. */
+  private[operators] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    if (fraction >= 1.0) "g" // above every hex digit — keeps everything
+    else f"${math.min((fraction * (1L << 32)).toLong, 0xffffffffL)}%08x" + "0" * 24
+  }
+
+  private def hash(keyCol: Column, salt: String): Column =
+    md5(concat(keyCol.cast("string"), lit(salt)))
+
+  /** Keep rows whose salted key-hash lands in the bottom `fraction` of
+    * the hash space. Change `salt` to draw an independent sample. Keys
+    * hash as their string form — distinct keys get independent fates;
+    * duplicate keys travel together (often exactly what a corpus sample
+    * wants: all copies in or all out). */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hash(col(keyCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Leakage-safe fold assignment: every row of a GROUP (a source, a
+    * document family, a user) lands in the same fold, so correlated rows
+    * can never straddle a train/eval boundary. `cuts` are cumulative
+    * fractions (e.g. Seq(0.8, 0.9) → folds 0/1/2 at 80/10/10). Adds an
+    * integer `fold` column; assignment is the salted group-hash measured
+    * against the cut thresholds — deterministic and engine-reproducible. */
+  def groupSplit(df: DataFrame, groupCol: String, cuts: Seq[Double],
+      salt: String = ""): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.last < 1.0,
+      s"cuts must be ascending cumulative fractions below 1.0: $cuts")
+    val h = hash(col(groupCol), salt)
+    val fold = cuts.zipWithIndex.foldRight(lit(cuts.size): Column) {
+      case ((cut, i), acc) => when(h < lit(hexThreshold(cut)), lit(i)).otherwise(acc)
+    }
+    df.withColumn("fold", fold)
+  }
+}

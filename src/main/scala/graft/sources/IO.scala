@@ -110,6 +110,15 @@ object IO {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Schema-evolution scan: reconcile parquet files written under
+    * DIFFERENT schema versions into one DataFrame (columns absent in old
+    * files surface as nulls). Long-lived 100 TB tables accrete columns
+    * over years of ingest batches; `mergeSchema` pays one footer-level
+    * reconciliation pass at planning (per-file FOOTERS, not data) —
+    * which is why it is opt-in here and not the default scan. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Sorted compaction: rewrite a dataset as range-partitioned,
     * within-partition-sorted parquet with a bounded per-file row count.
     * This is the periodic maintenance pass every large table needs:

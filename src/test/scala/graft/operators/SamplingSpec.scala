@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Deterministic sampling/splitting: reproducibility across partition
+  * layouts, monotonicity in the fraction, leakage-safe group folds. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1L to 2000L).map(i => (i, s"grp${i % 37}"))
+
+  test("hashSample is layout-independent and roughly unbiased") {
+    val df1 = rows.toDF("id", "g")                       // one layout
+    val df8 = rows.toDF("id", "g").repartition(8)        // another
+    val s1 = Sampling.hashSample(df1, "id", 0.25, "s").select("id")
+      .as[Long].collect().toSet
+    val s8 = Sampling.hashSample(df8, "id", 0.25, "s").select("id")
+      .as[Long].collect().toSet
+    assert(s1 == s8, "sample changed with partitioning")
+    assert(math.abs(s1.size / 2000.0 - 0.25) < 0.05, s"biased: ${s1.size}")
+  }
+
+  test("hashSample is monotone in the fraction and salt-independent draws differ") {
+    val df = rows.toDF("id", "g")
+    val s10 = Sampling.hashSample(df, "id", 0.10, "s").select("id").as[Long].collect().toSet
+    val s30 = Sampling.hashSample(df, "id", 0.30, "s").select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30), "growing the fraction churned the sample")
+    val other = Sampling.hashSample(df, "id", 0.10, "t").select("id").as[Long].collect().toSet
+    assert(s10 != other, "different salts must draw different samples")
+  }
+
+  test("hashSample edge fractions keep nothing / everything") {
+    val df = rows.toDF("id", "g")
+    assert(Sampling.hashSample(df, "id", 0.0).count() == 0)
+    assert(Sampling.hashSample(df, "id", 1.0).count() == 2000)
+  }
+
+  test("groupSplit never splits a group across folds and covers all cuts") {
+    val df = rows.toDF("id", "g")
+    val folded = Sampling.groupSplit(df, "g", Seq(0.5, 0.75), "s")
+    val perGroup = folded.groupBy("g")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .agg(max(col("nf"))).head().getLong(0)
+    assert(perGroup == 1L, "a group straddled folds")
+    val folds = folded.select("fold").distinct().as[Int].collect().toSet
+    assert(folds.subsetOf(Set(0, 1, 2)))
+    assert(folds.contains(0) && folds.contains(2), s"degenerate split: $folds")
+  }
+
+  test("groupSplit rejects malformed cuts") {
+    val df = rows.toDF("id", "g")
+    assertThrows[IllegalArgumentException] {
+      Sampling.groupSplit(df, "g", Seq(0.9, 0.5))
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.groupSplit(df, "g", Seq(0.5, 1.0))
+    }
+  }
+}
