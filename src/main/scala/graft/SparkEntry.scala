@@ -1095,6 +1095,79 @@ object SparkEntry {
           maxDf = 50L, minCos = 0.30)
         .orderBy(col("id1"), col("id2"))),
 
+    // W-moving: time-RANGE moving aggregate — per-user trailing-hour mean
+    // via rangeBetween on the epoch-nanos long (a RANGE frame, so tied
+    // timestamps aggregate identically regardless of intra-tie order)
+    "q_w_moving_avg" -> ((s, dir) => {
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-hourNs, 0)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          count(col("value")).over(w).as("n_window"),
+          (sum(col("value").cast("decimal(38,6)")).over(w).cast("double") /
+            count(col("value")).over(w)).as("mov_avg"))
+        .orderBy(col("event_id"))
+    }),
+
+    // A-median: exact interpolated percentiles per group — Spark's exact
+    // `percentile` aggregate vs DuckDB's quantile_cont (same linear-
+    // interpolation definition)
+    "q_a_group_median" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // F-hof: higher-order array functions — filter/exists/transform+
+    // aggregate over the token array, all integer-exact
+    "q_f_hof" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          size(filter(col("toks"),
+            tok => length(tok) > 4)).as("n_long"),
+          array_contains(col("toks"), "the").as("has_the"),
+          expr("aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)")
+            .as("sum_tok_chars"))
+        .orderBy(col("doc_id"))),
+
+    // J-nullsafe: null-safe equi-join (<=>) — null bucket keys MATCH the
+    // dim's null row instead of dropping, the semantics a dimension join
+    // over nullable foreign keys needs
+    "q_j_nullsafe" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value").isNull, lit(null).cast("bigint"))
+            .otherwise(floor(col("value") / 50).cast("bigint")).as("vb"))
+      val dim = ev.select(col("vb")).distinct()
+        .select(col("vb").as("vb2"),
+          coalesce(col("vb").cast("string"), lit("null-bucket")).as("label"))
+      ev.join(dim, col("vb") <=> col("vb2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
+    // SO-byname: union by NAME with missing columns — heterogeneous
+    // batches align on column names (missing ones null-fill), the
+    // position-blind union long-lived pipelines need
+    "q_so_union_byname" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("doc_id") < 250).select("doc_id", "lang")
+      val b = d.filter(col("doc_id") >= 250).select("doc_id", "n_chars")
+      a.unionByName(b, allowMissingColumns = true)
+        .agg(count(lit(1)).as("n"),
+          count(col("lang")).as("n_lang"),
+          count(col("n_chars")).as("n_chars_present"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // D-hash-sample: deterministic content-keyed sampling — md5-threshold
     // gate, engine-reproducible (unlike seeded RNG sampling, which is
     // partition-layout-dependent and rows-only in this gate), monotone in
@@ -2050,6 +2123,66 @@ object SparkEntry {
         |FROM dotp JOIN nr x ON x.doc_id = id1 JOIN nr y ON y.doc_id = id2
         |WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= 0.30
         |ORDER BY id1, id2""".stripMargin,
+
+    // moving window: RANGE frame over epoch nanos; decimal-cast sum
+    "q_w_moving_avg" ->
+      """SELECT event_id,
+        |  CAST(count(value) OVER w AS BIGINT) AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    / count(value) OVER w AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // group median: quantile_cont == Spark's exact percentile (linear
+    // interpolation); ROUND(,6) absorbs the interpolation arithmetic
+    "q_a_group_median" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // HOF battery: list_filter / list_contains / list_transform+list_sum
+    "q_f_hof" ->
+      """SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER) AS n_long,
+        |  list_contains(toks, 'the') AS has_the,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS sum_tok_chars
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // null-safe join: IS NOT DISTINCT FROM == Spark's <=>
+    "q_j_nullsafe" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CASE WHEN value IS NULL THEN NULL
+        |         ELSE CAST(FLOOR(value / 50) AS BIGINT) END AS vb
+        |  FROM events),
+        |dim AS (
+        |  SELECT vb AS vb2,
+        |    COALESCE(CAST(vb AS VARCHAR), 'null-bucket') AS label
+        |  FROM (SELECT DISTINCT vb FROM ev))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n
+        |FROM ev JOIN dim ON ev.vb IS NOT DISTINCT FROM dim.vb2
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    // union by name: emulated with explicit NULL columns
+    "q_so_union_byname" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(lang) AS BIGINT) AS n_lang,
+        |  CAST(count(n_chars) AS BIGINT) AS n_chars_present,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM u""".stripMargin,
 
     // hash sample: identical md5-threshold gate — fixed-length lowercase
     // hex compares identically in both engines; 0.25 → 0x40000000 prefix
