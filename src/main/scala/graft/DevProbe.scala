@@ -199,7 +199,8 @@ object DevProbe {
     docs.count()
     val t0 = System.nanoTime()
     val pairs = graft.operators.SparseSimilarity.tfidfPairs(
-      docs, "doc_id", "text", maxDf = 50L, minCos = 0.8).cache()
+      docs, "doc_id", "text", maxDf = 50L, minCos = 0.8,
+      materialize = _.localCheckpoint()).cache()
     val nPairs = pairs.count()
     println(f"[tfidf $n] pairs_cos_ge_0.8=$nPairs " +
       f"time=${(System.nanoTime() - t0) / 1e9}%.1fs")
