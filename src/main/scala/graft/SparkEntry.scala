@@ -1095,6 +1095,21 @@ object SparkEntry {
           maxDf = 50L, minCos = 0.30)
         .orderBy(col("id1"), col("id2"))),
 
+    // X-tfidf-clusters: second clustering capstone — connected components
+    // over the TF-IDF cosine edge set (vs q_x_dup_clusters' MinHash
+    // edges): inverted-index pair generation feeds the iterative
+    // min-label propagation; the oracle closes the same edge set with a
+    // recursive CTE. Different edge semantics, same scale shape: no
+    // cross join anywhere, edges and labels shuffle by id.
+    "q_x_tfidf_clusters" -> ((s, dir) => {
+      val edges = graft.operators.SparseSimilarity.tfidfPairs(
+          tw(s, dir, "documents"), "doc_id", "text",
+          maxDf = 50L, minCos = 0.95)
+        .select("id1", "id2")
+      graft.operators.Dedup.connectedComponents(edges)
+        .orderBy(col("id"))
+    }),
+
     // W-moving: time-RANGE moving aggregate — per-user trailing-hour mean
     // via rangeBetween on the epoch-nanos long (a RANGE frame, so tied
     // timestamps aggregate identically regardless of intra-tie order)
@@ -2123,6 +2138,45 @@ object SparkEntry {
         |FROM dotp JOIN nr x ON x.doc_id = id1 JOIN nr y ON y.doc_id = id2
         |WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= 0.30
         |ORDER BY id1, id2""".stripMargin,
+
+    // tfidf clusters: the tf-idf edge set (same formulation as
+    // q_x_tfidf_pairs at cos >= 0.95) closed with a recursive CTE —
+    // min reachable id per node, like the q_x_dup_clusters oracle
+    "q_x_tfidf_clusters" ->
+      """WITH RECURSIVE tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfx AS (
+        |  SELECT word, count(*) AS df FROM tf
+        |  GROUP BY 1 HAVING count(*) <= 50),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.word,
+        |         tf.tf * ROUND(ln(n.n_docs / dfx.df), 6) AS w
+        |  FROM tf JOIN dfx USING (word) CROSS JOIN n),
+        |nr AS (
+        |  SELECT doc_id,
+        |         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |dotp AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id1, id2
+        |  FROM dotp JOIN nr x ON x.doc_id = id1 JOIN nr y ON y.doc_id = id2
+        |  WHERE ROUND(dot / (x.nrm * y.nrm), 6) >= 0.95),
+        |sym AS (SELECT id1 a, id2 b FROM edges UNION SELECT id2, id1 FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+        |SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
 
     // moving window: RANGE frame over epoch nanos; decimal-cast sum
     "q_w_moving_avg" ->

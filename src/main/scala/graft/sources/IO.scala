@@ -110,6 +110,24 @@ object IO {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Corrupt-tolerant JSONL scan: malformed lines land whole in a
+    * `_bad_record` column instead of poisoning the batch (PERMISSIVE
+    * mode) — the posture a 100 TB crawl ingest needs, where some
+    * fraction of lines is ALWAYS broken and one bad byte must not kill
+    * a 10-hour job. Returns rows for every input line; callers filter
+    * `_bad_record IS NULL` for the clean slice and route the rest to a
+    * quarantine sink. Caveat: Spark disallows projections that touch
+    * ONLY the corrupt column over the raw file
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize (cache/write)
+    * before a corrupt-only audit query. */
+  def readJsonlPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_bad_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad_record")
+      .json(path)
+
   /** Schema-evolution scan: reconcile parquet files written under
     * DIFFERENT schema versions into one DataFrame (columns absent in old
     * files surface as nulls). Long-lived 100 TB tables accrete columns

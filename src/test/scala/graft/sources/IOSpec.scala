@@ -104,6 +104,29 @@ class IOSpec extends SparkSpec {
     assert(back.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
 
+  test("permissive jsonl scan quarantines corrupt lines, keeps the rest") {
+    val out = tmpDir("permissive")
+    val lines = Seq(
+      """{"id": 1, "text": "ok one"}""",
+      """{"id": 2, "text": "ok two"""", // truncated — corrupt
+      """not json at all""",
+      """{"id": 4, "text": "ok four"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/in.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, text STRING")
+    // cache: Spark refuses corrupt-record-ONLY projections over the raw
+    // file (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — parse once, then slice
+    val back = IO.readJsonlPermissive(spark, s"$out/in.jsonl", schema).cache()
+    assert(back.count() == 4, "a corrupt line must not drop rows")
+    val clean = back.filter(col("_bad_record").isNull)
+    assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val bad = back.filter(col("_bad_record").isNotNull)
+      .select("_bad_record").as[String].collect().toSeq
+    assert(bad.size == 2 && bad.exists(_.contains("not json")))
+  }
+
   test("compact range-clusters files: per-file key ranges never overlap") {
     val out = tmpDir("compact-out")
     // deliberately scrambled input, as ingest leaves it
