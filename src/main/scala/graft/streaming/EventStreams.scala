@@ -98,6 +98,48 @@ object EventStreams {
       }
   }
 
+  final case class WindowTop(bucket_start: Timestamp, rank: Int,
+      item: String, est: Long)
+
+  /** Streaming heavy hitters per tumbling window: one Misra-Gries summary
+    * ([[graft.functions.FreqSketch.Buffer]]) per window in state — at most
+    * `capacity` counters per window regardless of the item domain, so an
+    * unbounded-cardinality stream (urls, user agents) can't grow state the
+    * way an exact `groupBy(window, item)` would. The window finalizes and
+    * emits its top-k when the event-time watermark passes the window end;
+    * state evicts with it. Same exactness rule as the batch aggregate:
+    * counts are exact whenever distinct items in the window <= capacity. */
+  def windowedTopTypes(events: Dataset[Event], windowMs: Long = 3600 * 1000L,
+      capacity: Int = 64, k: Int = 3,
+      watermark: String = "2 hours"): Dataset[WindowTop] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => e.ts.getTime / windowMs)
+      .flatMapGroupsWithState[Map[String, Long], WindowTop](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: Long, batch: Iterator[Event], state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val top = state.get.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
+            state.remove()
+            top.zipWithIndex.iterator.map { case ((item, c), r) =>
+              WindowTop(new Timestamp(bucket * windowMs), r + 1, item, c)
+            }
+          } else {
+            val buf = new graft.functions.FreqSketch.Buffer(capacity)
+            state.getOption.foreach(_.foreach { case (i, c) =>
+              buf.counts.update(i, c) })
+            batch.foreach(e => buf.add(e.event_type))
+            state.update(buf.counts.toMap)
+            // fire once the watermark passes the window end (never set a
+            // timeout at or before the current watermark)
+            state.setTimeoutTimestamp(
+              math.max((bucket + 1) * windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stateful exact stream dedup on event_id; with a watermark the dedup
     * state is evicted as event time advances (bounded state at 100 TB/day
     * rates — an unwatermarked stream dedup grows forever). */

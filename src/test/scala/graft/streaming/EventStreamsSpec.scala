@@ -134,6 +134,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopTypes emits a window's heavy hitters when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedTopTypes(in.toDS(),
+        windowMs = 3600 * 1000L, capacity = 16, k = 2, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("win_top")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 2, "click", 1.0),
+        Event(3, ts(15), 3, "click", 1.0),
+        Event(4, ts(20), 4, "view", 1.0),
+        Event(5, ts(25), 5, "view", 1.0),
+        Event(6, ts(30), 6, "scroll", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("win_top").count() == 0) // window still open
+
+      // event far past hour 0 + watermark → finalizes the first window
+      in.addData(Event(7, ts(300), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_top")
+        .select("bucket_start", "rank", "item", "est")
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getString(2),
+          r.getLong(3))).toSeq.sortBy(_._2)
+      assert(rows == Seq((ts(0), 1, "click", 3L), (ts(0), 2, "view", 2L)))
+    } finally q.stop()
+  }
+
   test("batch twin groups the fixture events into hour buckets") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStreams.windowedTypeCountsBatch(events)
