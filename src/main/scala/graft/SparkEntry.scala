@@ -1126,6 +1126,34 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // A-moments: mean/variance/skewness per group derived from DECIMAL
+    // power sums (sum x, sum x², sum x³) — order-independent and
+    // definition-neutral (Spark's skewness() and DuckDB's use different
+    // bias corrections, so the gate computes the population moments from
+    // raw sums identically in both engines)
+    "q_a_moments" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val n = count(x).cast("double")
+      val s1 = sum(x.cast("decimal(38,6)")).cast("double")
+      val s2 = sum((x * x).cast("decimal(38,6)")).cast("double")
+      val s3 = sum((x * x * x).cast("decimal(38,6)")).cast("double")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(n.as("__n"), s1.as("__s1"), s2.as("__s2"), s3.as("__s3"))
+        .select(col("l_returnflag"),
+          round(col("__s1") / col("__n"), 6).as("mean"),
+          round(col("__s2") / col("__n") -
+            (col("__s1") / col("__n")) * (col("__s1") / col("__n")), 6)
+            .as("variance"),
+          round((col("__s3") / col("__n") -
+              lit(3) * (col("__s1") / col("__n")) * (col("__s2") / col("__n")) +
+              lit(2) * pow(col("__s1") / col("__n"), 3)) /
+            pow(col("__s2") / col("__n") -
+              (col("__s1") / col("__n")) * (col("__s1") / col("__n")), 1.5), 6)
+            .as("skewness"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A-median: exact interpolated percentiles per group — Spark's exact
     // `percentile` aggregate vs DuckDB's quantile_cont (same linear-
     // interpolation definition)
@@ -2188,6 +2216,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
         |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // moments: identical power-sum formulation (population moments)
+    "q_a_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(l_quantity) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND(s1 / n, 6) AS mean,
+        |  ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS variance,
+        |  ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3))
+        |        / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     // group median: quantile_cont == Spark's exact percentile (linear
     // interpolation); ROUND(,6) absorbs the interpolation arithmetic
