@@ -33,6 +33,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("freq")) {
+      freqProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("spans")) {
       spansProbe(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
       spark.stop()
@@ -140,6 +146,42 @@ object DevProbe {
     time("exact dedup census")(
       Dedup.distinctMinIds(docs, "doc_id", "text").count())
     facts.unpersist(); dim.unpersist()
+  }
+
+  /** Heavy-hitters scale probe (`runMain graft.DevProbe freq [n]`): n rows,
+    * 40% on one hot key, the rest spread over ~n/10 distinct tail items —
+    * the domain where exact `GROUP BY item` shuffles one row per DISTINCT
+    * item while the Misra-Gries aggregate shuffles at most `capacity`
+    * counters per partition. Prints both wall times and checks the sketch
+    * put the hot item first with an estimate inside the error bound. */
+  private def freqProbe(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val tail = math.max(n / 10, 1000L)
+    val items = spark.range(n).map { i =>
+      if (new scala.util.Random(i).nextDouble() < 0.4) "hot"
+      else s"item_${i % tail}"
+    }.toDF("item").cache()
+    items.count()
+
+    val t0 = System.nanoTime()
+    val exact = items.groupBy(col("item")).count()
+      .orderBy(col("count").desc, col("item")).limit(5).collect()
+    val tExact = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val sketchTop = items
+      .agg(graft.functions.FreqItems.freqItems(col("item"), 64, 5).as("top"))
+      .select(explode(col("top")).as("h"))
+      .select(col("h.item"), col("h.est")).collect()
+    val tSketch = (System.nanoTime() - t1) / 1e9
+
+    val trueHot = exact.head.getLong(1)
+    val estHot = sketchTop.head.getLong(1)
+    println(f"[freq $n] exact=${tExact}%.2fs sketch=${tSketch}%.2fs " +
+      f"hot_true=$trueHot hot_est=$estHot " +
+      s"rank1=${sketchTop.head.getString(0)} " +
+      f"bound_ok=${estHot <= trueHot && estHot >= trueHot - n / 65}")
+    items.unpersist()
   }
 
   /** Duplicated-passage scale probe (`runMain graft.DevProbe spans [n]`):
