@@ -31,6 +31,20 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch path for sink round-trip queries, keyed by the input dir so
+    * two concurrent gate/test runs on one host (different sfDirs) never
+    * delete or overwrite each other's data mid-query. Same-sfDir runs
+    * still share a path — that is the per-(sfDir) cache behavior the IVF
+    * index fixture uses deliberately. */
+  private def tmpFor(dir: String, name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${name}_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+
+  /** Catalog-object suffix with the same per-(sfDir) isolation as
+    * [[tmpFor]] (table names collide across concurrent runs too). */
+  private def runToken(dir: String): String =
+    Integer.toHexString(dir.hashCode)
+
   /** Wide variant for per-row compute-heavy queries: the fixture tables are
     * single-file/single-row-group parquet — an unsplittable scan, so every
     * stage before the first exchange runs as ONE task no matter how many
@@ -906,8 +920,7 @@ object SparkEntry {
     // oracle computes the same aggregate from the parquet directly, so any
     // round-trip corruption (types, escaping, nulls) breaks the hash.
     "q_s_jsonl" -> ((s, dir) => {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_roundtrip").getAbsolutePath
+      val path = tmpFor(dir, "jsonl")
       graft.sources.IO.writeJsonl(
         t(s, dir, "documents").select("doc_id", "text", "lang", "source", "n_chars"),
         path)
@@ -939,8 +952,7 @@ object SparkEntry {
     // S-orc: ORC sink + scan round-trip (the Hive-lineage columnar
     // format) — same oracle-reads-parquet trick as q_s_jsonl
     "q_s_orc" -> ((s, dir) => {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_orc_roundtrip").getAbsolutePath
+      val path = tmpFor(dir, "orc")
       graft.sources.IO.writeOrc(
         t(s, dir, "documents").select("doc_id", "text", "lang", "source"), path)
       graft.sources.IO.readOrc(s, path)
@@ -954,8 +966,7 @@ object SparkEntry {
     // lang filter on the partitioned layout prunes whole directories at
     // planning time (PartitionFilters, asserted in PlanShapeSpec)
     "q_s_partitioned" -> ((s, dir) => {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_partitioned").getAbsolutePath
+      val path = tmpFor(dir, "part")
       graft.sources.IO.writePartitioned(
         t(s, dir, "documents").select("doc_id", "text", "n_chars", "lang"),
         path, Seq("lang"))
@@ -1025,16 +1036,15 @@ object SparkEntry {
     // The oracle joins the raw parquet — a hash match proves the bucketed
     // write→catalog→scan→join cycle preserved every row.
     "q_s_bucketed" -> ((s, dir) => {
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_bucketed").getAbsolutePath
+      val tmp = tmpFor(dir, "bucketed")
       graft.sources.Bucketing.writeBucketed(
         t(s, dir, "orders").select("o_custkey", "o_totalprice"),
-        "graft_orders_b", Seq("o_custkey"), 8, Some(s"$tmp/orders"))
+        s"graft_orders_b_${runToken(dir)}", Seq("o_custkey"), 8, Some(s"$tmp/orders"))
       graft.sources.Bucketing.writeBucketed(
         t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-        "graft_customer_b", Seq("c_custkey"), 8, Some(s"$tmp/customer"))
-      s.table("graft_orders_b")
-        .join(s.table("graft_customer_b"),
+        s"graft_customer_b_${runToken(dir)}", Seq("c_custkey"), 8, Some(s"$tmp/customer"))
+      s.table(s"graft_orders_b_${runToken(dir)}")
+        .join(s.table(s"graft_customer_b_${runToken(dir)}"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"),
@@ -1239,8 +1249,7 @@ object SparkEntry {
     // mergeSchema; old-batch rows surface the new column as null. The
     // oracle emulates the evolution with a CASE over the source table.
     "q_s_evolved" -> ((s, dir) => {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_evolved").getAbsolutePath
+      val path = tmpFor(dir, "evolved")
       val d = t(s, dir, "documents")
       d.filter(col("doc_id") < 250).select("doc_id", "lang")
         .write.mode("overwrite").parquet(s"$path/batch=1")
@@ -1279,8 +1288,7 @@ object SparkEntry {
     // predicates); the oracle aggregates the source directly, so the
     // round-trip proves the rewrite lost/changed nothing
     "q_s_compacted" -> ((s, dir) => {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_compacted").getAbsolutePath
+      val path = tmpFor(dir, "compacted")
       graft.sources.IO.compact(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
         path, Seq("l_orderkey", "l_linenumber"), partitions = 8,
@@ -1305,9 +1313,10 @@ object SparkEntry {
           window = 40, stride = 10, minDocs = 2)
         .orderBy(col("h"))),
 
-    // X-gate: adaptive per-source quality gate — keep docs at/above their
-    // OWN source's p25 by length; a per-group percentile instead of one
-    // global threshold. Output is the per-source census of survivors.
+    // X-gate: adaptive per-source quality gate — drop each source's own
+    // bottom length-quartile (rank/n > 0.25; small groups degrade
+    // proportionally instead of vanishing). Output is the per-source
+    // census of survivors.
     "q_x_quality_gate" -> ((s, dir) =>
       graft.operators.TextAnalysis.percentileGate(
           t(s, dir, "documents"), Seq("source"), "n_chars", "doc_id",
@@ -2349,17 +2358,19 @@ object SparkEntry {
         |FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY h""".stripMargin,
 
-    // percentile gate: same percent_rank-within-source formulation
+    // percentile gate: same rank/n-within-source quantile rule (drops
+    // floor(minPct*n) rows per group; singleton groups always survive)
     "q_x_quality_gate" ->
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars,
-        |         percent_rank() OVER (PARTITION BY source
-        |           ORDER BY n_chars, doc_id) AS pr
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
         |  FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n,
         |       min(n_chars) AS min_len,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_id
-        |FROM ranked WHERE pr >= 0.25
+        |FROM ranked WHERE CAST(rk AS DOUBLE) / n > 0.25
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // freq items: capacity > distinct(event_type), so the Misra-Gries

@@ -46,7 +46,7 @@ object Dedup {
     * collisions in the hash-grouped exact paths. */
   private val VerifySalt = 0x9E3779B97F4A7C15L
 
-  /** Exact-duplicate groups: content hash → sorted ids sharing it (n > 1).
+  /** Exact-duplicate groups: content hash → member ids sharing it (n > 1).
     *
     * Groups on the 8-byte xxhash64 digest — never the document body — and
     * guards against 64-bit birthday collisions with an independent salted
@@ -54,21 +54,35 @@ object Dedup {
     * by the actual text (a join against only the collided digests; with AQE
     * the empty-build-side join collapses, so the refinement costs nothing
     * in the no-collision case). An escape needs the same pair to collide
-    * in both hashes (~2^-128 per pair). */
-  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * in both hashes (~2^-128 per pair).
+    *
+    * `n` is the EXACT group size; `ids` lists at most `maxIds` members —
+    * the group's smallest ids, ascending — through a bounded-heap
+    * aggregate ([[graft.functions.TopKAgg]]), so the aggregation buffer
+    * holds `maxIds` entries even when one boilerplate page is duplicated
+    * 10M times (an unbounded `collect_list` would put the whole member
+    * list in one buffer). Requires a numeric `idCol` (the heap orders ids
+    * numerically). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String,
+      maxIds: Int = 1024): DataFrame = {
+    // smallest `maxIds` ids == largest by the negated key; the heap's
+    // (ord desc) output order is therefore already id-ascending, and the
+    // heap bound makes the buffer O(maxIds) regardless of group size
+    def boundedIds: Column = graft.functions.TopK.topK(
+      col("__id") * -1, col("__id") * -1, col("__id"), maxIds).as("ids")
     val hashed = df.select(
       xxhash64(col(textCol)).as("content_hash"),
       xxhash64(lit(VerifySalt), col(textCol)).as("__h2"),
       col(idCol).as("__id"), col(textCol).as("__t"))
     val grouped = hashed.groupBy("content_hash")
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("__id"))).as("ids"),
+      .agg(count(lit(1)).as("n"), boundedIds,
         (min(col("__h2")) === max(col("__h2"))).as("__uniform"))
     val clean = grouped.filter(col("__uniform") && col("n") > 1)
       .select("content_hash", "n", "ids")
     val refined = hashed
       .join(grouped.filter(!col("__uniform")).select("content_hash"), "content_hash")
       .groupBy(col("content_hash"), col("__t"))
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("__id"))).as("ids"))
+      .agg(count(lit(1)).as("n"), boundedIds)
       .filter(col("n") > 1)
       .select("content_hash", "n", "ids")
     clean.unionByName(refined)
@@ -377,6 +391,9 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Set("__id", "__pos", "__t"))
+    require(clash.isEmpty,
+      s"duplicatedSpans reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
     val spans = docs
       .filter(length(col(textCol)) >= window)
       .select(col(idCol).as("__id"),

@@ -26,6 +26,12 @@ object RangeJoin {
       ranges: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // the internal bucket key must not collide with a caller column: a
+    // pre-existing __b would be silently replaced by withColumn (or make
+    // the using-join ambiguous) and corrupt the join
+    val clash = (points.columns ++ ranges.columns).toSet.intersect(Set("__b"))
+    require(clash.isEmpty,
+      s"bandJoin reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
     // The quantizer must be ONE monotone map applied to every value —
     // then lo <= pt <= hi guarantees bucket(pt) lands inside the exploded
     // [bucket(lo), bucket(hi)] integer interval. Integral columns use

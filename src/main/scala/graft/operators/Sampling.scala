@@ -26,14 +26,22 @@ object Sampling {
     else f"${math.min((fraction * (1L << 32)).toLong, 0xffffffffL)}%08x" + "0" * 24
   }
 
+  /** Null keys coalesce to a sentinel before hashing (a bare
+    * `concat(null, salt)` is null, and a null hash fails every `<`
+    * comparison — null-keyed rows would silently vanish even at
+    * fraction 1.0). The sentinel starts with NUL (U+0000), which no cast of a
+    * real value produces, so it cannot collide with a genuine key. All
+    * null-keyed rows share one fate, like any other duplicate key. */
   private def hash(keyCol: Column, salt: String): Column =
-    md5(concat(keyCol.cast("string"), lit(salt)))
+    md5(concat(coalesce(keyCol.cast("string"), lit("\u0000null")), lit(salt)))
 
   /** Keep rows whose salted key-hash lands in the bottom `fraction` of
     * the hash space. Change `salt` to draw an independent sample. Keys
     * hash as their string form — distinct keys get independent fates;
     * duplicate keys travel together (often exactly what a corpus sample
-    * wants: all copies in or all out). */
+    * wants: all copies in or all out). Null is one more key value: all
+    * null-keyed rows land in the same draw (and are all kept at
+    * fraction 1.0). */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame =
     df.filter(hash(col(keyCol), salt) < lit(hexThreshold(fraction)))

@@ -82,16 +82,30 @@ object Similarity {
         _.foldLeft(center)((b, i) => b ^ (1L << i)))
     }
 
+  /** Corpus row-count ESTIMATE from Catalyst plan statistics — never an
+    * action. Uses the optimizer's rowCount when available (CBO/ANALYZE),
+    * else sizeInBytes over an assumed row width. [[planesFor]] only needs
+    * the order of magnitude (it takes a log2), so a crude byte-based
+    * estimate moves the plane count by at most ±1 — and [[lshTopK]]'s
+    * Hamming-radius probe degrades gracefully under mis-sizing anyway. */
+  def estimateRows(df: DataFrame, assumedRowBytes: Long = 512L): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse(
+      math.max(1L, stats.sizeInBytes.toLong / math.max(1L, assumedRowBytes)))
+  }
+
   /** ANN top-k through hyperplane buckets. `planes <= 0` (the default)
-    * auto-scales the plane count to the corpus size via [[planesFor]] —
-    * that costs one `count()` at plan time; pass `planes` explicitly on a
-    * hot path. The probe scans every bucket within `maxHamming` bit flips
-    * of the query's bucket, so recall degrades gracefully instead of
-    * collapsing when buckets outnumber the corpus. */
+    * auto-scales the plane count to the corpus size via [[planesFor]],
+    * sized off plan STATISTICS ([[estimateRows]]) — plan construction
+    * stays action-free (no hidden `count()` job); pass `planes` explicitly
+    * when the corpus size is known. The probe scans every bucket within
+    * `maxHamming` bit flips of the query's bucket, so recall degrades
+    * gracefully instead of collapsing when buckets outnumber the corpus. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, planes: Int = 0, seed: Long = 42L,
       maxHamming: Int = 2, targetBucketSize: Int = 128): DataFrame = {
-    val nPlanes = if (planes > 0) planes else planesFor(corpus.count(), targetBucketSize)
+    val nPlanes = if (planes > 0) planes
+      else planesFor(estimateRows(corpus), targetBucketSize)
     val bucketed = hyperplaneBuckets(corpus, vecCol, nPlanes, seed, query.length)
     val ps = randomPlanes(query.length, nPlanes, seed)
     def dotQ(p: Array[Float]): Double =

@@ -276,27 +276,39 @@ object TextAnalysis {
     docs.filter(pmod(col(keyCol), lit(denom)) < rateExpr * denom)
   }
 
-  /** Adaptive (percentile-based) quality gate: keep rows whose `scoreCol`
-    * sits at or above the `minPct` percentile WITHIN their own group —
-    * per-source thresholds instead of one global cutoff, so a clean
-    * source is not decimated by a threshold tuned for a dirty one.
+  /** Adaptive (percentile-based) quality gate: drop each group's bottom
+    * `minPct` quantile of `scoreCol` — per-source thresholds instead of
+    * one global cutoff, so a clean source is not decimated by a threshold
+    * tuned for a dirty one.
     *
-    * Implemented as `percent_rank` over a (group)-partitioned window with
-    * a unique tiebreaker — exact, deterministic, and bounded by each
-    * group's own rows (a per-group sort, the floor for an exact
-    * percentile). When groups are huge and approximate thresholds are
-    * acceptable, the scale refinement is a per-group `approx_percentile`
-    * aggregate broadcast back as a threshold — same shape as the corpus
-    * IDF scalar, one aggregate plus a map-side filter, no window.
+    * A row survives when `rank / n > minPct` (rank = its 1-based position
+    * in the group's (score, tie) order, n = the group size): of an
+    * n-row group, exactly `floor(minPct * n)` rows are dropped. Unlike a
+    * `percent_rank >= minPct` filter — whose rank-1 row scores 0.0, so
+    * any positive threshold deletes singleton groups outright and takes
+    * half of every 2-row group — small groups degrade proportionally: a
+    * singleton survives every `minPct < 1`, and an n=2 group loses a row
+    * only once `minPct` reaches 0.5.
+    *
+    * Both windows (rank and group count) share the one group-partitioned
+    * exchange — exact, deterministic, bounded by each group's own rows.
+    * When groups are huge and approximate thresholds are acceptable, the
+    * scale refinement is a per-group `approx_percentile` aggregate
+    * broadcast back as a threshold — same shape as the corpus IDF scalar,
+    * one aggregate plus a map-side filter, no window.
     */
   def percentileGate(docs: DataFrame, groupCols: Seq[String],
       scoreCol: String, tieCol: String, minPct: Double): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val clash = docs.columns.toSet.intersect(Set("__rk", "__n"))
+    require(clash.isEmpty,
+      s"percentileGate reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val part = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(scoreCol), col(tieCol))
-    docs.withColumn("__pr", percent_rank().over(w))
-      .filter(col("__pr") >= minPct)
-      .drop("__pr")
+    val w = part.orderBy(col(scoreCol), col(tieCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("__rk").cast("double") / col("__n") > minPct)
+      .drop("__rk", "__n")
   }
 
   // ───────────────────── PII scrubbing ─────────────────────

@@ -42,6 +42,11 @@ object TimeSeries {
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, bucketWidth: Long,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("__v", "__b0", "__b1"))
+    require(clash.isEmpty,
+      s"resampleFill reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    require(keyCol != "bucket" && valCol != "bucket" && tsCol != "bucket",
+      "resampleFill emits a `bucket` column — rename the input's `bucket` first")
     // integer division — `/` on longs is DOUBLE division in Spark, and an
     // epoch-nanos value (~1.7e18) exceeds double's 2^53 integer range, so
     // bucket boundaries would shift by rounding

@@ -101,29 +101,56 @@ object EventStreams {
   final case class WindowTop(bucket_start: Timestamp, rank: Int,
       item: String, est: Long)
 
-  /** Streaming heavy hitters per tumbling window: one Misra-Gries summary
-    * ([[graft.functions.FreqSketch.Buffer]]) per window in state — at most
-    * `capacity` counters per window regardless of the item domain, so an
-    * unbounded-cardinality stream (urls, user agents) can't grow state the
-    * way an exact `groupBy(window, item)` would. The window finalizes and
-    * emits its top-k when the event-time watermark passes the window end;
-    * state evicts with it. Same exactness rule as the batch aggregate:
-    * counts are exact whenever distinct items in the window <= capacity. */
-  def windowedTopTypes(events: Dataset[Event], windowMs: Long = 3600 * 1000L,
-      capacity: Int = 64, k: Int = 3,
-      watermark: String = "2 hours"): Dataset[WindowTop] = {
+  /** Per-shard heavy-hitter candidates emitted by [[windowedShardTops]]. */
+  final case class ShardTop(bucket_start: Timestamp, shard: Int,
+      item: String, est: Long)
+
+  /** Sharded streaming heavy hitters, stage 1 of 2: one Misra-Gries
+    * summary ([[graft.functions.FreqSketch.Buffer]]) per (window, shard)
+    * in state — at most `capacity` counters per group regardless of the
+    * item domain, so an unbounded-cardinality stream (urls, user agents)
+    * can't grow state the way an exact `groupBy(window, item)` would.
+    *
+    * The state key is `(window, hash(item) % shards)`, NOT the window
+    * alone: a window-keyed formulation funnels every event of an hour
+    * window through ONE state group — one task on one executor — which
+    * serializes the window's full event volume at cluster rates. Sharding
+    * by the item hash spreads a window across `shards` independent state
+    * groups, and because an item's every occurrence hashes to the SAME
+    * shard, the shards partition the item domain: each item's full count
+    * lives in exactly one shard's summary. That makes the downstream
+    * merge a pure selection — any global top-k item ranks <= k within its
+    * own shard (fewer than k items beat it anywhere, in particular in its
+    * shard, under the same (count desc, item asc) order), so emitting
+    * each shard's top-k candidates loses nothing. Per-item counts keep
+    * the Misra-Gries guarantee against the SHARD's event count (error <=
+    * n_shard/(capacity+1), tighter than the unsharded bound; exact when
+    * the shard's distinct items <= capacity).
+    *
+    * A (window, shard) group finalizes and emits its top-k candidates
+    * when the event-time watermark passes the window end; state evicts
+    * with it. The watermark is global, so every shard of a window fires
+    * in the same micro-batch — the per-batch merge in
+    * [[windowedTopTypes]] therefore sees all of a window's shards
+    * together. */
+  def windowedShardTops(events: Dataset[Event], windowMs: Long = 3600 * 1000L,
+      capacity: Int = 64, k: Int = 3, shards: Int = 32,
+      watermark: String = "2 hours"): Dataset[ShardTop] = {
+    require(shards > 0, s"shards must be positive, got $shards")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
-      .groupByKey(e => e.ts.getTime / windowMs)
-      .flatMapGroupsWithState[Map[String, Long], WindowTop](
+      .groupByKey(e => (e.ts.getTime / windowMs,
+        math.floorMod(e.event_type.hashCode, shards)))
+      .flatMapGroupsWithState[Map[String, Long], ShardTop](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (bucket: Long, batch: Iterator[Event], state: GroupState[Map[String, Long]]) =>
+        (key: (Long, Int), batch: Iterator[Event], state: GroupState[Map[String, Long]]) =>
+          val (bucket, shard) = key
           if (state.hasTimedOut) {
             val top = state.get.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
             state.remove()
-            top.zipWithIndex.iterator.map { case ((item, c), r) =>
-              WindowTop(new Timestamp(bucket * windowMs), r + 1, item, c)
+            top.iterator.map { case (item, c) =>
+              ShardTop(new Timestamp(bucket * windowMs), shard, item, c)
             }
           } else {
             val buf = new graft.functions.FreqSketch.Buffer(capacity)
@@ -139,6 +166,43 @@ object EventStreams {
           }
       }
   }
+
+  /** Stage 2 of the sharded streaming top-k: global top-k per window from
+    * the per-shard candidates — a (window)-partitioned rank over at most
+    * `shards * k` rows per window, run per micro-batch (batch context, so
+    * the window function is legal; the stateful stage already bounded the
+    * volume). Selection is exactly the per-item counts' top-k because the
+    * shards partition the item domain (see [[windowedShardTops]]). */
+  def topKWithinWindows(shardTops: Dataset[ShardTop], k: Int): Dataset[WindowTop] = {
+    import shardTops.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_start"))
+      .orderBy(col("est").desc, col("item"))
+    shardTops.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("bucket_start"), col("rank"), col("item"), col("est"))
+      .as[WindowTop]
+  }
+
+  /** Streaming heavy hitters per tumbling window, end to end: the sharded
+    * stateful stage ([[windowedShardTops]]) merged per micro-batch via
+    * `foreachBatch` ([[topKWithinWindows]]). Returns the configured
+    * writer — call `.start()` (and set any checkpoint/trigger options)
+    * to run. `sink` receives the finalized windows' top-k rows each
+    * micro-batch; because the watermark is global, a window's shards all
+    * finalize in the same batch, so each window arrives at the sink
+    * exactly once and complete. */
+  def windowedTopTypes(events: Dataset[Event], windowMs: Long = 3600 * 1000L,
+      capacity: Int = 64, k: Int = 3, shards: Int = 32,
+      watermark: String = "2 hours")(
+      sink: Dataset[WindowTop] => Unit): org.apache.spark.sql.streaming.DataStreamWriter[ShardTop] =
+    windowedShardTops(events, windowMs, capacity, k, shards, watermark)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[ShardTop], _: Long) =>
+        sink(topKWithinWindows(batch, k))
+      }
 
   /** Stateful exact stream dedup on event_id; with a watermark the dedup
     * state is evicted as event time advances (bounded state at 100 TB/day

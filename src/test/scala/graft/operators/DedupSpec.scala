@@ -26,6 +26,16 @@ class DedupSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("exactDupGroups caps the member list at maxIds but keeps n exact") {
+    val many = ((1L to 10L).map(i => (i, "same text")) :+ (99L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactDupGroups(many, "doc_id", "text", maxIds = 3).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n") == 10L) // exact size, not the cap
+    // the capped list is the group's smallest ids, ascending
+    assert(g.head.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("exactByText and distinctMinIds agree with a raw-text groupBy") {
     val kept = Dedup.exactByText(docs, "text", col("doc_id"))
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))

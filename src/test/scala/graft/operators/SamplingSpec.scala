@@ -48,6 +48,25 @@ class SamplingSpec extends SparkSpec {
     assert(folds.contains(0) && folds.contains(2), s"degenerate split: $folds")
   }
 
+  test("null keys are sampled and folded like any other key value") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("b")))
+      .toDF("id", "g")
+    // fraction 1.0 keeps EVERY row — null keys must not silently vanish
+    assert(Sampling.hashSample(df, "g", 1.0).count() == 4)
+    // null is one key value: both null rows share a fate at any fraction
+    (1 to 20).foreach { i =>
+      val kept = Sampling.hashSample(df, "g", 0.5, s"salt$i")
+        .select("id").as[Long].collect().toSet
+      assert(kept.contains(2L) == kept.contains(3L),
+        s"null-keyed rows split fates at salt$i: $kept")
+    }
+    // groupSplit: null groups land together in ONE deterministic fold
+    val folds = Sampling.groupSplit(df, "g", Seq(0.5))
+      .filter(col("id").isin(2L, 3L))
+      .select("fold").as[Int].collect().toSet
+    assert(folds.size == 1)
+  }
+
   test("groupSplit rejects malformed cuts") {
     val df = rows.toDF("id", "g")
     assertThrows[IllegalArgumentException] {

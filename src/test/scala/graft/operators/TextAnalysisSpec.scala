@@ -231,9 +231,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.filter(_._1 == "b").map(_._3) == Seq(102L, 103L, 104L))
   }
 
-  test("percentileGate single-row groups always survive (percent_rank 0)") {
-    val df = Seq(("solo", 1L, 42L)).toDF("src", "id", "score")
-    assert(TextAnalysis.percentileGate(df, Seq("src"), "score", "id", 0.0)
+  test("percentileGate: small groups degrade proportionally, never vanish") {
+    // singleton survives ANY minPct < 1 (rank/n = 1.0), where the old
+    // percent_rank formulation scored it 0.0 and deleted it outright
+    val solo = Seq(("solo", 1L, 42L)).toDF("src", "id", "score")
+    assert(TextAnalysis.percentileGate(solo, Seq("src"), "score", "id", 0.0)
       .count() == 1)
+    assert(TextAnalysis.percentileGate(solo, Seq("src"), "score", "id", 0.9)
+      .count() == 1)
+    // an n=2 group at minPct=0.25 keeps BOTH rows (floor(0.25*2) = 0 to
+    // drop); only at minPct >= 0.5 does it lose its lower row
+    val pair = Seq(("p", 1L, 10L), ("p", 2L, 20L)).toDF("src", "id", "score")
+    assert(TextAnalysis.percentileGate(pair, Seq("src"), "score", "id", 0.25)
+      .count() == 2)
+    val kept = TextAnalysis.percentileGate(pair, Seq("src"), "score", "id", 0.5)
+      .as[(String, Long, Long)].collect()
+    assert(kept.map(_._3).toSeq == Seq(20L))
+  }
+
+  test("percentileGate rejects inputs that carry its reserved columns") {
+    val df = Seq(("a", 1L, 2L, 3L)).toDF("src", "id", "score", "__rk")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.percentileGate(df, Seq("src"), "score", "id", 0.25)
+    }
   }
 }

@@ -137,10 +137,16 @@ class EventStreamsSpec extends SparkSpec {
   test("windowedTopTypes emits a window's heavy hitters when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, Int, String, Long)]
+    // shards = 4 so click/view/scroll land in (possibly) different state
+    // groups — the per-batch merge must still produce the global ranking
     val q = EventStreams.windowedTopTypes(in.toDS(),
-        windowMs = 3600 * 1000L, capacity = 16, k = 2, watermark = "10 minutes")
-      .writeStream.format("memory").queryName("win_top")
-      .outputMode(OutputMode.Append()).start()
+        windowMs = 3600 * 1000L, capacity = 16, k = 2, shards = 4,
+        watermark = "10 minutes") { tops =>
+        got.synchronized {
+          got ++= tops.collect().map(t => (t.bucket_start, t.rank, t.item, t.est))
+        }
+      }.start()
     try {
       in.addData(
         Event(1, ts(5), 1, "click", 1.0),
@@ -150,17 +156,83 @@ class EventStreamsSpec extends SparkSpec {
         Event(5, ts(25), 5, "view", 1.0),
         Event(6, ts(30), 6, "scroll", 1.0))
       q.processAllAvailable()
-      assert(spark.table("win_top").count() == 0) // window still open
+      assert(got.synchronized(got.isEmpty)) // window still open
 
       // event far past hour 0 + watermark → finalizes the first window
       in.addData(Event(7, ts(300), 7, "click", 1.0))
       q.processAllAvailable()
-      val rows = spark.table("win_top")
-        .select("bucket_start", "rank", "item", "est")
-        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getString(2),
-          r.getLong(3))).toSeq.sortBy(_._2)
+      val rows = got.synchronized(got.toSeq).sortBy(_._2)
       assert(rows == Seq((ts(0), 1, "click", 3L), (ts(0), 2, "view", 2L)))
     } finally q.stop()
+  }
+
+  test("windowedShardTops spreads a window's state across (window, shard) groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val shards = 8
+    val q = EventStreams.windowedShardTops(in.toDS(),
+        windowMs = 3600 * 1000L, capacity = 16, k = 8, shards = shards,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("shard_tops")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 6 distinct items in hour 0 — with 8 shards their state groups
+      // must not all collapse onto one shard
+      val items = Seq("click", "view", "scroll", "hover", "search", "buy")
+      in.addData(items.zipWithIndex.map { case (it, i) =>
+        Event(i + 1, ts(5 + i), i + 1, it, 1.0) }: _*)
+      in.addData(Event(99, ts(300), 9, "late_window_opener", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("shard_tops")
+        .select("bucket_start", "shard", "item", "est")
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getString(2),
+          r.getLong(3)))
+      // every item surfaced exactly once, with its exact count, in ITS shard
+      assert(rows.map(_._3).sorted.toSeq == items.sorted)
+      assert(rows.forall(_._4 == 1L))
+      rows.foreach { case (_, shard, item, _) =>
+        assert(shard == math.floorMod(item.hashCode, shards))
+      }
+      // the item domain actually spread over multiple state groups
+      assert(rows.map(_._2).distinct.length > 1)
+      // global top-k from the shard candidates matches the exact ranking
+      val merged = EventStreams.topKWithinWindows(
+        spark.table("shard_tops").as[EventStreams.ShardTop], 3)
+        .collect().sortBy(_.rank)
+      assert(merged.map(t => (t.rank, t.item, t.est)).toSeq ==
+        Seq((1, "buy", 1L), (2, "click", 1L), (3, "hover", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize runs on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("rocks_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 7, "click", 2.0),
+        Event(2, ts(10), 7, "click", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(180), 7, "click", 1.0)) // 3h later → closes it
+      q.processAllAvailable()
+      val sessions = spark.table("rocks_sessions").as[Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.n_events == 2 && sessions.head.total_value == 5.0)
+      // the state store actually in play is RocksDB, not the default HDFS map
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("batch twin groups the fixture events into hour buckets") {
