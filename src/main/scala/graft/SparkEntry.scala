@@ -1244,6 +1244,68 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy(col("fold"))),
 
+    // D-bottomk: deterministic fixed-SIZE uniform sample — the k rows
+    // with the smallest salted key-hash (bottom-k/KMV sketch). Plans as
+    // TakeOrderedAndProject (bounded per-partition heap, no global
+    // sort); prefix-stable in k, engine-reproducible.
+    "q_d_bottomk" -> ((s, dir) =>
+      graft.operators.Sampling.bottomK(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id", k = 25, salt = "g3")),
+
+    // D-weighted: deterministic weighted sample without replacement —
+    // A-ES priorities u^(1/w) realized as the MAX OF w SALTED HASHES
+    // (the max of w uniforms has exactly that distribution): no pow, no
+    // libm, bit-identical in any engine. src0 weighted 4×, src1 2×.
+    "q_d_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .withColumn("w", when(col("source") === "src0", 4)
+            .when(col("source") === "src1", 2).otherwise(1)),
+        "doc_id", "w", k = 30, maxWeight = 4, salt = "g4")),
+
+    // F-scaling: per-group feature-scaling battery — z-score from
+    // decimal power sums, min-max, and p05/p95 winsorize, each scaled
+    // within the row's own l_returnflag group (one group aggregate +
+    // AQE-broadcast stats join per op)
+    "q_f_scaling" -> ((s, dir) => {
+      val fs = graft.operators.FeatureScaling
+      val d = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      fs.winsorize(
+          fs.groupMinMax(
+            fs.groupZScore(d, "l_returnflag", "l_quantity", "z"),
+            "l_returnflag", "l_quantity", "mm"),
+          "l_returnflag", "l_quantity", 0.05, 0.95, "clipped")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("z"), col("mm"), col("clipped"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // fixture — order by the derived columns too, so any remaining
+        // ties are between identical rows
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("z"), col("mm"))
+    }),
+
+    // X-bm25: full-text relevance search — BM25 over an inverted-index
+    // aggregation; non-query tokens drop map-side BEFORE any shuffle,
+    // df/corpus stats broadcast, top-k via TakeOrderedAndProject
+    "q_x_bm25" -> ((s, dir) =>
+      graft.operators.TextSearch.bm25Search(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("query", "merge", "stream"), k = 20)),
+
+    // A-cms: Count-Min sketch point estimates — bounded-memory "how
+    // frequent is THIS item" (the dual of the Misra-Gries top-k), exactly
+    // mergeable counter arrays. The 5-value event_type domain is
+    // collision-free in the 1024-wide sketch (CountMinSpec asserts it),
+    // so estimates are EXACT and the oracle is a plain filtered GROUP BY.
+    "q_a_cms" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(graft.functions.CountMin.estimates(
+          col("event_type"), Seq("click", "purchase", "view"), 1024, 4).as("__e"))
+        .select(explode(col("__e")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"))
+        .orderBy(col("item"))),
+
     // S-evolved: schema-evolution scan — two ingest batches written under
     // different schema versions (v2 adds n_chars) reconcile through
     // mergeSchema; old-batch rows surface the new column as null. The
@@ -2313,6 +2375,94 @@ object SparkEntry {
         |         ELSE 2 END AS fold
         |  FROM documents)
         |GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // bottom-k sample: same salted-hash order, LIMIT k
+    "q_d_bottomk" ->
+      """SELECT doc_id, lang, source FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR) || 'g3'), doc_id
+        |LIMIT 25""".stripMargin,
+
+    // weighted sample: identical max-of-w-hashes priority (w slices of
+    // the same 4-draw list), ranked descending
+    "q_d_weighted" ->
+      """SELECT doc_id, source, w FROM (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN source = 'src0' THEN 4
+        |              WHEN source = 'src1' THEN 2 ELSE 1 END AS INTEGER) AS w,
+        |    list_max(list_slice([
+        |      md5(CAST(doc_id AS VARCHAR) || 'g4#1'),
+        |      md5(CAST(doc_id AS VARCHAR) || 'g4#2'),
+        |      md5(CAST(doc_id AS VARCHAR) || 'g4#3'),
+        |      md5(CAST(doc_id AS VARCHAR) || 'g4#4')], 1,
+        |      CASE WHEN source = 'src0' THEN 4
+        |           WHEN source = 'src1' THEN 2 ELSE 1 END)) AS prio
+        |  FROM documents)
+        |ORDER BY prio DESC, doc_id LIMIT 30""".stripMargin,
+
+    // feature scaling: identical power-sum z-score, min-max, and
+    // quantile_cont winsorize per group
+    "q_f_scaling" ->
+      """WITH st AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(l_quantity) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    MIN(l_quantity) AS lo, MAX(l_quantity) AS hi,
+        |    quantile_cont(l_quantity, 0.05) AS plo,
+        |    quantile_cont(l_quantity, 0.95) AS phi
+        |  FROM lineitem GROUP BY l_returnflag),
+        |st2 AS (
+        |  SELECT l_returnflag, lo, hi, plo, phi, s1 / n AS mean,
+        |    CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END AS sd
+        |  FROM st)
+        |SELECT l_orderkey, l_linenumber,
+        |  ROUND((l_quantity - mean) / (CASE WHEN sd > 0 THEN sd END), 6) AS z,
+        |  ROUND(CAST(l_quantity - lo AS DOUBLE) /
+        |        (CASE WHEN hi > lo THEN CAST(hi - lo AS DOUBLE) END), 6) AS mm,
+        |  ROUND(GREATEST(plo, LEAST(phi, CAST(l_quantity AS DOUBLE))), 6) AS clipped
+        |FROM lineitem JOIN st2 USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, z, mm""".stripMargin,
+
+    // BM25: identical inverted-index formulation — idf and avgdl rounded
+    // to 6 (libm parity), per-term contributions rounded to 9 and
+    // decimal-accumulated, score rounded to 6
+    "q_x_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS dl,
+        |    text
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    ROUND(CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE), 6) AS avgdl
+        |  FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM base)
+        |  WHERE word IN ('query', 'merge', 'stream')
+        |  GROUP BY doc_id, dl, word),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(ROUND(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)), 9) AS c
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN stats)
+        |SELECT doc_id, ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    // count-min: exact on the collision-free event_type domain, so the
+    // oracle is the true count of each probe item
+    "q_a_cms" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est
+        |FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // schema evolution: the oracle emulates the two-batch layout with a
     // CASE — v1 rows (doc_id < 250) never carried n_chars

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group feature scaling for training-data pipelines: z-score
+  * standardization, min-max scaling, and percentile winsorization —
+  * each computed WITHIN a group (a source, a language, a feature family)
+  * so one source's outliers never set another's scale.
+  *
+  * Scale shape: every operator is one group-keyed aggregate producing a
+  * per-group stats table (rows = groups, i.e. tiny) joined back to the
+  * input on the group key — AQE broadcasts the stats side, so the input
+  * shuffles at most once (for the aggregate) and the join is map-side.
+  *
+  * Cross-engine reproducibility (the DuckDB-oracle discipline): moments
+  * come from DECIMAL power sums, not streaming variance (Spark's
+  * `stddev` and DuckDB's accumulate differently); `sqrt` is IEEE
+  * correctly-rounded and thus engine-identical; results round to 6.
+  */
+object FeatureScaling {
+
+  private def guard(df: DataFrame, op: String, names: String*): Unit = {
+    val clash = df.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"$op reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+  }
+
+  /** Adds `out` = (x − mean)/sd with mean/sd of the row's OWN group —
+    * sample sd (n−1) from decimal power sums. Groups with one row or
+    * zero variance yield null (no meaningful scale), rather than ±inf. */
+  def groupZScore(df: DataFrame, groupCol: String, valueCol: String,
+      out: String = "z"): DataFrame = {
+    guard(df, "groupZScore", "__n", "__s1", "__s2", "__mean", "__sd", out)
+    val x = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+        count(x).cast("double").as("__n"),
+        sum(x.cast("decimal(38,6)")).cast("double").as("__s1"),
+        sum((x * x).cast("decimal(38,6)")).cast("double").as("__s2"))
+      .select(col(groupCol),
+        (col("__s1") / col("__n")).as("__mean"),
+        when(col("__n") > 1, sqrt(
+          (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+            (col("__n") - lit(1.0)))).as("__sd"))
+    df.join(stats, groupCol)
+      .withColumn(out,
+        round((x - col("__mean")) / when(col("__sd") > 0, col("__sd")), 6))
+      .drop("__mean", "__sd")
+  }
+
+  /** Adds `out` = (x − min)/(max − min) of the row's group, in [0, 1];
+    * null for constant groups. Integer-exact until the one division. */
+  def groupMinMax(df: DataFrame, groupCol: String, valueCol: String,
+      out: String = "scaled"): DataFrame = {
+    guard(df, "groupMinMax", "__lo", "__hi", out)
+    val x = col(valueCol)
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(x).as("__lo"), max(x).as("__hi"))
+    df.join(stats, groupCol)
+      .withColumn(out, round(
+        (x - col("__lo")).cast("double") /
+          when(col("__hi") > col("__lo"), (col("__hi") - col("__lo")).cast("double")),
+        6))
+      .drop("__lo", "__hi")
+  }
+
+  /** Adds `out` = x clipped into the group's exact [pLo, pHi] percentile
+    * band (linear-interpolation percentiles — Spark `percentile` ==
+    * DuckDB `quantile_cont`). The tail-taming step before scaling when a
+    * feature has heavy outliers. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double, out: String = "clipped"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    guard(df, "winsorize", "__lo", "__hi", out)
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile(`$valueCol`, $pLo)").as("__lo"),
+      expr(s"percentile(`$valueCol`, $pHi)").as("__hi"))
+    df.join(stats, groupCol)
+      .withColumn(out,
+        round(greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("double"))), 6))
+      .drop("__lo", "__hi")
+  }
+}

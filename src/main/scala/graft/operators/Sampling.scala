@@ -46,6 +46,43 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hash(col(keyCol), salt) < lit(hexThreshold(fraction)))
 
+  /** Deterministic uniform k-sample: the k rows with the smallest salted
+    * key-hash — the bottom-k (KMV) sketch as a sample. Unlike
+    * [[hashSample]] (fraction-exact in expectation), this pins the exact
+    * OUTPUT SIZE; like it, the result is engine-reproducible and
+    * partition-independent, and for a fixed salt the k=10 sample is a
+    * prefix of the k=20 sample. Plans as TakeOrderedAndProject: a bounded
+    * per-partition heap then one k-row merge — never a global sort. */
+  def bottomK(df: DataFrame, keyCol: String, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.orderBy(hash(col(keyCol), salt), col(keyCol))
+      .limit(k)
+  }
+
+  /** Deterministic WEIGHTED k-sample without replacement (A-ES,
+    * Efraimidis–Spirtakis): rank rows by priority `u^(1/w)` (u uniform)
+    * and keep the k largest, which samples each subset with probability
+    * proportional to its weights. The priority is realized WITHOUT `pow`
+    * — for integer weight w, the max of w independent uniforms has
+    * exactly the u^(1/w) distribution (P(max ≤ x) = x^w), so the row's
+    * priority is the max of its first w salted hashes: pure hashing,
+    * bit-identical in any engine, no libm. Weights must be integers in
+    * [1, maxWeight]; the per-row draw array is maxWeight hashes, so keep
+    * maxWeight modest (it is a weight RATIO, not a magnitude). Plans as
+    * TakeOrderedAndProject like [[bottomK]]. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, maxWeight: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val draws = array((1 to maxWeight).map(j =>
+      hash(col(keyCol), s"$salt#$j")): _*)
+    val prio = array_max(slice(draws, lit(1), col(weightCol).cast("int")))
+    df.withColumn("__prio", prio)
+      .orderBy(col("__prio").desc, col(keyCol))
+      .limit(k)
+      .drop("__prio")
+  }
+
   /** Leakage-safe fold assignment: every row of a GROUP (a source, a
     * document family, a user) lands in the same fold, so correlated rows
     * can never straddle a train/eval boundary. `cuts` are cumulative

@@ -108,6 +108,29 @@ class PlanShapeSpec extends SparkSpec {
       s"cross join in range join:\n$p")
   }
 
+  test("deterministic samples and BM25 top-k avoid global sorts") {
+    // bottom-k / weighted sampling and the BM25 final ranking must plan
+    // as TakeOrderedAndProject (bounded per-partition heap + k-row
+    // merge); a Sort + GlobalLimit would shuffle-sort the corpus
+    Seq("q_d_bottomk", "q_d_weighted", "q_x_bm25").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost its top-k operator:\n$p")
+    }
+  }
+
+  test("BM25 filters query terms map-side and never cross-joins the corpus") {
+    // the IN-list over the query terms must survive into the physical
+    // plan (it drops non-query tokens BEFORE the (doc, term) exchange —
+    // at 100 TB the difference between shuffling 3 terms' postings and
+    // shuffling the tokenized corpus); the only nested-loop allowed is
+    // the 1-row stats broadcast
+    val p = plan("q_x_bm25")
+    assert(p.contains("IN (query,merge,stream)"),
+      s"query-term IN filter missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross join in BM25:\n$p")
+  }
+
   test("dim filter dynamically prunes the partitioned fact scan (DPP)") {
     // a selective dim-side filter must reach the hive-partitioned fact as
     // a runtime partition filter — at 100 TB this is the difference

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Per-group scaling: z-score/min-max/winsorize semantics, degenerate
+  * groups, reserved-name guards. */
+class FeatureScalingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+    ("b", 10.0), ("b", 10.0), // constant group
+    ("c", 7.0)                // singleton
+  ).toDF("g", "x")
+
+  test("groupZScore standardizes within the group; degenerate groups are null") {
+    val out = FeatureScaling.groupZScore(df, "g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // group a: mean 2.5, sample sd = sqrt(5/3)
+    val sd = math.sqrt(5.0 / 3.0)
+    def z(x: Double) = BigDecimal((x - 2.5) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.filter(_._1 == "a").sortBy(_._2).map(_._3.get) ==
+      Seq(z(1.0), z(2.0), z(3.0), z(4.0)))
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty)) // zero variance
+    assert(out.filter(_._1 == "c").forall(_._3.isEmpty)) // n = 1
+  }
+
+  test("groupMinMax maps the group onto [0,1]; degenerate groups are null") {
+    val out = FeatureScaling.groupMinMax(df, "g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out.filter(_._1 == "a").sortBy(_._2).map(_._3.get) ==
+      Seq(0.0, 0.333333, 0.666667, 1.0))
+    assert(out.filter(_._1 != "a").forall(_._3.isEmpty))
+  }
+
+  test("winsorize clips into the group's percentile band") {
+    val out = FeatureScaling.winsorize(df, "g", "x", 0.25, 0.75).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // group a: p25 of {1,2,3,4} = 1.75 (linear interp), p75 = 3.25
+    assert(out.filter(_._1 == "a").sortBy(_._2).map(_._3) ==
+      Seq(1.75, 2.0, 3.0, 3.25))
+    // constant and singleton groups: band collapses to the value itself
+    assert(out.filter(_._1 == "b").map(_._3) == Seq(10.0, 10.0))
+    assert(out.filter(_._1 == "c").map(_._3) == Seq(7.0))
+  }
+
+  test("reserved internal names are rejected") {
+    val clashing = df.withColumn("__n", lit(1))
+    assertThrows[IllegalArgumentException] {
+      FeatureScaling.groupZScore(clashing, "g", "x")
+    }
+    assertThrows[IllegalArgumentException] {
+      FeatureScaling.winsorize(df.withColumn("__lo", lit(1)), "g", "x", 0.1, 0.9)
+    }
+  }
+}

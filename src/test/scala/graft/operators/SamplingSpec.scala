@@ -67,6 +67,36 @@ class SamplingSpec extends SparkSpec {
     assert(folds.size == 1)
   }
 
+  test("bottomK: fixed size, prefix-stable in k, layout-independent") {
+    val df = rows.toDF("id", "g")
+    val s10 = Sampling.bottomK(df, "id", 10, "s").select("id")
+      .as[Long].collect().toSeq
+    val s20 = Sampling.bottomK(df, "id", 20, "s").select("id")
+      .as[Long].collect().toSeq
+    assert(s10.size == 10 && s20.size == 20)
+    assert(s20.take(10) == s10, "k=10 sample is not a prefix of k=20")
+    val s10b = Sampling.bottomK(df.repartition(8), "id", 10, "s")
+      .select("id").as[Long].collect().toSeq
+    assert(s10b == s10, "sample changed with partitioning")
+  }
+
+  test("weightedSample favors heavy keys, deterministically") {
+    // 10% of keys carry weight 4, the rest weight 1
+    val df = rows.toDF("id", "g")
+      .withColumn("w", when(col("id") <= 200, 4).otherwise(1))
+    val k = 200
+    val sel = Sampling.weightedSample(df, "id", "w", k, maxWeight = 4, salt = "ws")
+      .select("id").as[Long].collect().toSeq
+    assert(sel.size == k)
+    // heavy keys are 200/2000 of rows but 800/2600 of total weight —
+    // their sample share must sit far above 10% (and below certainty)
+    val heavy = sel.count(_ <= 200)
+    assert(heavy > k / 5 && heavy < k / 2, s"heavy-key share off: $heavy/$k")
+    val again = Sampling.weightedSample(df.repartition(8), "id", "w", k, 4, "ws")
+      .select("id").as[Long].collect().toSeq
+    assert(again == sel, "weighted sample changed with partitioning")
+  }
+
   test("groupSplit rejects malformed cuts") {
     val df = rows.toDF("id", "g")
     assertThrows[IllegalArgumentException] {
