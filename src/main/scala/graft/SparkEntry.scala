@@ -1293,6 +1293,26 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         Seq("query", "merge", "stream"), k = 20)),
 
+    // X-quantize: per-vector symmetric int8 embedding quantization — 4×
+    // storage shrink for a 100 TB vector corpus, pure map-side array
+    // math (codegen'd transform/aggregate, no UDF, no shuffle). The gate
+    // pins every code via the integer code-sum plus the double
+    // reconstruction error.
+    "q_x_quantized" -> ((s, dir) => {
+      val qz = graft.operators.Quantization
+      t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          qz.symmetricScale(col("embedding")).as("__s"),
+          col("embedding"))
+        .select(col("vec_id"),
+          round(col("__s"), 9).as("scale"),
+          size(col("embedding")).as("n_dims"),
+          aggregate(qz.quantize(col("embedding"), col("__s")), lit(0L),
+            (a, q) => a + q.cast("long")).as("code_sum"),
+          round(qz.reconstructionMse(col("embedding"), col("__s")), 6).as("mse"))
+        .orderBy(col("vec_id"))
+    }),
+
     // A-cms: Count-Min sketch point estimates — bounded-memory "how
     // frequent is THIS item" (the dual of the Misra-Gries top-k), exactly
     // mergeable counter arrays. The 5-value event_type domain is
@@ -2456,6 +2476,26 @@ object SparkEntry {
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // quantization: identical per-vector scheme — scale from an ordered
+    // max-abs fold, codes checked exactly through their integer sum,
+    // reconstruction error in ordered double folds
+    "q_x_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT vec_id,
+        |  ROUND(scale, 9) AS scale,
+        |  CAST(len(v) AS INTEGER) AS n_dims,
+        |  CAST(list_sum(list_transform(v, x ->
+        |    CASE WHEN scale > 0 THEN CAST(round(x / scale) AS BIGINT)
+        |         ELSE 0 END)) AS BIGINT) AS code_sum,
+        |  ROUND(list_sum(list_transform(v, x ->
+        |    (x - (CASE WHEN scale > 0 THEN round(x / scale) ELSE 0 END) * scale)
+        |    * (x - (CASE WHEN scale > 0 THEN round(x / scale) ELSE 0 END) * scale)))
+        |    / len(v), 6) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // count-min: exact on the collision-free event_type domain, so the
     // oracle is the true count of each probe item

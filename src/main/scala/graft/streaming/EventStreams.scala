@@ -204,6 +204,23 @@ object EventStreams {
         sink(topKWithinWindows(batch, k))
       }
 
+  /** Stream-static enrichment join: each micro-batch joins the (small)
+    * static dimension broadcast — the standard streaming enrich, no
+    * stream-side state at all. The static side is re-planned per batch,
+    * so a refreshed dimension table is picked up without restarting the
+    * query. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Idempotent per-epoch parquet sink for `foreachBatch`: epoch `i`
+    * lands in `out/epoch=i` with overwrite semantics, so a REPLAYED
+    * epoch (micro-batch re-run after failure recovery) rewrites its own
+    * directory instead of appending duplicates — the exactly-once
+    * pattern for file sinks driven by the checkpointed epoch id. */
+  def epochSink(out: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      batch.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+
   /** Stateful exact stream dedup on event_id; with a watermark the dedup
     * state is evicted as event time advances (bounded state at 100 TB/day
     * rates — an unwatermarked stream dedup grows forever). */

@@ -235,6 +235,39 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("enrich joins each micro-batch against the broadcast static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 1.0),
+        Event(3, ts(2), 9, "view", 1.0)) // no dim row → left-join null
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "tier")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("epochSink is idempotent under micro-batch replay") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_epoch_sink_${System.nanoTime()}").getAbsolutePath
+    val sink = EventStreams.epochSink(out)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink(batch, 0L)
+    sink(batch, 0L) // replayed epoch → overwrite, not append
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3) // 2 from epoch 0 (once), 1 from epoch 1
+    assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("batch twin groups the fixture events into hour buckets") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStreams.windowedTypeCountsBatch(events)
