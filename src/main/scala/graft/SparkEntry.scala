@@ -1395,6 +1395,16 @@ object SparkEntry {
           window = 40, stride = 10, minDocs = 2)
         .orderBy(col("h"))),
 
+    // X-cdc: content-defined duplicated-passage detection — windows
+    // emitted at positions the CONTENT selects (md5 anchor band), so a
+    // copied passage collides on the same span hashes at ANY offset —
+    // the shift-robust refinement of q_x_dup_spans' stride sampling
+    "q_x_cdc_spans" -> ((s, dir) =>
+      graft.operators.Dedup.anchoredSpans(
+          tw(s, dir, "documents"), "doc_id", "text",
+          window = 40, gram = 8, sel = "0", minDocs = 2)
+        .orderBy(col("h"))),
+
     // X-gate: adaptive per-source quality gate — drop each source's own
     // bottom length-quartile (rank/n > 0.25; small groups degrade
     // proportionally instead of vanishing). Output is the per-source
@@ -2533,6 +2543,21 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
         |       min(l_orderkey) AS min_key
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // content-defined spans: identical anchor predicate (md5 of the
+    // 8-char context in the '0…' band) and span key in both engines
+    "q_x_cdc_spans" ->
+      """WITH spans AS (
+        |  SELECT doc_id, md5(substring(text, i, 40)) AS h
+        |  FROM documents,
+        |       LATERAL unnest(range(1, length(text) - 38)) t(i)
+        |  WHERE length(text) >= 40
+        |    AND md5(substring(text, i, 8)) LIKE '0%')
+        |SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY h""".stripMargin,
 
     // duplicated spans: identical stride/window formulation — md5 hex is
     // engine-shared, positions are 1-based in both substring dialects

@@ -409,6 +409,51 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Content-defined duplicated-passage detection — the offset-
+    * independent refinement [[duplicatedSpans]]'s docs promise: instead
+    * of stride-sampled window starts (which miss copies whose offsets
+    * shift by ≠ 0 mod stride), windows are emitted only at ANCHOR
+    * positions chosen by the content itself — positions whose `gram`-char
+    * context hashes into a 1/16 selection band. A copy of a passage
+    * carries its anchors with it regardless of where in the document it
+    * lands, so shifted duplicates collide on the same span hashes (the
+    * CDC idea from dedup/backup systems, e.g. LBFS/FastCDC).
+    *
+    * Anchor predicate and span key are both md5 (cross-engine hashable,
+    * like the stride version); expected emission rate is ~len/16 windows
+    * per doc — tune `sel` ('0' = 1/16, '00' = 1/256) to trade recall for
+    * cost. The shuffle carries (hash, id) only, never text. A fused
+    * rolling-hash (gear/buzhash) expression is the production
+    * refinement at the same emission rate — md5-per-position costs one
+    * digest per char scanned.
+    *
+    * Returns one row per span hash seen in >= `minDocs` distinct docs:
+    * (h, n_docs, n_occ, min_doc, max_doc). */
+  def anchoredSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 40, gram: Int = 8, sel: String = "0",
+      minDocs: Int = 2): DataFrame = {
+    require(gram > 0 && window >= gram, s"need 0 < gram <= window, got $gram/$window")
+    val clash = docs.columns.toSet.intersect(Set("__id", "__pos", "__t"))
+    require(clash.isEmpty,
+      s"anchoredSpans reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val spans = docs
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).as("__id"),
+        explode(sequence(lit(1), length(col(textCol)) - (window - 1))).as("__pos"),
+        col(textCol).as("__t"))
+      // content-defined anchor: the position's gram-context hash lands in
+      // the selection band — identical for every copy of the passage
+      .filter(md5(col("__t").substr(col("__pos"), lit(gram)))
+        .startsWith(sel))
+      .select(col("__id"),
+        md5(col("__t").substr(col("__pos"), lit(window))).as("h"))
+    spans.groupBy(col("h"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("__id")).as("min_doc"), max(col("__id")).as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ───────────────── embedding-cosine near-dup ─────────────────
 
   /** Near-duplicates by embedding cosine ≥ threshold: random-hyperplane

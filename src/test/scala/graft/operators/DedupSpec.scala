@@ -207,4 +207,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(docs, "id", "text",
       window = 40, stride = 10).count() == 0)
   }
+
+  test("anchoredSpans catches shifted copies that stride sampling misses") {
+    // the same 120-char passage embedded at offsets differing by 3 — a
+    // shift ≠ 0 mod 10, so stride-10 windows never align across the two
+    // copies, while content-defined anchors travel WITH the passage
+    val passage = (1 to 24).map(i => s"wd$i.").mkString // 24 * 5 = 120 chars
+    val docs = Seq(
+      (1L, "a" * 10 + passage + "b" * 10),
+      (2L, "c" * 13 + passage + "d" * 7),    // passage shifted by 3
+      (3L, "z" * 140)).toDF("id", "text")
+    val stride = Dedup.duplicatedSpans(docs, "id", "text",
+      window = 40, stride = 10, minDocs = 2).count()
+    assert(stride == 0, "stride sampling unexpectedly aligned — fixture broken")
+    val anchored = Dedup.anchoredSpans(docs, "id", "text",
+      window = 40, gram = 8, sel = "0", minDocs = 2).collect()
+    assert(anchored.nonEmpty, "shifted copy not detected by anchored spans")
+    assert(anchored.forall(r => r.getLong(3) == 1L && r.getLong(4) == 2L),
+      "anchored span rows must span exactly docs 1 and 2")
+  }
+
+  test("anchoredSpans rejects bad gram/window and reserved columns") {
+    val docs = Seq((1L, "x" * 50)).toDF("id", "text")
+    assertThrows[IllegalArgumentException] {
+      Dedup.anchoredSpans(docs, "id", "text", window = 4, gram = 8)
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.anchoredSpans(docs.withColumn("__pos", org.apache.spark.sql
+        .functions.lit(1)), "id", "text")
+    }
+  }
 }
