@@ -51,6 +51,13 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("cdc")) {
+      cdcProbe(spark, args.lift(1).map(_.toLong).getOrElse(50000L),
+        args.lift(2).map(_.toInt).getOrElse(4000))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -215,6 +222,48 @@ object DevProbe {
     println(f"[spans $n] dup_span_hashes=$nSpans max_docs_per_span=$maxDocs " +
       f"time=${(System.nanoTime() - t0) / 1e9}%.1fs")
     spans.unpersist(); docs.unpersist()
+  }
+
+  /** CDC-span formulation shoot-out (`runMain graft.DevProbe cdc [n] [len]`):
+    * md5-anchored (the DuckDB-oracled path — one Generate row + one md5
+    * digest PER CHARACTER POSITION) vs the fused native expression (one
+    * xxhash64 per scanned byte inside a single codegen'd pass, explode of
+    * anchors only — 1/16 of positions). The gap is invisible on the
+    * short-doc gate fixture and decisive on long documents, where the
+    * per-position row machinery dominates. Docs: seeded text of ~`len`
+    * chars; every 10th doc duplicates its predecessor shifted by 1-9
+    * chars, so both paths must find the shifted copies (stride sampling
+    * would not). */
+  private def cdcProbe(spark: SparkSession, n: Long, len: Int): Unit = {
+    import spark.implicits._
+    val docs = spark.range(n).map { i =>
+      def body(seed: Long): String = {
+        val rnd = new scala.util.Random(seed)
+        val sb = new StringBuilder(len + 16)
+        while (sb.length < len) sb.append(s"w${rnd.nextInt(100000)} ")
+        sb.toString
+      }
+      val t =
+        if (i % 10 == 0 && i > 0)
+          ("x" * (1 + (i % 9)).toInt) + body(i - 1) // shifted copy of i-1
+        else body(i)
+      (i, t)
+    }.toDF("doc_id", "text").cache()
+    docs.count()
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val out = df.cache()
+      val nSpans = out.count()
+      val maxDocs = out.agg(max(col("n_docs"))).head().getLong(0)
+      println(f"[cdc $n×$len] $label dup_span_hashes=$nSpans " +
+        f"max_docs_per_span=$maxDocs time=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      out.unpersist()
+    }
+    time("md5-anchored ")(Dedup.anchoredSpans(docs, "doc_id", "text",
+      window = 40, gram = 8, sel = "0", minDocs = 2))
+    time("fused-xxhash ")(Dedup.anchoredSpansFast(docs, "doc_id", "text",
+      window = 40, gram = 8, maskBits = 4, minDocs = 2))
+    docs.unpersist()
   }
 
   /** Inverted-index TF-IDF scale probe (`runMain graft.DevProbe tfidf [n]`):

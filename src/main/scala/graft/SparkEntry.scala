@@ -1405,6 +1405,17 @@ object SparkEntry {
           window = 40, gram = 8, sel = "0", minDocs = 2)
         .orderBy(col("h"))),
 
+    // X-cdc-fast: the fused native twin of q_x_cdc_spans — one xxhash64
+    // per scanned byte via a single codegen'd expression pass instead of
+    // an md5 digest per position. xxhash64 is engine-specific → rows-only
+    // gate; the md5 twin above carries the oracle (the fingerprint
+    // fast/oracled pairing, applied to CDC).
+    "q_x_cdc_fast" -> ((s, dir) =>
+      graft.operators.Dedup.anchoredSpansFast(
+          tw(s, dir, "documents"), "doc_id", "text",
+          window = 40, gram = 8, maskBits = 4, minDocs = 2)
+        .orderBy(col("h"))),
+
     // X-gate: adaptive per-source quality gate — drop each source's own
     // bottom length-quartile (rank/n > 0.25; small groups degrade
     // proportionally instead of vanishing). Output is the per-source

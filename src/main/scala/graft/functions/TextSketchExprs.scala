@@ -348,6 +348,38 @@ object TextSketches {
     h
   }
 
+  /** Content-defined span hashes over the UTF-8 bytes of `s`: at every
+    * byte position whose `gram`-byte context hash lands in the
+    * 1/2^maskBits selection band, emit xxhash64 of the `window` bytes
+    * starting at that position. One fused pass, one hash per scanned
+    * byte — the production twin of the md5-anchored formulation in
+    * [[graft.operators.Dedup.anchoredSpans]] (md5 allocates a digest
+    * object and hex string per position; this emits no per-position
+    * garbage). Anchors are content-defined, so a copied passage carries
+    * them to any byte offset. Positions are BYTE positions — identical
+    * to char positions on ASCII corpora; on multibyte text the spans are
+    * byte-aligned windows, which is the correct unit for verbatim-copy
+    * detection. */
+  def cdcSpanHashes(s: UTF8String, window: Int, gram: Int, maskBits: Int): ArrayData = {
+    val len = s.numBytes()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (len >= window) {
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val mask = (1L << maskBits) - 1L
+      val lastStart = len - window
+      var p = 0
+      while (p <= lastStart) {
+        if ((XXH64.hashUnsafeBytes(base, off + p, gram, 7L) & mask) == 0L) {
+          out += java.lang.Long.valueOf(
+            XXH64.hashUnsafeBytes(base, off + p, window, 11L))
+        }
+        p += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // Column builders
   def normalize(text: Column, form: String = "NFC"): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
@@ -367,6 +399,9 @@ object TextSketches {
     ColumnBridge.column(TextStat(ColumnBridge.expression(text), mode.id))
   def profile(text: Column, lexicons: Seq[Seq[String]]): Column =
     ColumnBridge.column(TextProfile(ColumnBridge.expression(text), lexicons))
+  def cdcSpans(text: Column, window: Int, gram: Int, maskBits: Int): Column =
+    ColumnBridge.column(CdcSpanHashes(ColumnBridge.expression(text),
+      window, gram, maskBits))
 }
 
 /** Stat selector for [[TextStat]]. */
@@ -528,6 +563,26 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextSketches.wordShingles($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string → array<long>: content-defined (gram-context anchored) span
+  * hashes — see [[TextSketches.cdcSpanHashes]]. */
+case class CdcSpanHashes(child: Expression, window: Int, gram: Int,
+    maskBits: Int) extends UnaryExpression {
+  require(gram > 0 && window >= gram, s"need 0 < gram <= window, got $gram/$window")
+  require(maskBits >= 0 && maskBits < 63, s"bad maskBits $maskBits")
+
+  override def prettyName: String = "cdc_span_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextSketches.cdcSpanHashes(v.asInstanceOf[UTF8String], window, gram, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.cdcSpanHashes($a, $window, $gram, $maskBits);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -454,6 +454,32 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Fused production twin of [[anchoredSpans]]: the same content-defined
+    * anchoring, but through one native expression pass
+    * ([[graft.functions.TextSketches.cdcSpanHashes]]) — one xxhash64 per
+    * scanned byte instead of an md5 digest + hex string allocation per
+    * position, and anchor + span key computed in a single scan.
+    * xxhash64 is engine-specific, so this path is gated rows-only (the
+    * md5 twin [[anchoredSpans]] carries the DuckDB oracle — the same
+    * fast/oracled pairing as the winnow fingerprints). `maskBits` sets
+    * the selection rate (4 → 1/16, matching the md5 twin's '0' band). */
+  def anchoredSpansFast(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 40, gram: Int = 8, maskBits: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Set("__id"))
+    require(clash.isEmpty,
+      s"anchoredSpansFast reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    docs
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.TextSketches.cdcSpans(
+          col(textCol), window, gram, maskBits)).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("__id")).as("min_doc"), max(col("__id")).as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ───────────────── embedding-cosine near-dup ─────────────────
 
   /** Near-duplicates by embedding cosine ≥ threshold: random-hyperplane

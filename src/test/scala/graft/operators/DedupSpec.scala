@@ -227,6 +227,26 @@ class DedupSpec extends SparkSpec {
       "anchored span rows must span exactly docs 1 and 2")
   }
 
+  test("anchoredSpansFast (native xxhash) catches the same shifted copy") {
+    val passage = (1 to 24).map(i => s"wd$i.").mkString
+    val docs = Seq(
+      (1L, "a" * 10 + passage + "b" * 10),
+      (2L, "c" * 13 + passage + "d" * 7),
+      (3L, "z" * 140)).toDF("id", "text")
+    val fast = Dedup.anchoredSpansFast(docs, "id", "text",
+      window = 40, gram = 8, maskBits = 4, minDocs = 2).collect()
+    assert(fast.nonEmpty, "shifted copy not detected by the fused CDC pass")
+    assert(fast.forall(r => r.getLong(3) == 1L && r.getLong(4) == 2L))
+    // identical docs share EVERY span; ~1/16 of a varied 500-char text's
+    // positions anchor, so a seeded pseudo-random body must emit some
+    val rnd = new scala.util.Random(7)
+    val body = Array.fill(500)(('a' + rnd.nextInt(26)).toChar).mkString
+    val twins = Seq((1L, body), (2L, body)).toDF("id", "text")
+    val shared = Dedup.anchoredSpansFast(twins, "id", "text").collect()
+    assert(shared.nonEmpty, "no anchors emitted over a varied 500-char body")
+    assert(shared.forall(r => r.getLong(1) == 2L))
+  }
+
   test("anchoredSpans rejects bad gram/window and reserved columns") {
     val docs = Seq((1L, "x" * 50)).toDF("id", "text")
     assertThrows[IllegalArgumentException] {
