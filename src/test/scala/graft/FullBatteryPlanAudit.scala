@@ -1,0 +1,79 @@
+package graft
+
+/** Whole-battery plan audit, promoted from a per-round manual check to a
+  * durable regression guard: EVERY declared query's physical plan is
+  * scanned for the scale-killers —
+  *
+  *  - `CartesianProduct` — an O(n²) join anywhere is a bug, full stop;
+  *  - `BroadcastNestedLoopJoin` — legal ONLY as the 1-row scalar-
+  *    aggregate attach (the W2 global-max pattern and the Bloom-filter
+  *    scalar subquery); anything else is a missing equi-key;
+  *  - `Exchange SinglePartition` — legal ONLY for a global (grand-total)
+  *    aggregate's final stage; a keyed operator funneling through one
+  *    partition is the classic 1000-executor-cluster serializer.
+  *
+  * The audit plans every query (it does not execute them; sink-writing
+  * queries do perform their fixture writes at construction time, same as
+  * PlanShapeSpec).
+  */
+class FullBatteryPlanAudit extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose plan legitimately carries a nested-loop join of a
+  // 1-row / config-sized side (scalar aggregate attached to every row —
+  // the W2 pattern — or a tiny-by-construction aggregate pair)
+  private val scalarBroadcastOk = Set(
+    "q_w2_global_max_share",  // max-share against the global max
+    "q_x_incremental",        // Bloom filter scalar subquery
+    "q_x_tfidf_pairs", "q_x_tfidf_clusters", // corpus-size idf scalar
+    "q_x_bm25",               // corpus stats (n_docs, avgdl)
+    "q_x_mixture", "q_x_quality_gate",
+    "q_p4_selectexpr",        // max/min ratio over one row
+    "q_x_vocab", "q_x_pipeline", "q_x_pipeline2",
+    "q_so2_union_intersect",  // 1-row union-count × 1-row intersect-count
+    "q_x_multimodal")         // ≤5-kind panel ⟕ 1-row video-frame agg
+
+  test("no query in the battery plans a cartesian product") {
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
+  }
+
+  test("nested-loop joins appear only as 1-row scalar broadcasts") {
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      if (p.contains("BroadcastNestedLoopJoin") &&
+          !scalarBroadcastOk.contains(name)) Some(name)
+      else None
+    }
+    assert(bad.isEmpty, s"unexpected nested-loop joins in: ${bad.mkString(", ")}")
+  }
+
+  test("every single-partition exchange feeds a grand-total aggregate") {
+    // a SinglePartition exchange is the correct (and only) shape for a
+    // grand-total aggregate's final stage — it moves partial buffers, a
+    // handful of rows. The scale-killer is a single-partition exchange
+    // under anything KEYED (a window, sort, or group-by collapsed onto
+    // one task). The tree prints parents above children, so the direct
+    // parent of each exchange sits within the few preceding lines: it
+    // must be an empty-keys aggregate.
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lines = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString.split("\n")
+      lines.zipWithIndex
+        .filter(_._1.contains("Exchange SinglePartition"))
+        .filterNot { case (_, i) =>
+          lines.slice(math.max(0, i - 3), i)
+            .exists(_.contains("Aggregate(keys=[]"))
+        }
+        .map { case (_, i) => s"$name@$i" }
+    }
+    assert(bad.isEmpty,
+      s"single-partition exchange under a keyed operator in: ${bad.mkString(", ")}")
+  }
+}
