@@ -58,6 +58,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("streamtopk")) {
+      streamTopkProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -222,6 +228,99 @@ object DevProbe {
     println(f"[spans $n] dup_span_hashes=$nSpans max_docs_per_span=$maxDocs " +
       f"time=${(System.nanoTime() - t0) / 1e9}%.1fs")
     spans.unpersist(); docs.unpersist()
+  }
+
+  /** Sharded-vs-unsharded streaming top-k (`runMain graft.DevProbe
+    * streamtopk [n]`): feeds `n` high-cardinality events through
+    * [[graft.streaming.EventStreams.windowedShardTops]] with shards=1
+    * (the round-3 shape: every event of a window through ONE state
+    * group / one task) and shards=32, and reports wall time plus the
+    * merged top-5 of the heaviest window. The items follow a
+    * zipf-with-a-spike mix over ~100k distinct types, so the Misra-Gries
+    * summaries run under genuine eviction pressure; correctness of the
+    * merge is asserted (same top item both ways). */
+  private def streamTopkProbe(spark: SparkSession, n: Long): Unit = {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val windowMs = 3600 * 1000L
+    val base = 1700000000000L - (1700000000000L % windowMs)
+    val perWindow = n / 4
+    def mkEvent(i: Long): Event = {
+      val u = new scala.util.Random(i).nextDouble()
+      val item =
+        if (u < 0.3) s"hot${i % 3}"
+        else s"t${(u * 100000).toInt}"
+      // 4 consecutive hour windows, fed in EVENT-TIME ORDER with a
+      // MONOTONE timestamp (a cycling within-window offset puts every
+      // batch after the first behind the watermark — silently dropped
+      // as late, which is exactly the mistake this probe first made):
+      // the discipline a real ingest has
+      val window = i / perWindow
+      val ts = base + window * windowMs + ((i % perWindow) * windowMs) / perWindow
+      Event(i, new Timestamp(ts), i % 1000, item, 1.0)
+    }
+
+    def run(shards: Int): (Double, Seq[(String, Long)]) = {
+      val in = MemoryStream[Event]
+      val sink = s"probe_topk_$shards"
+      val q = EventStreams.windowedShardTops(in.toDS(), windowMs,
+          capacity = 64, k = 5, shards = shards, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      try {
+        val batch = 250000L
+        var fed = 0L
+        while (fed < n) {
+          val hi = math.min(n, fed + batch)
+          in.addData((fed until hi).map(mkEvent))
+          q.processAllAvailable()
+          fed = hi
+        }
+        // far-future event advances the watermark past every window end:
+        // all (window, shard) groups time out and emit
+        in.addData(Event(n + 1, new Timestamp(base + 100 * windowMs), 1, "flush", 1.0))
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val top = EventStreams.topKWithinWindows(
+            spark.table(sink).as[EventStreams.ShardTop], 5)
+          .filter(col("bucket_start") === new Timestamp(base))
+          .orderBy(col("rank")).collect()
+          .map(t => (t.item, t.est)).toSeq
+        (secs, top)
+      } finally q.stop()
+    }
+
+    val (t1, top1) = run(1)
+    val (t32, top32) = run(32)
+    // exact count of the window-0 top item, replayed from the generator
+    // (seeded first-draws are not uniform enough to assume 30%)
+    val topItem = top32.head._1
+    var trueTop = 0L
+    var i = 0L
+    while (i < perWindow) {
+      if (mkEvent(i).event_type == topItem) trueTop += 1
+      i += 1
+    }
+    println(f"[streamtopk $n] shards=1  time=$t1%.1fs top=${top1.take(3)}")
+    println(f"[streamtopk $n] shards=32 time=$t32%.1fs top=${top32.take(3)}")
+    require(top1.headOption.map(_._1) == top32.headOption.map(_._1),
+      s"sharded and unsharded disagree on the top item: $top1 vs $top32")
+    // sharding tightens the Misra-Gries undercount bound by the shard
+    // count: each shard holds ~1/32 of the distinct items, so its
+    // 64-counter summary evicts far less
+    val err1 = trueTop - top1.head._2
+    val err32 = trueTop - top32.head._2
+    println(f"[streamtopk $n] true($topItem)=$trueTop undercount: " +
+      f"shards=1 → $err1, shards=32 → $err32")
+    require(err32 >= 0 && err1 >= 0, "Misra-Gries estimate exceeded the true count")
+    require(err32 <= err1, "sharding did not tighten the estimate")
   }
 
   /** CDC-span formulation shoot-out (`runMain graft.DevProbe cdc [n] [len]`):
