@@ -1244,6 +1244,38 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_id"))
         .orderBy(col("fold"))),
 
+    // D-stratified-det: deterministic per-stratum sampling — the
+    // engine-reproducible twin of sampleBy (whose seeded RNG is
+    // layout-dependent and rows-only in q_d2b): each source keeps its
+    // own md5-threshold fraction, map-side only
+    "q_d_stratified_det" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+          t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.75), salt = "g5")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("source"))),
+
+    // A-hll: HLL sketch columns — build per-group distinct sketches,
+    // UNION them later (hll_union_agg) instead of re-scanning: the
+    // store-sketches/merge-anywhere pattern incremental 100 TB distinct
+    // counts need. Estimates are exact at these cardinalities (HLL runs
+    // in sparse/coupon mode far below its promotion threshold), so the
+    // oracle is plain COUNT(DISTINCT).
+    "q_a_hll" -> ((s, dir) => {
+      val perSource = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("lang")).as("sk"))
+      perSource
+        .select(col("source"),
+          hll_sketch_estimate(col("sk")).cast("bigint").as("n_langs"))
+        .unionByName(perSource
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .cast("bigint").as("n_langs"))
+          .select(lit("~all").as("source"), col("n_langs")))
+        .orderBy(col("source"))
+    }),
+
     // D-bottomk: deterministic fixed-SIZE uniform sample — the k rows
     // with the smallest salted key-hash (bottom-k/KMV sketch). Plans as
     // TakeOrderedAndProject (bounded per-partition heap, no global
@@ -2416,6 +2448,29 @@ object SparkEntry {
         |         ELSE 2 END AS fold
         |  FROM documents)
         |GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // stratified deterministic sample: same per-source thresholds
+    // (0.5 → 0x80…, 0.25 → 0x40…, 0.75 → 0xc0…); unlisted sources drop
+    "q_d_stratified_det" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR) || 'g5') <
+        |  CASE source
+        |    WHEN 'src0' THEN '80000000000000000000000000000000'
+        |    WHEN 'src1' THEN '40000000000000000000000000000000'
+        |    WHEN 'src2' THEN 'c0000000000000000000000000000000'
+        |    ELSE '00000000000000000000000000000000' END
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // HLL: exact at these cardinalities (sparse mode) → COUNT(DISTINCT);
+    // '~all' sorts after every srcN name in both engines
+    "q_a_hll" ->
+      """SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '~all', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |ORDER BY source""".stripMargin,
 
     // bottom-k sample: same salted-hash order, LIMIT k
     "q_d_bottomk" ->

@@ -83,6 +83,22 @@ object Sampling {
       .drop("__prio")
   }
 
+  /** Deterministic stratified sampling: per-stratum fractions through
+    * the same salted content-hash threshold — the engine-reproducible
+    * twin of `df.stat.sampleBy` (whose seeded RNG is partition-layout-
+    * dependent). Each stratum keeps its own unbiased `fraction` of
+    * distinct keys, monotone per stratum; strata absent from `fractions`
+    * are dropped (sampleBy semantics). Pure map-side filter. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "stratifiedHashSample needs at least one stratum")
+    val thr = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(0.0)): Column) { case (acc, (s, f)) =>
+        when(col(strataCol) === s, lit(hexThreshold(f))).otherwise(acc)
+      }
+    df.filter(hash(col(keyCol), salt) < thr)
+  }
+
   /** Leakage-safe fold assignment: every row of a GROUP (a source, a
     * document family, a user) lands in the same fold, so correlated rows
     * can never straddle a train/eval boundary. `cuts` are cumulative

@@ -67,6 +67,25 @@ class SamplingSpec extends SparkSpec {
     assert(folds.size == 1)
   }
 
+  test("stratifiedHashSample applies per-stratum fractions; unlisted strata drop") {
+    val df = rows.toDF("id", "g") // g = grp0..grp36
+    val kept = Sampling.stratifiedHashSample(df, "g", "id",
+      Map("grp0" -> 1.0, "grp1" -> 0.0, "grp2" -> 0.5), "s")
+    val byStratum = kept.groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    val grp0Total = rows.count(_._2 == "grp0")
+    assert(byStratum("grp0") == grp0Total)          // fraction 1.0 keeps all
+    assert(!byStratum.contains("grp1"))             // fraction 0.0 drops all
+    assert(byStratum.keySet.subsetOf(Set("grp0", "grp2"))) // others unlisted
+    val grp2Total = rows.count(_._2 == "grp2").toDouble
+    assert(math.abs(byStratum("grp2") / grp2Total - 0.5) < 0.2)
+    // deterministic across layouts
+    val again = Sampling.stratifiedHashSample(df.repartition(8), "g", "id",
+      Map("grp0" -> 1.0, "grp1" -> 0.0, "grp2" -> 0.5), "s")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("bottomK: fixed size, prefix-stable in k, layout-independent") {
     val df = rows.toDF("id", "g")
     val s10 = Sampling.bottomK(df, "id", 10, "s").select("id")

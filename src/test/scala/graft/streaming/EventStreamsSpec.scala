@@ -268,6 +268,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("file-source stream: a growing parquet directory feeds the windowed aggregate") {
+    import org.apache.spark.sql.Encoders
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_src_${System.nanoTime()}").getAbsolutePath
+    // first ingest batch lands before the query starts
+    Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 1.0))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Encoders.product[Event].schema)
+      .option("maxFilesPerTrigger", "1") // bounded per-batch file intake
+      .parquet(dir)
+    val q = EventStreams.windowedTypeCounts(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // a second file arrives while the query runs — the source must
+      // discover and fold it in
+      Seq(Event(3, ts(25), 2, "click", 1.0), Event(4, ts(65), 2, "view", 1.0))
+        .toDS().coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("file_win_counts")
+        .select("bucket_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((ts(0), "click", 3L)))
+      assert(rows.contains((ts(60), "view", 1L)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("batch twin groups the fixture events into hour buckets") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val out = EventStreams.windowedTypeCountsBatch(events)
