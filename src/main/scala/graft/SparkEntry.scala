@@ -1345,6 +1345,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // X-centroids: per-group embedding centroids — the element-wise mean
+    // by (group, dimension) keyed shuffle (cluster representatives / the
+    // IVF quantizer update); joined to documents for a language grouping
+    "q_x_centroids" -> ((s, dir) => {
+      val withLang = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id").as("vec_id"),
+          col("lang")), "vec_id")
+      graft.operators.Similarity.groupCentroids(withLang, "lang", "embedding")
+        .filter(col("pos") < 8) // gate keeps the first 8 dims per group
+        .orderBy(col("lang"), col("pos"))
+    }),
+
     // A-cms: Count-Min sketch point estimates — bounded-memory "how
     // frequent is THIS item" (the dual of the Misra-Gries top-k), exactly
     // mergeable counter arrays. The 5-value event_type domain is
@@ -2572,6 +2584,20 @@ object SparkEntry {
         |    * (x - (CASE WHEN scale > 0 THEN round(x / scale) ELSE 0 END) * scale)))
         |    / len(v), 6) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // centroids: zipped unnest + generate_subscripts (1-based → pos-1),
+    // identical decimal-mean formulation
+    "q_x_centroids" ->
+      """WITH ex AS (
+        |  SELECT d.lang,
+        |    generate_subscripts(e.embedding, 1) - 1 AS pos,
+        |    unnest(e.embedding)::DOUBLE AS v
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)
+        |SELECT lang, CAST(pos AS INTEGER) AS pos,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS c
+        |FROM ex WHERE pos < 8
+        |GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
 
     // count-min: exact on the collision-free event_type domain, so the
     // oracle is the true count of each probe item

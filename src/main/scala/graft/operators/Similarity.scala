@@ -181,6 +181,23 @@ object Similarity {
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
   }
 
+  /** Per-group embedding centroids, exploded to (group, pos, c) rows:
+    * the element-wise mean of each group's vectors — cluster
+    * representatives, per-source embedding profiles, the IVF coarse-
+    * quantizer update step. `posexplode` fans the corpus out by (group,
+    * dimension), so the aggregate is an ordinary keyed shuffle — no
+    * driver-side vector math, no array buffers in the agg (the exploded
+    * form also oracles as scalar columns; reassemble with
+    * `sort_array(collect_list(struct(pos, c)))` when an array column is
+    * needed). Means are DECIMAL-accumulated then rounded to 6 —
+    * order-independent and engine-reproducible. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "__v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(sum(col("__v").cast("decimal(38,9)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("c"))
+
   /** All-pairs exact cosine for a small broadcastable query set against the
     * corpus: one scan of the corpus, queries broadcast. Returns per query
     * the top-k corpus ids. */
