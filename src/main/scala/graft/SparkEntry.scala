@@ -441,6 +441,36 @@ object SparkEntry {
       u.crossJoin(i)
     }),
 
+    // SO-all: multiset set ops — EXCEPT ALL / INTERSECT ALL keep
+    // duplicate multiplicity (the DISTINCT variants above collapse it);
+    // lineitem's repeated (orderkey) values make multiplicity observable
+    "q_so_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").filter(col("l_linenumber") <= 4)
+        .select(col("l_orderkey").as("key"))
+      val b = t(s, dir, "lineitem").filter(col("l_linenumber") >= 3)
+        .select(col("l_orderkey").as("key"))
+      a.exceptAll(b).groupBy(col("key")).agg(count(lit(1)).as("n_except"))
+        .join(a.intersectAll(b).groupBy(col("key"))
+          .agg(count(lit(1)).as("n_intersect")), Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy(col("key"))
+    }),
+
+    // J-outer: full-outer join — both unmatched sides surface with nulls
+    // (the only outer shape not already gated); per-side null census
+    // proves the preserved rows
+    "q_j_outer" -> ((s, dir) => {
+      val odd = t(s, dir, "nation").filter(col("n_nationkey") % 2 === 1)
+        .select(col("n_nationkey").as("k"), col("n_name"))
+      val low = t(s, dir, "nation").filter(col("n_nationkey") < 13)
+        .select(col("n_nationkey").as("k"), col("n_regionkey"))
+      odd.join(low, Seq("k"), "full_outer")
+        .select(col("k"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("k"))
+    }),
+
     // ─────────────── scalar-function battery (§2.8, F1-F12) ───────────────
     // F1 concat_ws, F2 regexp_replace, F3 substring, F4 cast, F5 when,
     // F6 sin (rounded), F7 arithmetic incl. integer div/mod on epoch nanos,
@@ -1710,6 +1740,29 @@ object SparkEntry {
         |    UNION SELECT n_nationkey FROM nation)) AS n_union,
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer
         |    INTERSECT SELECT n_nationkey FROM nation)) AS n_intersect""".stripMargin,
+
+    // multiset set ops: same EXCEPT ALL / INTERSECT ALL per-key tallies
+    "q_so_all" ->
+      """WITH a AS (SELECT l_orderkey AS key FROM lineitem WHERE l_linenumber <= 4),
+        |b AS (SELECT l_orderkey AS key FROM lineitem WHERE l_linenumber >= 3),
+        |ea AS (SELECT key, count(*) AS n_except
+        |       FROM (SELECT key FROM a EXCEPT ALL SELECT key FROM b) GROUP BY key),
+        |ia AS (SELECT key, count(*) AS n_intersect
+        |       FROM (SELECT key FROM a INTERSECT ALL SELECT key FROM b) GROUP BY key)
+        |SELECT COALESCE(ea.key, ia.key) AS key,
+        |       CAST(COALESCE(n_except, 0) AS BIGINT) AS n_except,
+        |       CAST(COALESCE(n_intersect, 0) AS BIGINT) AS n_intersect
+        |FROM ea FULL OUTER JOIN ia ON ea.key = ia.key
+        |ORDER BY key""".stripMargin,
+
+    // full outer join: identical preserved-row semantics
+    "q_j_outer" ->
+      """SELECT COALESCE(o.k, l.k) AS k, o.n_name, l.n_regionkey
+        |FROM (SELECT n_nationkey AS k, n_name FROM nation
+        |      WHERE n_nationkey % 2 = 1) o
+        |FULL OUTER JOIN (SELECT n_nationkey AS k, n_regionkey FROM nation
+        |      WHERE n_nationkey < 13) l ON o.k = l.k
+        |ORDER BY k""".stripMargin,
 
     "q_f_expr_battery" ->
       """SELECT event_id,
