@@ -1375,6 +1375,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // X-fuzzy: edit-distance duplicate pairs (entity resolution) —
+    // length-band + first-char blocked equi-join, exact levenshtein on
+    // candidates only; supplier names pair when one digit differs
+    "q_x_fuzzy" -> ((s, dir) =>
+      graft.operators.Dedup.fuzzyPairs(
+          t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .orderBy(col("id1"), col("id2"))),
+
     // X-centroids: per-group embedding centroids — the element-wise mean
     // by (group, dimension) keyed shuffle (cluster representatives / the
     // IVF quantizer update); joined to documents for a language grouping
@@ -2637,6 +2645,18 @@ object SparkEntry {
         |    * (x - (CASE WHEN scale > 0 THEN round(x / scale) ELSE 0 END) * scale)))
         |    / len(v), 6) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // fuzzy pairs: same blocked semantics (first char + length band),
+    // same classic levenshtein in both engines
+    "q_x_fuzzy" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND substring(a.s_name, 1, 1) = substring(b.s_name, 1, 1)
+        | AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
 
     // centroids: zipped unnest + generate_subscripts (1-based → pos-1),
     // identical decimal-mean formulation

@@ -247,6 +247,22 @@ class DedupSpec extends SparkSpec {
     assert(shared.forall(r => r.getLong(1) == 2L))
   }
 
+  test("fuzzyPairs finds edit-distance neighbors through the blocks") {
+    val names = Seq((1L, "johnson"), (2L, "jonson"), (3L, "johnsen"),
+      (4L, "smith"), (5L, "Zohnson")).toDF("id", "name")
+    val pairs = Dedup.fuzzyPairs(names, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // johnson~jonson (1 edit), johnson~johnsen (1), jonson~johnsen (2);
+    // smith is unrelated; Zohnson is 1 edit from johnson but differs in
+    // the FIRST character — excluded by the documented blocking contract
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+    // blockChar = false recalls the first-character edit too
+    val unblocked = Dedup.fuzzyPairs(names, "id", "name", maxDist = 2,
+      blockChar = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unblocked.contains((1L, 5L)))
+  }
+
   test("anchoredSpans rejects bad gram/window and reserved columns") {
     val docs = Seq((1L, "x" * 50)).toDF("id", "text")
     assertThrows[IllegalArgumentException] {
