@@ -204,6 +204,103 @@ object EventStreams {
         sink(topKWithinWindows(batch, k))
       }
 
+  /** Stage-1 processor for [[windowedTopTypesChained]]: one Misra-Gries
+    * summary per (window, shard) group on the `transformWithState` API.
+    * Counters live in a [[org.apache.spark.sql.streaming.MapState]] —
+    * each counter is its OWN state-store entry, so on RocksDB an update
+    * touches the changed counters instead of rewriting one serialized
+    * blob per event batch. A per-group timer at the window end emits the
+    * shard's top-k and clears the state. */
+  /** Stage-1 emission for the chained formulation: `emit_ts` is the
+    * CHAINING event time — the instant the window finalized (its end,
+    * floored to just above the current watermark, because a chained
+    * stateful operator may not emit rows behind the watermark); the
+    * window's identity travels as the plain `bucket_ms` payload. All
+    * shards of a window fire in the same micro-batch (one global
+    * watermark), so they share one `emit_ts`. */
+  final case class ShardTopEmit(emit_ts: Timestamp, bucket_ms: Long,
+      shard: Int, item: String, est: Long)
+
+  private class MgShardProcessor(windowMs: Long, capacity: Int, k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Long, Int), Event, ShardTopEmit] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var counts: streaming.MapState[String, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Int), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ShardTopEmit] = {
+      val buf = new graft.functions.FreqSketch.Buffer(capacity)
+      counts.iterator().foreach { case (i, c) => buf.counts.update(i, c) }
+      rows.foreach(e => buf.add(e.event_type))
+      // rewrite the summary (≤ capacity entries); a delta write of only
+      // the changed counters is the further refinement MapState allows
+      counts.clear()
+      buf.counts.foreach { case (i, c) => counts.updateValue(i, c) }
+      // fire at the window end; re-registering the same timestamp across
+      // batches is idempotent (timers are (key, ts) state entries)
+      getHandle.registerTimer((key._1 + 1) * windowMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Long, Int),
+        timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo): Iterator[ShardTopEmit] = {
+      val top = counts.iterator().toSeq
+        .sortBy { case (i, c) => (-c, i) }.take(k)
+      counts.clear()
+      val emitTs = new Timestamp(math.max((key._1 + 1) * windowMs,
+        timerValues.getCurrentWatermarkInMs() + 1))
+      top.iterator.map { case (item, c) =>
+        ShardTopEmit(emitTs, key._1 * windowMs, key._2, item, c)
+      }
+    }
+  }
+
+  /** Streaming heavy hitters as ONE streaming query — the
+    * `transformWithState` formulation of [[windowedTopTypes]]. The TWS
+    * operator declares `bucket_start` as its OUTPUT event-time column,
+    * which is what legalizes a SECOND stateful operator downstream: the
+    * per-window merge is an ordinary watermarked streaming aggregation
+    * over the ≤ shards·k candidate rows, using the bounded-heap
+    * [[graft.functions.TopKAgg]] (ties among equal counts break by item
+    * hash). No `foreachBatch` seam; Append-mode end to end.
+    *
+    * Requires the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `RocksDBStateStoreProvider`): transformWithState keeps each state
+    * variable in its own column family, which the default HDFS-backed
+    * provider does not support — and RocksDB is the spillable backend a
+    * 100 TB/day event rate needs anyway.
+    *
+    * Output: one row per finalized window — (bucket_start,
+    * tops: array<struct<item, est>>), est-descending. */
+  def windowedTopTypesChained(events: Dataset[Event],
+      windowMs: Long = 3600 * 1000L, capacity: Int = 64, k: Int = 3,
+      shards: Int = 32, watermark: String = "2 hours"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.ts.getTime / windowMs,
+        math.floorMod(e.event_type.hashCode, shards)))
+      .transformWithState(new MgShardProcessor(windowMs, capacity, k),
+        "emit_ts", OutputMode.Append())
+      // grouping on (emit_ts, bucket_ms): emit_ts satisfies the append-
+      // mode watermark requirement; bucket_ms keeps two windows that
+      // finalize in the same batch apart
+      .groupBy(col("emit_ts"), col("bucket_ms"))
+      .agg(graft.functions.TopK.topK(col("est"), xxhash64(col("item")),
+        struct(col("item"), col("est")), k).as("tops"))
+      .select(timestamp_millis(col("bucket_ms")).as("bucket_start"),
+        col("tops"))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins the (small)
     * static dimension broadcast — the standard streaming enrich, no
     * stream-side state at all. The static side is re-planned per batch,

@@ -204,6 +204,53 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopTypesChained merges shards in ONE query via transformWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs multi-column-family state → RocksDB
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedTopTypesChained(in.toDS(),
+        windowMs = 3600 * 1000L, capacity = 16, k = 2, shards = 4,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("chained_top")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 2, "click", 1.0),
+        Event(3, ts(15), 3, "click", 1.0),
+        Event(4, ts(20), 4, "view", 1.0),
+        Event(5, ts(25), 5, "view", 1.0),
+        Event(6, ts(30), 6, "scroll", 1.0))
+      q.processAllAvailable()
+      // finalize window 0 (shard stage), then the downstream aggregate
+      // needs its own watermark advance past the emit timestamp — each
+      // later batch finalizes the previous batch's windows, so three
+      // far-apart batches push both stateful operators over the line
+      in.addData(Event(7, ts(300), 7, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(8, ts(900), 8, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(9, ts(1500), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("chained_top").collect()
+      val win0 = rows.filter(_.getTimestamp(0) == ts(0))
+      assert(win0.length == 1, s"expected one finalized window-0 row: ${rows.toSeq}")
+      val tops = win0.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(tops == Seq(("click", 3L), ("view", 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionize runs on the RocksDB state store provider") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
