@@ -239,13 +239,16 @@ object Dedup {
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 2, blockChar: Boolean = true): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // null strings have no edit distance to anything — excluded
+    // explicitly rather than silently dropped by the null block key
+    val rows = df.filter(col(strCol).isNotNull)
     val w = maxDist + 1
     val charKey: Column => Column =
       if (blockChar) s => substring(s, 1, 1) else _ => lit("")
-    val a = df.select(col(idCol).as("id1"), col(strCol).as("s1"),
+    val a = rows.select(col(idCol).as("id1"), col(strCol).as("s1"),
       charKey(col(strCol)).as("__c"),
       expr(s"length(`$strCol`) div $w").as("__b"))
-    val b = df.select(col(idCol).as("id2"), col(strCol).as("s2"),
+    val b = rows.select(col(idCol).as("id2"), col(strCol).as("s2"),
         charKey(col(strCol)).as("__c"),
         explode(sequence(expr(s"(length(`$strCol`) - $maxDist) div $w"),
           expr(s"(length(`$strCol`) + $maxDist) div $w"))).as("__b"))
