@@ -297,8 +297,52 @@ object DevProbe {
       } finally q.stop()
     }
 
+    // the transformWithState + RocksDB single-query formulation, same feed
+    def runChained(): (Double, Seq[(String, Long)]) = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[Event]
+      val q = EventStreams.windowedTopTypesChained(in.toDS(), windowMs,
+          capacity = 64, k = 5, shards = 32, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("probe_topk_chained")
+        .outputMode(OutputMode.Append()).start()
+      val t0 = System.nanoTime()
+      try {
+        val batch = 250000L
+        var fed = 0L
+        while (fed < n) {
+          val hi = math.min(n, fed + batch)
+          in.addData((fed until hi).map(mkEvent))
+          q.processAllAvailable()
+          fed = hi
+        }
+        // the downstream aggregate needs watermark advances past each
+        // emit timestamp — successive far-future flushes provide them
+        Seq(100L, 200L, 300L).foreach { m =>
+          in.addData(Event(n + m, new Timestamp(base + m * windowMs), 1, "flush", 1.0))
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val top = spark.table("probe_topk_chained")
+          .filter(col("bucket_start") === new Timestamp(base))
+          .select(explode(col("tops")).as("t"))
+          .select(col("t.item"), col("t.est"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        (secs, top)
+      } finally {
+        q.stop()
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+
     val (t1, top1) = run(1)
     val (t32, top32) = run(32)
+    val (tc, topc) = runChained()
     // exact count of the window-0 top item, replayed from the generator
     // (seeded first-draws are not uniform enough to assume 30%)
     val topItem = top32.head._1
@@ -310,8 +354,11 @@ object DevProbe {
     }
     println(f"[streamtopk $n] shards=1  time=$t1%.1fs top=${top1.take(3)}")
     println(f"[streamtopk $n] shards=32 time=$t32%.1fs top=${top32.take(3)}")
+    println(f"[streamtopk $n] chained/rocksdb (shards=32) time=$tc%.1fs top=${topc.take(3)}")
     require(top1.headOption.map(_._1) == top32.headOption.map(_._1),
       s"sharded and unsharded disagree on the top item: $top1 vs $top32")
+    require(topc.headOption.map(_._1) == top32.headOption.map(_._1),
+      s"chained disagrees on the top item: $topc vs $top32")
     // sharding tightens the Misra-Gries undercount bound by the shard
     // count: each shard holds ~1/32 of the distinct items, so its
     // 64-counter summary evicts far less

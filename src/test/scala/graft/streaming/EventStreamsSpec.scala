@@ -251,6 +251,50 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("windowedTopTypesChained keeps co-finalizing windows apart") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedTopTypesChained(in.toDS(),
+        windowMs = 3600 * 1000L, capacity = 16, k = 1, shards = 4,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("cofinal_top")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two DIFFERENT hour windows populated before any watermark moves:
+      // a later jump finalizes both in the same micro-batch, so both
+      // share one emit_ts — the bucket_ms grouping key must keep their
+      // top-k rows separate
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 2, "click", 1.0),
+        Event(3, ts(65), 3, "view", 1.0), Event(4, ts(70), 4, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(5, ts(600), 5, "flush", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(6, ts(1200), 6, "flush", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(7, ts(1800), 7, "flush", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cofinal_top").collect()
+        .map(r => (r.getTimestamp(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1)))))
+        .toMap
+      assert(rows.get(ts(0)).map(_.toSeq) == Some(Seq(("click", 2L))),
+        s"window 0 wrong: $rows")
+      assert(rows.get(ts(60)).map(_.toSeq) == Some(Seq(("view", 2L))),
+        s"window 1 wrong: $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionize runs on the RocksDB state store provider") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
