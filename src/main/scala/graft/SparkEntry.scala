@@ -607,6 +607,17 @@ object SparkEntry {
         tw(s, dir, "documents").select(col("doc_id"), col("text")), "text")
         .select("doc_id", "fp").orderBy(col("doc_id"))),
 
+    // X-simhash-md5: the fully-ORACLED SimHash twin — 60-bit md5 token
+    // hashes, ±1 bit votes, pure HOFs in both engines (the last sketch
+    // family to gain an oracled twin; the native xxhash64 expression
+    // above stays the production path)
+    "q_x_simhash_md5" -> ((s, dir) =>
+      tw(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          graft.operators.Dedup.simhash60Md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
     // X-dedup: MinHash LSH band table (rows-only — xxhash64-based)
     "q_x_minhash_bands" -> ((s, dir) => {
       val d = tw(s, dir, "documents")
@@ -2273,6 +2284,20 @@ object SparkEntry {
         |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, cos FROM p WHERE cos >= 0.999
         |ORDER BY id1, id2""".stripMargin,
+
+    // md5-simhash twin: identical 60-bit vote formulation — 15 md5 hex
+    // chars parse to the same BIGINT in both engines
+    "q_x_simhash_md5" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN list_sum(list_transform(
+        |           list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |             t -> ('0x' || substring(md5(t), 1, 15))::BIGINT),
+        |           h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS fp
+        |FROM documents
+        |WHERE length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // md5-minhash twin: identical sketch formulation in both engines —
     // md5 hex is lowercase fixed-length in each, so MIN() compares

@@ -181,6 +181,35 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** 60-bit SimHash from md5 token hashes — the fully-ORACLED twin of
+    * the xxhash64 [[withSimhash]] path (the same fast/oracled pairing as
+    * the minhash, fingerprint, and CDC sketches): per token, the first
+    * 15 md5 hex chars parse to a 60-bit value (fits a signed BIGINT in
+    * any engine); bit j of the fingerprint is set when the ±1 votes of
+    * the token hashes' bit j sum positive. Pure SQL-expressible
+    * higher-order functions, bit-identical cross-engine; the native
+    * expression remains the production path (this walks the hash array
+    * once per bit). */
+  def simhash60Md5(text: Column): Column = {
+    val toks = tokens(text)
+    // bit j of the 60-bit value the first 15 md5 hex chars encode: hex
+    // digit (j div 4) from the right, bit (j mod 4) of that digit.
+    // Spark's shift builtins take only literal amounts, so the variable
+    // shifts run as small-integer / power-of-two double arithmetic —
+    // exact (digits <= 15; powers of two are exact doubles)
+    def bit(t: Column, j: Column): Column = {
+      val d = conv(md5(t).substr(lit(15) - (j / lit(4)).cast("int"), lit(1)),
+        16, 10).cast("int")
+      floor(d.cast("double") / pow(lit(2.0), (j % lit(4)).cast("double")))
+        .cast("long") % 2
+    }
+    aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, j) =>
+      acc + when(
+        aggregate(toks, lit(0L), (v, t) =>
+          v + when(bit(t, j) === 1, 1L).otherwise(-1L)) > 0,
+        pow(lit(2.0), j.cast("double")).cast("long")).otherwise(0L))
+  }
+
   /** SimHash near-dups: fingerprint, band the 64 bits into 4×16-bit chunks
     * (within Hamming distance 3 at least one chunk matches exactly —
     * pigeonhole), bucket-join on chunks, verify by Hamming distance. */
