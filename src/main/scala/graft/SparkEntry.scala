@@ -765,8 +765,12 @@ object SparkEntry {
     // Y4M header+signal decode plus compressed JPEG/PNG decode via the
     // JDK's javax.imageio, feature extraction through the batched
     // mapPartitions seam, and explode-style frame sampling, aggregated
-    // per kind (rows-only: payloads are seeded engine-side, not a parquet
-    // table DuckDB can see)
+    // per kind. ORACLED against independently-computed goldens
+    // ([[Multimodal.goldens]]: closed-form stats from the generation
+    // parameters, no parser in the loop; jpeg via a separate raster-band
+    // decode) inlined as the oracle's VALUES table. The signal average is
+    // a decimal SUM divided in DOUBLE (order-invariant — the repo
+    // float-parity rule), so a decode regression is hash-visible.
     "q_x_multimodal" -> ((s, dir) => {
       val mm = graft.operators.Multimodal
       val media = mm.syntheticMedia(s, 300).cache()
@@ -778,7 +782,11 @@ object SparkEntry {
         .join(
           decoded.groupBy(col("kind"))
             .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_decoded"),
-              round(avg(when(col("ok"), col("signal_stat"))), 3).as("avg_signal")),
+              round(
+                sum(when(col("ok"), col("signal_stat"))
+                  .cast("decimal(27,12)")).cast("double") /
+                  sum(when(col("ok"), 1L).otherwise(0L)),
+                3).as("avg_signal")),
           Seq("kind"), "left")
         .join(
           frames.groupBy(lit("video").as("kind"))
@@ -2298,6 +2306,15 @@ object SparkEntry {
         |FROM documents
         |WHERE length(trim(text)) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // multimodal goldens: the payloads are engine-seeded (no source
+    // parquet), so the oracle reads the independently-computed expected
+    // stats — closed-form from the generation parameters, jpeg via a
+    // separate raster-band decode ([[Multimodal.goldens]]) — inlined as a
+    // VALUES table built from that computation at dump time (no
+    // hand-copied constants to drift)
+    "q_x_multimodal" ->
+      graft.operators.Multimodal.goldensAggregateSql(300),
 
     // md5-minhash twin: identical sketch formulation in both engines —
     // md5 hex is lowercase fixed-length in each, so MIN() compares

@@ -335,6 +335,140 @@ object Multimodal {
     }
   }
 
+  // ─────────── goldens: independently-computed expected decode stats ───────────
+
+  /** Expected decode result for one [[syntheticMedia]] item, computed
+    * WITHOUT the production parsers — the oracle side of the multimodal
+    * gate. */
+  final case class MediaGolden(media_id: Long, kind: String, n_bytes: Int,
+      signal_stat: Double, n_frames_1fps: Int)
+
+  /** Independently-computed expected decode statistics for
+    * [[syntheticMedia]]`(n, seed)`. Generation parameters are re-drawn by
+    * the same seeded rule (generation is the shared spec); the STATISTICS
+    * are closed-form arithmetic over those parameters — no parser in the
+    * loop — for bmp/wav/y4m/png. JPEG is lossy, so its expected mean
+    * comes from a separate decode path (raster band samples, not
+    * [[parseImage]]'s `getRGB` loop): a regression in our channel/sum
+    * logic is caught; a change in the JDK's JPEG codec itself moves both
+    * sides equally. */
+  def goldens(n: Int, seed: Long = 42L): Seq[MediaGolden] =
+    (0L until n.toLong).map { i =>
+      val rnd = new scala.util.Random(seed + i)
+      (i % 5).toInt match {
+        case 0 => // image: 24-bpp BMP — mean gray value, closed form
+          val w = 4 + rnd.nextInt(13); val h = 4 + rnd.nextInt(13)
+          val phase = rnd.nextInt(256)
+          var sum = 0L; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += ((x * 7 + y * 13 + phase) & 0xff); x += 1 }
+            y += 1
+          }
+          val rowBytes = (w * 3 + 3) & ~3
+          MediaGolden(i, "image", 54 + rowBytes * h, sum.toDouble / (w * h), 0)
+        case 1 => // audio: PCM16 RMS — same quantization and accumulation order
+          val rate = 8000
+          val nSamples = 400 + rnd.nextInt(1600)
+          val f = 100.0 + rnd.nextInt(900)
+          var sumSq = 0.0; var t = 0
+          while (t < nSamples) {
+            val s = (math.sin(2 * math.Pi * f * t / rate) * 12000).toShort.toDouble
+            sumSq += s * s; t += 1
+          }
+          MediaGolden(i, "audio", 44 + nSamples * 2, math.sqrt(sumSq / nSamples), 0)
+        case 2 => // video: Y4M mean luma over all frames, closed form
+          val w = (4 + rnd.nextInt(15)) * 2; val h = (4 + rnd.nextInt(15)) * 2
+          val nFrames = 25 + rnd.nextInt(226)
+          val phase = rnd.nextInt(256)
+          var sum = 0L; var f = 0
+          while (f < nFrames) {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += ((x * 5 + y * 11 + f * 3 + phase) & 0xff); x += 1 }
+              y += 1
+            }
+            f += 1
+          }
+          val headerLen =
+            s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".length
+          val frameBytes = 6 + w * h + 2 * (w / 2) * (h / 2)
+          val durationMs = nFrames * 1000 / 25
+          MediaGolden(i, "video", headerLen + nFrames * frameBytes,
+            sum.toDouble / (nFrames.toLong * w * h),
+            math.max(1, durationMs / 1000))
+        case k => // jpeg (3) | png (4)
+          val w = 8 + rnd.nextInt(25); val h = 8 + rnd.nextInt(25)
+          val phase = rnd.nextInt(128)
+          val kind = if (k == 3) "jpeg" else "png"
+          val bytes = writeImage(w, h, if (k == 3) "jpg" else "png",
+            (x, y) => (x * 3 + y * 5 + phase) % 200)
+          val stat =
+            if (k == 4) { // png is lossless: closed form, parser untouched
+              var sum = 0L; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += (x * 3 + y * 5 + phase) % 200; x += 1 }
+                y += 1
+              }
+              sum.toDouble / (w * h)
+            } else { // jpeg: independent raster-band decode
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              var sum = 0L; var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              (if (bands == 1) 3.0 * sum else sum.toDouble) / (3.0 * w * h)
+            }
+          MediaGolden(i, kind, bytes.length, stat, 0)
+      }
+    }
+
+  /** The per-kind aggregate of [[goldens]] as an inline-VALUES oracle —
+    * the goldens "table" the multimodal gate reads in DuckDB (payloads
+    * are engine-seeded, so there is no source parquet for the oracle to
+    * scan; the independently-computed expectations ARE the table). The
+    * average follows the repo's float-parity rule: per-item doubles are
+    * decimal(·,12)-quantized exactly as Spark's `cast(double as decimal)`
+    * does (shortest-string then HALF_UP), summed exactly, divided in
+    * DOUBLE, rounded to 3 — order-invariant, so the literal equals the
+    * engine aggregate bit-for-bit. */
+  def goldensAggregateSql(n: Int, seed: Long = 42L): String = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rows = goldens(n, seed).groupBy(_.kind).toSeq.sortBy(_._1)
+      .map { case (kind, items) =>
+        val cnt = items.size
+        val totalBytes = items.map(_.n_bytes.toLong).sum
+        val sumDec = items
+          .map(g => new JBD(java.lang.Double.toString(g.signal_stat))
+            .setScale(12, RoundingMode.HALF_UP))
+          .reduce(_.add(_))
+        val avg = sumDec.doubleValue() / cnt
+        val avgRounded = new JBD(java.lang.Double.toString(avg))
+          .setScale(3, RoundingMode.HALF_UP).doubleValue()
+        val frames = items.map(_.n_frames_1fps.toLong).sum
+        s"('$kind', $cnt, $totalBytes, $cnt, $avgRounded, $frames)"
+      }
+    s"""SELECT kind, CAST(n AS BIGINT) AS n,
+       |  CAST(total_bytes AS BIGINT) AS total_bytes,
+       |  CAST(n_decoded AS BIGINT) AS n_decoded,
+       |  CAST(avg_signal AS DOUBLE) AS avg_signal,
+       |  CAST(n_frames AS BIGINT) AS n_frames
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS t(kind, n, total_bytes, n_decoded, avg_signal, n_frames)
+       |ORDER BY kind""".stripMargin
+  }
+
   /** REAL decode stage: batched partition-preserving parse of the payload
     * bytes — BMP headers + mean pixel for images, `javax.imageio` decode +
     * mean pixel for jpeg/png, WAV headers + RMS for audio, Y4M headers +

@@ -133,4 +133,46 @@ class MultimodalSpec extends SparkSpec {
       ts.sliding(2).foreach { case Array(a, b) => assert(b - a == 500); case _ => }
     }
   }
+
+  test("goldens: the real decode reproduces the independent expectations " +
+    "item by item, EXACTLY") {
+    val n = 100
+    val expected = Multimodal.goldens(n).map(g => g.media_id -> g).toMap
+    val fixture = Multimodal.syntheticMedia(spark, n)
+    val decoded = Multimodal.decodeMedia(fixture).collect()
+    assert(decoded.length == n)
+    decoded.foreach { d =>
+      val g = expected(d.media_id)
+      assert(d.ok, s"item ${d.media_id} (${d.kind}) failed to decode")
+      assert(d.kind == g.kind)
+      // bit-for-bit: both sides sum the same integers / squares in the
+      // same order, so the doubles are identical, not merely close
+      assert(d.signal_stat == g.signal_stat,
+        s"item ${d.media_id} (${d.kind}): decode ${d.signal_stat} != golden ${g.signal_stat}")
+    }
+    // payload sizes: generation-side lengths match the goldens' closed
+    // forms (and the encoder output for jpeg/png)
+    val sizes = fixture.collect().map(r => r.media_id -> r.bytes.length).toMap
+    expected.values.foreach(g => assert(sizes(g.media_id) == g.n_bytes,
+      s"item ${g.media_id} (${g.kind}): n_bytes ${sizes(g.media_id)} != golden ${g.n_bytes}"))
+    // frame sampling at 1 fps matches the closed-form count per video
+    val frameCounts = Multimodal.sampleFrames(fixture, fps = 1.0).collect()
+      .groupBy(_.media_id).view.mapValues(_.length).toMap
+    expected.values.filter(_.kind == "video").foreach(g =>
+      assert(frameCounts(g.media_id) == g.n_frames_1fps))
+  }
+
+  test("goldens: the gated aggregate equals the inline-VALUES oracle") {
+    // the oracle SQL is generated FROM the independent computation, so
+    // this pins the whole chain: real pipeline -> aggregate -> literals
+    val out = graft.SparkEntry.queries("q_x_multimodal")(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    val sql = graft.SparkEntry.oracleSql("q_x_multimodal")
+    // Spark parses the same inline-table syntax DuckDB runs
+    val oracle = spark.sql(sql)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == oracle.toSeq)
+  }
 }
