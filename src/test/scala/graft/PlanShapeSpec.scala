@@ -156,4 +156,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"),
       s"no dynamic partition pruning on the fact scan:\n$p")
   }
+
+  test("AQE splits a planted-skew shuffle join (skew=true in the final plan)") {
+    // the skew posture, regression-guarded: joins too big to broadcast
+    // rely on AQE's skew-join rule to split a hot key's partition across
+    // tasks (explicit salting — SkewJoin.saltedInnerJoin — remains the
+    // tool when AQE is off or both sides shuffle-heavy). This plants a
+    // 75%-hot key, forbids broadcast, lowers the detection thresholds to
+    // fixture scale, and asserts the FINAL adaptive plan carries the
+    // skew-handled join marker — so a conf or plan change that silently
+    // drops skew handling fails here, not on a 1000-executor stage.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      // incompressible payload — a constant pad would compress below the
+      // detection threshold in the shuffle files
+      val payload = concat(md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string")))
+      // 60k rows, 45k on key 0 — one shuffle partition dwarfs the median
+      val left = spark.range(0, 60000)
+        .select(when(col("id") < 45000, 0L).otherwise(col("id")).as("k"),
+          payload.as("pad"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      // global aggregate only: a downstream keyed aggregate would REQUIRE
+      // the join's hash partitioning and legally veto the skew split
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"planted skew not split by AQE (no skew=true in the final plan):\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
