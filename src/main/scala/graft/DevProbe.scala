@@ -58,6 +58,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("vocab")) {
+      vocabProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("streamtopk")) {
       streamTopkProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L))
       spark.stop()
@@ -195,6 +201,70 @@ object DevProbe {
       s"rank1=${sketchTop.head.getString(0)} " +
       f"bound_ok=${estHot <= trueHot && estHot >= trueHot - n / 65}")
     items.unpersist()
+  }
+
+  /** Sketched-df scale probe (`runMain graft.DevProbe vocab [n]`): n docs
+    * of 12 words — 8 drawn from a 64-word hot pool (each hot word's df ≈
+    * n) + 4 unique — the vocabulary shape where exact count-distinct df
+    * must shuffle one expanded row per distinct (word, doc) pair while
+    * the sketched path ships one fixed-size HLL per (word, map
+    * partition). Reports wall + total shuffle write bytes for each path:
+    * the sketched shuffle must stay FLAT in the hot words' df where the
+    * exact one grows linearly with the corpus. */
+  private def vocabProbe(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val docs = spark.range(n).map { i =>
+      val rnd = new scala.util.Random(i)
+      val hot = Seq.fill(8)(s"hot_${rnd.nextInt(64)}").mkString(" ")
+      val uniq = (0 until 4).map(j => s"u_${i}_$j").mkString(" ")
+      (i, s"$hot $uniq")
+    }.toDF("doc_id", "text").cache()
+    docs.count()
+
+    def measure(run: => Long): (Double, Long, Long) = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val out = run
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain the stage events
+      spark.sparkContext.removeSparkListener(listener)
+      (wall, bytes.get(), out)
+    }
+
+    val ta = graft.operators.TextAnalysis
+    val (tEx, bEx, rEx) = measure(
+      ta.vocabulary(docs, "doc_id", "text").filter(col("df") > 1).count())
+    val (tSk, bSk, rSk) = measure(
+      ta.vocabularySketched(docs, "doc_id", "text").filter(col("df") > 1).count())
+    println(f"[vocab $n mixed] exact=${tEx}%.1fs shuffle=${bEx / 1e6}%.1fMB hot_words=$rEx | " +
+      f"sketched=${tSk}%.1fs shuffle=${bSk / 1e6}%.1fMB hot_words=$rSk")
+    docs.unpersist()
+
+    // fixed-vocabulary corpus (no unique tail): the regime the sketch is
+    // FOR — exact df shuffles one row per (word, doc) pair, linear in n;
+    // the sketched shuffle must stay flat as the corpus doubles
+    for (m <- Seq(n / 2, n)) {
+      val fixed = spark.range(m).map { i =>
+        val rnd = new scala.util.Random(i)
+        (i, Seq.fill(12)(s"hot_${rnd.nextInt(64)}").mkString(" "))
+      }.toDF("doc_id", "text").cache()
+      fixed.count()
+      // consume df in the action — a bare count() lets Catalyst prune the
+      // distinct aggregate away and measures an empty plan
+      val (fEx, fbEx, _) = measure(
+        ta.vocabulary(fixed, "doc_id", "text").filter(col("df") > 0).count())
+      val (fSk, fbSk, _) = measure(
+        ta.vocabularySketched(fixed, "doc_id", "text").filter(col("df") > 0).count())
+      println(f"[vocab $m fixed-vocab] exact=${fEx}%.1fs shuffle=${fbEx / 1e6}%.1fMB | " +
+        f"sketched=${fSk}%.1fs shuffle=${fbSk / 1e6}%.1fMB")
+      fixed.unpersist()
+    }
   }
 
   /** Duplicated-passage scale probe (`runMain graft.DevProbe spans [n]`):

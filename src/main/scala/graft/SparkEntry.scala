@@ -861,6 +861,30 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // X-text: SKETCHED document frequency — one fixed-size HLL per word
+    // in the shuffle instead of one row per distinct (word, doc) pair
+    // (the bounded-shuffle scale path; round-3 VERDICT ask #5). The
+    // estimate is NOT hashable cross-engine (the sketch's 26-bit hash
+    // coupons collide once per ~2^27/df² words, so even small-df words
+    // can be off by 1), so the gate hashes the operator's ERROR CONTRACT
+    // instead: exact tf/df plus within_bound = |est − exact| <= max(1,
+    // 2% · exact), oracled against TRUE — an estimator regression flips
+    // booleans and is hash-visible.
+    "q_x_vocab_sketch" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ta = graft.operators.TextAnalysis
+      val exact = ta.vocabulary(d, "doc_id", "text")
+        .select(col("word"), col("tf"), col("df").as("df_exact"))
+      val sk = ta.vocabularySketched(d, "doc_id", "text")
+        .select(col("word"), col("df").as("df_est"))
+      exact.join(sk, Seq("word"))
+        .select(col("word"), col("tf"), col("df_exact"),
+          (abs(col("df_est") - col("df_exact")).cast("double") <=
+            greatest(lit(1.0), col("df_exact") * 0.02)).as("within_bound"))
+        .orderBy(col("df_exact").desc, col("tf").desc, col("word"))
+        .limit(30)
+    }),
+
     // X-text: Gopher-style repetition signal — per-doc top-bigram share
     "q_x_rep_ratio" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -2019,6 +2043,19 @@ object SparkEntry {
         |        / COUNT(DISTINCT doc_id)), 6) AS idf
         |FROM words GROUP BY word
         |ORDER BY df DESC, tf DESC, word LIMIT 30""".stripMargin,
+
+    // sketched df: the estimate is engine-specific (DataSketches
+    // coupons), so the oracle checks the error CONTRACT — exact tf/df
+    // plus the bound flag the Spark side computes, expected TRUE
+    "q_x_vocab_sketch" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_exact,
+        |  TRUE AS within_bound
+        |FROM words GROUP BY word
+        |ORDER BY df_exact DESC, tf DESC, word LIMIT 30""".stripMargin,
 
     "q_x_rep_ratio" ->
       """WITH grams AS (

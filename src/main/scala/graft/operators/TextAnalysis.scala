@@ -138,6 +138,40 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** [[vocabulary]] with SKETCHED document frequency — the bounded-shuffle
+    * scale path. Exact df is a count-distinct: Spark expands to one
+    * shuffled row per distinct (word, doc) pair, so a word appearing in
+    * 100M documents ships 100M rows to its reducer. The sketched path
+    * aggregates a DataSketches HLL per word instead: partial sketches
+    * merge map-side and the shuffle carries ONE fixed-size sketch per
+    * (word, map partition) — shuffle volume is bounded by the vocabulary,
+    * not by the corpus, and a boilerplate word present in every document
+    * costs the same bytes as a rare one.
+    *
+    * Error contract: below the HLL transition the sketch stores exact
+    * 26-bit hash coupons — NEAR-exact, off by one only when two doc ids
+    * collide in coupon space (≈ df²/2^27 per word, so a handful of ±1
+    * words across a large vocabulary even at small df) — and beyond it
+    * estimates with relative standard error ≈ 1.04/√2^lgConfigK (≈1.6%
+    * at the default lgConfigK=12; bound spec'd in TextAnalysisSpec).
+    * `tf` stays exact (a plain count). The gate `q_x_vocab_sketch`
+    * therefore hashes the |est − exact| ≤ max(1, 2%·exact) contract, not
+    * the engine-specific estimates themselves.
+    */
+  def vocabularySketched(docs: DataFrame, idCol: String, textCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    val words = docs.select(col(idCol).as("__doc"),
+      explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    words.groupBy("word")
+      .agg(count(lit(1)).as("tf"),
+        hll_sketch_estimate(
+          hll_sketch_agg(col("__doc"), lit(lgConfigK))).cast("bigint").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("__n").cast("double") / col("df")), 6))
+      .drop("__n")
+  }
+
   // ───────────────────── repetition ratio ─────────────────────
 
   /** Per-document top-bigram fraction — the Gopher-style repetition

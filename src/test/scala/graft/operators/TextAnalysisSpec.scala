@@ -108,6 +108,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v("c") == ((4L, 2L, math.rint(math.log(3.0 / 2) * 1e6) / 1e6)))
   }
 
+  test("vocabularySketched: sparse-range df is EXACT; dense df inside the " +
+    "HLL error bound; tf always exact") {
+    // one word in every doc (high df), one rare word: 30k docs pushes
+    // "hot" far past lgConfigK=12's sparse range (~1k), "rare" stays in it
+    val n = 30000L
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      "CASE WHEN id = 0 THEN 'hot rare' ELSE 'hot' END AS text")
+    val v = TextAnalysis.vocabularySketched(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (hotTf, hotDf, _) = v("hot")
+    assert(hotTf == n) // tf is a plain count — exact regardless of df
+    // RSE at lgK=12 is 1.04/sqrt(4096) ~ 1.6%; 3 sigma ~ 5%
+    assert(math.abs(hotDf - n).toDouble / n < 0.05,
+      s"hot df estimate $hotDf outside 5% of $n")
+    assert(v("rare") == ((1L, 1L, math.rint(math.log(n.toDouble) * 1e6) / 1e6)))
+    // at small df the sketch stores exact coupons — off only on rare
+    // 26-bit coupon collisions (this seeded 500-doc word has none)
+    val small = spark.range(500).selectExpr("id AS doc_id", "'w' AS text")
+    val sv = TextAnalysis.vocabularySketched(small, "doc_id", "text").collect()
+    assert(sv.head.getLong(2) == 500L)
+  }
+
   test("topBigramFraction: repeated bigram dominates; 1-token docs drop out") {
     val df = Seq(
       (1L, "x y x y x y"),   // bigrams: xy yx xy yx xy → top 'x y' 3/5
