@@ -1509,6 +1509,29 @@ object SparkEntry {
         .orderBy(col("grp"))
     }),
 
+    // S-zorder: Z-order (Morton-curve) layout — multi-dimensional data
+    // skipping (the Delta/Iceberg ZORDER BY lever on plain parquet). The
+    // gate round-trips the real sink (quantize each layout column,
+    // interleave bits, repartitionByRange + sort by the code) and hashes
+    // the read-back rows with their Morton codes — the interleave is
+    // pure integer bit arithmetic, bit-identical in DuckDB. The
+    // file-skipping property itself (per-file min/max prune on the
+    // SECOND dimension, which a linear sort cannot) is locked in
+    // LayoutSpec.
+    "q_s_zorder" -> ((s, dir) => {
+      val path = tmpFor(dir, "zorder")
+      val src = t(s, dir, "part").select("p_partkey", "p_size", "p_retailprice")
+      graft.sources.Layout.writeZordered(src, path,
+        Seq("p_size", "p_retailprice"), partitions = 4, bits = 8)
+      s.read.parquet(path)
+        .select(col("p_partkey"), col("p_size"),
+          graft.sources.Layout.mortonCode(Seq(
+            pmod(col("p_partkey"), lit(256)).cast("long"),
+            pmod(col("p_size").cast("long"), lit(256))), 8).as("z"))
+        .orderBy(col("p_partkey"))
+        .limit(200)
+    }),
+
     // X-spans: exact duplicated-passage detection — stride-sampled char
     // windows keyed by md5 (cross-engine), reduced per hash; the shuffle
     // carries hashes and ids, never text. Catches verbatim spans repeated
@@ -2787,6 +2810,17 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
         |       min(l_orderkey) AS min_key
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // zorder: the Morton interleave as explicit bit arithmetic — bit
+    // (2j) of z is bit j of the first dimension, bit (2j+1) the second;
+    // the round-trip through the z-ordered files must preserve every row
+    "q_s_zorder" ->
+      """SELECT p_partkey, p_size,
+        |  CAST(list_sum(list_transform(range(0, 8), j ->
+        |      (((p_partkey % 256) >> j) & 1) * (1::BIGINT << (2*j))
+        |    + (((p_size % 256) >> j) & 1) * (1::BIGINT << (2*j + 1))))
+        |  AS BIGINT) AS z
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
 
     // content-defined spans: identical anchor predicate (md5 of the
     // 8-char context in the '0…' band) and span key in both engines
