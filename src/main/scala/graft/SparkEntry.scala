@@ -885,6 +885,19 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // X-text: distributed BPE tokenizer TRAINING — one corpus pass
+    // builds the word-frequency table, 8 merge iterations run on that
+    // cached vocabulary (each a tiny aggregate + 1-row argmax collect —
+    // the iterative-driver scalar pattern). Merges apply as
+    // boundary-delimited string replace, so the whole loop is
+    // bit-reproducible in DuckDB ([[Bpe.oracleSql]] unrolls it as
+    // chained CTEs, generated from the same parameters)
+    "q_x_bpe" -> ((s, dir) => {
+      val merges = graft.operators.Bpe.learn(tw(s, dir, "documents"), "text", 8)
+      import s.implicits._
+      merges.toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
+    }),
+
     // X-text: Gopher-style repetition signal — per-doc top-bigram share
     "q_x_rep_ratio" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -2066,6 +2079,11 @@ object SparkEntry {
         |        / COUNT(DISTINCT doc_id)), 6) AS idf
         |FROM words GROUP BY word
         |ORDER BY df DESC, tf DESC, word LIMIT 30""".stripMargin,
+
+    // BPE learning: the 8-merge loop unrolled as chained CTEs, generated
+    // from the same (table, column, merge-count) parameters as the query
+    "q_x_bpe" ->
+      graft.operators.Bpe.oracleSql("documents", "text", 8),
 
     // sketched df: the estimate is engine-specific (DataSketches
     // coupons), so the oracle checks the error CONTRACT — exact tf/df

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer TRAINING — the
+  * vocabulary-learning step of an LLM data pipeline, in the classic
+  * scalable formulation: one pass over the corpus builds the word
+  * FREQUENCY table (small — distinct words, not tokens), and every merge
+  * iteration runs on that cached table, so 100 TB of text costs one
+  * explode/aggregate and the loop's cost is bounded by vocabulary size.
+  *
+  * Symbol sequences are pipe-delimited strings (`|a|b|c|`) and a merge
+  * (l, r) is `replace(s, "|l|r|", "|lr|")` — boundary-delimited so a
+  * symbol that merely ends in `l` can never false-match. `replace` scans
+  * left-to-right over non-overlapping occurrences and continues AFTER
+  * each replacement; because a replacement consumes its trailing
+  * delimiter, an abutting repeat (`|a|a|a|a|`) merges only its FIRST
+  * pair per pass (`|aa|a|a|`) — the documented scan-greedy variant here,
+  * identical in any engine with standard `replace` semantics, which is
+  * what makes the whole learning loop DuckDB-oracle-able ([[oracleSql]]
+  * unrolls it as chained CTEs).
+  *
+  * Each iteration's argmax is a 1-row collect (the iterative-driver
+  * scalar pattern, like k-means centroids); ties break deterministically
+  * on (count DESC, left ASC, right ASC).
+  */
+object Bpe {
+
+  /** Lower-case, strip everything outside `[a-z ]` — the normalization
+    * both engines reproduce bit-for-bit (multibyte text would hit
+    * UTF-16-vs-codepoint char-split divergence; normalize first). */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z ]", "")
+
+  /** `word → |w|o|r|d|` — per-char symbol string with boundary pipes. */
+  private def symbolize(word: Column): Column =
+    concat(lit("|"), regexp_replace(word, "(.)", "$1|"))
+
+  /** Word-frequency table: (`s` symbol string, `freq`). ONE corpus pass;
+    * merges never touch the corpus again. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(symbolize(col("w")).as("s"), col("freq"))
+
+  /** Non-empty symbols of a pipe-delimited string. */
+  private def symbols(s: Column): Column =
+    filter(split(s, "[|]"), t => length(t) > 0)
+
+  /** Learns `numMerges` merges; returns (rank, left, right, pairCount).
+    * Stops early when no adjacent pair remains. */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+      checkpointEvery: Int = 8): Seq[(Int, String, String, Long)] = {
+    var table = wordTable(docs, textCol).cache()
+    table.count() // materialize before the loop
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var i = 1
+    while (i <= numMerges && !done) {
+      val toks = symbols(col("s"))
+      val top = table
+        .select(col("freq"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, cnt))
+        table = table.withColumn("s",
+          replace(col("s"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
+        if (i % checkpointEvery == 0) table = table.localCheckpoint()
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Applies a learned merge list to a text column; returns the token
+    * array (the TOKENIZE side of the tokenizer, same scan-greedy merge
+    * semantics as [[learn]]). Pure per-row expression work — no shuffle,
+    * no UDF; the merge list folds into a chain of `replace` calls. */
+  def segment(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = filter(split(normalize(text), " "), w => length(w) > 0)
+    val merged = transform(words, w =>
+      merges.foldLeft(symbolize(w))((s, m) =>
+        replace(s, lit(s"|${m._1}|${m._2}|"), lit(s"|${m._1}${m._2}|"))))
+    flatten(transform(merged, s => symbols(s)))
+  }
+
+  /** The learning loop as `numMerges` unrolled DuckDB CTE stages — the
+    * cross-engine oracle for [[learn]]. Generated, not hand-copied, so
+    * the two formulations cannot drift. */
+  def oracleSql(table: String, textCol: String, numMerges: Int): String = {
+    val base =
+      s"""WITH words AS (
+         |  SELECT unnest(list_filter(
+         |    string_split(lower(regexp_replace($textCol, '[^a-z ]', '', 'g')), ' '),
+         |    x -> x <> '')) AS w
+         |  FROM $table),
+         |w0 AS (
+         |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+         |         COUNT(*) AS freq
+         |  FROM words GROUP BY w)""".stripMargin
+    val stages = (1 to numMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT t[i] AS l, t[i + 1] AS r,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS t,
+         |               freq
+         |        FROM w${k - 1}),
+         |       LATERAL unnest(range(1, len(t))) u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (
+         |  SELECT replace(s, '|' || m.l || '|' || m.r || '|',
+         |                    '|' || m.l || m.r || '|') AS s, freq
+         |  FROM w${k - 1}, m$k m)""".stripMargin
+    }
+    val union = (1 to numMerges)
+      .map(k => s"SELECT $k AS rank, l, r, cnt FROM m$k")
+      .mkString("\nUNION ALL ")
+    (base +: stages).mkString(",\n") + s"\n$union\nORDER BY rank"
+  }
+}
