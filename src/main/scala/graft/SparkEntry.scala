@@ -898,6 +898,20 @@ object SparkEntry {
       merges.toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
     }),
 
+    // X-graph: PageRank over a linkage graph — link-authority weighting
+    // (the crawl-domain quality prior for corpus curation) as pure
+    // relational algebra: 5 iterations, each a keyed join + decimal-
+    // accumulated aggregation, the dangling mass a 1-row broadcast.
+    // Suppliers are negated so the bipartite node id spaces can't
+    // collide. Fully oracled through the generated unrolled-CTE twin.
+    "q_x_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select((-col("l_suppkey")).as("src"), col("l_partkey").as("dst"))
+      graft.operators.Graph.pageRank(s, e, iters = 5)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(30)
+    }),
+
     // X-text: Gopher-style repetition signal — per-doc top-bigram share
     "q_x_rep_ratio" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -2084,6 +2098,14 @@ object SparkEntry {
     // from the same (table, column, merge-count) parameters as the query
     "q_x_bpe" ->
       graft.operators.Bpe.oracleSql("documents", "text", 8),
+
+    // PageRank: the 5-iteration loop as generated chained CTEs — decimal
+    // contribution sums and per-iteration 12-place rounding make every
+    // round bit-identical across engines
+    "q_x_pagerank" ->
+      (graft.operators.Graph.pageRankOracleSql(
+        "SELECT -l_suppkey AS src, l_partkey AS dst FROM lineitem", 5) +
+        "\nORDER BY rank DESC, node LIMIT 30"),
 
     // sketched df: the estimate is engine-specific (DataSketches
     // coupons), so the oracle checks the error CONTRACT — exact tf/df

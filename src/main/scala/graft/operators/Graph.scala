@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over an edge DataFrame — PageRank as pure
+  * relational algebra. The LLM-pipeline use is link-authority weighting:
+  * rank crawl domains (or any linked entities) by the structure of their
+  * linkage graph and weight or gate training data by the score, the
+  * standard quality prior for web corpora.
+  *
+  * Each iteration is one join (ranks ⋈ edges on src) + one aggregation
+  * (contributions by dst) + one join back onto the node set — all keyed
+  * shuffles that AQE sizes, nothing driver-side except the dangling-mass
+  * scalar (1 row). Lineage is cut with `localCheckpoint` every few
+  * rounds like the connected-components loop.
+  *
+  * Cross-engine determinism (the float-parity rules): per-node ranks are
+  * ROUNDED to 12 places after every update, per-edge contributions are
+  * rounded then accumulated as DECIMAL(28,12) (order-invariant sums),
+  * and divisions happen in DOUBLE — so the generated DuckDB twin
+  * ([[pageRankOracleSql]]) reproduces every iteration bit-for-bit.
+  */
+object Graph {
+
+  /** `iters` PageRank rounds over `edges(src, dst)` (duplicate edges are
+    * collapsed; self-loops kept). Returns (`node`, `rank`). Damping is
+    * expressed as the literal 0.85/0.15 pair inline so both engines fold
+    * the same constants. */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nCount = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+    // r0 = round(1/N, 12), computed in-plan from the broadcast scalar
+    var ranks = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), round(lit(1.0) / col("n"), 12).as("rank"))
+
+    for (i <- 1 to iters) {
+      // dangling mass: ranks of nodes with no out-edges, summed exactly
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast("decimal(28,12)")), lit(0))
+          .cast("double").as("dang"))
+      val contribs = ranks
+        .join(e, ranks("node") === e("src"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          round(col("rank") / col("outdeg"), 12)
+            .cast("decimal(28,12)").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).cast("double").as("contrib"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(nCount))
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(
+            lit(0.15) / col("n") +
+              lit(0.85) * (coalesce(col("contrib"), lit(0.0)) +
+                col("dang") / col("n")),
+            12).as("rank"))
+      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** The same loop as `iters` generated DuckDB CTE stages over an
+    * `edges(src, dst)` CTE the caller supplies as `edgesSql` — the
+    * cross-engine oracle for [[pageRank]]; generated, never hand-copied. */
+  def pageRankOracleSql(edgesSql: String, iters: Int): String = {
+    val base =
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nc AS (SELECT COUNT(*) AS n FROM nodes),
+         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, ROUND(1.0 / n, 12) AS rank FROM nodes, nc)""".stripMargin
+    val stages = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(rank AS DECIMAL(28,12))), 0) AS DOUBLE) AS dang
+         |  FROM r${k - 1} r WHERE NOT EXISTS
+         |    (SELECT 1 FROM outdeg o WHERE o.src = r.node)),
+         |c$k AS (
+         |  SELECT e.dst,
+         |         CAST(SUM(CAST(ROUND(r.rank / o.outdeg, 12) AS DECIMAL(28,12)))
+         |              AS DOUBLE) AS contrib
+         |  FROM r${k - 1} r JOIN e ON r.node = e.src
+         |                   JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT n.node,
+         |         ROUND(0.15 / nc.n + 0.85 * (COALESCE(c.contrib, 0.0)
+         |               + d.dang / nc.n), 12) AS rank
+         |  FROM nodes n LEFT JOIN c$k c ON c.dst = n.node, nc, d$k d)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT node, rank FROM r$iters"
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    Graph.pageRank(spark, edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("a symmetric 2-cycle splits the mass evenly, conserving it") {
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), 3)
+    assert(r(1L) == r(2L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("in-link authority: the star center outranks its spokes") {
+    // 1 -> 3, 2 -> 3 — monotone convergence (a back-edge would add a
+    // damped 2-cycle oscillation larger than the fixed-point gap at
+    // small iteration counts)
+    val r = ranks(Seq((1L, 3L), (2L, 3L)), 3)
+    assert(r(3L) > r(1L) && r(1L) == r(2L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("dangling mass is redistributed, not lost") {
+    // 1 -> 2, 2 dangles: without redistribution the total decays
+    val r = ranks(Seq((1L, 2L)), 4)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(2L) > r(1L)) // the sink still accumulates authority
+  }
+
+  test("duplicate edges collapse (no double-counted contributions)") {
+    val once = ranks(Seq((1L, 2L), (2L, 1L)), 2)
+    val dup = ranks(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 2)
+    assert(once == dup)
+  }
+}
