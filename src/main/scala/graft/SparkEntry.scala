@@ -898,6 +898,28 @@ object SparkEntry {
       merges.toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
     }),
 
+    // S-incr: incremental aggregate-state maintenance — merge-on-ingest
+    // instead of recompute-on-read: per-key algebraic partials (cnt /
+    // decimal sum / min / max) aggregated per batch and MERGED, so a new
+    // batch costs one aggregation over the batch plus a key-sized merge,
+    // never a re-read of the corpus. Decimal sums make state batch-split
+    // invariant — the gate builds state from two half-batches and hashes
+    // against the oracle's single direct aggregate.
+    "q_s_incr_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val inc = graft.operators.Incremental
+      val b1 = inc.aggState(o.filter(col("o_orderkey") % 2 === 0),
+        Seq("o_custkey"), "o_totalprice")
+      val b2 = inc.aggState(o.filter(col("o_orderkey") % 2 =!= 0),
+        Seq("o_custkey"), "o_totalprice")
+      inc.finish(inc.merge(b1, b2, Seq("o_custkey")))
+        .select(col("o_custkey"), col("cnt"),
+          col("sum").cast("double").as("sum_price"),
+          col("min").as("min_price"), col("max").as("max_price"), col("avg"))
+        .orderBy(col("o_custkey"))
+        .limit(100)
+    }),
+
     // X-graph: PageRank over a linkage graph — link-authority weighting
     // (the crawl-domain quality prior for corpus curation) as pure
     // relational algebra: 5 iterations, each a keyed join + decimal-
@@ -2098,6 +2120,16 @@ object SparkEntry {
     // from the same (table, column, merge-count) parameters as the query
     "q_x_bpe" ->
       graft.operators.Bpe.oracleSql("documents", "text", 8),
+
+    // incremental state: the oracle aggregates the WHOLE table directly —
+    // hash equality proves the two-batch merged state is split-invariant
+    "q_s_incr_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100""".stripMargin,
 
     // PageRank: the 5-iteration loop as generated chained CTEs — decimal
     // contribution sums and per-iteration 12-place rounding make every
