@@ -69,8 +69,10 @@ object Layout {
   def writeZordered(df: DataFrame, path: String, layoutCols: Seq[String],
       partitions: Int, bits: Int = 16, maxRecordsPerFile: Long = 0L): Unit = {
     require(layoutCols.nonEmpty, "writeZordered needs layout columns")
-    require(!df.columns.contains("__z"),
-      "writeZordered reserves column name __z — rename it in the input")
+    val reserved = "__z" +: layoutCols.flatMap(c => Seq(s"__min_$c", s"__max_$c"))
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"writeZordered reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
     val stats = df.agg(
       layoutCols.flatMap(c =>
         Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))).head,
