@@ -13,7 +13,11 @@ object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // partition-sizing is the first 100 TB design rule — let big probes
+      // raise this so per-task sort buffers stay inside executor memory
+      // (the 50M-row lifecycle needs ~256; 32 puts 1.5M wide rows per task)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -66,6 +70,13 @@ object DevProbe {
 
     if (args.headOption.contains("streamtopk")) {
       streamTopkProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("pagerank")) {
+      pagerankProbe(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(5))
       spark.stop()
       return
     }
@@ -517,6 +528,27 @@ object DevProbe {
   /** Text-surface scale probe: a seeded n-doc synthetic corpus (10% exact
     * duplicates, 2% junk, a benchmark slice overlapping real docs) pushed
     * through the full CorpusPipeline with shard-grained packing. */
+  /** Per-iteration wall time of the PageRank loop on the sfDir lineitem
+    * bipartite graph — the checkpoint callback is the iteration boundary. */
+  private def pagerankProbe(spark: SparkSession, sfDir: String, iters: Int): Unit = {
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((-col("l_suppkey")).as("src"), col("l_partkey").as("dst"))
+    val t0 = System.nanoTime()
+    var last = t0
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val r = graft.operators.Graph.pageRank(spark, e, iters,
+      checkpoint = { df =>
+        val out = df.localCheckpoint()
+        val now = System.nanoTime()
+        times += (now - last) / 1e9
+        last = now
+        out
+      })
+    val n = r.count()
+    println(f"[pagerank] nodes=$n total=${(System.nanoTime() - t0) / 1e9}%.2fs " +
+      s"per-iter=${times.map(t => f"$t%.2f").mkString(",")}")
+  }
+
   private def corpusProbe(spark: SparkSession, n: Long): Unit = {
     import spark.implicits._
     // vocab shape matters: stopwords at ~20% token frequency (so the

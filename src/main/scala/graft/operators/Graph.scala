@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * Each iteration is one join (ranks ⋈ edges on src) + one aggregation
   * (contributions by dst) + one join back onto the node set — all keyed
   * shuffles that AQE sizes, nothing driver-side except the dangling-mass
-  * scalar (1 row). Lineage is cut with `localCheckpoint` every few
-  * rounds like the connected-components loop.
+  * scalar (1 row). Ranks are consumed TWICE per iteration (the dangling
+  * aggregate and the contribution join), so un-cut lineage doubles every
+  * round; the loop therefore checkpoints each iteration, making the
+  * per-round plan constant-size like the connected-components loop.
   *
   * Cross-engine determinism (the float-parity rules): per-node ranks are
   * ROUNDED to 12 places after every update, per-edge contributions are
@@ -28,12 +30,17 @@ object Graph {
     * expressed as the literal 0.85/0.15 pair inline so both engines fold
     * the same constants. */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nCount = nodes.agg(count(lit(1)).as("n"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the dangling-node SET is static across iterations — resolve the
+    // anti-join once instead of once per round (no forced broadcast:
+    // web graphs have dangling sets proportional to the node count)
+    val danglingNodes = nodes
+      .join(outdeg, nodes("node") === outdeg("src"), "left_anti").cache()
 
     // r0 = round(1/N, 12), computed in-plan from the broadcast scalar
     var ranks = nodes.crossJoin(broadcast(nCount))
@@ -41,7 +48,7 @@ object Graph {
 
     for (i <- 1 to iters) {
       // dangling mass: ranks of nodes with no out-edges, summed exactly
-      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+      val dangling = ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank").cast("decimal(28,12)")), lit(0))
           .cast("double").as("dang"))
       val contribs = ranks
@@ -52,8 +59,10 @@ object Graph {
             .cast("decimal(28,12)").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).cast("double").as("contrib"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
+      // ranks holds exactly one row per node, so the update joins
+      // contribs back onto ranks itself — no per-round nodes join
+      ranks = ranks
+        .join(contribs, ranks("node") === contribs("dst"), "left")
         .crossJoin(broadcast(nCount))
         .crossJoin(broadcast(dangling))
         .select(col("node"),
@@ -62,7 +71,10 @@ object Graph {
               lit(0.85) * (coalesce(col("contrib"), lit(0.0)) +
                 col("dang") / col("n")),
             12).as("rank"))
-      if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint()
+      // every update rounds to 12 places with decimal-accumulated sums,
+      // so the cut cannot change values — only kill the doubled lineage
+      // (ranks is consumed twice per round)
+      ranks = checkpoint(ranks)
     }
     ranks
   }
