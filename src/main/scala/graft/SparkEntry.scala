@@ -1419,18 +1419,16 @@ object SparkEntry {
         "doc_id", "w", k = 30, maxWeight = 4, salt = "g4")),
 
     // F-scaling: per-group feature-scaling battery — z-score from
-    // decimal power sums, min-max, and p05/p95 winsorize, each scaled
-    // within the row's own l_returnflag group (one group aggregate +
-    // AQE-broadcast stats join per op)
+    // decimal power sums, min-max, and p05/p95 winsorize, all scaled
+    // within the row's own l_returnflag group by the FUSED variant:
+    // one stats aggregate + one AQE-broadcast join covers all three
+    // (chaining the single ops re-scans the input once per op)
     "q_f_scaling" -> ((s, dir) => {
       val fs = graft.operators.FeatureScaling
       val d = t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-      fs.winsorize(
-          fs.groupMinMax(
-            fs.groupZScore(d, "l_returnflag", "l_quantity", "z"),
-            "l_returnflag", "l_quantity", "mm"),
-          "l_returnflag", "l_quantity", 0.05, 0.95, "clipped")
+      fs.scaleAll(d, "l_returnflag", "l_quantity",
+          zOut = "z", mmOut = "mm", clipOut = "clipped")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("z"), col("mm"), col("clipped"))
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic

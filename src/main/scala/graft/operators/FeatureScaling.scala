@@ -64,6 +64,46 @@ object FeatureScaling {
       .drop("__lo", "__hi")
   }
 
+  /** All three scalings in ONE pass: z-score (`zOut`), min-max (`mmOut`),
+    * and winsorize (`clipOut`) against a single per-group stats aggregate
+    * and a single AQE-broadcast join. Chaining the single-op variants
+    * replays the input once per op (each stats aggregate re-reads the
+    * previous op's join lineage); a pipeline that wants several scalings
+    * of one column should pay the scan and the group shuffle once.
+    * Formulas are identical to the single ops, so outputs match them
+    * column-for-column. */
+  def scaleAll(df: DataFrame, groupCol: String, valueCol: String,
+      zOut: String = "z", mmOut: String = "scaled", clipOut: String = "clipped",
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    guard(df, "scaleAll", "__n", "__s1", "__s2", "__mean", "__sd",
+      "__lo", "__hi", "__plo", "__phi", zOut, mmOut, clipOut)
+    val x = col(valueCol)
+    val stats = df.groupBy(col(groupCol)).agg(
+        count(x).cast("double").as("__n"),
+        sum(x.cast("decimal(38,6)")).cast("double").as("__s1"),
+        sum((x * x).cast("decimal(38,6)")).cast("double").as("__s2"),
+        min(x).as("__lo"), max(x).as("__hi"),
+        expr(s"percentile(`$valueCol`, $pLo)").as("__plo"),
+        expr(s"percentile(`$valueCol`, $pHi)").as("__phi"))
+      .select(col(groupCol),
+        (col("__s1") / col("__n")).as("__mean"),
+        when(col("__n") > 1, sqrt(
+          (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+            (col("__n") - lit(1.0)))).as("__sd"),
+        col("__lo"), col("__hi"), col("__plo"), col("__phi"))
+    df.join(stats, groupCol)
+      .withColumn(zOut,
+        round((x - col("__mean")) / when(col("__sd") > 0, col("__sd")), 6))
+      .withColumn(mmOut, round(
+        (x - col("__lo")).cast("double") /
+          when(col("__hi") > col("__lo"), (col("__hi") - col("__lo")).cast("double")),
+        6))
+      .withColumn(clipOut,
+        round(greatest(col("__plo"), least(col("__phi"), x.cast("double"))), 6))
+      .drop("__mean", "__sd", "__lo", "__hi", "__plo", "__phi")
+  }
+
   /** Adds `out` = x clipped into the group's exact [pLo, pHi] percentile
     * band (linear-interpolation percentiles — Spark `percentile` ==
     * DuckDB `quantile_cont`). The tail-taming step before scaling when a

@@ -58,4 +58,22 @@ class FeatureScalingSpec extends SparkSpec {
       FeatureScaling.winsorize(df.withColumn("__lo", lit(1)), "g", "x", 0.1, 0.9)
     }
   }
+
+  test("scaleAll equals the chained single ops, column for column") {
+    val fused = FeatureScaling.scaleAll(df, "g", "x",
+        zOut = "z", mmOut = "mm", clipOut = "cl", pLo = 0.25, pHi = 0.75)
+      .select("g", "x", "z", "mm", "cl")
+    val chained = FeatureScaling.winsorize(
+        FeatureScaling.groupMinMax(
+          FeatureScaling.groupZScore(df, "g", "x", "z"),
+          "g", "x", "mm"),
+        "g", "x", 0.25, 0.75, "cl")
+      .select("g", "x", "z", "mm", "cl")
+    assert(fused.exceptAll(chained).isEmpty && chained.exceptAll(fused).isEmpty)
+    // single stats pass: exactly one aggregate over the input in the plan
+    val aggs = fused.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected one fused stats aggregate, got ${aggs.size}")
+  }
 }
