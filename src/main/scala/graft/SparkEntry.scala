@@ -941,6 +941,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // X-text: bigram-LM perplexity quality scoring (the CCNet-style
+    // filter signal) — model trained on the FULL corpus, a doc slice
+    // scored; the doc filter pushes through the scoring aggregate while
+    // the model-count subtrees keep reading everything. Log terms round
+    // to 12 and accumulate as decimal, so the generated-twin parity
+    // holds bit-for-bit (ln/exp are IEEE-stable across engines here).
+    "q_x_perplexity" -> ((s, dir) => {
+      graft.operators.TextAnalysis
+        .bigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // X-text: PII scrubbing — codegen'd regexp_replace redaction + audit
     // counts. The fixture corpus carries no PII, so the scrubbed column is
     // constructed deterministically from fixture fields in BOTH engines;
@@ -2149,6 +2162,34 @@ object SparkEntry {
         |  TRUE AS within_bound
         |FROM words GROUP BY word
         |ORDER BY df_exact DESC, tf DESC, word LIMIT 30""".stripMargin,
+
+    // bigram-LM perplexity: identical add-1 model in DuckDB — parallel
+    // unnests zip the offset slices, per-(doc,bigram) n·ln p rounds to 12
+    // and sums as DECIMAL, division/exp in DOUBLE rounded to 6
+    "q_x_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(t) AS w1 FROM toks),
+        |v AS (SELECT COUNT(DISTINCT w1) AS v FROM words),
+        |uni AS (SELECT w1, COUNT(*) AS cu FROM words GROUP BY w1),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks),
+        |bi AS (SELECT g, COUNT(*) AS cb FROM grams GROUP BY g),
+        |dg AS (SELECT doc_id, w1, g, COUNT(*) AS n FROM grams GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT doc_id, n,
+        |    CAST(ROUND(CAST(n AS DOUBLE) *
+        |        LN((cb + 1.0) / (cu + 1.0 * v.v)), 12) AS DECIMAL(38,12)) AS lp
+        |  FROM dg JOIN bi USING (g) JOIN uni USING (w1), v)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  ROUND(-CAST(SUM(lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS cross_entropy,
+        |  ROUND(EXP(-CAST(SUM(lp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)), 6) AS perplexity
+        |FROM sc WHERE doc_id < 100
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_x_rep_ratio" ->
       """WITH grams AS (

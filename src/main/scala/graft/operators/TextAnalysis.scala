@@ -172,6 +172,75 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  // ───────────────────── LM perplexity quality scoring ─────────────────────
+
+  /** Per-document bigram language-model cross-entropy and perplexity —
+    * the CCNet/KenLM-style quality signal: documents whose word
+    * transitions are improbable under the corpus LM (gibberish, boiler
+    * soup, wrong-language fragments) score high and get filtered or
+    * down-weighted. The model here is trained on `docs` itself
+    * (self-perplexity); to score against a reference corpus, train the
+    * count tables on that corpus instead — the shape is identical.
+    *
+    * Model: add-k smoothed bigram MLE,
+    * `p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)` with corpus-wide counts
+    * and V = distinct words. Score: cross-entropy
+    * `H = −(1/n) Σ ln p` over the document's `n` bigrams; perplexity
+    * `= e^H`.
+    *
+    * Scale shape: bigrams come from `zip_with` over offset slices (pure
+    * map-side); scoring pre-aggregates to one row per DISTINCT
+    * (doc, bigram) so the model joins never touch per-occurrence rows;
+    * the bigram-count join keys on the bigram (hot boilerplate bigrams
+    * are exactly what AQE's skew split handles); the unigram table is
+    * vocabulary-sized (AQE broadcasts it when it fits); V is a 1-row
+    * broadcast scalar. That is ~4 corpus-keyed shuffles — the floor for
+    * exact self-trained scoring; with a FIXED reference model, persist
+    * the count tables and broadcast them instead.
+    *
+    * Cross-engine reproducibility: each bigram's `n·ln p` term is
+    * rounded to 12 places and accumulated as DECIMAL(38,12)
+    * (order-invariant); the final division and `exp` run in DOUBLE and
+    * round to 6 (`ln`/`exp` parity holds — see the entropy gate).
+    *
+    * Returns (`idCol`, `n_bigrams`, `cross_entropy`, `perplexity`);
+    * documents with fewer than two tokens have no bigrams and drop out.
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"additive smoothing needs addK > 0, got $addK")
+    val reserved = Seq("__doc", "__t", "__bg", "__lp", "__v", "w1", "g")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"bigramPerplexity reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val words = docs.select(col(idCol).as("__doc"), explode(toks).as("w1"))
+    val uni = words.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val nVocab = words.agg(countDistinct(col("w1")).as("__v"))
+    val grams = docs.select(col(idCol).as("__doc"), toks.as("__t"))
+      .select(col("__doc"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("g")))).as("__bg"))
+      .select(col("__doc"), col("__bg.w1").as("w1"), col("__bg.g").as("g"))
+    val bi = grams.groupBy("g").agg(count(lit(1)).as("cb"))
+    val docGrams = grams.groupBy("__doc", "w1", "g").agg(count(lit(1)).as("n"))
+    docGrams
+      .join(bi, "g")
+      .join(uni, "w1")
+      .crossJoin(broadcast(nVocab))
+      .select(col("__doc"), col("n"),
+        round(col("n").cast("double") *
+            log((col("cb") + lit(addK)) / (col("cu") + lit(addK) * col("__v"))),
+          12).cast("decimal(38,12)").as("__lp"))
+      .groupBy(col("__doc").as(idCol))
+      .agg(sum(col("n")).as("n_bigrams"),
+        round(-(sum(col("__lp")).cast("double")) /
+          sum(col("n")).cast("double"), 6).as("cross_entropy"),
+        round(exp(-(sum(col("__lp")).cast("double")) /
+          sum(col("n")).cast("double")), 6).as("perplexity"))
+  }
+
   // ───────────────────── repetition ratio ─────────────────────
 
   /** Per-document top-bigram fraction — the Gopher-style repetition

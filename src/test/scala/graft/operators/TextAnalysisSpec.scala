@@ -278,4 +278,34 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.percentileGate(df, Seq("src"), "score", "id", 0.25)
     }
   }
+
+  test("bigramPerplexity scores the add-1 bigram model exactly") {
+    // corpus: unigrams a=3 b=3 x=1, V=3; bigrams "a b"=3, "b a"=1
+    // p(b|a) = (3+1)/(3+3) = 2/3, p(a|b) = (1+1)/(3+3) = 1/3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: bigrams {a b: 2, b a: 1} → H = −(2·ln(2/3) + ln(1/3)) / 3
+    val h1 = -(r12(2 * math.log(2.0 / 3)) + r12(math.log(1.0 / 3))) / 3
+    // doc 2: one bigram at p = 2/3 → perplexity exactly 1/p = 1.5
+    val h2 = -r12(math.log(2.0 / 3))
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 3L), (2L, 1L)),
+      "doc 3 has no bigram and must drop out")
+    assert(out.map(_._3) == Seq(r6(h1), r6(h2)))
+    assert(out.map(_._4) == Seq(r6(math.exp(h1)), r6(math.exp(h2))))
+    assert(out(1)._4 == 1.5)
+  }
+
+  test("bigramPerplexity rejects reserved column names") {
+    val df = Seq((1L, "a b", "clash")).toDF("doc_id", "text", "w1")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.bigramPerplexity(df, "doc_id", "text")
+    }
+  }
 }
