@@ -898,6 +898,24 @@ object SparkEntry {
       merges.toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
     }),
 
+    // X-text: BPE tokenizer ENCODE — the learned merge list applied to a
+    // doc slice as a fold of boundary-delimited replaces (pure per-row
+    // codegen expression work, no shuffle until the final count). The
+    // oracle re-learns the same merges in CTEs and applies them in rank
+    // order, so train AND apply are both hash-gated.
+    "q_x_bpe_encode" -> ((s, dir) => {
+      val bpe = graft.operators.Bpe
+      val merges = bpe.learn(tw(s, dir, "documents"), "text", 8)
+        .map(m => (m._2, m._3))
+      val toks = bpe.segment(col("text"), merges)
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), toks.as("__toks"))
+        .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__toks"))).cast("long").as("n_distinct"))
+        .filter(col("n_tokens") > 0) // blank-normalized docs drop out in SQL too
+        .orderBy(col("doc_id"))
+    }),
+
     // S-incr: incremental aggregate-state maintenance — merge-on-ingest
     // instead of recompute-on-read: per-key algebraic partials (cnt /
     // decimal sum / min / max) aggregated per batch and MERGED, so a new
@@ -2131,6 +2149,12 @@ object SparkEntry {
     // from the same (table, column, merge-count) parameters as the query
     "q_x_bpe" ->
       graft.operators.Bpe.oracleSql("documents", "text", 8),
+
+    // BPE encode: the same generated loop CTEs re-learn the merge table,
+    // then apply each merge in rank order to the doc slice
+    "q_x_bpe_encode" ->
+      graft.operators.Bpe.encodeOracleSql(
+        "documents", "doc_id", "text", 8, "doc_id < 50"),
 
     // incremental state: the oracle aggregates the WHOLE table directly —
     // hash equality proves the two-batch merged state is split-invariant

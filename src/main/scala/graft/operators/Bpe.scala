@@ -94,10 +94,9 @@ object Bpe {
     flatten(transform(merged, s => symbols(s)))
   }
 
-  /** The learning loop as `numMerges` unrolled DuckDB CTE stages — the
-    * cross-engine oracle for [[learn]]. Generated, not hand-copied, so
-    * the two formulations cannot drift. */
-  def oracleSql(table: String, textCol: String, numMerges: Int): String = {
+  /** The shared learning-loop CTE prefix: word table + `numMerges`
+    * (pair-count, argmax, apply) stages. */
+  private def loopCtes(table: String, textCol: String, numMerges: Int): Seq[String] = {
     val base =
       s"""WITH words AS (
          |  SELECT unnest(list_filter(
@@ -123,9 +122,49 @@ object Bpe {
          |                    '|' || m.l || m.r || '|') AS s, freq
          |  FROM w${k - 1}, m$k m)""".stripMargin
     }
+    base +: stages
+  }
+
+  /** The learning loop as `numMerges` unrolled DuckDB CTE stages — the
+    * cross-engine oracle for [[learn]]. Generated, not hand-copied, so
+    * the two formulations cannot drift. */
+  def oracleSql(table: String, textCol: String, numMerges: Int): String = {
     val union = (1 to numMerges)
       .map(k => s"SELECT $k AS rank, l, r, cnt FROM m$k")
       .mkString("\nUNION ALL ")
-    (base +: stages).mkString(",\n") + s"\n$union\nORDER BY rank"
+    loopCtes(table, textCol, numMerges).mkString(",\n") +
+      s"\n$union\nORDER BY rank"
+  }
+
+  /** The ENCODE side as DuckDB: re-learns the merge table via the same
+    * loop CTEs, then applies each merge in rank order to the documents
+    * matching `docFilter` and emits per-doc token counts — the
+    * cross-engine oracle for [[segment]] applied after [[learn]].
+    * Generated from the same parameters as the Spark query. */
+  def encodeOracleSql(table: String, idCol: String, textCol: String,
+      numMerges: Int, docFilter: String): String = {
+    val enc = (1 to numMerges).map { k =>
+      s"""e$k AS (
+         |  SELECT $idCol, replace(s, '|' || m.l || '|' || m.r || '|',
+         |                            '|' || m.l || m.r || '|') AS s
+         |  FROM e${k - 1}, m$k m)""".stripMargin
+    }
+    val docCtes = Seq(
+      s"""docw AS (
+         |  SELECT $idCol, unnest(list_filter(
+         |    string_split(lower(regexp_replace($textCol, '[^a-z ]', '', 'g')), ' '),
+         |    x -> x <> '')) AS w
+         |  FROM $table WHERE $docFilter),
+         |e0 AS (
+         |  SELECT $idCol, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s
+         |  FROM docw)""".stripMargin) ++ enc
+    (loopCtes(table, textCol, numMerges) ++ docCtes).mkString(",\n") +
+      s"""
+         |, tok AS (
+         |  SELECT $idCol, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS t
+         |  FROM e$numMerges)
+         |SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct
+         |FROM tok GROUP BY $idCol ORDER BY $idCol""".stripMargin
   }
 }
