@@ -938,6 +938,36 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // S-merge: row-level MERGE (CDC apply / upsert) — a deterministic
+    // change batch derived from the snapshot itself: %7==0 keys get TWO
+    // updates (latest version wins), %7==1 keys a delete, %7==3 keys
+    // spawn an insert under a fresh key. The batch collapses to its
+    // latest change per key (batch-sized window), survivors come from a
+    // LEFT ANTI join AQE turns into a broadcast (the snapshot never
+    // shuffles), upserts union in by name.
+    "q_s_merge" -> ((s, dir) => {
+      val snap = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val hot = snap.filter(col("o_orderkey") % 7 === 0)
+      val upd2 = hot.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), (col("o_totalprice") + 100).as("o_totalprice"),
+        lit(2L).as("version"), lit("U").as("op"))
+      val upd3 = hot.select(col("o_orderkey"), col("o_custkey"),
+        lit("X").as("o_orderstatus"), (col("o_totalprice") + 200).as("o_totalprice"),
+        lit(3L).as("version"), lit("U").as("op"))
+      val dels = snap.filter(col("o_orderkey") % 7 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(2L).as("version"), lit("D").as("op"))
+      val ins = snap.filter(col("o_orderkey") % 7 === 3)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"),
+          lit(1L).as("version"), lit("I").as("op"))
+      graft.operators.MergeInto.applyChanges(snap,
+          upd2.unionByName(upd3).unionByName(dels).unionByName(ins),
+          Seq("o_orderkey"), "version", "op")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // X-graph: PageRank over a linkage graph — link-authority weighting
     // (the crawl-domain quality prior for corpus curation) as pure
     // relational algebra: 5 iterations, each a keyed join + decimal-
@@ -2155,6 +2185,37 @@ object SparkEntry {
     "q_x_bpe_encode" ->
       graft.operators.Bpe.encodeOracleSql(
         "documents", "doc_id", "text", 8, "doc_id < 50"),
+
+    // row-level MERGE: identical synthetic change batch, latest change
+    // per key via the same (version DESC, op) window, NOT IN for the
+    // anti join, non-delete winners unioned in
+    "q_s_merge" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 100 AS o_totalprice, 2 AS version, 'U' AS op
+        |  FROM snap WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'X', o_totalprice + 200, 3, 'U'
+        |  FROM snap WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2, 'D'
+        |  FROM snap WHERE o_orderkey % 7 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, 1, 'I'
+        |  FROM snap WHERE o_orderkey % 7 = 3),
+        |latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY o_orderkey ORDER BY version DESC, op) AS rn
+        |  FROM changes),
+        |win AS (SELECT * FROM latest WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM snap
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM win)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM win WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // incremental state: the oracle aggregates the WHOLE table directly —
     // hash equality proves the two-batch merged state is split-invariant
