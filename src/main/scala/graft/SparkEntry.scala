@@ -938,6 +938,27 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // S-audit: declarative data-quality expectations (the Deequ-style
+    // ingest gate) — every row rule is a conditional sum inside ONE
+    // global aggregate, uniqueness rides the same aggregate as a
+    // count-distinct; adding a rule adds a buffer column, never a pass.
+    // The mix includes rules that FAIL so violation counting is
+    // hash-visible, plus a null-predicate rule (null == violation).
+    "q_s_audit" -> ((s, dir) => {
+      graft.operators.Expectations.audit(
+        t(s, dir, "orders"),
+        rules = Seq(
+          "orderkey_not_null" -> col("o_orderkey").isNotNull,
+          "totalprice_positive" -> (col("o_totalprice") > 0),
+          "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "totalprice_under_100k" -> (col("o_totalprice") <= 100000),
+          "null_predicate_counts" -> (lit(null).cast("boolean") === true)),
+        uniqueKeys = Seq(
+          "orderkey_unique" -> Seq("o_orderkey"),
+          "custkey_unique" -> Seq("o_custkey")))
+        .orderBy(col("rule"))
+    }),
+
     // S-merge: row-level MERGE (CDC apply / upsert) — a deterministic
     // change batch derived from the snapshot itself: %7==0 keys get TWO
     // updates (latest version wins), %7==1 keys a delete, %7==3 keys
@@ -2185,6 +2206,34 @@ object SparkEntry {
     "q_x_bpe_encode" ->
       graft.operators.Bpe.encodeOracleSql(
         "documents", "doc_id", "text", 8, "doc_id < 50"),
+
+    // expectations audit: one conditional-sum aggregate, unpivoted to a
+    // row per rule — identical rule set, FALSE-or-NULL counts as a
+    // violation in both engines
+    "q_s_audit" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN COALESCE(o_orderkey IS NOT NULL, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        |    CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 100000, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN COALESCE(CAST(NULL AS BOOLEAN) = TRUE, FALSE)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k0,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS k1
+        |  FROM orders)
+        |SELECT 'orderkey_not_null' AS rule, n AS n_rows, v0 AS n_violations, v0 = 0 AS pass FROM a
+        |UNION ALL SELECT 'totalprice_positive', n, v1, v1 = 0 FROM a
+        |UNION ALL SELECT 'status_domain', n, v2, v2 = 0 FROM a
+        |UNION ALL SELECT 'totalprice_under_100k', n, v3, v3 = 0 FROM a
+        |UNION ALL SELECT 'null_predicate_counts', n, v4, v4 = 0 FROM a
+        |UNION ALL SELECT 'orderkey_unique', n, n - k0, n - k0 = 0 FROM a
+        |UNION ALL SELECT 'custkey_unique', n, n - k1, n - k1 = 0 FROM a
+        |ORDER BY rule""".stripMargin,
 
     // row-level MERGE: identical synthetic change batch, latest change
     // per key via the same (version DESC, op) window, NOT IN for the
