@@ -989,6 +989,31 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // X-cluster: relational Lloyd's k-means over the embedding corpus —
+    // driver-resident centroids fold into a map-side codegen assignment
+    // (no shuffle to assign), the update is one (cid, pos) keyed shuffle
+    // with decimal sums, per-iteration round-12 makes every round
+    // bit-identical cross-engine. Fully oracled through the generated
+    // unrolled-CTE twin (the third iterative generated oracle, after
+    // BPE and PageRank). Output: cluster sizes + decimal-exact centroid
+    // fingerprints.
+    "q_x_kmeans" -> ((s, dir) => {
+      val km = graft.operators.Clustering.kMeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, dim = 64, iters = 3)
+      val sizes = km.assignments.groupBy("cid").agg(count(lit(1)).as("n"))
+      val fp = km.centroids.groupBy("cid")
+        .agg(round(sum(col("c").cast("decimal(38,12)")).cast("double"), 6).as("c_sum"))
+      sizes.join(fp, "cid").orderBy(col("cid"))
+    }),
+
+    // X-cluster: the per-vector assignments under the final centroids —
+    // the membership side of the same k-means, hash-gated on a slice
+    "q_x_kmeans_assign" -> ((s, dir) => {
+      graft.operators.Clustering.kMeans(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, dim = 64, iters = 3)
+        .assignments.filter(col("vec_id") < 50).orderBy(col("vec_id"))
+    }),
+
     // X-graph: PageRank over a linkage graph — link-authority weighting
     // (the crawl-domain quality prior for corpus curation) as pure
     // relational algebra: 5 iterations, each a keyed join + decimal-
@@ -2206,6 +2231,15 @@ object SparkEntry {
     "q_x_bpe_encode" ->
       graft.operators.Bpe.encodeOracleSql(
         "documents", "doc_id", "text", 8, "doc_id < 50"),
+
+    // k-means: the same loop unrolled as generated CTE stages — identical
+    // init, left-fold distances, decimal-mean updates, carry-forward
+    "q_x_kmeans" ->
+      graft.operators.Clustering.sizesOracleSql(
+        "embeddings", "vec_id", "embedding", 8, 64, 3),
+    "q_x_kmeans_assign" ->
+      graft.operators.Clustering.assignOracleSql(
+        "embeddings", "vec_id", "embedding", 8, 64, 3, "vid < 50"),
 
     // expectations audit: one conditional-sum aggregate, unpivoted to a
     // row per rule — identical rule set, FALSE-or-NULL counts as a

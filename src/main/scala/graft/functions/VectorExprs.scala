@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions over `array<float>` embedding columns.
   *
@@ -24,6 +24,16 @@ object VectorExprs {
   /** dot(a, b) in a single fused pass. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** argmin over `cents` of squared-L2 distance to `v` (array<double>),
+    * ties to the LOWEST index — the k-means assignment step fused into
+    * one generated loop. The matrix rides along as a codegen reference
+    * object, so re-planning with new centroids reuses the compiled
+    * class (an expression tree of k·dim literal terms would re-generate
+    * distinct source every iteration — and at this size falls out of
+    * codegen entirely into interpreted eval). */
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), cents))
 }
 
 abstract class FloatVectorBinary extends BinaryExpression {
@@ -81,6 +91,72 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** k-means assignment: index of the nearest centroid by squared L2,
+  * ties to the lowest index. Distances accumulate left-to-right over the
+  * dimensions (`0.0 + t_0 + t_1 + …`), matching a SQL `list_reduce`
+  * fold — the property that keeps the clustering loop oracle-exact.
+  * Dimensions beyond `min(v.length, centroid.length)` are ignored; the
+  * caller guarantees equal lengths. */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "nearest_centroid needs at least one centroid")
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = 0; var bestD = Double.PositiveInfinity
+    var cid = 0
+    while (cid < cents.length) {
+      val cv = cents(cid)
+      val n = math.min(x.numElements(), cv.length)
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val t = x.getDouble(i) - cv(i)
+        d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = cid }
+      cid += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("cents", cents, "double[][]")
+      val cid = ctx.freshName("cid"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      val n = ctx.freshName("n"); val cv = ctx.freshName("cv")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $cid = 0; $cid < $m.length; $cid++) {
+         |  double[] $cv = $m[$cid];
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $a.getDouble($i) - $cv[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $cid; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Plain dot product, same fused-pass shape. */

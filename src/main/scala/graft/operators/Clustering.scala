@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational Lloyd's k-means over an embedding column — the corpus
+  * clustering step behind semantic dedup (SemDeDup-style), IVF coarse
+  * quantizers, and topic-balanced mixture sampling, built so every
+  * iteration is reproducible cross-engine (unlike MLlib's KMeans, whose
+  * float reductions are order-dependent — fine for quality, useless for
+  * a hash oracle).
+  *
+  * Shape per iteration: centroids live on the DRIVER (k·dim doubles —
+  * config-sized, the iterative-driver scalar pattern BPE's argmax and
+  * the IVF probe already use) and fold into the assignment expression
+  * as literals, so assignment is pure map-side codegen — each distance
+  * a flat left-associated chain of (v[i]−c_i)² terms, ties broken to
+  * the lowest cid by first-occurrence argmin. The update is ONE
+  * aggregate whose shuffle carries k rows of dim+1 partials per
+  * partition (decimal component sums + count — never a per-(vector,
+  * dimension) explode); means divide in DOUBLE and round to 12, so
+  * iteration t's centroids are bit-identical in any engine before t+1
+  * starts. Clusters that lose all points carry their centroid forward.
+  *
+  * Determinism contract: init is the first k vectors by id (Forgy with
+  * deterministic picks); vectors must all have length `dim`.
+  *
+  * [[sizesOracleSql]] / [[assignOracleSql]] generate the DuckDB twin —
+  * the same loop unrolled as CTE stages from the same parameters.
+  */
+object Clustering {
+
+  final case class KMeansResult(centroids: DataFrame, assignments: DataFrame)
+
+  private def assignCol(cents: Array[(Int, Array[Double])], dim: Int): Column =
+    // fused native expression (functions/VectorExprs.scala): one
+    // generated loop over a reference-object matrix — distances fold
+    // left-to-right per centroid (the oracle's list_reduce order), ties
+    // go to the lowest cid (the oracle's ORDER BY d, cid), and the
+    // compiled class is reused across iterations because new centroid
+    // VALUES don't change the generated source
+    graft.functions.VectorExprs.nearestCentroid(col("v"), cents.map(_._2))
+
+  /** Runs `iters` assign→update rounds; returns the final centroids as
+    * (`cid`, `pos`, `c`) rows and assignments (`idCol`, `cid`) under
+    * the final centroids. */
+  def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int): KMeansResult = {
+    require(k > 0 && dim > 0 && iters >= 0, s"bad k/dim/iters: $k/$dim/$iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus
+      .select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .cache()
+
+    var cents: Array[(Int, Array[Double])] = emb.orderBy(col("vid")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    require(cents.length == k, s"corpus has fewer than k=$k rows")
+    require(cents.forall(_._2.length == dim),
+      s"vectors must have length dim=$dim")
+
+    for (_ <- 1 to iters) {
+      // ONE aggregate job per round: 64 decimal component sums + the
+      // count per cluster — the shuffle carries k rows of dim+1 partials
+      // per partition (not one row per (vector, dimension) as an explode
+      // would); means divide in DOUBLE and round to 12 IN-PLAN so the
+      // rounding engine is the same one the oracle mirrors
+      val sums = emb
+        .select(assignCol(cents, dim).as("cid"), col("v"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(col("v").getItem(i).cast("decimal(38,9)")).as(s"s$i")): _*)
+        .select(col("cid") +: (0 until dim).map(i =>
+          round(col(s"s$i").cast("double") / col("n").cast("double"), 12)
+            .as(s"c$i")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> Array.tabulate(dim)(p => r.getDouble(p + 1)))
+        .toMap
+      cents = cents.map { case (cid, cv) => (cid, sums.getOrElse(cid, cv)) }
+    }
+
+    val centroids = cents.toSeq
+      .flatMap { case (cid, cv) => cv.zipWithIndex.map { case (c, p) => (cid, p, c) } }
+      .toDF("cid", "pos", "c")
+    val assignments = emb.select(col("vid").as(idCol), assignCol(cents, dim).as("cid"))
+    KMeansResult(centroids, assignments)
+  }
+
+  /** The unrolled-CTE prefix shared by both oracle twins: init from the
+    * first k vectors, then `iters` (assign, sum, carry-forward) stages,
+    * then the final assignment `af` under the last centroids. */
+  private def loopCtes(table: String, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int): String = {
+    val base =
+      s"""WITH emb AS (SELECT $idCol AS vid, $vecCol AS v FROM $table),
+         |seed AS (
+         |  SELECT vid, v, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1 AS INTEGER) AS cid
+         |  FROM emb ORDER BY vid LIMIT $k),
+         |c0 AS (
+         |  SELECT cid, CAST(u.pos AS INTEGER) AS pos, CAST(v[u.pos + 1] AS DOUBLE) AS c
+         |  FROM seed, LATERAL unnest(range(0, $dim)) u(pos)),
+         |cv0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c0 GROUP BY cid)""".stripMargin
+    def assign(t: Int, from: Int) =
+      s"""a$t AS (
+         |  SELECT vid, cid FROM (
+         |    SELECT e.vid, c.cid,
+         |      list_reduce(list_transform(range(1, ${dim + 1}),
+         |        i -> (CAST(e.v[i] AS DOUBLE) - c.cv[i])
+         |           * (CAST(e.v[i] AS DOUBLE) - c.cv[i])),
+         |        (a, b) -> a + b) AS d
+         |    FROM emb e, cv$from c)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) = 1)""".stripMargin
+    val stages = (1 to iters).map { t =>
+      s"""${assign(t, t - 1)},
+         |s$t AS (
+         |  SELECT a.cid, CAST(u.pos AS INTEGER) AS pos,
+         |    ROUND(CAST(SUM(CAST(CAST(e.v[u.pos + 1] AS DOUBLE) AS DECIMAL(38,9)))
+         |               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 12) AS c
+         |  FROM a$t a JOIN emb e USING (vid), LATERAL unnest(range(0, $dim)) u(pos)
+         |  GROUP BY a.cid, u.pos),
+         |c$t AS (
+         |  SELECT p.cid, p.pos, COALESCE(s.c, p.c) AS c
+         |  FROM c${t - 1} p LEFT JOIN s$t s USING (cid, pos)),
+         |cv$t AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c$t GROUP BY cid)""".stripMargin
+    }
+    val fin = assign(iters + 1, iters).replace(s"a${iters + 1} AS (", "af AS (")
+    (Seq(base) ++ stages ++ Seq(fin)).mkString(",\n")
+  }
+
+  /** Oracle twin of [[kMeans]] reduced to cluster sizes plus a
+    * decimal-exact centroid fingerprint per cluster. */
+  def sizesOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int): String =
+    loopCtes(table, idCol, vecCol, k, dim, iters) +
+      s"""
+         |, fp AS (
+         |  SELECT cid, ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS c_sum
+         |  FROM c$iters GROUP BY cid)
+         |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n, ANY_VALUE(fp.c_sum) AS c_sum
+         |FROM af a JOIN fp USING (cid)
+         |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
+  /** Oracle twin of [[kMeans]].assignments over the `docFilter` slice. */
+  def assignOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int, docFilter: String): String =
+    loopCtes(table, idCol, vecCol, k, dim, iters) +
+      s"""
+         |SELECT vid AS $idCol, cid FROM af WHERE $docFilter
+         |ORDER BY vid""".stripMargin
+}

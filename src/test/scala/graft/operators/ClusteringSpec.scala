@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kMeans separates two blobs with deterministic first-k init") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 0.0f)),
+      (2L, Seq(0.2f, 0.0f)), (3L, Seq(10.2f, 0.0f)),
+      (4L, Seq(0.1f, 0.1f)), (5L, Seq(10.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val km = Clustering.kMeans(pts, "vec_id", "embedding", k = 2, dim = 2, iters = 3)
+    val assign = km.assignments.as[(Long, Int)].collect().toMap
+    assert(Seq(0L, 2L, 4L).forall(assign(_) == 0))
+    assert(Seq(1L, 3L, 5L).forall(assign(_) == 1))
+    val cents = km.centroids.as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // float32 inputs: 10.2f etc. carry ~1e-7 representation error
+    assert(math.abs(cents((0, 0)) - 0.1) < 1e-6)
+    assert(math.abs(cents((1, 0)) - 10.1) < 1e-6)
+  }
+
+  test("kMeans carries empty clusters forward and recovers them") {
+    // seeds c0=c1=(0,0): every point ties to c0 in round 1, c1 empties
+    // and keeps (0,0); round 2 re-captures the origin points with c1
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val km = Clustering.kMeans(pts, "vec_id", "embedding", k = 2, dim = 2, iters = 2)
+    val cents = km.centroids.as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cents((0, 0)) == 5.0 && cents((0, 1)) == 0.0)
+    assert(cents((1, 0)) == 0.0 && cents((1, 1)) == 0.0)
+    val assign = km.assignments.as[(Long, Int)].collect().toMap
+    assert(assign == Map(0L -> 1, 1L -> 1, 2L -> 0))
+  }
+
+  test("kMeans validates its inputs") {
+    val pts = Seq((0L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      Clustering.kMeans(pts, "vec_id", "embedding", k = 2, dim = 2, iters = 1)
+    }
+    assertThrows[IllegalArgumentException] {
+      Clustering.kMeans(pts, "vec_id", "embedding", k = 1, dim = 3, iters = 1)
+    }
+  }
+}
