@@ -1014,6 +1014,23 @@ object SparkEntry {
         .assignments.filter(col("vec_id") < 50).orderBy(col("vec_id"))
     }),
 
+    // X-cluster: SemDeDup-style semantic dedup — k-means clusters scope
+    // the pairwise cosine step (quadratic in cluster size, never in the
+    // corpus), dropped docs point at their smallest smaller-id near-dup.
+    // The fixture corpus has no natural near-dups (max random cos≈0.45),
+    // so exact-copy vectors are planted IN-PLAN under fresh ids — both
+    // engines construct them identically, copies provably land in their
+    // original's cluster, and the gate output is the planted set.
+    "q_x_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") < 2000).select("vec_id", "embedding")
+        .unionByName(e.filter(col("vec_id") < 100)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      graft.operators.Clustering.semanticDedup(
+          corpus, "vec_id", "embedding", k = 16, dim = 64, iters = 2, minCos = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // X-graph: PageRank over a linkage graph — link-authority weighting
     // (the crawl-domain quality prior for corpus curation) as pure
     // relational algebra: 5 iterations, each a keyed join + decimal-
@@ -2240,6 +2257,16 @@ object SparkEntry {
     "q_x_kmeans_assign" ->
       graft.operators.Clustering.assignOracleSql(
         "embeddings", "vec_id", "embedding", 8, 64, 3, "vid < 50"),
+
+    // semantic dedup: the same kMeans CTE chain over the same planted
+    // union, within-cluster pairs, three cosine folds
+    "q_x_semdedup" ->
+      graft.operators.Clustering.semanticDedupOracleSql(
+        """(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+          | UNION ALL
+          | SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 100) plant"""
+          .stripMargin,
+        "vec_id", "embedding", 16, 64, 2, 0.9),
 
     // expectations audit: one conditional-sum aggregate, unpivoted to a
     // row per rule — identical rule set, FALSE-or-NULL counts as a

@@ -142,6 +142,63 @@ object Clustering {
          |FROM af a JOIN fp USING (cid)
          |GROUP BY a.cid ORDER BY a.cid""".stripMargin
 
+  /** SemDeDup-style semantic dedup: cluster the corpus with [[kMeans]],
+    * then mark every document that has a near-identical embedding
+    * (cosine ≥ `minCos`) with a SMALLER id inside its own cluster —
+    * the cluster scope is what keeps the pairwise step tractable (the
+    * quadratic cost is bounded by cluster sizes, never corpus², and the
+    * pair join keys on the cluster id; hot clusters are AQE skew-split
+    * territory). Production scale wants k large enough that clusters
+    * fit the quadratic budget — k grows with the corpus, as in the
+    * SemDeDup paper.
+    *
+    * Returns the DROPPED side: (`idCol`, `dup_of`, `cos`) where
+    * `dup_of` is the smallest smaller-id near-dup and `cos` its cosine
+    * (rounded to 6) — deterministic, and oracle-exact because
+    * assignments are ([[kMeans]]) and the cosine folds are the fused
+    * [[graft.functions.VectorExprs.cosine]] accumulation order. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int, minCos: Double,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val km = kMeans(corpus, idCol, vecCol, k, dim, iters)
+    val withCid = corpus.select(col(idCol).as("__id"), col(vecCol).as("__e"))
+      .join(km.assignments.select(col(idCol).as("__id"), col("cid")), "__id")
+    val a = withCid.select(col("cid"), col("__id").as("id1"), col("__e").as("e1"))
+    val b = withCid.select(col("cid"), col("__id").as("id2"), col("__e").as("e2"))
+    val pairs = materialize(a.join(b, Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("__cos",
+        graft.functions.VectorExprs.cosine(col("e1"), col("e2")))
+      .filter(col("__cos") >= minCos))
+    pairs.groupBy(col("id2").as(idCol))
+      .agg(min(col("id1")).as("dup_of"),
+        round(min_by(col("__cos"), col("id1")), 6).as("cos"))
+  }
+
+  /** Oracle twin of [[semanticDedup]] — the same kMeans CTE chain, the
+    * same within-cluster pair scope, the same three cosine folds. */
+  def semanticDedupOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, dim: Int, iters: Int, minCos: Double): String = {
+    def fold(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST($x.v[i] AS DOUBLE) * CAST($y.v[i] AS DOUBLE)),
+         |      (a, b) -> a + b)""".stripMargin
+    loopCtes(table, idCol, vecCol, k, dim, iters) +
+      s"""
+         |, wc AS (SELECT a.vid, a.cid, e.v FROM af a JOIN emb e USING (vid)),
+         |pr AS (
+         |  SELECT * FROM (
+         |    SELECT x.vid AS id1, y.vid AS id2,
+         |      ${fold("x", "y")}
+         |      / (sqrt(${fold("x", "x")})
+         |       * sqrt(${fold("y", "y")})) AS cos
+         |    FROM wc x JOIN wc y ON x.cid = y.cid AND x.vid < y.vid)
+         |  WHERE cos >= $minCos)
+         |SELECT id2 AS $idCol, MIN(id1) AS dup_of,
+         |       ROUND(MIN_BY(cos, id1), 6) AS cos
+         |FROM pr GROUP BY id2 ORDER BY id2""".stripMargin
+  }
+
   /** Oracle twin of [[kMeans]].assignments over the `docFilter` slice. */
   def assignOracleSql(table: String, idCol: String, vecCol: String,
       k: Int, dim: Int, iters: Int, docFilter: String): String =

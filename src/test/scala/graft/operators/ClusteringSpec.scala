@@ -37,6 +37,24 @@ class ClusteringSpec extends SparkSpec {
     assert(assign == Map(0L -> 1, 1L -> 1, 2L -> 0))
   }
 
+  test("semanticDedup drops exact copies toward the smallest id, within clusters only") {
+    // two far-apart blobs; ids 10 and 11 duplicate id 0 exactly, id 12
+    // duplicates id 1 — each must report the SMALLEST near-dup id. The
+    // non-duplicate blob members are at a real ANGLE to their blob mates
+    // (cosine cares about direction, not distance — (0,1) vs (0,1.1)
+    // would be cos 1.0)
+    val pts = Seq(
+      (0L, Seq(0.0f, 1.0f)), (1L, Seq(9.0f, 1.0f)),
+      (2L, Seq(0.3f, 1.0f)), (3L, Seq(9.0f, 2.0f)),
+      (10L, Seq(0.0f, 1.0f)), (11L, Seq(0.0f, 1.0f)), (12L, Seq(9.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semanticDedup(pts, "vec_id", "embedding",
+        k = 2, dim = 2, iters = 2, minCos = 0.9999)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((10L, 0L), (11L, 0L), (12L, 1L)))
+    assert(out.forall(_._3 >= 0.9999))
+  }
+
   test("kMeans validates its inputs") {
     val pts = Seq((0L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException] {
