@@ -53,7 +53,8 @@ object Bpe {
     * Stops early when no adjacent pair remains. */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
       checkpointEvery: Int = 8): Seq[(Int, String, String, Long)] = {
-    var table = wordTable(docs, textCol).cache()
+    val base = wordTable(docs, textCol).cache()
+    var table: DataFrame = base
     table.count() // materialize before the loop
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
@@ -79,6 +80,9 @@ object Bpe {
         i += 1
       }
     }
+    // the merge list is driver data now — release the word-table cache
+    // instead of pinning it for the session
+    base.unpersist(blocking = false)
     merges.toSeq
   }
 

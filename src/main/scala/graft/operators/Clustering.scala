@@ -81,6 +81,11 @@ object Clustering {
       cents = cents.map { case (cid, cv) => (cid, sums.getOrElse(cid, cv)) }
     }
 
+    // the loop is done with the corpus cache — release it rather than
+    // pin executor storage for the session's lifetime (the returned
+    // assignments recompute from source when executed, which is exactly
+    // one scan + the map-side assignment)
+    emb.unpersist(blocking = false)
     val centroids = cents.toSeq
       .flatMap { case (cid, cv) => cv.zipWithIndex.map { case (c, p) => (cid, p, c) } }
       .toDF("cid", "pos", "c")

@@ -76,6 +76,11 @@ object Graph {
       // (ranks is consumed twice per round)
       ranks = checkpoint(ranks)
     }
+    // the returned ranks is checkpointed (lineage cut), so the loop's
+    // caches can be released instead of pinning storage for the session
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    danglingNodes.unpersist(blocking = false)
     ranks
   }
 

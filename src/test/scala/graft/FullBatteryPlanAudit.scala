@@ -33,6 +33,7 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_vocab", "q_x_pipeline", "q_x_pipeline2",
     "q_x_vocab_sketch",       // same corpus-count scalar as q_x_vocab
     "q_x_pagerank",           // 1-row node count + 1-row dangling mass
+    "q_x_perplexity",         // 1-row vocabulary-size scalar (V)
     "q_so2_union_intersect",  // 1-row union-count × 1-row intersect-count
     "q_x_multimodal")         // ≤5-kind panel ⟕ 1-row video-frame agg
 
