@@ -533,11 +533,18 @@ object DevProbe {
   private def pagerankProbe(spark: SparkSession, sfDir: String, iters: Int): Unit = {
     val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select((-col("l_suppkey")).as("src"), col("l_partkey").as("dst"))
+    // cold-path breakdown: how much of iteration 1 is cache warm-up?
+    val w0 = System.nanoTime()
+    val ec = e.distinct().count()
+    val warmSec = (System.nanoTime() - w0) / 1e9
+    println(f"[pagerank] warm e.distinct=$ec in $warmSec%.2fs")
     val t0 = System.nanoTime()
     var last = t0
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     val r = graft.operators.Graph.pageRank(spark, e, iters,
       checkpoint = { df =>
+        if (times.length == 2) // iteration 3: caches warm, steady state
+          println(df.queryExecution.executedPlan.toString.take(6000))
         val out = df.localCheckpoint()
         val now = System.nanoTime()
         times += (now - last) / 1e9

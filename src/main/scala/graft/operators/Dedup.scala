@@ -191,23 +191,34 @@ object Dedup {
     * expression remains the production path (this walks the hash array
     * once per bit). */
   def simhash60Md5(text: Column): Column = {
-    val toks = tokens(text)
-    // bit j of the 60-bit value the first 15 md5 hex chars encode: hex
-    // digit (j div 4) from the right, bit (j mod 4) of that digit.
-    // Spark's shift builtins take only literal amounts, so the variable
-    // shifts run as small-integer / power-of-two double arithmetic —
-    // exact (digits <= 15; powers of two are exact doubles)
-    def bit(t: Column, j: Column): Column = {
-      val d = conv(md5(t).substr(lit(15) - (j / lit(4)).cast("int"), lit(1)),
-        16, 10).cast("int")
-      floor(d.cast("double") / pow(lit(2.0), (j % lit(4)).cast("double")))
-        .cast("long") % 2
-    }
-    aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, j) =>
-      acc + when(
-        aggregate(toks, lit(0L), (v, t) =>
-          v + when(bit(t, j) === 1, 1L).otherwise(-1L)) > 0,
-        pow(lit(2.0), j.cast("double")).cast("long")).otherwise(0L))
+    // Each stage binds its intermediate as a HOF lambda variable so it is
+    // computed ONCE (an expression referenced inside a lambda body is a
+    // subtree the engine re-evaluates per element — the naive
+    // bits-outer/tokens-inner formulation hashes every token 60 times).
+    // Stage 1: one md5 per token → the 15 hex digits as ints (hex digit
+    // p, 1-based from the left — digit 15-j/4 carries bit j).
+    val digitArrs = transform(transform(tokens(text), t => md5(t)),
+      h => transform(sequence(lit(1), lit(15)),
+        p => conv(h.substr(p.cast("int"), lit(1)), 16, 10).cast("int")))
+    // Stage 2: fold the tokens into 60 ±1 vote counters. Spark's shift
+    // builtins take only literal amounts, so the variable bit extraction
+    // runs as small-integer / power-of-two double arithmetic — exact
+    // (digits <= 15; powers of two are exact doubles). Integer votes in
+    // array order keep the fold bit-identical to the naive formulation.
+    val votes = aggregate(digitArrs,
+      array_repeat(lit(0L), 60),
+      (acc, darr) => zip_with(acc, sequence(lit(0), lit(59)), (a, j) => {
+        val d = element_at(darr, lit(15) - (j / lit(4)).cast("int"))
+        val bit = floor(d.cast("double") /
+          pow(lit(2.0), (j % lit(4)).cast("double"))).cast("long") % 2
+        a + when(bit === 1, 1L).otherwise(-1L)
+      }))
+    // Stage 3: positive vote → set bit j; sum the 60 contributions.
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)), (v, j) =>
+        when(v > 0, pow(lit(2.0), j.cast("double")).cast("long"))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dups: fingerprint, band the 64 bits into 4×16-bit chunks

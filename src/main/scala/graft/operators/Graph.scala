@@ -31,16 +31,29 @@ object Graph {
     * the same constants. */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    // Static weighted adjacency (src, dst, outdeg): outdeg is
+    // loop-invariant, so resolve it ONCE as a window count over the
+    // src-partitioned distinct edges — one shuffle + sort of the edge
+    // set total (a groupBy+join formulation would shuffle the edges AND
+    // the node-sized outdeg relation again; a per-round aggregation
+    // would re-scan the largest table in the job every iteration). The
+    // cached src partitioning and sort order also make the
+    // per-iteration contribution merge join exchange- and sort-free on
+    // the edge side — only the node-sized ranks relation moves each
+    // round.
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .cache()
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct().cache()
     val nCount = nodes.agg(count(lit(1)).as("n"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the dangling-node SET is static across iterations — resolve the
     // anti-join once instead of once per round (no forced broadcast:
     // web graphs have dangling sets proportional to the node count)
     val danglingNodes = nodes
-      .join(outdeg, nodes("node") === outdeg("src"), "left_anti").cache()
+      .join(adj, nodes("node") === adj("src"), "left_anti").cache()
 
     // r0 = round(1/N, 12), computed in-plan from the broadcast scalar
     var ranks = nodes.crossJoin(broadcast(nCount))
@@ -51,9 +64,11 @@ object Graph {
       val dangling = ranks.join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank").cast("decimal(28,12)")), lit(0))
           .cast("double").as("dang"))
+      // merge-join against the cached src-partitioned adjacency: the
+      // checkpointed ranks side (stats unknown → never broadcastable)
+      // shuffles on node, adj streams in place
       val contribs = ranks
-        .join(e, ranks("node") === e("src"))
-        .join(outdeg, "src")
+        .join(adj.hint("merge"), ranks("node") === adj("src"))
         .select(col("dst"),
           round(col("rank") / col("outdeg"), 12)
             .cast("decimal(28,12)").as("c"))
@@ -78,7 +93,7 @@ object Graph {
     }
     // the returned ranks is checkpointed (lineage cut), so the loop's
     // caches can be released instead of pinning storage for the session
-    e.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     danglingNodes.unpersist(blocking = false)
     ranks
