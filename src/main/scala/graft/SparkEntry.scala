@@ -1522,6 +1522,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // A-kll: KLL quantile sketches — the quantile member of the sketch
+    // family (HLL distinct, CMS point-freq, MG top-k, Bloom membership):
+    // store one ~KB sketch per group, merge for any wider scope, never
+    // re-read rows. Exact while a sketch holds n <= k items (this slice
+    // keeps every group and the merged union under k=1024 at the oracled
+    // SFs), and inclusive-rank quantiles are then ceil(p*n)-th order
+    // statistics — which is what the oracle computes; dyadic p keeps the
+    // rank arithmetic float-exact in both engines.
+    "q_a_kll" -> ((s, dir) => {
+      import graft.functions.Kll
+      val slice = t(s, dir, "events")
+        .where(col("event_id") % 43 === 0 && col("value").isNotNull)
+      val perType = slice.groupBy(col("event_type"))
+        .agg(Kll.sketch(col("value"), 1024).as("sk"))
+      def qs(df: DataFrame): DataFrame = df.select(col("scope"),
+        Kll.n(col("sk")).as("n"),
+        Kll.quantile(col("sk"), 0.25).as("p25"),
+        Kll.quantile(col("sk"), 0.5).as("p50"),
+        Kll.quantile(col("sk"), 0.75).as("p75"))
+      qs(perType.select(col("event_type").as("scope"), col("sk")))
+        .unionByName(qs(perType
+          .agg(Kll.mergeSketches(col("sk"), 1024).as("sk"))
+          .select(lit("~all").as("scope"), col("sk"))))
+        .orderBy(col("scope"))
+    }),
+
     // D-bottomk: deterministic fixed-SIZE uniform sample — the k rows
     // with the smallest salted key-hash (bottom-k/KMV sketch). Plans as
     // TakeOrderedAndProject (bounded per-partition heap, no global
@@ -2952,6 +2978,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT '~all', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
         |ORDER BY source""".stripMargin,
+
+    // KLL exact mode: inclusive-rank quantile = ceil(p*n)-th order stat
+    "q_a_kll" ->
+      """WITH s AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 43 = 0 AND value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type AS scope, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM s),
+        |g AS (
+        |  SELECT '~all' AS scope, value,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM s),
+        |u AS (SELECT * FROM r UNION ALL SELECT * FROM g)
+        |SELECT scope, CAST(max(n) AS BIGINT) AS n,
+        |  min(value) FILTER (WHERE rn >= ceil(0.25 * n)) AS p25,
+        |  min(value) FILTER (WHERE rn >= ceil(0.5 * n)) AS p50,
+        |  min(value) FILTER (WHERE rn >= ceil(0.75 * n)) AS p75
+        |FROM u GROUP BY scope ORDER BY scope""".stripMargin,
 
     // bottom-k sample: same salted-hash order, LIMIT k
     "q_d_bottomk" ->
