@@ -388,6 +388,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // W-funnel: strict-order multi-step funnel over a sparse event slice
+    // — ONE user-keyed shuffle + a per-user HOF fold instead of one
+    // self-join per step; greedy-earliest matching, ties rejected. The
+    // oracle is the equivalent conditional-min CTE chain. Timestamps
+    // truncate to MICROSECONDS first (DuckDB's parquet reader drops
+    // sub-µs), so ordering, ties, and delta sums agree bit-for-bit.
+    "q_w_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.summary(
+          t(s, dir, "events").where(col("event_id") % 7 === 0)
+            .withColumn("ts_us", expr("ts DIV 1000")),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "signup", "click", "purchase"))
+        .withColumnRenamed("sum_delta_ns", "sum_delta_us")),
+
     // W-frame: running sum over ROWS UNBOUNDED PRECEDING..CURRENT, exact
     "q_w_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1979,6 +1993,40 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS gap_start
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
+
+    // funnel: greedy-earliest strict-order chain as conditional-min CTEs
+    "q_w_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, event_type
+        |  FROM events
+        |  WHERE event_id % 7 = 0
+        |    AND event_type IN ('view','signup','click','purchase')),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM f
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT f.user_id, min(f.ts) AS t FROM f
+        |       JOIN s1 ON f.user_id = s1.user_id AND f.ts > s1.t
+        |       WHERE f.event_type = 'signup' GROUP BY f.user_id),
+        |s3 AS (SELECT f.user_id, min(f.ts) AS t FROM f
+        |       JOIN s2 ON f.user_id = s2.user_id AND f.ts > s2.t
+        |       WHERE f.event_type = 'click' GROUP BY f.user_id),
+        |s4 AS (SELECT f.user_id, min(f.ts) AS t FROM f
+        |       JOIN s3 ON f.user_id = s3.user_id AND f.ts > s3.t
+        |       WHERE f.event_type = 'purchase' GROUP BY f.user_id)
+        |SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(0 AS BIGINT) AS sum_delta_us FROM s1
+        |UNION ALL
+        |SELECT 2, 'signup', CAST(count(*) AS BIGINT),
+        |       CAST(COALESCE(sum(s2.t - s1.t), 0) AS BIGINT)
+        |FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+        |UNION ALL
+        |SELECT 3, 'click', CAST(count(*) AS BIGINT),
+        |       CAST(COALESCE(sum(s3.t - s2.t), 0) AS BIGINT)
+        |FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+        |UNION ALL
+        |SELECT 4, 'purchase', CAST(count(*) AS BIGINT),
+        |       CAST(COALESCE(sum(s4.t - s3.t), 0) AS BIGINT)
+        |FROM s4 JOIN s3 ON s4.user_id = s3.user_id
+        |ORDER BY step""".stripMargin,
 
     "q_w_running_sum" ->
       """SELECT event_id,

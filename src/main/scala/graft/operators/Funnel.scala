@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis: how far does each entity progress through a
+  * required event sequence (step i+1 must occur STRICTLY after the
+  * matched step i), and how long each transition took.
+  *
+  * Scale shape: the naive formulation is one self-join per step (k scans,
+  * k shuffles of the full event table). This one is a single user-keyed
+  * shuffle — non-step events are pruned map-side BEFORE the exchange (an
+  * IN-list the scan can push), each entity's events fold in one pass of a
+  * codegen'd HOF, and the per-step rollup is a 1-row global aggregate
+  * unpivoted driver-free. Per-entity state is the event list, the same
+  * bounded-per-entity assumption batch sessionization ([[q_w_sessionize]])
+  * already makes.
+  *
+  * Matching is greedy-earliest (t1 = first step-1 event, t_{i+1} = first
+  * step-(i+1) event after t_i), which is complete: if any strictly-ordered
+  * chain exists, the greedy one exists. Equal timestamps do NOT satisfy
+  * "after" — ties break conservatively, identically in the oracle.
+  */
+object Funnel {
+
+  /** One row per entity: `hit` = array of the earliest timestamp
+    * completing each step (null = stalled at that step). `tsCol` must be
+    * a numeric (e.g. epoch-nanos long) or otherwise totally-ordered
+    * orderable column. */
+  def userSteps(events: DataFrame, entity: String, typeCol: String,
+                tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepArr = array(steps.map(lit): _*)
+    val nullTs = lit(null).cast("bigint")
+    events
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(entity), col(tsCol).cast("bigint").as("__ts"),
+        col(typeCol).as("__tp"))
+      .groupBy(col(entity))
+      .agg(sort_array(collect_list(struct(col("__ts"), col("__tp")))).as("evts"))
+      .select(col(entity),
+        aggregate(col("evts"),
+          expr(s"array_repeat(CAST(NULL AS BIGINT), ${steps.length})"),
+          (acc, e) => {
+            val ts = e.getField("__ts")
+            val tp = e.getField("__tp")
+            // each slot keeps its value once set; a new event may fill the
+            // FIRST empty slot whose step type it matches, provided the
+            // previous slot was already set strictly earlier. All slots
+            // compare against the pre-event accumulator, so one event can
+            // never satisfy two consecutive steps.
+            transform(acc, (slot, i) =>
+              when(slot.isNotNull, slot).otherwise(
+                when(tp === element_at(stepArr, (i + 1).cast("int")),
+                  when(i === 0, ts).otherwise(
+                    // lazy CASE arm: element_at(acc, 0) is never evaluated
+                    when(element_at(acc, i.cast("int")).isNotNull &&
+                      ts > element_at(acc, i.cast("int")), ts)))))
+          }).as("hit"))
+  }
+
+  /** Per-step rollup: (step, step_name, n_users, sum_delta_ns) — entities
+    * reaching each step and the total transition time from the previous
+    * step (0 for step 1). Steps nobody reaches still emit a row. */
+  def summary(events: DataFrame, entity: String, typeCol: String,
+              tsCol: String, steps: Seq[String]): DataFrame = {
+    val per = userSteps(events, entity, typeCol, tsCol, steps)
+    def hitAt(i: Int): Column = element_at(col("hit"), i + 1)
+    val aggs = steps.indices.flatMap { i =>
+      Seq(sum(when(hitAt(i).isNotNull, 1L).otherwise(0L)).as(s"__n$i")) ++
+        (if (i > 0)
+          Seq(sum(when(hitAt(i).isNotNull, hitAt(i) - hitAt(i - 1))
+            .otherwise(0L)).as(s"__d$i"))
+        else Nil)
+    }
+    val row = per.agg(aggs.head, aggs.tail: _*)
+    steps.zipWithIndex.map { case (name, i) =>
+      row.select(
+        lit(i + 1).as("step"), lit(name).as("step_name"),
+        coalesce(col(s"__n$i"), lit(0L)).cast("bigint").as("n_users"),
+        (if (i > 0) coalesce(col(s"__d$i"), lit(0L)) else lit(0L))
+          .cast("bigint").as("sum_delta_ns"))
+    }.reduce(_ unionByName _).orderBy(col("step"))
+  }
+}

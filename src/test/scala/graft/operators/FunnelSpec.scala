@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Funnel semantics: strict ordering, tie rejection, greedy-earliest
+  * matching, zero-reach steps, and the single-shuffle plan shape. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("view", "signup", "click", "purchase")
+
+  // (user, ts, type): u1 completes; u2's signup precedes its view; u3's
+  // signup TIES its view (strict "after" must reject); u4 stalls at
+  // click; u5 has no step events at all
+  private val events = Seq(
+    (1L, 10L, "view"), (1L, 20L, "signup"), (1L, 30L, "click"), (1L, 40L, "purchase"),
+    (2L, 5L, "signup"), (2L, 10L, "view"), (2L, 30L, "click"),
+    (3L, 10L, "view"), (3L, 10L, "signup"),
+    (4L, 1L, "purchase"), (4L, 2L, "view"), (4L, 3L, "signup"), (4L, 4L, "purchase"),
+    (5L, 7L, "error")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("per-entity step timestamps: strict order, ties rejected, greedy-earliest") {
+    val got = Funnel.userSteps(events, "user_id", "event_type", "ts", steps)
+      .orderBy("user_id")
+      .as[(Long, Seq[Option[Long]])].collect().toSeq
+    assert(got == Seq(
+      1L -> Seq(Some(10L), Some(20L), Some(30L), Some(40L)),
+      2L -> Seq(Some(10L), None, None, None), // signup@5 is before view@10
+      3L -> Seq(Some(10L), None, None, None), // signup@10 ties view@10
+      4L -> Seq(Some(2L), Some(3L), None, None) // purchase@4 can't skip click
+    )) // u5 never enters the funnel
+  }
+
+  test("summary: counts, transition times, and zero-reach steps still emit") {
+    val got = Funnel.summary(events, "user_id", "event_type", "ts",
+      steps :+ "refund") // nobody refunds
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "view", 4L, 0L),
+      (2, "signup", 2L, 10L + 1L), // u1: 20-10, u4: 3-2
+      (3, "click", 1L, 10L),       // u1: 30-20
+      (4, "purchase", 1L, 10L),    // u1: 40-30
+      (5, "refund", 0L, 0L)
+    ))
+  }
+
+  test("one event can never satisfy two consecutive steps") {
+    val df = Seq((1L, 10L, "view"), (1L, 20L, "view")).toDF("user_id", "ts", "event_type")
+    val got = Funnel.userSteps(df, "user_id", "event_type", "ts", Seq("view", "view"))
+      .as[(Long, Seq[Option[Long]])].head()
+    assert(got == (1L -> Seq(Some(10L), Some(20L)))) // needs TWO views, strictly apart
+    val one = Funnel.userSteps(df.limit(1), "user_id", "event_type", "ts", Seq("view", "view"))
+      .as[(Long, Seq[Option[Long]])].head()
+    assert(one == (1L -> Seq(Some(10L), None)))
+  }
+
+  test("plan: exactly one exchange; the step IN-list reaches the scan") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = Funnel.userSteps(fixture, "user_id", "event_type", "ts", steps)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("PushedFilters: [In(event_type"), plan)
+  }
+}
