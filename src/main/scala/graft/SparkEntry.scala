@@ -768,6 +768,16 @@ object SparkEntry {
     "q_st_window_counts" -> ((s, dir) =>
       graft.streaming.EventStreams.windowedTypeCountsBatch(t(s, dir, "events"))),
 
+    // ST: native session_window aggregation — dynamic-gap sessions as a
+    // first-class aggregate (the built-in twin of the stateful
+    // sessionize); same plan runs batch and watermarked-streaming. Merge
+    // rule: windows that overlap or TOUCH merge (delta <= gap), pinned in
+    // EventStreamsSpec; oracle assigns sessions with the lag/cumsum
+    // delta > gap rule over µs-truncated timestamps.
+    "q_st_sessions" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionWindowsBatch(
+        t(s, dir, "events").where(col("ts").isNotNull))),
+
     // ST: batch twin of the watermarked stream-stream interval join —
     // clicks to same-user purchases within the last hour (equi-join on the
     // user key, time range as a filter; the streaming variant bounds state
@@ -2205,6 +2215,30 @@ object SparkEntry {
         |         make_timestamp(epoch_ns(ts) // 1000))) AS BIGINT) AS bucket_ms,
         |       event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // native session_window twin: lag/cumsum session ids, new session
+    // strictly beyond the gap (touching merges), end = last event + gap
+    "q_st_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts, value FROM events
+        |  WHERE ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS g
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(g) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start_us,
+        |       max(ts) + 1800000000 AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q_st_interval_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,

@@ -369,4 +369,36 @@ object EventStreams {
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"))
       .orderBy(col("bucket_ms"), col("event_type"))
+
+  /** Native `session_window` aggregation: dynamic-gap sessions as a
+    * first-class streaming-capable AGGREGATE — the built-in alternative to
+    * [[sessionize]]'s hand-rolled flatMapGroupsWithState (no custom state
+    * code, and Spark merges session state inside the aggregation operator).
+    * Each event opens a [ts, ts+gap) window; windows that overlap OR touch
+    * merge, so consecutive events up to and INCLUDING exactly `gap` apart
+    * share a session (pinned empirically in [[EventStreamsSpec]] — the
+    * same `delta <= gap` rule as [[sessionize]]) and the emitted end is
+    * last event + gap. The same plan runs on a batch frame (watermark is a no-op) and
+    * on a watermarked stream, where append mode materializes a session
+    * once the watermark passes its end. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
+      .select(col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("user_id"),
+        col("n_events"), col("tv").cast("double").as("total_value"))
+
+  /** [[sessionWindows]] over the fixture's epoch-nano long `ts`, emitted
+    * as epoch-micros — the DuckDB-oracled batch gate (`q_st_sessions`). */
+  def sessionWindowsBatch(eventsNs: DataFrame, gap: String = "30 minutes"): DataFrame =
+    sessionWindows(
+        eventsNs.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))), gap)
+      .select(unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
 }

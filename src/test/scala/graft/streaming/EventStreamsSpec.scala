@@ -423,4 +423,54 @@ class EventStreamsSpec extends SparkSpec {
     val total = out.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0)
     assert(total == events.count())
   }
+
+  test("session_window: touching windows merge (delta <= gap), beyond splits") {
+    // windows are [ts, ts+gap) and Spark merges windows that overlap OR
+    // touch: an event exactly gap after the previous still extends the
+    // session. This boundary is what the q_st_sessions oracle's
+    // `delta > gap` new-session rule encodes — if Spark ever changes it,
+    // this test fails first.
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(29), 1, "click", 2.0),  // 29 min < 30 → same session
+      Event(3, ts(59), 1, "click", 4.0),  // exactly 30 after #2 → still merges
+      Event(4, ts(90), 1, "click", 16.0), // 31 after #3 → NEW session
+      Event(5, ts(0), 2, "view", 8.0)
+    ).toDF()
+    val got = EventStreams.sessionWindows(events, "30 minutes")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, ts(0), ts(89), 3L, 7.0),    // end = last event (59) + gap
+      (1L, ts(90), ts(120), 1L, 16.0),
+      (2L, ts(0), ts(30), 1L, 8.0)))
+  }
+
+  test("session_window: streaming append emits exactly the batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(in.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val closed = Seq(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(100), 1, "click", 4.0),
+        Event(4, ts(5), 2, "view", 8.0))
+      in.addData(closed: _*)
+      // far-future event pushes the watermark past every closed session end
+      in.addData(Event(9, ts(10000), 9, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("native_sessions")
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = EventStreams.sessionWindows(closed.toDF(), "30 minutes")
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
