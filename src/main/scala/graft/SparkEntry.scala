@@ -1572,6 +1572,44 @@ object SparkEntry {
         .orderBy(col("scope"))
     }),
 
+    // X-cohort: cohort retention matrix — entities bucketed by first
+    // activity day, distinct-active counts per (cohort, day offset), in
+    // ONE entity-keyed shuffle (collect_set dedups map-side; the explode
+    // emits already-distinct rows, so the rollup is a plain count — no
+    // countDistinct Expand, no join back). Sparse event slice so entry
+    // days spread and retention actually decays.
+    "q_x_cohort" -> ((s, dir) =>
+      graft.operators.Cohort.retention(
+        t(s, dir, "events").where(col("event_id") % 11 === 0),
+        "user_id", expr("ts DIV 86400000000000"))),
+
+    // A-mad: robust per-group outlier stats — median + MAD (50%
+    // breakdown: the threshold does not move with the contamination it
+    // flags), two percentile passes with AQE-broadcast stats joins; the
+    // median/MAD round to 6 BEFORE entering arithmetic so the deviation
+    // and threshold comparison run on identical doubles in both engines.
+    "q_a_mad" -> ((s, dir) =>
+      graft.operators.Profiling.robustOutlierStats(
+        t(s, dir, "events"), "event_type", "value", cut = 3.0)),
+
+    // A-ttest: Welch two-sample t-test (A/B primitive) — ONE global
+    // aggregate of conditional counts + decimal power sums, then 1-row
+    // IEEE arithmetic (sqrt correctly rounded ⇒ round-9 outputs
+    // bit-identical cross-engine).
+    "q_a_ttest" -> ((s, dir) =>
+      graft.operators.Profiling.welchTTest(
+        t(s, dir, "events"), "event_type", "value", "click", "view")),
+
+    // X-pmi: top-k collocations by pointwise mutual information — the
+    // multi-word-expression signal; bigrams map-side via zip_with,
+    // count shuffles carry one row per distinct gram, minCount prunes
+    // before the unigram joins, totals ride as 1-row broadcasts, top-k
+    // plans as TakeOrderedAndProject. ln rounds to 6 (BM25 libm-parity
+    // rule); rounded-score ties break by (w1, w2).
+    "q_x_pmi" -> ((s, dir) =>
+      graft.operators.TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, k = 20)),
+
     // D-bottomk: deterministic fixed-SIZE uniform sample — the k rows
     // with the smallest salted key-hash (bottom-k/KMV sketch). Plans as
     // TakeOrderedAndProject (bounded per-partition heap, no global
@@ -3082,6 +3120,98 @@ object SparkEntry {
         |  min(value) FILTER (WHERE rn >= ceil(0.5 * n)) AS p50,
         |  min(value) FILTER (WHERE rn >= ceil(0.75 * n)) AS p75
         |FROM u GROUP BY scope ORDER BY scope""".stripMargin,
+
+    // cohort retention: identical distinct-(entity, day) matrix; rate
+    // divides by the cohort's own offset-0 count
+    "q_x_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS p
+        |  FROM events
+        |  WHERE event_id % 11 = 0
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (SELECT user_id, MIN(p) AS cohort FROM ev GROUP BY user_id),
+        |du AS (SELECT DISTINCT e.user_id, cohort, p
+        |       FROM ev e JOIN pu USING (user_id)),
+        |m AS (SELECT cohort, p - cohort AS "offset",
+        |             CAST(COUNT(*) AS BIGINT) AS users
+        |      FROM du GROUP BY 1, 2)
+        |SELECT cohort, "offset", users,
+        |  ROUND(users / MAX(CASE WHEN "offset" = 0 THEN users END)
+        |    OVER (PARTITION BY cohort), 6) AS rate
+        |FROM m ORDER BY cohort, "offset"""".stripMargin,
+
+    // MAD outliers: same round-6 median/MAD staging, same strict >
+    "q_a_mad" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |md AS (SELECT g, ROUND(quantile_cont(v, 0.5), 6) AS med
+        |       FROM b GROUP BY g),
+        |d AS (SELECT b.g, ABS(v - med) AS dev, med
+        |      FROM b JOIN md USING (g)),
+        |m2 AS (SELECT g, ROUND(quantile_cont(dev, 0.5), 6) AS mad,
+        |              CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM d GROUP BY g)
+        |SELECT d.g AS event_type, MAX(d.med) AS med, MAX(mad) AS mad,
+        |  MAX(n) AS n,
+        |  CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  ROUND(CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) / MAX(n), 6) AS outlier_rate
+        |FROM d JOIN m2 USING (g) GROUP BY d.g ORDER BY event_type""".stripMargin,
+
+    // Welch t-test: identical conditional decimal power sums, identical
+    // IEEE expression order downstream
+    "q_a_ttest" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN event_type = 'click' THEN value END) AS DOUBLE) AS na,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS s2a,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1a,
+        |    CAST(COUNT(CASE WHEN event_type = 'view' THEN value END) AS DOUBLE) AS nb,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE) AS s2b,
+        |    CAST(SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1b
+        |  FROM events)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  ROUND(s1a / na, 9) AS mean_a, ROUND(s1b / nb, 9) AS mean_b,
+        |  ROUND((s1a / na - s1b / nb) /
+        |    SQRT((s2a - s1a * s1a / na) / (na - 1) / na +
+        |         (s2b - s1b * s1b / nb) / (nb - 1) / nb), 9) AS t_stat,
+        |  ROUND(((s2a - s1a * s1a / na) / (na - 1) / na +
+        |         (s2b - s1b * s1b / nb) / (nb - 1) / nb) *
+        |        ((s2a - s1a * s1a / na) / (na - 1) / na +
+        |         (s2b - s1b * s1b / nb) / (nb - 1) / nb) /
+        |    (((s2a - s1a * s1a / na) / (na - 1) / na) *
+        |     ((s2a - s1a * s1a / na) / (na - 1) / na) / (na - 1) +
+        |     ((s2b - s1b * s1b / nb) / (nb - 1) / nb) *
+        |     ((s2b - s1b * s1b / nb) / (nb - 1) / nb) / (nb - 1)), 9) AS df
+        |FROM s""".stripMargin,
+
+    // PMI: identical integer counts, identical double assembly order
+    "q_x_pmi" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |words AS (SELECT unnest(t) AS w FROM toks),
+        |uni AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+        |  FROM toks),
+        |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM grams),
+        |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM grams
+        |       GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, CAST(cb AS BIGINT) AS n_pair,
+        |  ROUND(LN(CAST(cb AS DOUBLE) * n.n * n.n /
+        |    (CAST(u1.c AS DOUBLE) * u2.c * nb.nb)), 6) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+        |        JOIN uni u2 ON bi.w2 = u2.w, n, nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // bottom-k sample: same salted-hash order, LIMIT k
     "q_d_bottomk" ->

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cohort retention analysis over an event log: bucket each entity by its
+  * FIRST activity period (the cohort), then count how many of the cohort's
+  * entities are active again `offset` periods later — the classic
+  * triangular retention matrix behind "week-N retention" product metrics.
+  *
+  * Scale shape: the naive formulation is `groupBy(entity).agg(min)` plus a
+  * join back onto the full event table plus a `countDistinct` (an Expand
+  * that doubles the shuffled rows). This one is a single entity-keyed
+  * shuffle: one aggregation computes each entity's cohort AND its distinct
+  * active-period set together (`collect_set` partials dedup map-side, so
+  * the exchange carries distinct (entity, period) pairs, not events), the
+  * explode emits one row per (entity, offset) — already distinct by
+  * construction — and the second, tiny shuffle sums plain counts by
+  * (cohort, offset): no countDistinct Expand, no join back. Per-entity
+  * state is the distinct-period set, bounded by the calendar (a 2-year log
+  * has ≤ 105 weekly periods) — the same bounded-per-entity assumption
+  * sessionization makes.
+  *
+  * The retention rate divides by the cohort's size — its offset-0 count,
+  * since every entity's first period is in its own set — read back with a
+  * cohort-partitioned window over the already-tiny matrix.
+  *
+  * `periodCol` must be an integral period index (e.g. epoch-week). Rows
+  * with a null entity or period are dropped (they identify no cohort).
+  */
+object Cohort {
+
+  /** Returns (`cohort`, `offset`, `users`, `rate`) sorted by cohort then
+    * offset; `rate` = users / cohort size, rounded to 6. */
+  def retention(events: DataFrame, entity: String, periodCol: Column): DataFrame = {
+    val perEntity = events
+      .select(col(entity).as("__e"), periodCol.cast("bigint").as("__p"))
+      .where(col("__e").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__e"))
+      .agg(min(col("__p")).as("cohort"), collect_set(col("__p")).as("__ps"))
+    val matrix = perEntity
+      .select(col("cohort"), explode(col("__ps")).as("__p"))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("users"))
+    val w = Window.partitionBy(col("cohort"))
+    matrix
+      .withColumn("rate", round(
+        col("users") / max(when(col("offset") === 0, col("users"))).over(w), 6))
+      .orderBy(col("cohort"), col("offset"))
+  }
+}

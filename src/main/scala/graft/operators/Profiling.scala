@@ -181,4 +181,83 @@ object Profiling {
       .agg(graft.functions.TopK.topK(ord, tie, payload, k).as("__topk"))
       .select(keyCols.map(col) :+
         posexplode(col("__topk")).as(Seq("rank", "item")): _*)
+
+  /** Robust per-group outlier stats via median absolute deviation — the
+    * outlier rule that survives the outliers themselves (a z-score
+    * threshold moves with the contamination it is supposed to find; the
+    * median and MAD have 50% breakdown).
+    *
+    * Scale shape: two grouped percentile aggregations with a
+    * group-cardinality stats join after each (AQE broadcasts them) — the
+    * FeatureScaling stats-join pattern; the base is scanned twice, which
+    * is the floor for a statistic defined on deviations from another
+    * statistic. The deviation pass streams: no window, no sort.
+    *
+    * Cross-engine reproducibility: the median rounds to 6 BEFORE the
+    * deviation (`dev = |x − med₆|` is then pure IEEE on identical
+    * doubles), the MAD rounds to 6 before the threshold, and the
+    * `dev > cut·mad` comparison runs on identical doubles in both
+    * engines, so even exact ties resolve identically.
+    *
+    * Returns one row per group: median, MAD, non-null count, outlier
+    * count at `|x − med| > cut·MAD`, and the outlier rate (round 6). */
+  def robustOutlierStats(df: DataFrame, groupCol: String, valueCol: String,
+      cut: Double = 3.0): DataFrame = {
+    require(cut > 0, s"cut must be positive, got $cut")
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .where(col("__v").isNotNull)
+    val med = base.groupBy(col("__g"))
+      .agg(round(expr("percentile(__v, 0.5)"), 6).as("med"))
+    val devs = base.join(med, "__g")
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = devs.groupBy(col("__g"))
+      .agg(round(expr("percentile(__dev, 0.5)"), 6).as("mad"),
+        count(col("__v")).as("n"))
+    devs.join(mad, "__g")
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        max(col("n")).as("n"),
+        sum(when(col("__dev") > lit(cut) * col("mad"), 1).otherwise(0))
+          .as("n_outliers"))
+      .withColumn("outlier_rate", round(col("n_outliers") / col("n"), 6))
+      .orderBy(col(groupCol))
+  }
+
+  /** Welch's unequal-variance two-sample t-test between the `valueCol`
+    * populations of two groups — the A/B-test primitive (does treatment
+    * shift the metric?) that never assumes equal variances.
+    *
+    * Scale shape: ONE global aggregate computes both groups' count and
+    * DECIMAL power sums as conditional sums (the Expectations
+    * single-Aggregate pattern — adding a group adds partial-agg buffer
+    * columns, never a pass), and every downstream statistic is 1-row
+    * driver-free arithmetic on its result.
+    *
+    * Cross-engine reproducibility: counts and decimal power sums are
+    * exact; means/variances/t/df are a fixed IEEE expression over the
+    * doubles those cast to (sqrt is correctly rounded), so the round-9
+    * outputs are bit-identical in any engine. Variance is the sample
+    * (n−1) form via `(s2 − s1²/n)/(n−1)`; Welch–Satterthwaite df. */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    def side(g: String, tag: String) = {
+      val v = when(col(groupCol) === g, col(valueCol))
+      Seq(count(v).cast("double").as(s"n_$tag"),
+        sum((v * v).cast("decimal(38,6)")).cast("double").as(s"s2_$tag"),
+        sum(v.cast("decimal(38,6)")).cast("double").as(s"s1_$tag"))
+    }
+    val agg = df.agg((side(groupA, "a") ++ side(groupB, "b")).head,
+      (side(groupA, "a") ++ side(groupB, "b")).tail: _*)
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val ma = col("s1_a") / na
+    val mb = col("s1_b") / nb
+    val va = (col("s2_a") - col("s1_a") * col("s1_a") / na) / (na - 1)
+    val vb = (col("s2_b") - col("s1_b") * col("s1_b") / nb) / (nb - 1)
+    val (sa, sb) = (va / na, vb / nb)
+    val se2 = sa + sb
+    agg.select(na.cast("bigint").as("n_a"), nb.cast("bigint").as("n_b"),
+      round(ma, 9).as("mean_a"), round(mb, 9).as("mean_b"),
+      round((ma - mb) / sqrt(se2), 9).as("t_stat"),
+      round(se2 * se2 / (sa * sa / (na - 1) + sb * sb / (nb - 1)), 9).as("df"))
+  }
 }

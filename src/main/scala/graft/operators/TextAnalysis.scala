@@ -450,4 +450,59 @@ object TextAnalysis {
   /** Single 64-bit rolled-up fingerprint (hash of the winnowed sketch). */
   def fingerprint64(text: Column, n: Int = 3, keep: Int = 8): Column =
     xxhash64(fingerprint(text, n, keep))
+
+  // ───────────────────── collocations ─────────────────────
+
+  /** Top-k collocations by pointwise mutual information:
+    * `pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )` with
+    * `p(w1,w2) = c12/N_bigrams` and `p(w) = c/N_tokens` — the standard
+    * association score that surfaces multi-word expressions ("new york",
+    * "machine learning") a phrase-aware tokenizer or stop-phrase filter
+    * needs. `minCount` guards the score's low-frequency blow-up (a
+    * hapax pair has maximal PMI by construction).
+    *
+    * Scale shape: bigrams form map-side via `zip_with` over offset
+    * slices (no index-range explode); counts are two grouped
+    * aggregations whose exchanges carry one row per DISTINCT unigram /
+    * bigram (map-side partials collapse repeats); the `minCount` filter
+    * prunes the bigram table BEFORE either unigram join (vocabulary-
+    * sized sides AQE broadcasts when they fit); both corpus totals ride
+    * as 1-row broadcast scalars; top-k plans as TakeOrderedAndProject.
+    *
+    * Cross-engine reproducibility: the log argument is assembled in
+    * DOUBLE in a fixed multiplication order from exact integer counts,
+    * and `ln` rounds to 6 (the BM25 gate's libm-parity rule); ties on
+    * the rounded score break by (w1, w2).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be positive, got $k")
+    val reserved = Seq("__t", "__bg", "w1", "w2", "c1", "c2", "cb")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"pmiCollocations reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val words = docs.select(explode(toks).as("w1"))
+    val uni = words.groupBy("w1").agg(count(lit(1)).as("c"))
+    val nTok = words.agg(count(lit(1)).cast("double").as("__n"))
+    val grams = docs.select(toks.as("__t"))
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val nBi = grams.agg(count(lit(1)).cast("double").as("__nb"))
+    grams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= minCount)
+      .join(uni.select(col("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w1").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("cb").as("n_pair"),
+        round(log(col("cb").cast("double") * col("__n") * col("__n") /
+          (col("c1").cast("double") * col("c2") * col("__nb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -91,4 +91,41 @@ class ProfilingSpec extends SparkSpec {
     assert(h.head.getAs[Double]("bucket_lo") == 0.0)
     assert(h.head.getAs[Double]("bucket_hi") == 10.0)
   }
+
+  test("robustOutlierStats flags by MAD, keeps zero-MAD groups sane, skips nulls") {
+    val data = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", Some(100.0)), ("a", None),
+      ("b", Some(10.0)), ("b", Some(10.0)), ("b", Some(10.0)))
+      .toDF("g", "v")
+    val out = Profiling.robustOutlierStats(data, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    // med 3, devs {2,1,0,1,97}, mad 1 → only the 100 exceeds 3·MAD; the
+    // contaminating value itself never moved the threshold (50% breakdown)
+    assert(a.getAs[Double]("med") == 3.0 && a.getAs[Double]("mad") == 1.0)
+    assert(a.getAs[Long]("n") == 5L && a.getAs[Long]("n_outliers") == 1L)
+    assert(a.getAs[Double]("outlier_rate") == 0.2)
+    // constant group: MAD 0, strict > means nothing flags
+    val b = out("b")
+    assert(b.getAs[Double]("mad") == 0.0 && b.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("welchTTest reproduces the textbook unequal-variance statistic") {
+    val data = (Seq(1, 2, 3, 4, 5).map(v => ("a", Some(v.toDouble))) ++
+      Seq(2, 4, 6, 8).map(v => ("b", Some(v.toDouble))) ++
+      Seq(("a", None), ("c", Some(99.0)))) // null and off-group rows ignored
+      .toDF("g", "v")
+    val r = Profiling.welchTTest(data, "g", "v", "a", "b").first()
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("mean_a") == 3.0 && r.getAs[Double]("mean_b") == 5.0)
+    // scipy.stats.ttest_ind(equal_var=False) on the same samples
+    assert(math.abs(r.getAs[Double]("t_stat") - -1.358732441) < 1e-6)
+    assert(math.abs(r.getAs[Double]("df") - 4.749414520) < 1e-6)
+  }
+
+  test("welchTTest is antisymmetric and zero on identical samples") {
+    val data = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val r = Profiling.welchTTest(data, "g", "v", "a", "b").first()
+    assert(r.getAs[Double]("t_stat") == 0.0)
+  }
 }

@@ -308,4 +308,24 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bigramPerplexity(df, "doc_id", "text")
     }
   }
+
+  test("pmiCollocations scores association and orders by it") {
+    // corpus "x x", "x y": unigrams x:3 y:1 (N=4); bigrams (x,x):1 (x,y):1
+    // (Nb=2) → pmi(x,y)=ln(16/6)≈0.980829 > pmi(x,x)=ln(16/18)≈-0.117783
+    val docs = Seq("x x", "x y").toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("x", "y", 1L, 0.980829),
+      ("x", "x", 1L, -0.117783)))
+  }
+
+  test("pmiCollocations minCount prunes and reserved names are rejected") {
+    val docs = Seq("x x", "x y").toDF("text")
+    assert(TextAnalysis.pmiCollocations(docs, "text", minCount = 2).count() == 0)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.pmiCollocations(Seq(("t", "w1")).toDF("text", "w1"), "text")
+    }
+  }
 }
