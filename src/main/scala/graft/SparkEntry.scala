@@ -20,16 +20,17 @@ import org.apache.spark.sql.functions._
   *    libm vs JVM may differ in the final ulp.
   *  - double→int casts: Spark truncates toward zero, DuckDB rounds — oracle
   *    uses CAST(TRUNC(x) AS INTEGER) to match.
-  *  - events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
-  *    (epoch nanos) under `spark.sql.legacy.parquet.nanosAsLong=true`;
-  *    the DuckDB side uses epoch_ns(ts). Integer arithmetic only — a double
-  *    division of an ~1.7e18 nanos value would lose precision.
+  *  - events.ts is normalized to epoch-nano BIGINT at the read boundary
+  *    ([[graft.sources.IO.epochNanos]] — handles both the TIMESTAMP(NANOS)
+  *    and the TIMESTAMP(MICROS) fixture generations); the DuckDB side uses
+  *    epoch_ns(ts). Integer arithmetic only — a double division of an
+  *    ~1.7e18 nanos value would lose precision.
   *  - Every result has a deterministic ORDER BY on a unique key.
   */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.IO.table(spark, dir, name)
 
   /** Scratch path for sink round-trip queries, keyed by the input dir so
     * two concurrent gate/test runs on one host (different sfDirs) never

@@ -14,7 +14,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) — read as epoch-nano longs
+      // nano-generation events.parquet reads as epoch-nano longs (the
+      // micro-generation converts at IO.epochNanos instead; both end
+      // as the same BIGINT convention)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

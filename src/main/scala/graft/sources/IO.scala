@@ -106,9 +106,29 @@ object IO {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
-  /** Convenience loader for the driver-provided parquet fixtures. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Convenience loader for the driver-provided parquet fixtures. The
+    * `events` table normalizes through [[epochNanos]]. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") epochNanos(df) else df
+  }
+
+  /** Normalize an event-time column to the engine's epoch-nano BIGINT
+    * convention, whatever the fixture generation shipped: parquet
+    * TIMESTAMP(NANOS) already reads as LongType epoch-nanos (under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and passes through;
+    * TIMESTAMP(MICROS) reads as a timestamp type and converts as
+    * micros × 1000. Sessions run with timeZone=UTC, so a TIMESTAMP_NTZ
+    * wall time IS the epoch instant — identical to DuckDB's
+    * epoch_ns(ts) on the naive value. Integer arithmetic end-to-end:
+    * an ~1.7e18 nano value does not round-trip through DOUBLE. */
+  def epochNanos(df: DataFrame, col: String = "ts"): DataFrame =
+    df.schema(col).dataType match {
+      case LongType => df
+      case _ => df.withColumn(col,
+        org.apache.spark.sql.functions.expr(
+          s"unix_micros(CAST($col AS TIMESTAMP)) * 1000"))
+    }
 
   /** Corrupt-tolerant JSONL scan: malformed lines land whole in a
     * `_bad_record` column instead of poisoning the batch (PERMISSIVE

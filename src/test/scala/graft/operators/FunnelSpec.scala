@@ -58,7 +58,7 @@ class FunnelSpec extends SparkSpec {
   }
 
   test("plan: exactly one exchange; the step IN-list reaches the scan") {
-    val fixture = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val fixture = graft.sources.IO.table(spark, "/root/testdata/sf0.001", "events")
     val plan = Funnel.userSteps(fixture, "user_id", "event_type", "ts", steps)
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1, plan)

@@ -417,7 +417,7 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("batch twin groups the fixture events into hour buckets") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = graft.sources.IO.table(spark, "/root/testdata/sf0.001", "events")
     val out = EventStreams.windowedTypeCountsBatch(events)
     assert(out.count() > 0)
     val total = out.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0)
