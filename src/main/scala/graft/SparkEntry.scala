@@ -1611,6 +1611,38 @@ object SparkEntry {
       graft.operators.TextAnalysis.pmiCollocations(
         t(s, dir, "documents"), "text", minCount = 5, k = 20)),
 
+    // X-cooccur: market-basket related items — per-order distinct part
+    // sets (collect_set dedups map-side), pairs emitted map-side from
+    // each set (no self-join), per-item top-3 via the bounded TopK heap
+    // (k rows/item/partition at the exchange, no full-group sort);
+    // mega-baskets capped, the standard association-mining guard.
+    "q_x_cooccur" -> ((s, dir) =>
+      graft.operators.Cooccurrence.relatedItems(
+        t(s, dir, "lineitem").where(col("l_partkey") % 3 === 0),
+        "l_orderkey", "l_partkey", k = 3, maxBasket = 64)),
+
+    // S-scd2: Slowly-Changing-Dimension Type 2 history — change log →
+    // validity intervals in ONE key-partitioned window shuffle:
+    // run-collapse via null-safe lag compare (re-stated unchanged rows
+    // never open a version), intervals via lead. Customers' order
+    // stream as the change log, (status, priority) as the tracked
+    // attributes.
+    "q_s_scd2" -> ((s, dir) =>
+      graft.operators.Scd.scd2(
+          t(s, dir, "orders").where(col("o_custkey") % 5 === 0),
+          Seq("o_custkey"), "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy(col("o_custkey"), col("valid_from"))),
+
+    // A-chisq: chi-square independence test + Cramér's V — contingency
+    // counts in one grouped aggregate (≤ r·c cells per partition reach
+    // the shuffle), margins as aggregates OF THE CELLS joined back
+    // broadcast, per-cell terms round-9 and accumulate as DECIMAL
+    // (order-independent ⇒ bit-identical cross-engine).
+    "q_a_chisq" -> ((s, dir) =>
+      graft.operators.Profiling.chiSquare(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+
     // D-bottomk: deterministic fixed-SIZE uniform sample — the k rows
     // with the smallest salted key-hash (bottom-k/KMV sketch). Plans as
     // TakeOrderedAndProject (bounded per-partition heap, no global
@@ -3213,6 +3245,80 @@ object SparkEntry {
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w
         |        JOIN uni u2 ON bi.w2 = u2.w, n, nb
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // co-occurrence: distinct (basket, item) pairs → pair counts →
+    // row_number per item over (n DESC, co_item DESC) — the TopK
+    // aggregate's deterministic (ord, tie) rule
+    "q_x_cooccur" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_partkey % 3 = 0),
+        |ok AS (
+        |  SELECT b FROM bi GROUP BY b
+        |  HAVING COUNT(*) BETWEEN 2 AND 64),
+        |pc AS (
+        |  SELECT x.i AS item, y.i AS co_item, COUNT(*) AS n
+        |  FROM bi x JOIN ok USING (b) JOIN bi y USING (b)
+        |  WHERE x.i <> y.i
+        |  GROUP BY 1, 2)
+        |SELECT item, CAST(rn - 1 AS INT) AS rank, co_item,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT item, co_item, n, row_number() OVER (
+        |    PARTITION BY item ORDER BY n DESC, co_item DESC) AS rn
+        |  FROM pc)
+        |WHERE rn <= 3
+        |ORDER BY item, rank""".stripMargin,
+
+    // SCD2: identical run-collapse (IS DISTINCT FROM on the attribute
+    // row) + lead over the survivors
+    "q_s_scd2" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+        |    lag(row(o_orderstatus, o_orderpriority)) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+        |  FROM orders WHERE o_custkey % 5 = 0),
+        |runs AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM c
+        |  WHERE prev IS DISTINCT FROM row(o_orderstatus, o_orderpriority))
+        |SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |  o_orderkey AS valid_from,
+        |  lead(o_orderkey) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to,
+        |  lead(o_orderkey) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL AS is_current
+        |FROM runs
+        |ORDER BY o_custkey, valid_from""".stripMargin,
+
+    // chi-square: same contingency/margins construction; per-cell terms
+    // round-9 then DECIMAL-sum (order-independent)
+    "q_a_chisq" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+        |nt AS (SELECT SUM(o) AS n FROM cells),
+        |terms AS (
+        |  SELECT ROUND(
+        |      (o - CAST(ra * cb AS DOUBLE) / n) *
+        |      (o - CAST(ra * cb AS DOUBLE) / n) /
+        |      (CAST(ra * cb AS DOUBLE) / n), 9) AS term,
+        |    a, b, n
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b), nt),
+        |agg AS (
+        |  SELECT CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS chi2,
+        |    COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+        |    MAX(n) AS nn
+        |  FROM terms)
+        |SELECT ROUND(chi2, 6) AS chi2,
+        |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  CAST(nn AS BIGINT) AS n,
+        |  ROUND(SQRT(chi2 / (nn * LEAST(r - 1, c - 1))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
 
     // bottom-k sample: same salted-hash order, LIMIT k
     "q_d_bottomk" ->

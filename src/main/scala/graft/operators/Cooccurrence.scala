@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Item co-occurrence mining ("baskets containing X also contain Y") —
+  * the association/related-items primitive behind market-basket analysis
+  * and behavioral recommenders, and in a training-data pipeline the
+  * "documents citing X also cite Y" linkage signal.
+  *
+  * Scale shape: the naive formulation self-joins the item table on the
+  * basket key — a basket-keyed shuffle of the FULL item table on BOTH
+  * sides plus a quadratic join. This one aggregates each basket's
+  * distinct item set once (`collect_set` partials dedup map-side, so the
+  * basket-keyed exchange carries distinct (basket, item) pairs), emits
+  * the ordered pairs map-side from the set (two stacked generators — no
+  * join, no second pass over the input), and counts by pair in one
+  * pair-keyed shuffle. The per-item ranking uses the bounded TopK heap
+  * aggregate: k rows per item per partition reach the final exchange, no
+  * full-group sort anywhere.
+  *
+  * The quadratic term is per-basket (|basket|²), bounded by `maxBasket`:
+  * a degenerate mega-basket (the crawler that "bought" everything, the
+  * order with 10⁶ lines) is excluded rather than allowed to dominate the
+  * pair space — co-occurrence inside such baskets carries no signal, the
+  * standard practice in association mining. Baskets need ≥ 2 distinct
+  * items to produce any pair.
+  */
+object Cooccurrence {
+
+  /** Top-k co-items per item by shared-basket count. Returns
+    * (`item`, `rank`, `co_item`, `n`) — rank 0-based within item, ties
+    * broken by co_item descending (the TopK aggregate's deterministic
+    * (ord, tie) rule). Null baskets/items are dropped. */
+  def relatedItems(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 5, maxBasket: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val sets = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
+      .groupBy(col("__b"))
+      .agg(collect_set(col("__i")).as("__is"))
+      .where(size(col("__is")).between(2, maxBasket))
+    val pairs = sets
+      .select(explode(col("__is")).as("item"), col("__is"))
+      .select(col("item"), explode(col("__is")).as("co_item"))
+      .where(col("item") =!= col("co_item"))
+    pairs
+      .groupBy(col("item"), col("co_item"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("item"))
+      .agg(graft.functions.TopK.topK(
+        col("n").cast("double"), col("co_item").cast("bigint"),
+        struct(col("co_item"), col("n")), k).as("__topk"))
+      .select(col("item"), posexplode(col("__topk")).as(Seq("rank", "__it")))
+      .select(col("item"), col("rank"),
+        col("__it.co_item").as("co_item"), col("__it.n").as("n"))
+      .orderBy(col("item"), col("rank"))
+  }
+}

@@ -260,4 +260,51 @@ object Profiling {
       round((ma - mb) / sqrt(se2), 9).as("t_stat"),
       round(se2 * se2 / (sa * sa / (na - 1) + sb * sb / (nb - 1)), 9).as("df"))
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size — the "are these two labels
+    * related at all" gate run before any crosstab is trusted.
+    *
+    * Scale shape: ONE grouped count over the data builds the contingency
+    * table (partial aggregation collapses repeats map-side — the shuffle
+    * carries ≤ r·c cells per partition, never rows); the margins are
+    * aggregates OF THE CELLS (r + c + 1 rows), joined back via
+    * AQE-broadcast equi-joins and a 1-row scalar attach — the same
+    * stats-join pattern as [[robustOutlierStats]]. Nothing after the
+    * first aggregate ever touches the input again.
+    *
+    * Cross-engine reproducibility: observed counts and margins are exact
+    * integers; each cell's (o−e)²/e is a fixed IEEE expression over
+    * exactly-representable doubles, rounded to 9 and accumulated as
+    * DECIMAL (order-independent), so the statistic is bit-identical in
+    * any engine. Returns one row: `chi2`, `dof`, `n`, `cramers_v`
+    * (sqrt is correctly rounded, hence safe). Null labels are dropped. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy(col("__a"))
+      .agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__b"))
+      .agg(sum(col("__o")).as("__cb"))
+    val nTot = cells.agg(sum(col("__o")).as("__n"))
+    val e = (col("__ra") * col("__cb")).cast("double") / col("__n")
+    val term = (col("__o") - e) * (col("__o") - e) / e
+    cells
+      .join(rowTot, "__a").join(colTot, "__b")
+      .crossJoin(broadcast(nTot))
+      .agg(
+        sum(round(term, 9).cast("decimal(38,9)")).cast("double").as("__chi2"),
+        countDistinct(col("__a")).as("__r"),
+        countDistinct(col("__b")).as("__c"),
+        max(col("__n")).as("__nn"))
+      .select(
+        round(col("__chi2"), 6).as("chi2"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        col("__nn").as("n"),
+        round(sqrt(col("__chi2") /
+          (col("__nn") * least(col("__r") - 1, col("__c") - 1))), 6)
+          .as("cramers_v"))
+  }
 }

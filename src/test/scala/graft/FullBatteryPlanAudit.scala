@@ -36,7 +36,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_perplexity",         // 1-row vocabulary-size scalar (V)
     "q_so2_union_intersect",  // 1-row union-count × 1-row intersect-count
     "q_x_multimodal",         // ≤5-kind panel ⟕ 1-row video-frame agg
-    "q_x_pmi")                // 1-row token total × 1-row bigram total
+    "q_x_pmi",                // 1-row token total × 1-row bigram total
+    "q_a_chisq")              // 1-row grand-total over the contingency
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

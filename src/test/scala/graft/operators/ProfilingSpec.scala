@@ -128,4 +128,27 @@ class ProfilingSpec extends SparkSpec {
     val r = Profiling.welchTTest(data, "g", "v", "a", "b").first()
     assert(r.getAs[Double]("t_stat") == 0.0)
   }
+
+  test("chiSquare reproduces the textbook 2x2 statistic") {
+    // classic 2x2: [[20,30],[30,20]] → chi2 = 4.0 (without Yates), dof 1,
+    // n 100, Cramér's V = sqrt(4/100) = 0.2
+    val rows = Seq.fill(20)(("m", "y")) ++ Seq.fill(30)(("m", "n")) ++
+      Seq.fill(30)(("f", "y")) ++ Seq.fill(20)(("f", "n"))
+    val r = Profiling.chiSquare(rows.toDF("sex", "ans"), "sex", "ans").first()
+    assert(r.getAs[Double]("chi2") == 4.0)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("cramers_v") == 0.2)
+  }
+
+  test("chiSquare is ~zero under exact independence; nulls are dropped") {
+    // perfectly proportional table → every o == e → chi2 == 0
+    val rows = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y")))
+      .map { case (a, b) => (Some(a), Some(b)) } ++
+      Seq((None: Option[String], Some("x")), (Some("a"), None: Option[String]))
+    val r = Profiling.chiSquare(rows.toDF("a", "b"), "a", "b").first()
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Long]("n") == 90L)
+  }
 }
