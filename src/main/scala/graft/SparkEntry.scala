@@ -1643,6 +1643,56 @@ object SparkEntry {
       graft.operators.Profiling.chiSquare(
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
 
+    // A-overlap: audience overlap from mergeable HLL sketches — distinct
+    // clickers ∩ viewers via inclusion-exclusion (|A|+|B|−|A∪B|), the
+    // store-sketches/merge-anywhere pattern: per-segment sketches build
+    // once, ANY pairwise overlap derives by union — no re-scan, no
+    // distinct-pair Expand. Exact at the fixture's cardinalities, so
+    // plain COUNT(DISTINCT) oracles it.
+    "q_a_hll_overlap" -> ((s, dir) => {
+      val sk = t(s, dir, "events")
+        .where(col("event_type").isin("click", "view") &&
+          col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sk")).cast("bigint").as("n"), col("sk"))
+      sk.agg(
+          max(when(col("event_type") === "click", col("n"))).as("n_click"),
+          max(when(col("event_type") === "view", col("n"))).as("n_view"),
+          hll_sketch_estimate(hll_union_agg(col("sk")))
+            .cast("bigint").as("n_union"))
+        .withColumn("n_overlap",
+          col("n_click") + col("n_view") - col("n_union"))
+    }),
+
+    // ST-hopping: sliding-window counts — TimeWindow expands each event
+    // into its dur/hop covering windows MAP-SIDE (Generate, plan-constant
+    // fan-out), partial aggregation collapses before the one exchange;
+    // the identical plan streams under a watermark.
+    "q_st_hopping" -> ((s, dir) =>
+      graft.streaming.EventStreams.hoppingTypeCountsBatch(
+        t(s, dir, "events"), "1 hour", "15 minutes")),
+
+    // J-spatial: grid-bucketed radius join — cell-quantized equi-join +
+    // exact refine (the 2-D bandJoin): right side keys by its cell, left
+    // explodes to the 3×3 neighborhood map-side, candidates bounded by
+    // cell occupancy, never n²; no BroadcastNestedLoopJoin (locked in
+    // PlanShapeSpec). Coordinates synthesized deterministically from the
+    // events slices.
+    "q_j_spatial" -> ((s, dir) => {
+      def pts(m: Long) = t(s, dir, "events")
+        .where(col("event_id") % 29 === m)
+        .select(col("event_id"),
+          col("value").as("x"),
+          (col("event_id") % 331).cast("double").as("y"))
+      graft.operators.Spatial.radiusJoin(
+          pts(0).withColumnRenamed("event_id", "lid"),
+          pts(1).withColumnRenamed("event_id", "rid"),
+          "lid", "rid", "x", "y", radius = 25.0)
+        .orderBy(col("lid"), col("rid"))
+    }),
+
     // D-bottomk: deterministic fixed-SIZE uniform sample — the k rows
     // with the smallest salted key-hash (bottom-k/KMV sketch). Plans as
     // TakeOrderedAndProject (bounded per-partition heap, no global
@@ -3319,6 +3369,51 @@ object SparkEntry {
         |  CAST(nn AS BIGINT) AS n,
         |  ROUND(SQRT(chi2 / (nn * LEAST(r - 1, c - 1))), 6) AS cramers_v
         |FROM agg""".stripMargin,
+
+    // HLL overlap: sketches are exact at the fixture's user cardinality,
+    // so inclusion-exclusion over exact distinct counts reproduces it
+    "q_a_hll_overlap" ->
+      """WITH a AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_click
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |b AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_view
+        |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL)
+        |SELECT n_click, n_view, n_union,
+        |  n_click + n_view - n_union AS n_overlap
+        |FROM a, b, u""".stripMargin,
+
+    // hopping windows: each event covers the 4 window starts on the
+    // 15-minute grid within the hour before it
+    "q_st_hopping" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000000 // 900000 AS k
+        |  FROM events WHERE ts IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, unnest(generate_series(k - 3, k)) AS wk
+        |  FROM ev)
+        |SELECT wk * 900000 AS win_start_ms, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2
+        |ORDER BY win_start_ms, event_type""".stripMargin,
+
+    // spatial radius join: naive cross-join filter — the IEEE squared
+    // distance and radius² compare identically in both engines
+    "q_j_spatial" ->
+      """WITH l AS (
+        |  SELECT event_id AS lid, value AS xl,
+        |    CAST(event_id % 331 AS DOUBLE) AS yl
+        |  FROM events WHERE event_id % 29 = 0 AND value IS NOT NULL),
+        |r AS (
+        |  SELECT event_id AS rid, value AS xr,
+        |    CAST(event_id % 331 AS DOUBLE) AS yr
+        |  FROM events WHERE event_id % 29 = 1 AND value IS NOT NULL)
+        |SELECT lid, rid,
+        |  ROUND(SQRT((xl-xr)*(xl-xr) + (yl-yr)*(yl-yr)), 6) AS dist
+        |FROM l, r
+        |WHERE (xl-xr)*(xl-xr) + (yl-yr)*(yl-yr) <= 625.0
+        |ORDER BY lid, rid""".stripMargin,
 
     // bottom-k sample: same salted-hash order, LIMIT k
     "q_d_bottomk" ->

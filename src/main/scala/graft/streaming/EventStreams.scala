@@ -370,6 +370,29 @@ object EventStreams {
         col("event_type"), col("n"))
       .orderBy(col("bucket_ms"), col("event_type"))
 
+  /** Hopping (sliding) window counts — each event contributes to every
+    * `dur`-long window whose start lies within `dur` before it, windows
+    * advancing by `hop` (the overlapping twin of the tumbling
+    * [[windowedTypeCountsBatch]]; the same `window(col, dur, hop)` plan
+    * runs under `readStream` with a watermark).
+    *
+    * Scale shape: Spark's TimeWindow generator expands each row into its
+    * dur/hop covering windows MAP-SIDE (a Generate, no shuffle), then one
+    * keyed aggregation counts — the fan-out factor is the window/hop
+    * ratio, a plan constant, and partial aggregation collapses the
+    * expanded rows before the exchange. `dur` must be a multiple of `hop`
+    * so window starts land on the hop grid (the contract the oracle's
+    * integer-division twin needs). */
+  def hoppingTypeCountsBatch(eventsNs: DataFrame,
+      dur: String = "1 hour", hop: String = "15 minutes"): DataFrame =
+    eventsNs
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(functions.window(col("tstamp"), dur, hop), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
   /** Native `session_window` aggregation: dynamic-gap sessions as a
     * first-class streaming-capable AGGREGATE — the built-in alternative to
     * [[sessionize]]'s hand-rolled flatMapGroupsWithState (no custom state

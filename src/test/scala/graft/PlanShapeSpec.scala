@@ -108,6 +108,16 @@ class PlanShapeSpec extends SparkSpec {
       s"cross join in range join:\n$p")
   }
 
+  test("spatial radius join is an equi join on grid cells, not a nested loop") {
+    // a raw dist(l,r) <= radius join has no equi-key and plans BNLJ —
+    // the grid rewrite must keep the candidate join equi-keyed
+    val p = plan("q_j_spatial")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join fell back to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cross join in spatial join:\n$p")
+  }
+
   test("deterministic samples and BM25 top-k avoid global sorts") {
     // bottom-k / weighted sampling and the BM25 final ranking must plan
     // as TakeOrderedAndProject (bounded per-partition heap + k-row

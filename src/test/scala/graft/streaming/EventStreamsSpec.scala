@@ -424,6 +424,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(total == events.count())
   }
 
+  test("hopping windows: every event covers exactly dur/hop window starts") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.IO.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("ts").isNotNull)
+    val out = EventStreams.hoppingTypeCountsBatch(events, "1 hour", "15 minutes")
+    // total mass = 4 × events (each event in 4 overlapping windows)
+    val total = out.agg(sum("n")).first().getLong(0)
+    assert(total == 4 * events.count())
+    // window starts sit on the 15-minute grid
+    assert(out.where(expr("win_start_ms % 900000 != 0")).isEmpty)
+    // and each event's windows are the 4 grid starts within the hour
+    // before it: cross-check one event against the window list
+    val e = events.select(expr("ts DIV 1000000").cast("long")).first().getLong(0)
+    val k = e / 900000
+    val covered = out.where(col("event_type").isNotNull)
+      .select("win_start_ms").distinct()
+      .as[Long].collect().toSet
+    assert((k - 3 to k).forall(w => covered.contains(w * 900000)))
+  }
+
   test("session_window: touching windows merge (delta <= gap), beyond splits") {
     // windows are [ts, ts+gap) and Spark merges windows that overlap OR
     // touch: an event exactly gap after the previous still extends the
