@@ -1674,6 +1674,24 @@ object SparkEntry {
       graft.streaming.EventStreams.hoppingTypeCountsBatch(
         t(s, dir, "events"), "1 hour", "15 minutes")),
 
+    // D-group-bottomk: deterministic fixed-size sample WITHIN each group
+    // (balanced panel) — hash-order row_number capped by WindowGroupLimit
+    // (≤ k rows/group/partition at the exchange, the window twin of the
+    // TopK aggregate); engine-reproducible, prefix-stable in k.
+    "q_d_group_bottomk" -> ((s, dir) =>
+      graft.operators.Sampling.bottomKPerGroup(
+          t(s, dir, "documents").select("doc_id", "source", "lang"),
+          "source", "doc_id", k = 2, salt = "g5")
+        .orderBy(col("source"), col("doc_id"))),
+
+    // A-ztest: two-proportion z-test (conversion A/B) — one global
+    // aggregate of conditional counts, 1-row IEEE math, round-9
+    // bit-identical cross-engine. "Success" = value above a threshold.
+    "q_a_ztest" -> ((s, dir) =>
+      graft.operators.Profiling.proportionsZTest(
+        t(s, dir, "events").withColumn("hit", col("value") > 100),
+        "event_type", "hit", "click", "view")),
+
     // J-spatial: grid-bucketed radius join — cell-quantized equi-join +
     // exact refine (the 2-D bandJoin): right side keys by its cell, left
     // explodes to the 3×3 neighborhood map-side, candidates bounded by
@@ -3397,6 +3415,34 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM w GROUP BY 1, 2
         |ORDER BY win_start_ms, event_type""".stripMargin,
+
+    // per-group bottom-k: same salted-hash order, rank within group
+    "q_d_group_bottomk" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'g5'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 2
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // two-proportion z-test: identical pooled-variance construction;
+    // null values compare FALSE in `value > 100` in both engines
+    "q_a_ztest" ->
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n_a,
+        |    CAST(COUNT(CASE WHEN event_type = 'click' AND value > 100 THEN 1 END) AS DOUBLE) AS s_a,
+        |    CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS n_b,
+        |    CAST(COUNT(CASE WHEN event_type = 'view' AND value > 100 THEN 1 END) AS DOUBLE) AS s_b
+        |  FROM events)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND(s_a / n_a, 9) AS rate_a,
+        |  ROUND(s_b / n_b, 9) AS rate_b,
+        |  ROUND((s_a / n_a - s_b / n_b) / SQRT(
+        |    ((s_a + s_b) / (n_a + n_b)) * (1.0 - (s_a + s_b) / (n_a + n_b)) *
+        |    (1.0 / n_a + 1.0 / n_b)), 9) AS z_stat
+        |FROM agg""".stripMargin,
 
     // spatial radius join: naive cross-join filter — the IEEE squared
     // distance and radius² compare identically in both engines

@@ -261,6 +261,34 @@ object Profiling {
       round(se2 * se2 / (sa * sa / (na - 1) + sb * sb / (nb - 1)), 9).as("df"))
   }
 
+  /** Two-proportion z-test (pooled) — the conversion-rate A/B primitive:
+    * is variant A's success rate distinguishable from B's. Same shape as
+    * [[welchTTest]]: ONE global aggregate of conditional counts, then
+    * 1-row fixed-order IEEE arithmetic (sqrt correctly rounded), so the
+    * round-9 outputs are bit-identical in any engine. `successCol` must
+    * be boolean; null successes count as failures (documented CTR
+    * convention — an unobserved outcome is a non-conversion), null
+    * groups are ignored. */
+  def proportionsZTest(df: DataFrame, groupCol: String, successCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    def side(g: String, tag: String) = Seq(
+      count(when(col(groupCol) === g, lit(1))).cast("double").as(s"n_$tag"),
+      count(when(col(groupCol) === g && col(successCol), lit(1)))
+        .cast("double").as(s"s_$tag"))
+    val agg = df.agg((side(groupA, "a") ++ side(groupB, "b")).head,
+      (side(groupA, "a") ++ side(groupB, "b")).tail: _*)
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val pa = col("s_a") / na
+    val pb = col("s_b") / nb
+    val pool = (col("s_a") + col("s_b")) / (na + nb)
+    agg.select(
+      na.cast("bigint").as("n_a"), nb.cast("bigint").as("n_b"),
+      round(pa, 9).as("rate_a"), round(pb, 9).as("rate_b"),
+      round((pa - pb) /
+        sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb)), 9)
+        .as("z_stat"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns, plus Cramér's V effect size — the "are these two labels
     * related at all" gate run before any crosstab is trusted.

@@ -59,6 +59,32 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-group [[bottomK]]: a deterministic fixed-size uniform sample
+    * WITHIN each group — the balanced-panel primitive ("exactly k docs
+    * per source", "k users per cohort") that a global sample cannot give
+    * (it drifts with group skew). Same hash-order contract as bottomK:
+    * engine-reproducible, partition-independent, and prefix-stable in k
+    * within each group; groups smaller than k keep every row.
+    *
+    * Scale shape: a rank-within-group window — Spark caps it with
+    * WindowGroupLimit, so at most k rows per group PER PARTITION reach
+    * the exchange (map-side top-k, the window twin of the TopK
+    * aggregate); never a global sort, never a whole-group sort spill. */
+  def bottomKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val reserved = Seq("__h", "__rn")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"bottomKPerGroup reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", hash(col(keyCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__h", "__rn")
+  }
+
   /** Deterministic WEIGHTED k-sample without replacement (A-ES,
     * Efraimidis–Spirtakis): rank rows by priority `u^(1/w)` (u uniform)
     * and keep the k largest, which samples each subset with probability

@@ -383,13 +383,25 @@ object EventStreams {
     * expanded rows before the exchange. `dur` must be a multiple of `hop`
     * so window starts land on the hop grid (the contract the oracle's
     * integer-division twin needs). */
+  def hoppingTypeCounts(events: DataFrame,
+      dur: String = "1 hour", hop: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), dur, hop), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** [[hoppingTypeCounts]] over the fixture's epoch-nano long `ts`,
+    * window starts as epoch-millis — the DuckDB-oracled batch gate
+    * (`q_st_hopping`); the same plan streams in append mode, each window
+    * emitting once its end passes the watermark. */
   def hoppingTypeCountsBatch(eventsNs: DataFrame,
       dur: String = "1 hour", hop: String = "15 minutes"): DataFrame =
-    eventsNs
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
-      .groupBy(functions.window(col("tstamp"), dur, hop), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_millis(col("window.start")).as("win_start_ms"),
+    hoppingTypeCounts(
+        eventsNs.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
+        dur, hop)
+      .select(unix_millis(col("win_start")).as("win_start_ms"),
         col("event_type"), col("n"))
       .orderBy(col("win_start_ms"), col("event_type"))
 

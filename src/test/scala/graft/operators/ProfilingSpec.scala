@@ -141,6 +141,22 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") == 0.2)
   }
 
+  test("proportionsZTest reproduces the textbook pooled statistic") {
+    val rows: Seq[(String, Option[Boolean])] =
+      Seq.tabulate(100)(i => ("a", Some(i < 40))) ++   // a: 40/100
+      Seq.tabulate(100)(i => ("b", Some(i < 30))) ++   // b: 30/100
+      Seq(("a", None), ("c", Some(true)))  // null success, off-group row
+    val r = Profiling.proportionsZTest(rows.toDF("g", "hit"), "g", "hit",
+      "a", "b").first()
+    assert(r.getAs[Long]("n_a") == 101L) // null success still counts exposure
+    assert(r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Double]("rate_b") == 0.3)
+    val pa = 40.0 / 101; val pool = 70.0 / 201
+    val expect = (pa - 0.3) /
+      math.sqrt(pool * (1 - pool) * (1.0 / 101 + 1.0 / 100))
+    assert(math.abs(r.getAs[Double]("z_stat") - expect) < 1e-9)
+  }
+
   test("chiSquare is ~zero under exact independence; nulls are dropped") {
     // perfectly proportional table → every o == e → chi2 == 0
     val rows = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++

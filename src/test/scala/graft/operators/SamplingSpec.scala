@@ -125,4 +125,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.groupSplit(df, "g", Seq(0.5, 1.0))
     }
   }
+
+  test("bottomKPerGroup: exactly k per big group, all rows of small ones") {
+    val df = rows.toDF("id", "g") // groups grp0..grp36, ~54 rows each
+      .union(Seq((9001L, "tiny"), (9002L, "tiny")).toDF("id", "g"))
+    val got = Sampling.bottomKPerGroup(df, "g", "id", k = 7, salt = "p1")
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert((0 to 36).forall(i => got(s"grp$i") == 7L))
+    assert(got("tiny") == 2L)
+  }
+
+  test("bottomKPerGroup is partition-independent and prefix-stable in k") {
+    val df = rows.toDF("id", "g")
+    val k5 = Sampling.bottomKPerGroup(df, "g", "id", 5, "p2")
+      .select("id").as[Long].collect().toSet
+    val k9 = Sampling.bottomKPerGroup(df.repartition(13), "g", "id", 9, "p2")
+      .select("id").as[Long].collect().toSet
+    assert(k5.subsetOf(k9), "k=5 sample is not a prefix of k=9")
+    val again = Sampling.bottomKPerGroup(df.coalesce(1), "g", "id", 5, "p2")
+      .select("id").as[Long].collect().toSet
+    assert(again == k5, "sample changed with partitioning")
+  }
 }

@@ -444,6 +444,34 @@ class EventStreamsSpec extends SparkSpec {
     assert((k - 3 to k).forall(w => covered.contains(w * 900000)))
   }
 
+  test("hopping windows: streaming append emits exactly the batch windows") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hoppingTypeCounts(in.toDF(), "1 hour", "15 minutes", "1 hour")
+      .writeStream.format("memory").queryName("hopping_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val closed = Seq(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(40), 2, "view", 4.0))
+      in.addData(closed: _*)
+      // far-future event pushes the watermark past every closed window end
+      in.addData(Event(9, ts(100000), 9, "late", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hopping_counts")
+        .where(col("event_type") =!= "late")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = EventStreams.hoppingTypeCounts(closed.toDF(), "1 hour", "15 minutes")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(batch.nonEmpty && streamed == batch)
+      // an event participates in dur/hop = 4 windows
+      assert(batch.count(_._2 == "view") == 4)
+    } finally q.stop()
+  }
+
   test("session_window: touching windows merge (delta <= gap), beyond splits") {
     // windows are [ts, ts+gap) and Spark merges windows that overlap OR
     // touch: an event exactly gap after the previous still extends the
