@@ -1674,6 +1674,35 @@ object SparkEntry {
       graft.streaming.EventStreams.hoppingTypeCountsBatch(
         t(s, dir, "events"), "1 hour", "15 minutes")),
 
+    // A-covmatrix: full pairwise covariance matrix (diag = variances)
+    // from ONE aggregate of decimal power sums — the PCA/whitening
+    // input: one pass over 100 TB, a driver-trivial d×d eigen-solve
+    // after; in-plan unpivot, no driver round-trip.
+    "q_a_covmatrix" -> ((s, dir) =>
+      graft.operators.Profiling.covarianceMatrix(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // F-target-enc: leave-one-out target encoding — high-cardinality
+    // categorical → leakage-safe mean label of the category's OTHER
+    // rows; one grouped stats aggregate + AQE-broadcast join back +
+    // 1-row global fallback scalar.
+    "q_f_target_enc" -> ((s, dir) =>
+      graft.operators.TargetEncoding.looEncode(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_custkey", "o_totalprice")
+        .select(col("o_orderkey"), col("o_custkey"), col("encoded"))
+        .orderBy(col("o_orderkey"))),
+
+    // X-survival: Kaplan-Meier product-limit churn curves per event
+    // type — hazards chain over the tiny per-group lifetime table
+    // (group-keyed window, never the event log); ln rounds to 6 and
+    // accumulates as DECIMAL, exp rounds to 6 (libm-parity rules).
+    "q_x_survival" -> ((s, dir) =>
+      graft.operators.Survival.curve(
+        t(s, dir, "events"), "event_type", "user_id",
+        expr("ts DIV 86400000000000"))),
+
     // D-group-bottomk: deterministic fixed-size sample WITHIN each group
     // (balanced panel) — hash-order row_number capped by WindowGroupLimit
     // (≤ k rows/group/partition at the exchange, the window twin of the
@@ -3415,6 +3444,80 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM w GROUP BY 1, 2
         |ORDER BY win_start_ms, event_type""".stripMargin,
+
+    // covariance matrix: identical decimal power-sum construction,
+    // unpivoted as a UNION of the pair cells
+    "q_a_covmatrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cs.map(c =>
+        s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c").mkString(", ")
+      val prods = (for { i <- cs.indices; j <- i until cs.size } yield
+        s"CAST(SUM(CAST(${cs(i)} * ${cs(j)} AS DECIMAL(38,6))) AS DOUBLE) AS p_${i}_$j")
+        .mkString(", ")
+      val cells = (for { i <- cs.indices; j <- i until cs.size } yield
+        s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, " +
+          s"ROUND((p_${i}_$j - s_${cs(i)} * s_${cs(j)} / n) / (n - 1), 6) AS cov FROM agg")
+        .mkString("\nUNION ALL\n")
+      s"""WITH clean AS (
+         |  SELECT * FROM lineitem
+         |  WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, $sums, $prods FROM clean)
+         |$cells
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
+    // LOO target encoding: identical stats join (null-safe) + global
+    // fallback; sums decimal, divisions double
+    "q_f_target_enc" ->
+      """WITH stats AS (
+        |  SELECT o_custkey AS cat, COUNT(o_totalprice) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT COUNT(o_totalprice) AS gn,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS gs
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  ROUND(CASE
+        |    WHEN n - (CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |    THEN (s - COALESCE(o_totalprice, 0.0)) /
+        |         (n - CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+        |    ELSE gs / gn END, 6) AS encoded
+        |FROM orders JOIN stats ON o_custkey IS NOT DISTINCT FROM cat, g
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // survival: same lifetime/hazard construction; the zero factor at
+    // each group's last lifetime is NULLed out of the ln sum and the
+    // row overridden to 0 (DuckDB ln(0) is -inf; Spark nulls it)
+    "q_x_survival" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, user_id AS e,
+        |    epoch_ns(ts) // 86400000000000 AS p
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |lt AS (SELECT g, e, MAX(p) - MIN(p) AS t FROM ev GROUP BY g, e),
+        |byt AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS churned
+        |        FROM lt GROUP BY g, t),
+        |w AS (
+        |  SELECT g, t, churned,
+        |    SUM(churned) OVER (PARTITION BY g)
+        |      - SUM(churned) OVER (PARTITION BY g ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) + churned AS n_risk
+        |  FROM byt),
+        |terms AS (
+        |  SELECT g, t, churned, n_risk,
+        |    CASE WHEN churned = n_risk THEN NULL
+        |      ELSE CAST(ROUND(LN(1.0 - CAST(churned AS DOUBLE) / n_risk), 6)
+        |           AS DECIMAL(38,6)) END AS lnf
+        |  FROM w)
+        |SELECT g, t, CAST(n_risk AS BIGINT) AS n_risk, churned,
+        |  CASE WHEN churned = n_risk THEN 0.0
+        |    ELSE ROUND(EXP(CAST(SUM(lnf) OVER (PARTITION BY g ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END AS survival
+        |FROM terms
+        |ORDER BY g, t""".stripMargin,
 
     // per-group bottom-k: same salted-hash order, rank within group
     "q_d_group_bottomk" ->

@@ -108,6 +108,46 @@ object Profiling {
     }.toDF("col_a", "col_b", "corr")
   }
 
+  /** Full pairwise covariance matrix (diagonal = variances) from ONE
+    * aggregate — the d-column generalization of [[correlationMatrix]],
+    * and the input PCA/whitening needs: over 100 TB the covariance is
+    * the one pass, the d×d eigen-solve is driver-trivial.
+    *
+    * Scale shape: a single global aggregate of d sums + d(d+1)/2
+    * cross-product sums (partial aggregation map-side; the exchange
+    * carries one buffer per partition); the unpivot to (col_a, col_b,
+    * cov) rows explodes the 1-row result in-plan — no driver round-trip,
+    * no per-pair pass. Rows with ANY null among `cols` drop first
+    * (listwise-complete, the classical covariance-matrix contract — all
+    * pairs share one n).
+    *
+    * Cross-engine reproducibility: sums and cross-products accumulate as
+    * DECIMAL(38,6) (products are IEEE doubles — deterministic — cast
+    * exact), the covariance `(Sab − Sa·Sb/n)/(n−1)` is fixed-order
+    * double math, rounded to 6. Sample (n−1) normalization. */
+  def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val clean = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for { i <- cols.indices; j <- i until cols.size }
+      yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("__n")) ++
+      cols.map(c => sum(col(c).cast("decimal(38,6)"))
+        .cast("double").as(s"__s_$c")) ++
+      pairs.map { case (a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,6)"))
+          .cast("double").as(s"__p_${a}__$b") }
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round((col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b") / col("__n"))
+          / (col("__n") - 1), 6).as("cov"))
+    }
+    clean.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.col_a"), col("__e.col_b"), col("__e.cov"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** A1: per-group mean of the target (`helper_methods.py:159`). */
   def groupMean(df: DataFrame, groupCol: String, target: String = "ArrDelay"): DataFrame =
     df.groupBy(col(groupCol)).agg(avg(col(target)).as("MeanArrDelay"))

@@ -37,7 +37,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_so2_union_intersect",  // 1-row union-count × 1-row intersect-count
     "q_x_multimodal",         // ≤5-kind panel ⟕ 1-row video-frame agg
     "q_x_pmi",                // 1-row token total × 1-row bigram total
-    "q_a_chisq")              // 1-row grand-total over the contingency
+    "q_a_chisq",              // 1-row grand-total over the contingency
+    "q_f_target_enc")         // 1-row global-mean fallback scalar
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

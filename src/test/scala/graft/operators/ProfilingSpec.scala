@@ -141,6 +141,29 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") == 0.2)
   }
 
+  test("covarianceMatrix matches driver-side computation; listwise nulls") {
+    val rows = Seq(
+      (Some(1.0), Some(2.0), Some(0.5)),
+      (Some(2.0), Some(4.0), Some(0.25)),
+      (Some(3.0), Some(5.0), Some(1.0)),
+      (Some(4.0), Some(9.0), Some(0.0)),
+      (None, Some(99.0), Some(9.9))) // any-null row drops entirely
+    val got = Profiling.covarianceMatrix(rows.toDF("x", "y", "z"),
+      Seq("x", "y", "z")).as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val clean = rows.collect { case (Some(x), Some(y), Some(z)) => (x, y, z) }
+    def cov(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size
+      val s = a.zip(b).map { case (p, q) => p * q }.sum
+      math.rint((s - a.sum * b.sum / n) / (n - 1) * 1e6) / 1e6
+    }
+    val (xs, ys, zs) = (clean.map(_._1), clean.map(_._2), clean.map(_._3))
+    assert(got(("x", "x")) == cov(xs, xs)) // diagonal = variance
+    assert(got(("x", "y")) == cov(xs, ys))
+    assert(got(("y", "z")) == cov(ys, zs))
+    assert(got.size == 6) // 3 cols → 6 upper-triangle cells
+  }
+
   test("proportionsZTest reproduces the textbook pooled statistic") {
     val rows: Seq[(String, Option[Boolean])] =
       Seq.tabulate(100)(i => ("a", Some(i < 40))) ++   // a: 40/100
