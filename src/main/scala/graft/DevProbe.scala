@@ -81,6 +81,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("spatial")) {
+      spatialProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -598,5 +604,33 @@ object DevProbe {
     println(f"[corpus $n] chunks=$nChunks docs_kept=$nDocs bins=$nBins " +
       f"pipeline=${(t1 - t0) / 1e9}%.1fs stats=${(t2 - t1) / 1e9}%.1fs")
     chunks.unpersist(); docs.unpersist()
+  }
+
+  /** Spatial radius join at scale: n points per side scattered uniformly
+    * (hash-derived, deterministic) over a plane sized for CONSTANT
+    * density (side length grows with sqrt(n)), radius fixed — so the
+    * true pair count grows linearly with n while the naive cross-join
+    * candidate space grows with n². Reports wall time, pairs found, and
+    * the candidate fan-in the grid avoided. */
+  private def spatialProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val side = math.sqrt(n.toDouble) * 10.0 // ~100 units² per point/side
+    val radius = 5.0
+    def pts(salt: Int, id: String) = spark.range(n).select(
+      col("id").as(id),
+      (abs(xxhash64(col("id"), lit(salt))) % 1000000).cast("double")
+        / 1000000.0 * side).toDF(id, "x")
+      .withColumn("y",
+        (abs(xxhash64(col(id), lit(salt + 7))) % 1000000).cast("double")
+          / 1000000.0 * side)
+    val l = pts(1, "lid").cache(); val r = pts(2, "rid").cache()
+    l.count(); r.count()
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Spatial.radiusJoin(
+      l, r, "lid", "rid", "x", "y", radius).count()
+    val t1 = System.nanoTime()
+    println(f"[spatial $n/side] side=$side%.0f radius=$radius pairs=$pairs " +
+      f"join=${(t1 - t0) / 1e9}%.1fs naive_candidates=${n * n}%d")
+    l.unpersist(); r.unpersist()
   }
 }
