@@ -1674,6 +1674,29 @@ object SparkEntry {
       graft.streaming.EventStreams.hoppingTypeCountsBatch(
         t(s, dir, "events"), "1 hour", "15 minutes")),
 
+    // X-jl: Johnson-Lindenstrauss random projection 64 → 8 dims — the
+    // distance-preserving shrink before ANN/clustering and an 8× vector
+    // storage cut; the md5-derived ±1 matrix is a plan literal (never
+    // shuffled), each row projects map-side through codegen'd HOFs (no
+    // shuffle at all), decimal-accumulated so the gate hashes exactly.
+    "q_x_jl_project" -> ((s, dir) =>
+      graft.operators.Projection.randomProject(
+          t(s, dir, "embeddings").where(col("vec_id") % 7 === 0)
+            .select("vec_id", "embedding"),
+          "embedding", dim = 64, outDim = 8, salt = "jl")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .orderBy(col("vec_id"), col("j"))),
+
+    // F-decay: exponentially time-decayed per-key stats (feature-store
+    // freshness) — per-row weight map-side (round-9 exp into DECIMAL
+    // sums), ONE grouped aggregate; refreshing to a newer asOf is a
+    // constant rescale of the stored sums, the mergeable-state algebra.
+    "q_f_decay" -> ((s, dir) =>
+      graft.operators.Decay.decayedStats(
+          t(s, dir, "events"), "event_type", col("ts"), "value",
+          halfLifeDays = 7.0, asOfNs = 1706745600000000000L)
+        .orderBy(col("event_type"))),
+
     // A-covmatrix: full pairwise covariance matrix (diag = variances)
     // from ONE aggregate of decimal power sums — the PCA/whitening
     // input: one pass over 100 TB, a driver-trivial d×d eigen-solve
@@ -3444,6 +3467,31 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM w GROUP BY 1, 2
         |ORDER BY win_start_ms, event_type""".stripMargin,
+
+    // JL projection: generated twin — the sign VALUES inline from the
+    // same md5 computation, float→double widen exact, ±1 multiply
+    // exact, DECIMAL accumulation
+    "q_x_jl_project" -> graft.operators.Projection.oracleSql(
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0",
+      dim = 64, outDim = 8, salt = "jl"),
+
+    // decayed stats: identical per-row round-9 weight into DECIMAL sums
+    "q_f_decay" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    ROUND(EXP(LN(0.5) *
+        |      (CAST(1706745600000000000 - epoch_ns(ts) AS DOUBLE) / 86400e9)
+        |      / 7.0), 9) AS w
+        |  FROM events
+        |  WHERE ts IS NOT NULL
+        |    AND epoch_ns(ts) <= 1706745600000000000)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(ROUND(w * value, 9) AS DECIMAL(38,9)))
+        |    AS DOUBLE), 6) AS decayed_sum,
+        |  ROUND(CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |    AS decayed_n
+        |FROM w GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // covariance matrix: identical decimal power-sum construction,
     // unpivoted as a UNION of the pair cells
