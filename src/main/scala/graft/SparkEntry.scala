@@ -1674,6 +1674,15 @@ object SparkEntry {
       graft.streaming.EventStreams.hoppingTypeCountsBatch(
         t(s, dir, "events"), "1 hour", "15 minutes")),
 
+    // A-gini: per-group concentration audit — rank-formulation Gini in
+    // one group-keyed window (groups sort independently, no global
+    // sort) + one grouped aggregate; rank·value products round-9 into
+    // DECIMAL sums, closed form fixed-order IEEE, round-6 output.
+    "q_a_gini" -> ((s, dir) =>
+      graft.operators.Profiling.gini(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
     // X-jl: Johnson-Lindenstrauss random projection 64 → 8 dims — the
     // distance-preserving shrink before ANN/clustering and an 8× vector
     // storage cut; the md5-derived ±1 matrix is a plan literal (never
@@ -3467,6 +3476,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM w GROUP BY 1, 2
         |ORDER BY win_start_ms, event_type""".stripMargin,
+
+    // Gini: same rank formulation; ties order arbitrarily (the i·x sum
+    // is permutation-invariant over equal values)
+    "q_a_gini" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS x,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS i
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(2.0 * CAST(SUM(CAST(ROUND(i * x, 9) AS DECIMAL(38,9)))
+        |      AS DOUBLE) / (COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(38,6)))
+        |      AS DOUBLE))
+        |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
 
     // JL projection: generated twin — the sign VALUES inline from the
     // same md5 computation, float→double widen exact, ±1 multiply

@@ -301,6 +301,36 @@ object Profiling {
       round(se2 * se2 / (sa * sa / (na - 1) + sb * sb / (nb - 1)), 9).as("df"))
   }
 
+  /** Per-group Gini coefficient — the concentration/inequality audit:
+    * how skewed is a quantity's distribution within each group (token
+    * mass across sources, spend across customers). 0 = perfectly even,
+    * →1 = one row holds everything. Uses the rank formulation
+    * `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n`; ties order arbitrarily —
+    * the sum is invariant under permuting equal values.
+    *
+    * Scale shape: one group-keyed window (rank within group — groups
+    * sort independently across the cluster, no global sort) + one
+    * grouped aggregate. Values must be non-negative (Gini is undefined
+    * below zero — caller filters); nulls drop.
+    *
+    * Cross-engine: rank·value products round to 9 into DECIMAL sums,
+    * the closed form is fixed-order IEEE, output rounds to 6. */
+  def gini(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valCol))
+    df.where(col(valCol).isNotNull)
+      .withColumn("__i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(38,6)")).cast("double").as("__sx"),
+        sum(round(col("__i") * col(valCol), 9).cast("decimal(38,9)"))
+          .cast("double").as("__six"))
+      .select(col(groupCol), col("n"),
+        round(lit(2.0) * col("__six") / (col("n") * col("__sx"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
   /** Two-proportion z-test (pooled) — the conversion-rate A/B primitive:
     * is variant A's success rate distinguishable from B's. Same shape as
     * [[welchTTest]]: ONE global aggregate of conditional counts, then

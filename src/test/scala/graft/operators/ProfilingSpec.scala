@@ -141,6 +141,19 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") == 0.2)
   }
 
+  test("gini: 0 when even, known value when concentrated, tie-insensitive") {
+    val df = (Seq.fill(4)(("even", 5.0)) ++                 // all equal → 0
+      Seq(("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 4.0)) ++
+      Seq(("ties", 1.0), ("ties", 1.0), ("ties", 2.0)))
+      .toDF("g", "v")
+    val got = Profiling.gini(df, "g", "v")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got("even") == 0.0)
+    assert(got("conc") == 0.75) // 2*16/(4*4) - 5/4
+    // ties: sorted (1,1,2): sum i*x = 1+2+6 = 9; 2*9/(3*4) - 4/3 = 1/6
+    assert(math.abs(got("ties") - 1.0 / 6) < 1e-6)
+  }
+
   test("covarianceMatrix matches driver-side computation; listwise nulls") {
     val rows = Seq(
       (Some(1.0), Some(2.0), Some(0.5)),
