@@ -1647,14 +1647,17 @@ object SparkEntry {
     // clickers ∩ viewers via inclusion-exclusion (|A|+|B|−|A∪B|), the
     // store-sketches/merge-anywhere pattern: per-segment sketches build
     // once, ANY pairwise overlap derives by union — no re-scan, no
-    // distinct-pair Expand. Exact at the fixture's cardinalities, so
-    // plain COUNT(DISTINCT) oracles it.
+    // distinct-pair Expand. COUNT(DISTINCT) oracles it because the
+    // sketch stays in exact coupon (LIST/SET) mode below ~2^(lgK−3)
+    // distinct values: lgConfigK=18 pins that threshold at ~32k, 20×
+    // the largest verified SF's 1.5k distinct users (the default lgK=12
+    // leaves coupon mode near 3k — one fixture bump from divergence).
     "q_a_hll_overlap" -> ((s, dir) => {
       val sk = t(s, dir, "events")
         .where(col("event_type").isin("click", "view") &&
           col("user_id").isNotNull)
         .groupBy(col("event_type"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_agg(col("user_id"), 18).as("sk"))
         .select(col("event_type"),
           hll_sketch_estimate(col("sk")).cast("bigint").as("n"), col("sk"))
       sk.agg(
@@ -3524,7 +3527,7 @@ object SparkEntry {
       val sums = cs.map(c =>
         s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c").mkString(", ")
       val prods = (for { i <- cs.indices; j <- i until cs.size } yield
-        s"CAST(SUM(CAST(${cs(i)} * ${cs(j)} AS DECIMAL(38,6))) AS DOUBLE) AS p_${i}_$j")
+        s"CAST(SUM(CAST(ROUND(${cs(i)} * ${cs(j)}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p_${i}_$j")
         .mkString(", ")
       val cells = (for { i <- cs.indices; j <- i until cs.size } yield
         s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, " +

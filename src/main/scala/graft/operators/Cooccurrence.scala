@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Item co-occurrence mining ("baskets containing X also contain Y") —
   * the association/related-items primitive behind market-basket analysis
@@ -30,12 +31,24 @@ object Cooccurrence {
 
   /** Top-k co-items per item by shared-basket count. Returns
     * (`item`, `rank`, `co_item`, `n`) — rank 0-based within item, ties
-    * broken by co_item descending (the TopK aggregate's deterministic
-    * (ord, tie) rule). Null baskets/items are dropped. */
+    * broken deterministically by the TopK aggregate's (ord, tie) rule:
+    * for numeric item columns the tie key is the co_item value itself
+    * (ties break by co_item descending); for any other type (string
+    * SKUs, doc ids) it is `xxhash64(co_item)` — an arbitrary but stable
+    * total order, so the selection among equal counts is identical
+    * across partitionings and reruns. (A plain bigint cast of a string
+    * yields null — every tied pair would share one tie key and the
+    * winner would be partition-dependent.) Null baskets/items are
+    * dropped. */
   def relatedItems(df: DataFrame, basketCol: String, itemCol: String,
       k: Int = 5, maxBasket: Int = 256): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val tieKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      df.schema(itemCol).dataType match {
+        case _: NumericType => _.cast("bigint")
+        case _ => xxhash64(_)
+      }
     val sets = df
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__b").isNotNull && col("__i").isNotNull)
@@ -51,7 +64,7 @@ object Cooccurrence {
       .agg(count(lit(1)).as("n"))
       .groupBy(col("item"))
       .agg(graft.functions.TopK.topK(
-        col("n").cast("double"), col("co_item").cast("bigint"),
+        col("n").cast("double"), tieKey(col("co_item")),
         struct(col("co_item"), col("n")), k).as("__topk"))
       .select(col("item"), posexplode(col("__topk")).as(Seq("rank", "__it")))
       .select(col("item"), col("rank"),

@@ -267,38 +267,160 @@ object Dedup {
     * within edit distance d differ in length by at most d, so each right
     * row explodes into the `(maxDist+1)`-wide length buckets its ±d band
     * overlaps (the [[RangeJoin]] quantization trick, 1-D) and the join
-    * keys on (first character, length bucket). The first-character block
-    * is the standard record-linkage heuristic — a pair whose FIRST chars
-    * differ is not recalled (documented contract; drop it by passing a
-    * constant-keyed `blockChar = false` only for small inputs). The
-    * exact `levenshtein` (codegen'd builtin) verifies candidates only.
+    * keys on (prefix, length bucket). The prefix block is ADAPTIVE:
+    * blocks start at the first character (the standard record-linkage
+    * heuristic) and any block holding more than `maxBlock` strings
+    * deepens its prefix one character at a time until it fits or the
+    * prefix reaches `maxPrefix` — so a hot block (every catalog part
+    * number starting "PART-", every supplier "Supplier#") refines
+    * instead of going quadratic, while rare blocks keep the shallow
+    * high-recall key. Blocks still over `maxBlock` at `maxPrefix`
+    * (> maxBlock strings sharing the full prefix AND length bucket)
+    * fall back to SORTED-NEIGHBORHOOD matching: sort the block's
+    * strings, compare each against its next `overflowWindow` neighbors
+    * — candidates linear in block size, never block². The exact
+    * `levenshtein` (codegen'd builtin) verifies candidates only.
     *
-    * Blocking keys are domain knowledge: on a corpus where everything
-    * shares a prefix (catalog part numbers) add a discriminating block
-    * column instead — the operator's join shape stays the same. */
+    * Recall contract (documented, inspectable via [[fuzzyBlockStats]]):
+    * a pair is recalled unless its strings diverge inside the refined
+    * prefix of a hot block (shallow blocks keep the original
+    * first-character-only rule), and inside an overflow block unless
+    * the two strings sort more than `overflowWindow` apart. Pass
+    * `blockChar = false` (small inputs only) for full recall with
+    * length-band blocking alone.
+    *
+    * Scale shape: the block census is a rolled-up aggregate over block
+    * keys (never pairs); rows join the census-derived block map by
+    * equi-key (the map is block-cardinality-sized — AQE broadcasts it
+    * when small); the candidate join carries at most `maxBlock` rows
+    * per key on the build side, and the overflow path's window sort is
+    * n·log n per block with n·overflowWindow candidates. Nothing in the
+    * operator is quadratic in any block's size. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2, blockChar: Boolean = true): DataFrame = {
+      maxDist: Int = 2, blockChar: Boolean = true,
+      maxBlock: Int = 4096, maxPrefix: Int = 6,
+      overflowWindow: Int = 16): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    require(maxPrefix >= 1, s"maxPrefix must be >= 1, got $maxPrefix")
+    require(overflowWindow >= 1,
+      s"overflowWindow must be >= 1, got $overflowWindow")
     // null strings have no edit distance to anything — excluded
     // explicitly rather than silently dropped by the null block key
     val rows = df.filter(col(strCol).isNotNull)
     val w = maxDist + 1
-    val charKey: Column => Column =
-      if (blockChar) s => substring(s, 1, 1) else _ => lit("")
-    val a = rows.select(col(idCol).as("id1"), col(strCol).as("s1"),
-      charKey(col(strCol)).as("__c"),
-      expr(s"length(`$strCol`) div $w").as("__b"))
-    val b = rows.select(col(idCol).as("id2"), col(strCol).as("s2"),
-        charKey(col(strCol)).as("__c"),
-        explode(sequence(expr(s"(length(`$strCol`) - $maxDist) div $w"),
-          expr(s"(length(`$strCol`) + $maxDist) div $w"))).as("__b"))
-    a.join(b, Seq("__c", "__b"))
+    val verify = (cand: DataFrame) => cand
       .filter(col("id1") < col("id2") &&
         abs(length(col("s1")) - length(col("s2"))) <= maxDist)
       .select(col("id1"), col("id2"),
         levenshtein(col("s1"), col("s2")).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+    if (!blockChar) {
+      // full-recall escape: length-band blocking only (small inputs —
+      // a single length bucket is all-pairs within the band)
+      val a = rows.select(col(idCol).as("id1"), col(strCol).as("s1"),
+        expr(s"length(`$strCol`) div $w").as("__b"))
+      val b = rows.select(col(idCol).as("id2"), col(strCol).as("s2"),
+        explode(sequence(expr(s"(length(`$strCol`) - $maxDist) div $w"),
+          expr(s"(length(`$strCol`) + $maxDist) div $w"))).as("__b"))
+      return verify(a.join(b, Seq("__b")))
+    }
+    val blockMap = fuzzyBlockMap(rows, strCol, w, maxBlock, maxPrefix)
+      .persist()
+    // each row joins exactly one map entry per bucket it touches: its
+    // prefix chain p_1 ⊂ … ⊂ p_maxPrefix crosses the chain's single
+    // final (or overflow) block once
+    def withChain(side: DataFrame, sCol: String): DataFrame =
+      side.withColumn("__p", explode(array_distinct(array(
+        (1 to maxPrefix).map(k => substring(col(sCol), 1, k)): _*))))
+        .join(blockMap, Seq("__p", "__b"))
+    val aK = withChain(
+      rows.select(col(idCol).as("id1"), col(strCol).as("s1"),
+        expr(s"length(`$strCol`) div $w").as("__b")), "s1")
+    val bK = withChain(
+      rows.select(col(idCol).as("id2"), col(strCol).as("s2"),
+        explode(sequence(expr(s"(length(`$strCol`) - $maxDist) div $w"),
+          expr(s"(length(`$strCol`) + $maxDist) div $w"))).as("__b")), "s2")
+    val normal = verify(
+      aK.filter(!col("__ovf")).select("__p", "__b", "id1", "s1")
+        .join(bK.filter(!col("__ovf")).select("__p", "__b", "id2", "s2"),
+          Seq("__p", "__b")))
+    // overflow blocks: sorted-neighborhood, bucket dropped (the length
+    // band re-checks inside verify) — candidates n·overflowWindow
+    val ovRows = aK.filter(col("__ovf"))
+      .select(col("id1").as("id"), col("s1").as("s"), col("__p"))
+      .distinct()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("s"), col("id"))
+    val ranked = ovRows.withColumn("__rn", row_number().over(win))
+    val probes = ranked.select(col("__p"),
+      col("id").as("__idL"), col("s").as("__sL"),
+      explode(sequence(col("__rn") + 1,
+        col("__rn") + overflowWindow)).as("__rn"))
+    val ovPairs = verify(probes
+      .join(ranked.select(col("__p"), col("__rn"),
+        col("id").as("__idR"), col("s").as("__sR")), Seq("__p", "__rn"))
+      .select(least(col("__idL"), col("__idR")).as("id1"),
+        greatest(col("__idL"), col("__idR")).as("id2"),
+        when(col("__idL") < col("__idR"), col("__sL"))
+          .otherwise(col("__sR")).as("s1"),
+        when(col("__idL") < col("__idR"), col("__sR"))
+          .otherwise(col("__sL")).as("s2")))
+    normal.unionByName(ovPairs).distinct()
+  }
+
+  /** Adaptive-prefix block census for [[fuzzyPairs]] — one row per final
+    * block: (`__p` prefix key, `__b` length bucket, `__n` strings,
+    * `__ovf` true when the block is still over `maxBlock` at the
+    * deepest prefix). Built from depth-`maxPrefix` counts rolled up
+    * level by level (aggregates over BLOCK KEYS, data-scale only at the
+    * leaf census); a block is final at the shallowest depth where it
+    * fits `maxBlock`. */
+  private def fuzzyBlockMap(rows: DataFrame, strCol: String, w: Int,
+      maxBlock: Int, maxPrefix: Int): DataFrame = {
+    val deep = rows.select(
+        substring(col(strCol), 1, maxPrefix).as("__p"),
+        expr(s"length(`$strCol`) div $w").as("__b"))
+      .groupBy(col("__p"), col("__b")).agg(count(lit(1)).as("__n"))
+    val cnts = (1 to maxPrefix).map { k =>
+      if (k == maxPrefix) deep
+      else deep.groupBy(substring(col("__p"), 1, k).as("__p"), col("__b"))
+        .agg(sum(col("__n")).as("__n"))
+    }
+    var fit = cnts.head.filter(col("__n") <= maxBlock)
+      .withColumn("__ovf", lit(false))
+    var over = cnts.head.filter(col("__n") > maxBlock)
+    for (k <- 2 to maxPrefix) {
+      // children of still-oversized parents only
+      val kids = cnts(k - 1).as("kid").join(over.as("par"),
+          substring(col("kid.__p"), 1, k - 1) === col("par.__p") &&
+            col("kid.__b") === col("par.__b"))
+        .select(col("kid.__p").as("__p"), col("kid.__b").as("__b"),
+          col("kid.__n").as("__n"))
+      fit = fit.unionByName(kids.filter(col("__n") <= maxBlock)
+        .withColumn("__ovf", lit(false)))
+      over = kids.filter(col("__n") > maxBlock)
+    }
+    fit.unionByName(over.withColumn("__ovf", lit(true)))
+  }
+
+  /** Blocking diagnostic for [[fuzzyPairs]]: the final block map as
+    * (`prefix`, `len_bucket`, `depth`, `n`, `overflow`) rows, overflow
+    * blocks first then largest first — "which blocks went hot, how deep
+    * did they refine, and what spilled past the prefix" (the side-output
+    * that keeps the recall contract inspectable instead of silent). */
+  def fuzzyBlockStats(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2, maxBlock: Int = 4096,
+      maxPrefix: Int = 6): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    fuzzyBlockMap(df.filter(col(strCol).isNotNull), strCol, maxDist + 1,
+        maxBlock, maxPrefix)
+      .select(col("__p").as("prefix"), col("__b").as("len_bucket"),
+        length(col("__p")).as("depth"), col("__n").as("n"),
+        col("__ovf").as("overflow"))
+      .orderBy(col("overflow").desc, col("n").desc, col("prefix"),
+        col("len_bucket"))
   }
 
   // ─────────────── duplicate-cluster connected components ───────────────

@@ -122,9 +122,12 @@ object Profiling {
     * pairs share one n).
     *
     * Cross-engine reproducibility: sums and cross-products accumulate as
-    * DECIMAL(38,6) (products are IEEE doubles — deterministic — cast
-    * exact), the covariance `(Sab − Sa·Sb/n)/(n−1)` is fixed-order
-    * double math, rounded to 6. Sample (n−1) normalization. */
+    * DECIMAL(38,6); each PRODUCT is rounded to the decimal scale in
+    * DOUBLE before the cast (the Decay/BM25 rule — a raw double→DECIMAL
+    * cast of a product can land one ulp apart across engines, which the
+    * round at the target scale absorbs), the covariance
+    * `(Sab − Sa·Sb/n)/(n−1)` is fixed-order double math, rounded to 6.
+    * Sample (n−1) normalization. */
   def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     val clean = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
@@ -135,7 +138,7 @@ object Profiling {
       cols.map(c => sum(col(c).cast("decimal(38,6)"))
         .cast("double").as(s"__s_$c")) ++
       pairs.map { case (a, b) =>
-        sum((col(a) * col(b)).cast("decimal(38,6)"))
+        sum(round(col(a) * col(b), 6).cast("decimal(38,6)"))
           .cast("double").as(s"__p_${a}__$b") }
     val entries = pairs.map { case (a, b) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"),

@@ -382,15 +382,46 @@ object EventStreams {
     * ratio, a plan constant, and partial aggregation collapses the
     * expanded rows before the exchange. `dur` must be a multiple of `hop`
     * so window starts land on the hop grid (the contract the oracle's
-    * integer-division twin needs). */
+    * integer-division twin needs) — enforced at entry: a non-multiple
+    * pair would type-check and run but silently break batch/oracle and
+    * stream/batch agreement. */
   def hoppingTypeCounts(events: DataFrame,
       dur: String = "1 hour", hop: String = "15 minutes",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours"): DataFrame = {
+    val durMs = intervalMs(dur); val hopMs = intervalMs(hop)
+    require(hopMs > 0, s"hop must be positive, got '$hop'")
+    require(durMs % hopMs == 0,
+      s"dur must be a multiple of hop (got dur='$dur' = ${durMs}ms, " +
+        s"hop='$hop' = ${hopMs}ms) — window starts must land on the hop grid")
     events
       .withWatermark("ts", watermark)
       .groupBy(functions.window(col("ts"), dur, hop), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+  }
+
+  /** Fixed-unit interval string → milliseconds, for entry-time contract
+    * checks ("90 seconds", "1 hour", "15 minutes"). Supports the
+    * day-and-below units `window()` itself accepts for these operators;
+    * month/year intervals are not fixed-length and are rejected. */
+  private[streaming] def intervalMs(s: String): Long = {
+    val m = """\s*(\d+)\s+(\w+?)s?\s*""".r
+    s.toLowerCase match {
+      case m(n, unit) =>
+        val perUnit = unit match {
+          case "millisecond" => 1L
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+          case other => throw new IllegalArgumentException(
+            s"unsupported interval unit '$other' in '$s' (fixed-length units only)")
+        }
+        n.toLong * perUnit
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse interval '$s' (expected '<n> <unit>')")
+    }
+  }
 
   /** [[hoppingTypeCounts]] over the fixture's epoch-nano long `ts`,
     * window starts as epoch-millis — the DuckDB-oracled batch gate

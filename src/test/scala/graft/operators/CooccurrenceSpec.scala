@@ -36,6 +36,26 @@ class CooccurrenceSpec extends SparkSpec {
     assert(two.toSeq == Seq((2L, 0, 1L, 3L), (2L, 1, 4L, 1L)))
   }
 
+  test("string item columns keep a deterministic tie order across layouts") {
+    // string SKUs with a 3-way count tie for item "a": co-items "b","c","d"
+    // all share n=1 — the tie key must distinguish them (a bigint cast of
+    // a string is null → partition-dependent winner)
+    val sku = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "c"),
+      (3L, "a"), (3L, "d")
+    ).toDF("b", "i")
+    val base = Cooccurrence.relatedItems(sku, "b", "i", k = 2)
+      .where("item = 'a'").as[(String, Int, String, Long)].collect().toSeq
+    assert(base.length == 2 && base.forall(_._4 == 1L))
+    // identical selection AND order on every physical layout
+    (1 to 5).foreach { p =>
+      val again = Cooccurrence.relatedItems(sku.repartition(p), "b", "i", k = 2)
+        .where("item = 'a'").as[(String, Int, String, Long)].collect().toSeq
+      assert(again == base, s"tie order changed under repartition($p)")
+    }
+  }
+
   test("maxBasket excludes degenerate baskets instead of exploding them") {
     val mega = (1L to 100L).map(i => (7L, i)).toDF("b", "i")
     val got = Cooccurrence.relatedItems(rows.union(mega), "b", "i",

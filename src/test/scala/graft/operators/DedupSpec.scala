@@ -263,6 +263,60 @@ class DedupSpec extends SparkSpec {
     assert(unblocked.contains((1L, 5L)))
   }
 
+  test("fuzzyPairs refines hot blocks by prefix instead of going quadratic") {
+    // planted hot block: 5000 strings all sharing first char AND length —
+    // the catalog-part-number shape the depth-1 block goes n² on
+    val hot = (0 until 5000).map(i => (i.toLong, f"AAA$i%05d")).toDF("id", "name")
+    val stats = Dedup.fuzzyBlockStats(hot, "id", "name", maxDist = 1,
+      maxBlock = 1000, maxPrefix = 6).collect()
+    // every block refined to fit: no overflow, depth > 1, all within cap
+    assert(stats.forall(!_.getBoolean(4)), "expected zero overflow blocks")
+    assert(stats.forall(_.getLong(3) <= 1000), "a block exceeded maxBlock")
+    assert(stats.forall(_.getInt(2) > 1), "hot block was not refined")
+
+    val pairs = Dedup.fuzzyPairs(hot, "id", "name", maxDist = 1,
+      maxBlock = 1000, maxPrefix = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs differing in the digits BEYOND the refined prefix are kept:
+    // AAA00120 ~ AAA00121 (last-digit substitution)
+    assert(pairs.contains((120L, 121L)))
+    assert(pairs.contains((4998L, 4999L)))
+    // documented recall cut: AAA00999 ~ AAA01999 (ids 999, 1999) diverge
+    // INSIDE the refined depth-5 prefix ("AAA00" vs "AAA01"), so the
+    // hot-block refinement drops them (depth-1 blocking recalled them)
+    assert(!pairs.contains((999L, 1999L)))
+    // and nothing bogus: spot-check a found pair really is 1 edit
+    assert(pairs.forall { case (i, j) => i != j })
+  }
+
+  test("fuzzyPairs overflow blocks fall back to sorted-neighborhood") {
+    // 60 strings sharing the ENTIRE maxPrefix-deep prefix and length:
+    // refinement cannot split them; the bounded window path must
+    val ids = (0 until 60).map(i => (i.toLong, f"ZZZZZZ$i%03d"))
+    val flat = ids.toDF("id", "name")
+    val stats = Dedup.fuzzyBlockStats(flat, "id", "name", maxDist = 1,
+      maxBlock = 10, maxPrefix = 3).collect()
+    assert(stats.exists(_.getBoolean(4)), "expected an overflow block")
+
+    val pairs = Dedup.fuzzyPairs(flat, "id", "name", maxDist = 1,
+      maxBlock = 10, maxPrefix = 3, overflowWindow = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lexicographic neighbors within the window are recalled:
+    // ZZZZZZ000 ~ ZZZZZZ001 etc. (1 substitution, adjacent in sort)
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((58L, 59L)))
+    // last-digit edits sort adjacent, so every consecutive same-decade
+    // pair is found (decade crossings like 009→010 are 2 edits — out of
+    // the maxDist=1 contract entirely, not a window miss)
+    assert((0 until 59).filter(_ % 10 != 9)
+      .forall(i => pairs.contains((i.toLong, i + 1L))))
+    // results are deterministic across physical layouts
+    val repart = Dedup.fuzzyPairs(flat.repartition(7), "id", "name",
+      maxDist = 1, maxBlock = 10, maxPrefix = 3, overflowWindow = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repart == pairs)
+  }
+
   test("anchoredSpans rejects bad gram/window and reserved columns") {
     val docs = Seq((1L, "x" * 50)).toDF("id", "text")
     assertThrows[IllegalArgumentException] {

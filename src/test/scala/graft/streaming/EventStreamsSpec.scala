@@ -444,6 +444,26 @@ class EventStreamsSpec extends SparkSpec {
     assert((k - 3 to k).forall(w => covered.contains(w * 900000)))
   }
 
+  test("hopping windows reject dur that is not a multiple of hop") {
+    val events = graft.sources.IO.table(spark, "/root/testdata/sf0.001", "events")
+    // 1 hour / 25 minutes type-checks and would run — but window starts
+    // leave the hop grid and the oracle's integer-division twin breaks,
+    // so the contract is enforced at entry
+    assertThrows[IllegalArgumentException] {
+      EventStreams.hoppingTypeCountsBatch(events, "1 hour", "25 minutes")
+    }
+    assertThrows[IllegalArgumentException] {
+      EventStreams.hoppingTypeCounts(events, "90 seconds", "7 seconds")
+    }
+    // fixed-length units only: a month is not a constant span
+    assertThrows[IllegalArgumentException] {
+      EventStreams.intervalMs("1 month")
+    }
+    assert(EventStreams.intervalMs("90 seconds") == 90000L)
+    assert(EventStreams.intervalMs("2 hours") == 7200000L)
+    assert(EventStreams.intervalMs("1 minute") == 60000L)
+  }
+
   test("hopping windows: streaming append emits exactly the batch windows") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
