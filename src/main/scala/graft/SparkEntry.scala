@@ -123,6 +123,25 @@ object SparkEntry {
     "q_s_scan_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
 
+    // S1/S2: the CSV reader surface hash-gated — a seeded fixture
+    // written at dump time (same bytes plain + bz2); Spark reads the
+    // BZ2 side through the full option set (header, inferSchema,
+    // nullValue=NA, quoted embedded commas, transparent decompress),
+    // the oracle reads the PLAIN side with DuckDB's read_csv — so the
+    // whole reader config is what the hash compares. Prices are exact
+    // quarters: decimal-sum parity is trivial by construction.
+    "q_s_csv" -> ((s, dir) => {
+      val (_, bz2) = graft.sources.IO.seededCsvFixture()
+      graft.sources.IO.readCsv(s, bz2)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          count(col("qty")).as("n_qty"),
+          sum(col("qty")).cast("bigint").as("sum_qty"),
+          sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"),
+          count(col("note")).as("n_note"))
+        .orderBy(col("grp"))
+    }),
+
     // ─────────────────── projection / filters (§2.2) ───────────────────
     // P3: narrow projection (dataset_utils.py:145)
     "q_p3_project" -> ((s, dir) =>
@@ -606,20 +625,24 @@ object SparkEntry {
       graft.operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
-    // X-text: winnowed 64-bit document fingerprint (xxhash64-based —
-    // engine-specific hash, so rows-only check). Projection AFTER the sort:
-    // orderBy's range-partition sampling pass re-evaluates its child, so an
-    // expensive projection below the sort would be computed twice.
+    // X-text: winnowed 64-bit document fingerprint over the PLANTED
+    // corpus — xxhash64 is engine-specific, so the oracle is the
+    // independently-computed golden VALUES table
+    // ([[graft.operators.HashGoldens]]: plain-Scala shingle → min-k →
+    // roll-up sharing only the XXH64 primitive). Any plumbing
+    // regression (shingling, distinctness, selection, roll-up chain)
+    // lands off-golden and is hash-visible.
     "q_x_fingerprint" -> ((s, dir) =>
-      tw(s, dir, "documents").select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id"))
+      graft.operators.HashGoldens.corpusDF(s)
         .select(col("doc_id"),
-          graft.operators.TextAnalysis.fingerprint64(col("text")).as("fp"))),
+          graft.operators.TextAnalysis.fingerprint64(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
 
-    // X-dedup: SimHash fingerprints (rows-only — xxhash64-based)
+    // X-dedup: SimHash fingerprints over the planted corpus, golden-
+    // oracled (same scheme; tokenization + vote loop gated)
     "q_x_simhash" -> ((s, dir) =>
       graft.operators.Dedup.withSimhash(
-        tw(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        graft.operators.HashGoldens.corpusDF(s), "text")
         .select("doc_id", "fp").orderBy(col("doc_id"))),
 
     // X-simhash-md5: the fully-ORACLED SimHash twin — 60-bit md5 token
@@ -633,9 +656,11 @@ object SparkEntry {
           graft.operators.Dedup.simhash60Md5(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
-    // X-dedup: MinHash LSH band table (rows-only — xxhash64-based)
+    // X-dedup: MinHash LSH band table over the planted corpus, golden-
+    // oracled (shingle → 32-seed signature → 8-band salted hash all
+    // reproduced independently driver-side)
     "q_x_minhash_bands" -> ((s, dir) => {
-      val d = tw(s, dir, "documents")
+      val d = graft.operators.HashGoldens.corpusDF(s)
       val sig = d.select(col("doc_id"),
         graft.operators.Dedup.minhashSignature(
           graft.operators.Dedup.shingles(col("text"), 3), 32).as("sig"))
@@ -1850,6 +1875,22 @@ object SparkEntry {
           t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
         .orderBy(col("id1"), col("id2"))),
 
+    // X-entity: entity-resolution capstone — near-identical names
+    // (edit distance <= 1) become an edge list, closed into entity
+    // clusters by iterative min-label connected components (the same
+    // composition MinHash and TF-IDF pairs get in q_x_dup_clusters /
+    // q_x_tfidf_clusters, over the FUZZY candidate generator). The
+    // gate's supplier blocks sit far below fuzzyPairs' refinement
+    // threshold, so the depth-1 (first char, length band) SQL twin is
+    // the exact edge set; the oracle closes it with a recursive CTE.
+    "q_x_entity" -> ((s, dir) => {
+      val edges = graft.operators.Dedup.fuzzyPairs(
+        t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+      graft.operators.Dedup.connectedComponents(
+          edges.select(col("id1"), col("id2")))
+        .orderBy(col("id"))
+    }),
+
     // X-centroids: per-group embedding centroids — the element-wise mean
     // by (group, dimension) keyed shuffle (cluster representatives / the
     // IVF quantizer update); joined to documents for a language grouping
@@ -1979,12 +2020,14 @@ object SparkEntry {
 
     // X-cdc-fast: the fused native twin of q_x_cdc_spans — one xxhash64
     // per scanned byte via a single codegen'd expression pass instead of
-    // an md5 digest per position. xxhash64 is engine-specific → rows-only
-    // gate; the md5 twin above carries the oracle (the fingerprint
-    // fast/oracled pairing, applied to CDC).
+    // an md5 digest per position. Runs over the planted corpus (docs
+    // 100-103 share a passage at different offsets — the shift-robust
+    // case; docs 0/104 are verbatim copies) and is golden-oracled: the
+    // anchor mask + span hash + per-span reduce are reproduced
+    // independently driver-side ([[graft.operators.HashGoldens]]).
     "q_x_cdc_fast" -> ((s, dir) =>
       graft.operators.Dedup.anchoredSpansFast(
-          tw(s, dir, "documents"), "doc_id", "text",
+          graft.operators.HashGoldens.corpusDF(s), "doc_id", "text",
           window = 40, gram = 8, maskBits = 4, minDocs = 2)
         .orderBy(col("h"))),
 
@@ -2021,6 +2064,18 @@ object SparkEntry {
     * sampling) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_s_scan_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+
+    // CSV reader gate: DuckDB reads the PLAIN twin of the bz2 file the
+    // engine parsed — same bytes, independently decoded reader options
+    "q_s_csv" ->
+      """SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(qty) AS BIGINT) AS n_qty,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |  CAST(count(note) AS BIGINT) AS n_note
+        |FROM read_csv('/tmp/graft_csv_fixture/seeded.csv',
+        |              header=true, nullstr='NA')
+        |GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q_p3_project" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
@@ -2993,6 +3048,19 @@ object SparkEntry {
     "q_x_multimodal" ->
       graft.operators.Multimodal.goldensAggregateSql(300),
 
+    // native xxhash64 sketch paths: planted corpus + independently-
+    // computed golden VALUES tables (same closure pattern as the
+    // multimodal goldens — plain-Scala pipeline sharing only the XXH64
+    // primitive; see [[graft.operators.HashGoldens]])
+    "q_x_fingerprint" ->
+      graft.operators.HashGoldens.fingerprintOracleSql,
+    "q_x_simhash" ->
+      graft.operators.HashGoldens.simhashOracleSql,
+    "q_x_minhash_bands" ->
+      graft.operators.HashGoldens.minhashBandsOracleSql,
+    "q_x_cdc_fast" ->
+      graft.operators.HashGoldens.cdcOracleSql(2),
+
     // md5-minhash twin: identical sketch formulation in both engines —
     // md5 hex is lowercase fixed-length in each, so MIN() compares
     // lexicographically == numerically; the candidate join then
@@ -3752,6 +3820,25 @@ object SparkEntry {
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY id1, id2""".stripMargin,
 
+    // entity resolution: the q_x_fuzzy edge set (same depth-1 blocked
+    // twin) closed into clusters by the recursive-CTE reachability
+    // pattern of q_x_dup_clusters
+    "q_x_entity" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.s_suppkey id1, b.s_suppkey id2
+        |  FROM supplier a JOIN supplier b
+        |    ON a.s_suppkey < b.s_suppkey
+        |   AND substring(a.s_name, 1, 1) = substring(b.s_name, 1, 1)
+        |   AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+        |sym AS (SELECT id1 a, id2 b FROM edges UNION SELECT id2, id1 FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+        |SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
     // centroids: zipped unnest + generate_subscripts (1-based → pos-1),
     // identical decimal-mean formulation
     "q_x_centroids" ->
@@ -3867,11 +3954,12 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |WHERE rn <= 5 ORDER BY rank""".stripMargin,
 
-    // q_x_fingerprint / q_x_simhash / q_x_minhash_bands / q_x_lsh_topk /
-    // q_x_ivf_topk / q_d2b_stratified: intentionally no oracle —
-    // xxhash64-based sketches, approximate ANN, and engine-seeded sampling
-    // are engine-specific; they get rows-only checks plus unit-test
-    // coverage with planted duplicates / recall and fraction assertions
-    // (DedupSpec / SimilaritySpec / TextAnalysisSpec).
+    // q_x_lsh_topk / q_x_ivf_topk / q_d2_sample / q_d2b_stratified:
+    // intentionally no oracle — approximate ANN and engine-seeded
+    // sampling are engine/layout-specific; they get rows-only checks
+    // plus unit-test coverage with planted recall / fraction assertions
+    // (SimilaritySpec / SamplingSpec). The former rows-only xxhash64
+    // sketch gates (fingerprint / simhash / minhash_bands / cdc_fast)
+    // are now golden-oracled via [[graft.operators.HashGoldens]].
   )
 }

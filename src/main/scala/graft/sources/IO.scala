@@ -72,6 +72,38 @@ object IO {
     target
   }
 
+  /** Seeded CSV fixture for the S1/S2 correctness gate: the same
+    * deterministic content written BOTH plain (for the DuckDB oracle's
+    * `read_csv`, which does not decompress bz2) and bz2-compressed (the
+    * reader path under test — transparent decompression, header,
+    * `nullValue="NA"`, schema inference, quoted fields with embedded
+    * commas). Prices are exact quarters so every aggregate is
+    * float-parity-trivial. Idempotent overwrite; returns
+    * (plainPath, bz2Path). */
+  def seededCsvFixture(dir: String = "/tmp/graft_csv_fixture"): (String, String) = {
+    val rows = (1 to 240).map { i =>
+      val grp = "g" + (i % 5)
+      val qty = if (i % 7 == 0) "NA" else ((i * 3) % 40).toString
+      val cents = (i % 97) * 25
+      val price = if (i % 11 == 0) "NA" else f"${cents / 100}%d.${cents % 100}%02d"
+      val note =
+        if (i % 17 == 0) "NA"
+        else if (i % 13 == 0) "\"with,comma\""
+        else "n" + i
+      s"$i,$grp,$qty,$price,$note"
+    }
+    val content = ("id,grp,qty,price,note" +: rows).mkString("\n") + "\n"
+    Files.createDirectories(Paths.get(dir))
+    val plain = Paths.get(dir, "seeded.csv")
+    Files.write(plain, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bz2 = Paths.get(dir, "seeded.csv.bz2")
+    val out = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(Files.newOutputStream(bz2))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    (plain.toString, bz2.toString)
+  }
+
   /** JSONL (one JSON object per line) sink — the interchange format LLM
     * data pipelines standardize on between stages/teams. Line-delimited,
     * so the files split for parallel re-reads (unlike multiline JSON). */

@@ -44,6 +44,18 @@ class IOSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "v"))
   }
 
+  test("seededCsvFixture: bz2 and plain twins parse identically (S1/S2 gate)") {
+    val (plain, bz2) = IO.seededCsvFixture()
+    val a = IO.readCsv(spark, plain, None).orderBy("id")
+    val b = IO.readCsv(spark, bz2, None).orderBy("id")
+    assert(a.schema == b.schema)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    // the planted edge cases survive the reader: NA → null, quoted comma
+    assert(a.where(col("qty").isNull).count() > 0)
+    assert(a.where(col("note") === "with,comma").count() > 0)
+    assert(a.where(col("note").isNull).count() > 0)
+  }
+
   test("csvSafeColumns drops non-primitive columns") {
     val df = Seq((1, "a", Seq(1.0, 2.0))).toDF("i", "s", "arr")
     assert(IO.csvSafeColumns(df).columns.toSeq == Seq("i", "s"))
