@@ -1884,10 +1884,14 @@ object SparkEntry {
     // threshold, so the depth-1 (first char, length band) SQL twin is
     // the exact edge set; the oracle closes it with a recursive CTE.
     "q_x_entity" -> ((s, dir) => {
+      // the candidate edge list materializes ONCE before the closure:
+      // connectedComponents' symmetric union references its child twice,
+      // which would recompute the whole fuzzy census + candidate join
+      // per branch
       val edges = graft.operators.Dedup.fuzzyPairs(
-        t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
-      graft.operators.Dedup.connectedComponents(
-          edges.select(col("id1"), col("id2")))
+          t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      graft.operators.Dedup.connectedComponents(edges)
         .orderBy(col("id"))
     }),
 

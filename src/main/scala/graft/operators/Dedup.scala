@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.{expressions => catalyst}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.VectorExprs
 
@@ -195,29 +197,29 @@ object Dedup {
     // computed ONCE (an expression referenced inside a lambda body is a
     // subtree the engine re-evaluates per element — the naive
     // bits-outer/tokens-inner formulation hashes every token 60 times).
-    // Stage 1: one md5 per token → the 15 hex digits as ints (hex digit
-    // p, 1-based from the left — digit 15-j/4 carries bit j).
-    val digitArrs = transform(transform(tokens(text), t => md5(t)),
-      h => transform(sequence(lit(1), lit(15)),
-        p => conv(h.substr(p.cast("int"), lit(1)), 16, 10).cast("int")))
-    // Stage 2: fold the tokens into 60 ±1 vote counters. Spark's shift
-    // builtins take only literal amounts, so the variable bit extraction
-    // runs as small-integer / power-of-two double arithmetic — exact
-    // (digits <= 15; powers of two are exact doubles). Integer votes in
-    // array order keep the fold bit-identical to the naive formulation.
-    val votes = aggregate(digitArrs,
+    // Variable-amount shifts: the Catalyst ShiftRight/ShiftLeft
+    // expressions accept COLUMN shift amounts (only the Scala DSL
+    // wrappers restrict to Int literals), so bit extraction is a single
+    // shift-and-mask instead of the earlier floor/pow double arithmetic
+    // — one conv per token (15-hex parse, the oracle's '0x'||substr
+    // twin) and 60 integer ops per (token, bit).
+    def shr(c: Column, n: Column): Column = ColumnBridge.column(
+      catalyst.ShiftRight(ColumnBridge.expression(c), ColumnBridge.expression(n)))
+    def shl(c: Column, n: Column): Column = ColumnBridge.column(
+      catalyst.ShiftLeft(ColumnBridge.expression(c), ColumnBridge.expression(n)))
+    // Stage 1: one md5 + one 15-hex-digit parse per token → 60-bit long.
+    val hashes = transform(tokens(text), t =>
+      conv(md5(t).substr(lit(1), lit(15)), 16, 10).cast("long"))
+    // Stage 2: fold the tokens into 60 ±1 vote counters (array order
+    // keeps the fold bit-identical to the naive formulation).
+    val votes = aggregate(hashes,
       array_repeat(lit(0L), 60),
-      (acc, darr) => zip_with(acc, sequence(lit(0), lit(59)), (a, j) => {
-        val d = element_at(darr, lit(15) - (j / lit(4)).cast("int"))
-        val bit = floor(d.cast("double") /
-          pow(lit(2.0), (j % lit(4)).cast("double"))).cast("long") % 2
-        a + when(bit === 1, 1L).otherwise(-1L)
-      }))
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)), (a, j) =>
+        a + when(shr(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
     // Stage 3: positive vote → set bit j; sum the 60 contributions.
     aggregate(
       zip_with(votes, sequence(lit(0), lit(59)), (v, j) =>
-        when(v > 0, pow(lit(2.0), j.cast("double")).cast("long"))
-          .otherwise(0L)),
+        when(v > 0, shl(lit(1L), j)).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
   }
 
