@@ -699,6 +699,17 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X-setjoin: EXACT set-similarity self-join via prefix filtering
+    // (All-Pairs/PPJoin) — recall-1 complement to MinHash-LSH: tokens
+    // sort by global rarity, only each doc's `n - ceil(t·n) + 1`-token
+    // prefix is indexed (completeness guaranteed by the prefix
+    // principle), candidates equi-join on prefix tokens + length
+    // filter, exact Jaccard verifies survivors only
+    "q_x_setjoin" -> ((s, dir) =>
+      graft.operators.SetSimJoin.jaccardJoin(
+          t(s, dir, "documents"), "doc_id", "text", 0.8)
+        .orderBy(col("id1"), col("id2"))),
+
     // X-text: MD5 winnow fingerprint — the cross-engine twin of the
     // xxhash64 min-k sketch (q_x_fingerprint stays rows-only): the 4
     // smallest distinct md5(shingle) values per doc, ranked. Same
@@ -3064,6 +3075,12 @@ object SparkEntry {
       graft.operators.HashGoldens.minhashBandsOracleSql,
     "q_x_cdc_fast" ->
       graft.operators.HashGoldens.cdcOracleSql(2),
+
+    // exact prefix-filtered Jaccard join: identical rarity order,
+    // prefix slice, length filter, and single-division jaccard —
+    // generated from the same threshold
+    "q_x_setjoin" ->
+      graft.operators.SetSimJoin.oracleSql("documents", "doc_id", "text", 0.8),
 
     // md5-minhash twin: identical sketch formulation in both engines —
     // md5 hex is lowercase fixed-length in each, so MIN() compares

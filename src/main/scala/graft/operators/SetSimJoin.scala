@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering (the All-Pairs /
+  * PPJoin family) — every pair of documents whose token-set Jaccard
+  * meets the threshold, with no approximation and no n² candidate
+  * stage. The exact complement to MinHash-LSH: LSH trades recall for
+  * speed; prefix filtering keeps recall = 1 and prunes instead by a
+  * completeness argument.
+  *
+  * The prefix principle: order every token by a GLOBAL rarity order
+  * (document frequency ascending, token as tie-break) and sort each
+  * document's distinct tokens by it. If J(a,b) >= t, the pair must
+  * share at least one token among the first `|d| - ceil(t·|d|) + 1`
+  * tokens of EACH side — so indexing only those prefixes loses nothing.
+  * Rare tokens sort first and land in prefixes (tiny posting lists);
+  * hot stopwords sort last and almost never do — the frequency skew
+  * that kills a naive token-inverted-index join is exactly what prefix
+  * filtering exploits.
+  *
+  * Scale shape: a token-df aggregate (vocabulary-sized exchange with
+  * map-side combine), one per-doc sort of its own tokens (array_sort
+  * inside the row — no global sort anywhere), a candidate equi-join
+  * keyed on PREFIX tokens only (posting lists bounded by the rarity
+  * order), a length filter (`t·|a| <= |b| <= |a|/t`) before dedup, and
+  * exact verification only on surviving candidate ids. Nothing is
+  * quadratic in corpus size; the only data-sized shuffles are the
+  * df count and the doc-keyed token collect.
+  */
+object SetSimJoin {
+
+  /** All pairs (id1 < id2) with token-set Jaccard >= `threshold`.
+    * Returns (`id1`, `id2`, `jaccard`), jaccard rounded to 6.
+    * Tokens are whitespace-split, distinct, empty-dropped; docs with
+    * no tokens cannot pair. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("__t"))
+      .where(length(col("__t")) > 0)
+    val dfs = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // per-doc token array in global (df, token) rarity order — struct
+    // sort is lexicographic by field, so no dense global rank is needed
+    // (a rank would be a full-vocabulary window: a single-partition sort)
+    val sets = toks.join(dfs, "__t")
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__sd"))
+      .select(col("__id"),
+        transform(col("__sd"), s => s.getField("__t")).as("__set"),
+        size(col("__sd")).as("__n"))
+    val pref = sets
+      .withColumn("__p",
+        col("__n") - ceil(lit(threshold) * col("__n")).cast("int") + 1)
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__set"), lit(1), col("__p"))).as("__t"))
+    val a = pref.select(col("__t"), col("__id").as("id1"), col("__n").as("n1"))
+    val b = pref.select(col("__t"), col("__id").as("id2"), col("__n").as("n2"))
+    val cands = a.join(b, Seq("__t"))
+      .where(col("id1") < col("id2") &&
+        col("n1") * lit(threshold) <= col("n2") &&
+        col("n2") * lit(threshold) <= col("n1"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val withSets = cands
+      .join(sets.select(col("__id").as("id1"), col("__set").as("s1"),
+        col("__n").as("n1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__set").as("s2"),
+        col("__n").as("n2")), "id2")
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    withSets
+      .select(col("id1"), col("id2"), inter.as("__o"),
+        col("n1"), col("n2"))
+      .where(col("__o").cast("double") /
+        (col("n1") + col("n2") - col("__o")) >= threshold)
+      .select(col("id1"), col("id2"),
+        round(col("__o").cast("double") /
+          (col("n1") + col("n2") - col("__o")), 6).as("jaccard"))
+  }
+
+  /** The DuckDB twin of [[jaccardJoin]] over a parquet-view `table` —
+    * identical rarity order (array_agg ORDER BY df, t), prefix slice,
+    * length filter, and single-division jaccard, so the gate hashes
+    * exactly. Generated from the same threshold parameter. */
+  def oracleSql(table: String, idCol: String, textCol: String,
+      threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(list_distinct(regexp_split_to_array(trim($textCol), '\\s+'))) AS t
+       |  FROM $table),
+       |toks2 AS (SELECT * FROM toks WHERE length(t) > 0),
+       |dfs AS (SELECT t, count(*) AS df FROM toks2 GROUP BY t),
+       |sets AS (
+       |  SELECT doc_id, array_agg(t ORDER BY d.df, t) AS s,
+       |         CAST(count(*) AS INTEGER) AS n
+       |  FROM toks2 JOIN dfs d USING (t) GROUP BY doc_id),
+       |pref AS (
+       |  SELECT doc_id, n,
+       |         unnest(s[1 : n - CAST(ceil($threshold * n) AS INTEGER) + 1]) AS t
+       |  FROM sets),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  WHERE a.n * $threshold <= b.n AND b.n * $threshold <= a.n),
+       |v AS (
+       |  SELECT id1, id2, CAST(len(list_intersect(sa.s, sb.s)) AS INTEGER) AS o,
+       |         sa.n AS na, sb.n AS nb
+       |  FROM cand
+       |  JOIN sets sa ON sa.doc_id = cand.id1
+       |  JOIN sets sb ON sb.doc_id = cand.id2)
+       |SELECT id1, id2,
+       |       ROUND(CAST(o AS DOUBLE) / (na + nb - o), 6) AS jaccard
+       |FROM v
+       |WHERE CAST(o AS DOUBLE) / (na + nb - o) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+}

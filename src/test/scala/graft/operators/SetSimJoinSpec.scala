@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Exact prefix-filtered Jaccard join ([[SetSimJoin.jaccardJoin]]):
+  * recall-1 completeness against brute force, hot-token pruning. */
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(docs: Seq[(Long, String)], t: Double): Map[(Long, Long), Double] = {
+    val sets = docs.map { case (id, s) =>
+      id -> s.trim.split("\\s+").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      o = (si & sj).size
+      jac = o.toDouble / (si | sj).size
+      if jac >= t
+    } yield (i, j) -> (math.rint(jac * 1e6) / 1e6)).toMap
+  }
+
+  test("jaccardJoin is EXACT: matches brute force on a planted corpus") {
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 30).map(i => s"v$i")
+    val docs = (0L until 40L).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } ++ Seq((40L, "v1 v2 v3 v4"), (41L, "v1 v2 v3 v4"), // exact dup pair
+      (42L, "v1 v2 v3 v5"),                              // 3/5 vs 40
+      (43L, "   "), (44L, ""))                           // blank docs drop
+    val expected = bruteForce(docs, 0.5)
+    assert(expected.nonEmpty, "fixture produced no overlapping pairs")
+    val got = SetSimJoin.jaccardJoin(docs.toDF("id", "text"), "id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    assert(got.contains((40L, 41L)) && got((40L, 41L)) == 1.0)
+  }
+
+  test("a corpus-wide stopword never reaches the candidate index") {
+    // every doc shares 'common' but is otherwise disjoint: J = 1/7 for
+    // every pair, far below t=0.5 — and because the hot token sorts
+    // LAST in the rarity order it is excluded from every prefix, so the
+    // candidate join emits nothing at all instead of n² rows keyed on
+    // the stopword
+    val docs = (0L until 200L).map(i =>
+      (i, s"common u${i}a u${i}b u${i}c"))
+    val out = SetSimJoin.jaccardJoin(docs.toDF("id", "text"), "id", "text", 0.5)
+    assert(out.isEmpty)
+  }
+
+  test("threshold 1.0 finds exactly the identical token sets") {
+    val docs = Seq((1L, "a b c"), (2L, "c b a a"), (3L, "a b"), (4L, "x y"))
+      .toDF("id", "text")
+    val got = SetSimJoin.jaccardJoin(docs, "id", "text", 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0))) // set semantics: dup token collapses
+  }
+}
