@@ -699,6 +699,25 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X-mix: temperature-reweighted source mixing (the LLM-pretraining
+    // data-mix): per-source rates ∝ sqrt(n_s)/n_s computed in-plan
+    // (sqrt is IEEE-exact → bit-identical cross-engine), keep decision
+    // is the content-hash uniform — deterministic, monotone in the
+    // budget, no RNG. The skewed source split is derived (the fixture's
+    // sources are uniform); gate hashes per-source kept-counts + id sums
+    "q_x_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("mix_src",
+          when(col("doc_id") < 350, "web")
+            .when(col("doc_id") < 450, "books").otherwise("code"))
+      graft.operators.Sampling.temperatureMix(d, "mix_src", "doc_id",
+          targetRows = 250, salt = "mix")
+        .groupBy(col("mix_src"))
+        .agg(count(lit(1)).cast("bigint").as("n_kept"),
+          sum(col("doc_id")).cast("bigint").as("sum_id"))
+        .orderBy(col("mix_src"))
+    }),
+
     // X-setjoin: EXACT set-similarity self-join via prefix filtering
     // (All-Pairs/PPJoin) — recall-1 complement to MinHash-LSH: tokens
     // sort by global rarity, only each doc's `n - ceil(t·n) + 1`-token
@@ -3075,6 +3094,32 @@ object SparkEntry {
       graft.operators.HashGoldens.minhashBandsOracleSql,
     "q_x_cdc_fast" ->
       graft.operators.HashGoldens.cdcOracleSql(2),
+
+    // temperature mix: identical in-plan rate computation (round-6
+    // sqrt shares into a DECIMAL sum, same left-assoc division chain)
+    // and the same md5-uniform keep rule
+    "q_x_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 350 THEN 'web'
+        |         WHEN doc_id < 450 THEN 'books' ELSE 'code' END AS mix_src
+        |  FROM documents),
+        |counts AS (
+        |  SELECT mix_src, count(*) AS n, ROUND(sqrt(count(*)), 6) AS share
+        |  FROM d GROUP BY mix_src),
+        |w AS (SELECT CAST(SUM(CAST(share AS DECIMAL(38,6))) AS DOUBLE) AS w
+        |      FROM counts),
+        |rates AS (
+        |  SELECT mix_src, LEAST(1.0, 250.0 * share / w.w / n) AS rate
+        |  FROM counts, w),
+        |kept AS (
+        |  SELECT d.doc_id, d.mix_src
+        |  FROM d JOIN rates USING (mix_src)
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 13))::BIGINT
+        |        / 4503599627370496.0 < rate)
+        |SELECT mix_src, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM kept GROUP BY mix_src ORDER BY mix_src""".stripMargin,
 
     // exact prefix-filtered Jaccard join: identical rarity order,
     // prefix slice, length filter, and single-division jaccard —

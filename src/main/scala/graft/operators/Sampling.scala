@@ -125,6 +125,57 @@ object Sampling {
     df.filter(hash(col(keyCol), salt) < thr)
   }
 
+  /** Temperature-reweighted SOURCE MIXING — the LLM-pretraining data-mix
+    * primitive: given a corpus whose sources are heavily skewed (web ≫
+    * books ≫ code), sample each source at a rate ∝ n_s^α / n_s so the
+    * output mix follows the tempered distribution n_s^α instead of the
+    * raw counts — big sources are downsampled hard, small sources kept
+    * (near-)whole. α is fixed at 1/2 (temperature 2) because sqrt is
+    * IEEE-EXACT and therefore bit-identical cross-engine — the property
+    * the correctness gate needs; a deployment wanting other temperatures
+    * swaps in pow() and gives up oracle-exactness, nothing else.
+    *
+    * Rates are computed IN-PLAN (per-source counts → round-6 sqrt
+    * shares summed as DECIMAL — order-independent — → one broadcast
+    * scalar), and the per-row keep decision is the deterministic
+    * content-hash uniform `u = md5(key‖salt)[0,13) / 2^52 < rate` — so
+    * the sample is reproducible across runs, partitionings, and
+    * engines, and MONOTONE in `targetRows` (growing the budget only
+    * adds rows). Rates cap at 1.0 (sources smaller than their tempered
+    * share are kept whole; the output lands slightly under target — the
+    * standard one-shot approximation). Null sources mix as their own
+    * source; null keys share one fate via the NUL sentinel.
+    *
+    * Scale shape: one source-keyed count aggregate (map-side combine),
+    * one scalar aggregate broadcast back, one source-cardinality join
+    * (AQE broadcasts it), then a pure map-side filter. No shuffle of
+    * the data itself, no RNG, no driver action. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+      targetRows: Long, salt: String = ""): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val reserved = Seq("__src", "__n", "__share", "__w", "__rate", "__u")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"temperatureMix reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val srcKey = coalesce(col(sourceCol).cast("string"), lit("\u0000null"))
+    val counts = df.groupBy(srcKey.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__share", round(sqrt(col("__n")), 6))
+    val wtot = counts.agg(
+      sum(col("__share").cast("decimal(38,6)")).cast("double").as("__w"))
+    val rates = counts.join(broadcast(wtot))
+      .select(col("__src"),
+        least(lit(1.0),
+          lit(targetRows.toDouble) * col("__share") / col("__w") / col("__n"))
+          .as("__rate"))
+    val u = conv(substring(hash(col(keyCol), salt), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    df.withColumn("__src", srcKey)
+      .join(rates, "__src")
+      .where(u < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
   /** Leakage-safe fold assignment: every row of a GROUP (a source, a
     * document family, a user) lands in the same fold, so correlated rows
     * can never straddle a train/eval boundary. `cuts` are cumulative

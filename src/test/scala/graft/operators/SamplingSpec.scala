@@ -146,4 +146,32 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(again == k5, "sample changed with partitioning")
   }
+
+  test("temperatureMix tempers skew: big sources cut, small kept whole") {
+    // A:1000, B:100, C:10 docs, target 300. sqrt shares 31.62/10/3.16
+    // (W≈44.79) → rates ≈ 0.2118 / 0.6697 / 1.0 (C caps)
+    val docs = ((0L until 1000L).map(i => (i, "A")) ++
+      (1000L until 1100L).map(i => (i, "B")) ++
+      (1100L until 1110L).map(i => (i, "C"))).toDF("id", "src")
+    val kept = Sampling.temperatureMix(docs, "src", "id", 300, "t")
+      .as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // C's rate caps at 1.0 → every C row survives
+    assert(bySrc.getOrElse("C", 0) == 10)
+    // big-source counts land near n·rate (hash uniformity, ±35% slack)
+    assert(math.abs(bySrc("A") - 212) < 75, s"A kept ${bySrc("A")}")
+    assert(math.abs(bySrc("B") - 67) < 25, s"B kept ${bySrc("B")}")
+    // the mix is now FLATTER than the input: A/B ratio drops from 10x
+    assert(bySrc("A").toDouble / bySrc("B") < 5.0)
+    // deterministic across layouts
+    val again = Sampling.temperatureMix(docs.repartition(17), "src", "id", 300, "t")
+      .as[(Long, String)].collect().toSet
+    assert(again == kept.toSet)
+    // monotone in the budget: smaller target is a subset of bigger
+    val small = Sampling.temperatureMix(docs, "src", "id", 150, "t")
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.temperatureMix(docs, "src", "id", 450, "t")
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "budget growth churned the sample")
+  }
 }
