@@ -699,6 +699,22 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X-pq: product quantization — the memory side of billion-scale
+    // ANN (IVF prunes which vectors a probe touches; PQ shrinks what
+    // each probe costs to m byte codes + table lookups). Subspace
+    // codebooks train on the ALREADY-ORACLED k-means loop over vector
+    // slices; encode is the fused nearest-centroid per slice
+    // (map-side); ADC distance folds m literal-table lookups and plans
+    // as TakeOrderedAndProject. The generated oracle re-encodes every
+    // vector independently from the inlined codebooks.
+    "q_x_pq" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+      val (model, qv) = pq.gateModel(emb, dir)
+      pq.adcTopK(pq.encode(emb, "vec_id", "embedding", model),
+        "vec_id", "codes", model, qv, 10)
+    }),
+
     // X-mix: temperature-reweighted source mixing (the LLM-pretraining
     // data-mix): per-source rates ∝ sqrt(n_s)/n_s computed in-plan
     // (sqrt is IEEE-exact → bit-identical cross-engine), keep decision
@@ -3094,6 +3110,12 @@ object SparkEntry {
       graft.operators.HashGoldens.minhashBandsOracleSql,
     "q_x_cdc_fast" ->
       graft.operators.HashGoldens.cdcOracleSql(2),
+
+    // product quantization: generated twin re-encodes from the inlined
+    // codebooks (same distance fold + tie rule as the fused expression)
+    // and re-ranks with the same literal lookup chain
+    "q_x_pq" ->
+      graft.operators.ProductQuantization.gateOracleSql(10),
 
     // temperature mix: identical in-plan rate computation (round-6
     // sqrt shares into a DECIMAL sum, same left-assoc division chain)
