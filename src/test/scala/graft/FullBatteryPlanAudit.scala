@@ -38,7 +38,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_multimodal",         // ≤5-kind panel ⟕ 1-row video-frame agg
     "q_x_pmi",                // 1-row token total × 1-row bigram total
     "q_a_chisq",              // 1-row grand-total over the contingency
-    "q_f_target_enc")         // 1-row global-mean fallback scalar
+    "q_f_target_enc",         // 1-row global-mean fallback scalar
+    "q_x_mix")                // 1-row Σsqrt(n_s) weight scalar × source counts
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
