@@ -740,9 +740,16 @@ object SparkEntry {
     // prefix is indexed (completeness guaranteed by the prefix
     // principle), candidates equi-join on prefix tokens + length
     // filter, exact Jaccard verifies survivors only
+    // (gate runs on the stable doc_id < 500 slice: the fixture corpus
+    // is a near-clone family — tiny shared vocabulary — so the TRUE
+    // >=0.8 pair set grows ~quadratically with the doc count; the
+    // slice keeps the hash gate's result set bounded across SFs while
+    // exercising the full operator. Adversarial-vocab pruning behavior
+    // is SetSimJoinSpec's stopword test.)
     "q_x_setjoin" -> ((s, dir) =>
       graft.operators.SetSimJoin.jaccardJoin(
-          t(s, dir, "documents"), "doc_id", "text", 0.8)
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", 0.8)
         .orderBy(col("id1"), col("id2"))),
 
     // X-text: MD5 winnow fingerprint — the cross-engine twin of the
@@ -3147,7 +3154,9 @@ object SparkEntry {
     // prefix slice, length filter, and single-division jaccard —
     // generated from the same threshold
     "q_x_setjoin" ->
-      graft.operators.SetSimJoin.oracleSql("documents", "doc_id", "text", 0.8),
+      graft.operators.SetSimJoin.oracleSql(
+        "(SELECT * FROM documents WHERE doc_id < 500) dslice",
+        "doc_id", "text", 0.8),
 
     // md5-minhash twin: identical sketch formulation in both engines —
     // md5 hex is lowercase fixed-length in each, so MIN() compares
