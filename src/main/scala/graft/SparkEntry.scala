@@ -2113,7 +2113,57 @@ object SparkEntry {
         .select(posexplode(col("top")).as(Seq("pos", "hit")))
         .select((col("pos") + 1).cast("int").as("rank"),
           col("hit.item").as("item"), col("hit.est").as("n"))
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // X-repetition: the Gopher §A1.1 within-document repetition battery
+    // (dup-line fraction/chars, top-{2,3,4}-gram char fraction, dup-
+    // 5-gram char fraction) — the quality gates run BEFORE dedup. The
+    // fixture text is single-line, so the gate derives an 8-token line
+    // structure from the token stream (same derivation in the oracle);
+    // grams run over the full stream. One tagged explode → one
+    // (doc, n, gram) count shuffle covers all four gram sizes.
+    "q_x_repetition" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val mltext = array_join(
+        transform(sequence(lit(0L), ((size(toks) - lit(1)) / lit(8)).cast("long")),
+          i => array_join(slice(toks, (i * lit(8L) + lit(1L)).cast("int"), lit(8)), " ")),
+        "\n")
+      val d = t(s, dir, "documents").select(col("doc_id"), mltext.as("mtext"))
+      graft.operators.Repetition.gopherSignals(d, "doc_id", "mtext")
+        .orderBy(col("doc_id"))
+    }),
+
+    // X-hybrid: reciprocal rank fusion of the lexical (BM25) and
+    // semantic (exact cosine) retrievers — hybrid search without score
+    // calibration. Both input lists are top-20 RESULTS (bounded by
+    // construction), so the fusion's rank windows run over ≤20 rows;
+    // the corpus-scale work stays inside the retrievers.
+    "q_x_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.TextSearch.bm25Search(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("query", "merge", "stream"), k = 20)
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val sem = graft.operators.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", qv, 20)
+        .select(col("vec_id").as("doc_id"), col("cos").as("score"))
+      graft.operators.Fusion.reciprocalRankFusion(
+        Seq(lex.select(col("doc_id"), col("score")), sem),
+        "doc_id", "score", kRrf = 60, topK = 15)
+    }),
+
+    // X-dsir: DSIR-style importance weighting for data selection — the
+    // corpus scored by hashed-unigram log likelihood ratio against the
+    // English slice as the target distribution. Bucket tables broadcast;
+    // per-doc scoring joins distinct (doc, bucket) rows, not tokens.
+    "q_x_dsir" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.ImportanceWeights.dsirLogRatios(
+          d, d.filter(col("lang") === "en"), "doc_id", "text",
+          buckets = 256)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4050,6 +4100,145 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
         |  FROM events GROUP BY 1)
         |WHERE rn <= 5 ORDER BY rank""".stripMargin,
+
+    // Gopher repetition battery: identical 8-token line derivation,
+    // identical tagged gram expansion; all counts/char totals integer,
+    // final divisions ROUND(,6); top-gram ties (c desc, len desc,
+    // gram asc) in both engines
+    "q_x_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(toks[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')) AS lines
+        |  FROM base),
+        |chars AS (
+        |  SELECT doc_id, toks, lines,
+        |    CAST(length(array_to_string(lines, chr(10))) AS BIGINT) AS chars
+        |  FROM lined),
+        |linecount AS (
+        |  SELECT doc_id, line, count(*) AS c,
+        |    CAST(length(line) AS BIGINT) AS gl
+        |  FROM (SELECT doc_id, unnest(lines) AS line FROM chars)
+        |  GROUP BY doc_id, line),
+        |linestats AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+        |    ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |      / SUM(c), 6) AS dup_line_frac,
+        |    ROUND(CASE WHEN SUM(c*gl) > 0
+        |      THEN CAST(SUM(CASE WHEN c > 1 THEN c*gl ELSE 0 END) AS DOUBLE)
+        |        / SUM(c*gl) ELSE 0.0 END, 6) AS dup_line_char_frac
+        |  FROM linecount GROUP BY doc_id),
+        |grams AS (
+        |  SELECT doc_id, chars, n, gram, count(*) AS c,
+        |    CAST(length(gram) AS BIGINT) AS gl
+        |  FROM (
+        |    SELECT c.doc_id, c.chars, n.n AS n,
+        |      unnest(list_transform(range(1, len(c.toks) - n.n + 2),
+        |        i -> array_to_string(c.toks[CAST(i AS INT):CAST(i + n.n - 1 AS INT)], ' '))) AS gram
+        |    FROM chars c, (VALUES (2),(3),(4),(5)) n(n)
+        |    WHERE len(c.toks) >= n.n)
+        |  GROUP BY doc_id, chars, n, gram),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |    ORDER BY c DESC, gl DESC, gram ASC) AS rn
+        |  FROM grams),
+        |gramstats AS (
+        |  SELECT doc_id, chars,
+        |    ROUND(CAST(MAX(CASE WHEN n=2 AND rn=1 THEN c*gl END) AS DOUBLE) / chars, 6) AS t2,
+        |    ROUND(CAST(MAX(CASE WHEN n=3 AND rn=1 THEN c*gl END) AS DOUBLE) / chars, 6) AS t3,
+        |    ROUND(CAST(MAX(CASE WHEN n=4 AND rn=1 THEN c*gl END) AS DOUBLE) / chars, 6) AS t4,
+        |    ROUND(CAST(COALESCE(SUM(CASE WHEN n=5 AND c>1 THEN c*gl END), 0) AS DOUBLE) / chars, 6) AS d5
+        |  FROM ranked GROUP BY doc_id, chars)
+        |SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+        |  COALESCE(g.t2, 0.0) AS top_2gram_frac,
+        |  COALESCE(g.t3, 0.0) AS top_3gram_frac,
+        |  COALESCE(g.t4, 0.0) AS top_4gram_frac,
+        |  COALESCE(g.d5, 0.0) AS dup_5gram_frac
+        |FROM linestats l LEFT JOIN gramstats g USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // RRF hybrid retrieval: the bm25 CTE chain (= q_x_bm25 at k=20) and
+    // the cosine CTE (= q_x_cosine_topk at k=20) feed identical
+    // row_number ranks; 1/(60+rank) rounds to 9 into a DECIMAL sum
+    "q_x_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS dl,
+        |    text
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    ROUND(CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE), 6) AS avgdl
+        |  FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |        FROM base)
+        |  WHERE word IN ('query', 'merge', 'stream')
+        |  GROUP BY doc_id, dl, word),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(ROUND(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)), 9) AS c
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN stats),
+        |lex AS (
+        |  SELECT doc_id, ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+        |  FROM contrib GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |sem AS (
+        |  SELECT vec_id AS doc_id,
+        |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+        |  FROM embeddings ORDER BY score DESC, doc_id LIMIT 20),
+        |ranked AS (
+        |  SELECT doc_id, ROUND(1.0 / (60 + row_number() OVER
+        |    (ORDER BY score DESC, doc_id)), 9) AS c FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, ROUND(1.0 / (60 + row_number() OVER
+        |    (ORDER BY score DESC, doc_id)), 9) AS c FROM sem)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |  ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS rrf_score
+        |FROM ranked GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // DSIR log ratios: same md5-prefix bucket idiom, same smoothed
+    // ratio-of-ratios association inside ln, ROUND(,9) per bucket term
+    // into a DECIMAL sum
+    "q_x_dsir" ->
+      """WITH rawtok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE length(t) > 0),
+        |tgttok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |        FROM documents WHERE lang = 'en')
+        |  WHERE length(t) > 0),
+        |rawdist AS (SELECT b, count(*) AS cr FROM rawtok GROUP BY b),
+        |tgtdist AS (SELECT b, count(*) AS ct FROM tgttok GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM rawtok) AS nr,
+        |               (SELECT count(*) FROM tgttok) AS nt),
+        |lam AS (
+        |  SELECT r.b, ROUND(ln(
+        |    ((COALESCE(t.ct, 0) + 1.0) / (tot.nt + 1.0 * 256.0)) /
+        |    ((r.cr + 1.0) / (tot.nr + 1.0 * 256.0))), 9) AS lam
+        |  FROM rawdist r LEFT JOIN tgtdist t USING (b) CROSS JOIN tot),
+        |docb AS (SELECT doc_id, b, count(*) AS n FROM rawtok GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(ROUND(n * lam, 9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS log_ratio
+        |FROM docb JOIN lam USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q_x_lsh_topk / q_x_ivf_topk / q_d2_sample / q_d2b_stratified:
     // intentionally no oracle — approximate ANN and engine-seeded
