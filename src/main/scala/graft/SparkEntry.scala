@@ -2153,6 +2153,26 @@ object SparkEntry {
         "doc_id", "score", kRrf = 60, topK = 15)
     }),
 
+    // T-anomaly: rolling z-score outliers per user — ONE key-partitioned
+    // window computes rolling count/Σv/Σv² in a single pass; variance
+    // from the computational formula over decimal-exact sums
+    "q_t_anomaly" -> ((s, dir) =>
+      graft.operators.TimeSeries.rollingAnomaly(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "value", tieCol = "event_id",
+          lookback = 10, zThresh = 2.0, minObs = 4)
+        .select(col("event_id"), col("n_prev"), col("z"), col("is_anomaly"))
+        .orderBy(col("event_id"))),
+
+    // X-leakage: cross-source near-dup contamination matrix — the exact
+    // jaccard pair set (q_x_setjoin's operator) rolled up by normalized
+    // source pair; cross-source cells are mix-weighting leaks
+    "q_x_leakage" -> ((s, dir) =>
+      graft.operators.SetSimJoin.leakageMatrix(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", "source", 0.8)
+        .orderBy(col("src1"), col("src2"))),
+
     // X-dsir: DSIR-style importance weighting for data selection — the
     // corpus scored by hashed-unigram log likelihood ratio against the
     // English slice as the target distribution. Bucket tables broadcast;
@@ -4208,6 +4228,46 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6) AS rrf_score
         |FROM ranked GROUP BY doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // rolling anomaly: identical ROWS frame, per-term ROUND into decimal
+    // sums, computational-formula variance in DOUBLE, IEEE sqrt
+    "q_t_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, value,
+        |    count(value) OVER w AS n,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_id, CAST(n AS BIGINT) AS n_prev,
+        |    CASE WHEN n >= 4 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        |         THEN ROUND((value - s1 / n)
+        |                    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+        |         END AS z
+        |  FROM b)
+        |SELECT event_id, n_prev, z,
+        |       COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
+
+    // leakage matrix: the generated exact-jaccard pair twin rolled up by
+    // normalized source pair; decimal-exact avg of round-6 jaccards
+    "q_x_leakage" -> {
+      val pairSql = graft.operators.SetSimJoin.oracleSql(
+        "(SELECT * FROM documents WHERE doc_id < 500) dslice",
+        "doc_id", "text", 0.8)
+      s"""WITH pairs AS ($pairSql),
+         |src AS (SELECT doc_id, source FROM documents WHERE doc_id < 500)
+         |SELECT LEAST(a.source, b.source) AS src1,
+         |       GREATEST(a.source, b.source) AS src2,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(38,6))) AS DOUBLE)
+         |             / count(*), 6) AS avg_jaccard
+         |FROM pairs JOIN src a ON pairs.id1 = a.doc_id
+         |           JOIN src b ON pairs.id2 = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // DSIR log ratios: same md5-prefix bucket idiom, same smoothed
     // ratio-of-ratios association inside ln, ROUND(,9) per bucket term

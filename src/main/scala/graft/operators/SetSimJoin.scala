@@ -82,6 +82,34 @@ object SetSimJoin {
           (col("n1") + col("n2") - col("__o")), 6).as("jaccard"))
   }
 
+  /** Cross-source near-duplicate leakage matrix — the contamination
+    * census a multi-source pretraining mix needs: how many exact-Jaccard
+    * near-dup pairs ([[jaccardJoin]]) cross each pair of sources (same-
+    * source pairs are ordinary within-corpus duplication; CROSS-source
+    * pairs mean one source leaks into another, double-counting content
+    * the mix weighted separately).
+    *
+    * Scale shape: the pair set is the (already pruned) join output —
+    * orders of magnitude smaller than the corpus; attaching sources is
+    * two id-keyed joins of pairs against the (id, source) projection,
+    * then a matrix-sized aggregate. The source pair is normalized
+    * (least, greatest) so the matrix is upper-triangular.
+    */
+  def leakageMatrix(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, threshold: Double): DataFrame = {
+    val pairs = jaccardJoin(df, idCol, textCol, threshold)
+    val src = df.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("id1"), col(srcCol).as("__sa")), "id1")
+      .join(src.select(col(idCol).as("id2"), col(srcCol).as("__sb")), "id2")
+      .groupBy(least(col("__sa"), col("__sb")).as("src1"),
+        greatest(col("__sa"), col("__sb")).as("src2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        // decimal-exact sum (jaccard is already round-6), divide in DOUBLE
+        round(sum(col("jaccard").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_jaccard"))
+  }
+
   /** The DuckDB twin of [[jaccardJoin]] over a parquet-view `table` —
     * identical rarity order (array_agg ORDER BY df, t), prefix slice,
     * length filter, and single-division jaccard, so the gate hashes

@@ -74,4 +74,52 @@ object TimeSeries {
         col("v_obs"),
         last(col("v_obs"), ignoreNulls = true).over(fill).as("v_filled"))
   }
+
+  /** Rolling z-score anomaly detection per series key — each observation
+    * scored against the mean/stddev of its previous `lookback`
+    * observations (ROWS frame ending at 1 PRECEDING: the current point
+    * never smooths its own baseline). The streaming-telemetry outlier
+    * primitive, batch-expressed.
+    *
+    * Scale shape: ONE key-partitioned window (the same shuffle a running
+    * sum needs) computes rolling count/Σv/Σv² in a single pass; the
+    * z-score is per-row arithmetic on those three numbers. No global
+    * sort, no self-join, state bounded by `lookback` rows per task.
+    *
+    * Cross-engine reproducibility: the rolling sums accumulate per-term
+    * ROUND(v,6) / ROUND(v²,6) as DECIMAL(38,6) (order-invariant, exact);
+    * mean and variance derive in DOUBLE from those exact sums via the
+    * computational formula `(Σv² − (Σv)²/n) / (n−1)`; `sqrt` is
+    * IEEE-exact; the z rounds to 6. Rows with fewer than `minObs`
+    * predecessors — or a degenerate (≤ 0, i.e. cancellation-noise)
+    * variance — get a null z and are never flagged.
+    *
+    * Output: input key/order columns + (`n_prev`, `z`, `is_anomaly`).
+    */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, lookback: Int = 10,
+      zThresh: Double = 3.0, minObs: Int = 4): DataFrame = {
+    require(lookback >= minObs && minObs >= 2,
+      s"need lookback >= minObs >= 2, got lookback=$lookback minObs=$minObs")
+    val clash = df.columns.toSet
+      .intersect(Set("__n", "__s1", "__s2", "n_prev", "z", "is_anomaly"))
+    require(clash.isEmpty,
+      s"rollingAnomaly reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val v = col(valCol)
+    val withSums = df.select(col(keyCol), col(tsCol), col(tieCol), v,
+      count(v).over(w).as("__n"),
+      sum(round(v, 6).cast("decimal(38,6)")).over(w).cast("double").as("__s1"),
+      sum(round(v * v, 6).cast("decimal(38,6)")).over(w).cast("double").as("__s2"))
+    val mean = col("__s1") / col("__n")
+    val variance = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+      (col("__n") - lit(1))
+    val z = when(col("__n") >= minObs && variance > 0,
+      round((v - mean) / sqrt(variance), 6))
+    withSums.select(col(keyCol), col(tsCol), col(tieCol), v,
+      col("__n").as("n_prev"), z.as("z"),
+      coalesce(abs(z) > zThresh, lit(false)).as("is_anomaly"))
+  }
 }

@@ -1,4 +1,5 @@
 package graft.operators
+// (leakageMatrix coverage appended below)
 
 import graft.SparkSpec
 
@@ -56,5 +57,24 @@ class SetSimJoinSpec extends SparkSpec {
     val got = SetSimJoin.jaccardJoin(docs, "id", "text", 1.0)
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 2L, 1.0))) // set semantics: dup token collapses
+  }
+
+  test("leakageMatrix rolls pairs up by normalized source pair") {
+    // near-identical docs: 1≈2 (cross web/books), 1≈5 and 2≈5 (web side),
+    // 3≈4 within books; 6 unrelated
+    val docs = Seq(
+      (1L, "a b c d e", "web"), (2L, "a b c d e", "books"),
+      (5L, "a b c d e", "web"),
+      (3L, "p q r s t", "books"), (4L, "p q r s t", "books"),
+      (6L, "x y z w v", "code")
+    ).toDF("id", "text", "src")
+    val got = SetSimJoin.leakageMatrix(docs, "id", "text", "src", 0.8)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("books", "web") -> ((2L, 1.0)),  // 1-2 and 2-5 cross the sources
+      ("web", "web") -> ((1L, 1.0)),    // 1-5
+      ("books", "books") -> ((1L, 1.0)) // 3-4
+    ))
   }
 }

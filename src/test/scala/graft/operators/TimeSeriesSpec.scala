@@ -1,4 +1,5 @@
 package graft.operators
+// (rollingAnomaly coverage appended below)
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -48,5 +49,54 @@ class TimeSeriesSpec extends SparkSpec {
     val filled = out.map(r => Option(r.get(4)).map(_.asInstanceOf[Double])).toSeq
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
     assert(filled == Seq(None, None, Some(3.0))) // nothing to fill from yet
+  }
+
+  // ───────────────────── rollingAnomaly ─────────────────────
+
+  private def anomalies(rows: Seq[(String, Long, Long, Double)],
+      zThresh: Double = 3.0) =
+    TimeSeries.rollingAnomaly(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", tieCol = "id", lookback = 5,
+        zThresh = zThresh, minObs = 4)
+      .orderBy("k", "ts").collect()
+
+  test("a spike after a stable baseline is flagged; the baseline is not") {
+    // 6 steady points around 10 (small jitter so variance > 0), then 100
+    val rows = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+    val out = anomalies(rows)
+    assert(out.last.getAs[Boolean]("is_anomaly"))
+    assert(out.init.forall(!_.getAs[Boolean]("is_anomaly")))
+    // the frame excludes the current row: baseline of the spike is ~10
+    assert(out.last.getAs[Double]("z") > 50.0)
+  }
+
+  test("warm-up rows (fewer than minObs predecessors) get null z") {
+    val rows = (0 until 6).map(i => ("k", i.toLong, i.toLong, i * 1.0))
+    val out = anomalies(rows)
+    assert(out.take(4).forall(_.isNullAt(out.head.fieldIndex("z"))))
+    assert(out.drop(4).forall(!_.isNullAt(out.head.fieldIndex("z"))))
+    assert(out.map(_.getAs[Long]("n_prev")).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("a constant baseline (zero variance) never divides by zero") {
+    val rows = (0 until 6).map(i => ("k", i.toLong, i.toLong, 5.0)) :+
+      (("k", 6L, 6L, 50.0))
+    val out = anomalies(rows)
+    // variance 0 → z null, not NaN/Inf; flag stays false
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("z")) ||
+      !r.getAs[Double]("z").isNaN))
+    assert(!out.last.getAs[Boolean]("is_anomaly") &&
+      out.last.isNullAt(out.last.fieldIndex("z")))
+  }
+
+  test("keys are scored independently") {
+    val quiet = (0 until 6).map(i => ("a", i.toLong, i.toLong, 10.0 + (i % 2) * 0.2))
+    val loud = (0 until 6).map(i => ("b", i.toLong, (100 + i).toLong, 1000.0 + (i % 2) * 20))
+    val out = anomalies(quiet ++ loud :+ (("a", 9L, 9L, 12.0)), zThresh = 2.0)
+    // a's modest 12.0 is a big z on a's tight baseline; b's own points are not
+    val aLast = out.filter(_.getString(0) == "a").last
+    assert(aLast.getAs[Boolean]("is_anomaly"))
+    assert(out.filter(_.getString(0) == "b").forall(!_.getAs[Boolean]("is_anomaly")))
   }
 }
