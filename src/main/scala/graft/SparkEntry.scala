@@ -2173,6 +2173,29 @@ object SparkEntry {
           "doc_id", "text", "source", 0.8)
         .orderBy(col("src1"), col("src2"))),
 
+    // A-psi: Population Stability Index drift decomposition — the two
+    // event halves' value distributions compared over a 16-bin histogram
+    // ([0, 320), width 20 — an exactly-representable width, so the
+    // bucket floor is bit-identical cross-engine); bin tables + 1-row
+    // totals, two scans total
+    "q_a_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Drift.psiBins(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          "value", lo = 0.0, hi = 320.0, bins = 16)
+        .orderBy(col("bucket"))
+    }),
+
+    // X-triangles: exact triangle count by canonical wedge closure over
+    // the 50-node modulo projection of lineitem — two equi-joins plus a
+    // grand total, the distributed-triangle textbook shape
+    "q_x_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCount(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 50).as("u"),
+          (col("l_partkey") % 50).as("v")), "u", "v")),
+
     // X-dsir: DSIR-style importance weighting for data selection — the
     // corpus scored by hashed-unigram log likelihood ratio against the
     // English slice as the target distribution. Bucket tables broadcast;
@@ -4268,6 +4291,48 @@ object SparkEntry {
          |           JOIN src b ON pairs.id2 = b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    // PSI: identical clamp-bucket histogram, smoothed shares from
+    // identical integers, ln in DOUBLE, per-bin ROUND(,9)
+    "q_a_psi" ->
+      """WITH bspine AS (SELECT CAST(r.range AS INTEGER) AS bucket FROM range(0, 16) r),
+        |hb AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0), 15) AS INTEGER) AS bucket,
+        |         count(*) AS n_base
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+        |hc AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0), 15) AS INTEGER) AS bucket,
+        |         count(*) AS n_curr
+        |  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL) AS nb,
+        |         (SELECT count(*) FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL) AS nc)
+        |SELECT s.bucket,
+        |  CAST(COALESCE(hb.n_base, 0) AS BIGINT) AS n_base,
+        |  CAST(COALESCE(hc.n_curr, 0) AS BIGINT) AS n_curr,
+        |  ROUND(
+        |    ((COALESCE(hb.n_base, 0) + 0.5) / (tot.nb + 0.5 * 16.0)
+        |     - (COALESCE(hc.n_curr, 0) + 0.5) / (tot.nc + 0.5 * 16.0))
+        |    * ln(((COALESCE(hb.n_base, 0) + 0.5) / (tot.nb + 0.5 * 16.0))
+        |         / ((COALESCE(hc.n_curr, 0) + 0.5) / (tot.nc + 0.5 * 16.0))), 9) AS contrib
+        |FROM bspine s
+        |LEFT JOIN hb ON hb.bucket = s.bucket
+        |LEFT JOIN hc ON hc.bucket = s.bucket
+        |CROSS JOIN tot
+        |ORDER BY s.bucket""".stripMargin,
+
+    // triangle count: identical normalization (least/greatest, self-loop
+    // drop, distinct) and canonical wedge-closure joins
+    "q_x_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT LEAST(l_orderkey % 50, l_partkey % 50) AS a,
+        |                  GREATEST(l_orderkey % 50, l_partkey % 50) AS b
+        |  FROM lineitem
+        |  WHERE l_orderkey % 50 <> l_partkey % 50)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM und e1
+        |JOIN und e2 ON e2.a = e1.b
+        |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
     // DSIR log ratios: same md5-prefix bucket idiom, same smoothed
     // ratio-of-ratios association inside ln, ROUND(,9) per bucket term

@@ -41,7 +41,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_f_target_enc",         // 1-row global-mean fallback scalar
     "q_x_mix",                // 1-row Σsqrt(n_s) weight scalar × source counts
     "q_x_hybrid_rrf",         // bm25's corpus stats scalar (n_docs, avgdl)
-    "q_x_dsir")               // 1-row raw/target token-total scalars
+    "q_x_dsir",               // 1-row raw/target token-total scalars
+    "q_a_psi")                // 1-row base/current total scalars
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

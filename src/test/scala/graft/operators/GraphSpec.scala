@@ -37,4 +37,23 @@ class GraphSpec extends SparkSpec {
     val dup = ranks(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 2)
     assert(once == dup)
   }
+
+  // ───────────────────── triangleCount ─────────────────────
+
+  private def triangles(edges: Seq[(Long, Long)]): Long =
+    Graph.triangleCount(edges.toDF("u", "v"), "u", "v")
+      .head().getLong(0)
+
+  test("each triangle counts exactly once, regardless of edge direction") {
+    // K4 has 4 triangles; feed edges in mixed orientations + a duplicate
+    val k4 = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 3L))
+    assert(triangles(k4) == 4L)
+  }
+
+  test("self-loops and open wedges contribute nothing") {
+    assert(triangles(Seq((1L, 1L), (1L, 2L), (2L, 3L))) == 0L)
+    // closing the wedge makes exactly one
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == 1L)
+  }
 }
