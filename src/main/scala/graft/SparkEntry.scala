@@ -2173,6 +2173,34 @@ object SparkEntry {
           "doc_id", "text", "source", 0.8)
         .orderBy(col("src1"), col("src2"))),
 
+    // W-markov: first-order event-transition matrix — one user-keyed lag
+    // window (the sessionization shuffle), then matrix-sized aggregates;
+    // row-normalizing window runs over the matrix, not the data
+    "q_w_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitionMatrix(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // X-topterms: per-doc TF-IDF keyword extraction — (doc, term) tf +
+    // vocab-sized df aggregates, 1-row corpus scalar, doc-partitioned
+    // rank window
+    "q_x_topterms" -> ((s, dir) =>
+      graft.operators.TextAnalysis.topTerms(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // D-neyman: minimum-variance stratified sampling — budget allocated
+    // ∝ N_h·σ_h per event type, kept via the salted content-hash uniform
+    // (deterministic, no RNG); gate hashes the per-stratum census
+    "q_d_neyman" -> ((s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+          t(s, dir, "events"), "event_type", "event_id", "value",
+          totalBudget = 300, salt = "ney")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_kept"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .orderBy(col("event_type"))),
+
     // A-psi: Population Stability Index drift decomposition — the two
     // event halves' value distributions compared over a 16-bin histogram
     // ([0, 320), width 20 — an exactly-representable width, so the
@@ -4291,6 +4319,70 @@ object SparkEntry {
          |           JOIN src b ON pairs.id2 = b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    // transition matrix: identical LAG window and row-normalization
+    "q_w_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS to_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // top terms: identical tf/df aggregates, round-6 idf and score,
+    // same (score desc, term asc) rank ties
+    "q_x_topterms" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |w2 AS (SELECT * FROM words WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM w2 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    ROUND(tf.tf * ROUND(ln(CAST(nd.n AS DOUBLE) / dfreq.df), 6), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, tf, score
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Neyman allocation: identical per-stratum σ (computational formula
+    // over round-6 decimal sums), round-6 N·σ weights into a DECIMAL
+    // total, same left-assoc rate chain and md5-uniform keep rule
+    "q_d_neyman" ->
+      """WITH stats AS (
+        |  SELECT event_type AS src, count(*) AS n,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT src, n,
+        |    ROUND(n * (CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        |               THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
+        |               ELSE 0.0 END), 6) AS w
+        |  FROM stats),
+        |wt AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS wt FROM w),
+        |rates AS (
+        |  SELECT src, LEAST(1.0, 300.0 * w / wt.wt / n) AS rate
+        |  FROM w, wt),
+        |kept AS (
+        |  SELECT e.event_id, e.event_type
+        |  FROM events e JOIN rates r ON r.src = e.event_type
+        |  WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'ney'), 1, 13))::BIGINT
+        |        / 4503599627370496.0 < r.rate)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // PSI: identical clamp-bucket histogram, smoothed shares from
     // identical integers, ln in DOUBLE, per-bin ROUND(,9)

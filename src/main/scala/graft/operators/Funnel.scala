@@ -82,4 +82,34 @@ object Funnel {
           .cast("bigint").as("sum_delta_ns"))
     }.reduce(_ unionByName _).orderBy(col("step"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * — P(next event type | current event type), the product-analytics
+    * companion to the funnel: where the funnel checks ONE prescribed
+    * path, the matrix measures every observed step.
+    *
+    * Scale shape: one user-keyed window (the lag) — the same shuffle
+    * sessionization needs — then a matrix-sized (from, to) count
+    * aggregate; the row-normalizing window runs over the matrix, not the
+    * data. Probabilities divide exact integer counts in DOUBLE.
+    *
+    * `tieCol` breaks equal-timestamp ordering deterministically.
+    * Returns (`from_type`, `to_type`, `n`, `p`) — rows with no
+    * predecessor (each user's first event) contribute nothing.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .select(col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(rowTot), 6))
+  }
 }

@@ -176,6 +176,58 @@ object Sampling {
       .drop("__src", "__rate")
   }
 
+  /** Neyman-allocation stratified sampling: the sampling budget is
+    * allocated to strata ∝ N_h·σ_h (stratum size × value stddev) — the
+    * minimum-variance allocation for estimating the population mean
+    * (Neyman 1934). High-variance strata get oversampled, near-constant
+    * strata contribute little; zero-variance and singleton strata get
+    * weight 0 (one row already determines them — add a floor upstream if
+    * presence is required).
+    *
+    * Scale shape: identical to [[temperatureMix]] — ONE per-stratum
+    * aggregate (count + decimal-exact Σv/Σv², map-side combinable), a
+    * 1-row weight total, a broadcast rate join, and the salted
+    * content-hash keep rule (deterministic, partition-independent,
+    * monotone in the budget; no RNG).
+    *
+    * Cross-engine reproducibility: σ from the computational formula over
+    * per-term ROUND(,6) decimal sums; weights round to 6; the keep
+    * uniform is the md5-prefix / 2^52 idiom.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, keyCol: String,
+      valueCol: String, totalBudget: Long, salt: String = ""): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val reserved = Seq("__src", "__n", "__s1", "__s2", "__w", "__wt", "__rate")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"neymanAllocation reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val srcKey = coalesce(col(strataCol).cast("string"), lit("\u0000null"))
+    val v = col(valueCol)
+    val stats = df.groupBy(srcKey.as("__src")).agg(
+      count(lit(1)).as("__n"),
+      sum(round(v, 6).cast("decimal(38,6)")).cast("double").as("__s1"),
+      sum(round(v * v, 6).cast("decimal(38,6)")).cast("double").as("__s2"))
+    val variance = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+      (col("__n") - lit(1))
+    val weights = stats.withColumn("__w",
+      round(col("__n") *
+        when(col("__n") > 1 && variance > 0, sqrt(variance))
+          .otherwise(lit(0.0)), 6))
+    val wtot = weights.agg(
+      sum(col("__w").cast("decimal(38,6)")).cast("double").as("__wt"))
+    val rates = weights.join(broadcast(wtot))
+      .select(col("__src"),
+        least(lit(1.0),
+          lit(totalBudget.toDouble) * col("__w") / col("__wt") / col("__n"))
+          .as("__rate"))
+    val u = conv(substring(hash(col(keyCol), salt), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    df.withColumn("__src", srcKey)
+      .join(rates, "__src")
+      .where(u < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
   /** Leakage-safe fold assignment: every row of a GROUP (a source, a
     * document family, a user) lands in the same fold, so correlated rows
     * can never straddle a train/eval boundary. `cuts` are cumulative

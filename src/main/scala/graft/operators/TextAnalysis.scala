@@ -451,6 +451,42 @@ object TextAnalysis {
   def fingerprint64(text: Column, n: Int = 3, keep: Int = 8): Column =
     xxhash64(fingerprint(text, n, keep))
 
+  // ───────────────────── keyword extraction ─────────────────────
+
+  /** Per-document top-`k` TF-IDF terms — the cheap keyword extractor a
+    * corpus index/summary pipeline runs on every document (tag clouds,
+    * routing features, weak labels).
+    *
+    * Scale shape: one (doc, term) tf aggregate, one vocabulary-sized df
+    * aggregate (broadcast back — AQE does this when it fits), the 1-row
+    * corpus count as a scalar, then a doc-partitioned rank window —
+    * parallel across documents. idf = ln(N / df) rounds to 6, the score
+    * `tf · idf` to 6; ranks tie-break (score desc, term asc).
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") *
+          round(log(col("__n").cast("double") / col("df")), 6), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("score"))
+  }
+
   // ───────────────────── collocations ─────────────────────
 
   /** Top-k collocations by pointwise mutual information:

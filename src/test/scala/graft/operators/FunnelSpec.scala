@@ -64,4 +64,31 @@ class FunnelSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("PushedFilters: [In(event_type"), plan)
   }
+
+  // ───────────────────── transitionMatrix ─────────────────────
+
+  test("transition probabilities normalize per source state") {
+    // user 1: a→b→a→c; user 2: a→b — transitions from a: {b:2, c:1}
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (1L, 4L, 40L, "c"), (2L, 5L, 10L, "a"), (2L, 6L, 20L, "b")
+    ).toDF("u", "id", "ts", "t")
+    val got = Funnel.transitionMatrix(ev, "u", "ts", "t", "id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", "b")) == ((2L, math.round(2.0 / 3 * 1e6) / 1e6)))
+    assert(got(("a", "c")) == ((1L, math.round(1.0 / 3 * 1e6) / 1e6)))
+    assert(got(("b", "a")) == ((1L, 1.0)))
+    // each user's first event has no predecessor: no (null, a) rows,
+    // and b→a counts once (user 1 only)
+    assert(got.size == 3)
+  }
+
+  test("equal timestamps order deterministically by the tie column") {
+    val ev = Seq((1L, 1L, 10L, "x"), (1L, 2L, 10L, "y"), (1L, 3L, 10L, "z"))
+      .toDF("u", "id", "ts", "t")
+    val got = Funnel.transitionMatrix(ev, "u", "ts", "t", "id")
+      .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(got == Set(("x", "y"), ("y", "z")))
+  }
 }

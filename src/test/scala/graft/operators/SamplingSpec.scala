@@ -174,4 +174,39 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(small.subsetOf(big), "budget growth churned the sample")
   }
+
+  // ───────────────────── neymanAllocation ─────────────────────
+
+  test("high-variance strata are oversampled relative to flat ones") {
+    // equal sizes; stratum "wild" has 100× the spread of "calm"
+    val data = (1L to 1000L).map { i =>
+      if (i <= 500) (i, "calm", 100.0 + (i % 5))       // σ ≈ 1.4
+      else (i, "wild", 100.0 + (i % 5) * 100.0)        // σ ≈ 141
+    }.toDF("id", "s", "v")
+    val kept = Sampling.neymanAllocation(data, "s", "id", "v",
+        totalBudget = 300, salt = "t")
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    // allocation ∝ N·σ → wild should get ~99% of the budget
+    assert(kept.getOrElse("wild", 0L) > 10 * kept.getOrElse("calm", 0L))
+  }
+
+  test("zero-variance and singleton strata get no budget") {
+    val data = ((1L to 100L).map(i => (i, "const", 7.0)) ++
+      Seq((200L, "single", 3.0)) ++
+      (300L until 400L).map(i => (i, "var", (i % 10).toDouble))).toDF("id", "s", "v")
+    val kept = Sampling.neymanAllocation(data, "s", "id", "v",
+        totalBudget = 50, salt = "t")
+      .select("s").distinct().as[String].collect().toSet
+    assert(kept == Set("var"))
+  }
+
+  test("the kept set is layout-independent and monotone in the budget") {
+    val data = (1L to 1000L).map(i => (i, s"s${i % 3}", (i % 7).toDouble))
+      .toDF("id", "s", "v")
+    def run(parts: Int, budget: Long) =
+      Sampling.neymanAllocation(data.repartition(parts), "s", "id", "v",
+        budget, salt = "m").select("id").as[Long].collect().toSet
+    assert(run(1, 200) == run(8, 200))
+    assert(run(4, 100).subsetOf(run(4, 400)))
+  }
 }

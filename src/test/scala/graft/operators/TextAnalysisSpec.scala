@@ -328,4 +328,34 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.pmiCollocations(Seq(("t", "w1")).toDF("text", "w1"), "text")
     }
   }
+
+  // ───────────────────── topTerms ─────────────────────
+
+  test("topTerms ranks rare high-tf terms above ubiquitous ones") {
+    // "the" appears in all docs (idf = ln(1) = 0); "zebra" only in doc 1
+    val docs = Seq(
+      (1L, "the the the zebra zebra quark"),
+      (2L, "the lion"),
+      (3L, "the lion quark")
+    ).toDF("id", "text")
+    val got = TextAnalysis.topTerms(docs, "id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long, Double)].collect()
+    val doc1 = got.filter(_._1 == 1L)
+    // zebra: tf 2 · ln(3) beats quark: tf 1 · ln(3/2); "the" scores 0
+    assert(doc1.map(_._3).toSeq == Seq("zebra", "quark"))
+    assert(doc1.head._4 == 2L)
+    // zero-idf "the" can fill a short doc's tail but never ranks first
+    assert(got.filter(_._2 == 1).forall(_._3 != "the"))
+    // ranks are 1-based and dense within a doc
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(1, 2))
+  }
+
+  test("topTerms ties break alphabetically at equal score") {
+    val docs = Seq((1L, "b a"), (2L, "c d")).toDF("id", "text")
+    val got = TextAnalysis.topTerms(docs, "id", "text", k = 1)
+      .orderBy("doc_id").as[(Long, Int, String, Long, Double)].collect()
+    // within doc 1, a and b tie (tf 1, same idf) → 'a' wins rank 1
+    assert(got.head._3 == "a" && got(1)._3 == "c")
+  }
 }
