@@ -2224,6 +2224,18 @@ object SparkEntry {
           (col("l_orderkey") % 50).as("u"),
           (col("l_partkey") % 50).as("v")), "u", "v")),
 
+    // X-hits: HITS hubs/authorities over the directed mod-50 lineitem
+    // projection — 3 rounds, L1-normalized half-steps, generated
+    // unrolled-CTE oracle (the pageRank regime)
+    "q_x_hits" -> ((s, dir) =>
+      graft.operators.Graph.hits(s,
+          t(s, dir, "lineitem").select(
+            (col("l_orderkey") % 50).as("src"),
+            (col("l_partkey") % 50).as("dst"))
+            .where(col("src") =!= col("dst")),
+          iters = 3)
+        .orderBy(col("node"))),
+
     // X-dsir: DSIR-style importance weighting for data selection — the
     // corpus scored by hashed-unigram log likelihood ratio against the
     // English slice as the target distribution. Bucket tables broadcast;
@@ -4425,6 +4437,12 @@ object SparkEntry {
         |FROM und e1
         |JOIN und e2 ON e2.a = e1.b
         |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    // HITS: generated unrolled half-step CTEs from the same iters
+    "q_x_hits" -> graft.operators.Graph.hitsOracleSql(
+      """SELECT l_orderkey % 50 AS src, l_partkey % 50 AS dst
+        |FROM lineitem WHERE l_orderkey % 50 <> l_partkey % 50""".stripMargin,
+      iters = 3),
 
     // DSIR log ratios: same md5-prefix bucket idiom, same smoothed
     // ratio-of-ratios association inside ln, ROUND(,9) per bucket term

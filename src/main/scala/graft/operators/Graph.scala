@@ -131,6 +131,88 @@ object Graph {
       s"\nSELECT node, rank FROM r$iters"
   }
 
+  /** `iters` HITS rounds (Kleinberg 1999) over `edges(src, dst)`:
+    * authority a(v) = Σ_{u→v} h(u), hub h(u) = Σ_{u→v} a(v), each side
+    * L1-normalized per half-step (L1 rather than the textbook L2: the
+    * normalizer is then a DECIMAL-exact sum divided in DOUBLE — the
+    * cross-engine-reproducible choice; the ranking and the fixed-point
+    * direction are identical, only the scale differs).
+    *
+    * Scale shape mirrors [[pageRank]]: the deduped adjacency is cached
+    * and src-partitioned once; each half-step is one edge-keyed join +
+    * node-keyed aggregate, with the node-sized score relation the only
+    * thing moving per round; totals attach as 1-row broadcast scalars;
+    * `checkpoint` cuts lineage every half-step.
+    *
+    * Returns (`node`, `authority`, `hub`), both rounded to 12 per round
+    * (contributions accumulate as DECIMAL(28,12)).
+    */
+  def hits(spark: SparkSession, edges: DataFrame, iters: Int,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).cache()
+    val nodes = adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct().cache()
+    val nCount = nodes.agg(count(lit(1)).as("n"))
+    def halfStep(scores: DataFrame, joinSide: String,
+        groupSide: String): DataFrame = {
+      val raw = adj.join(scores.withColumnRenamed("node", joinSide), joinSide)
+        .groupBy(col(groupSide).as("node"))
+        .agg(sum(round(col("v"), 12).cast("decimal(28,12)"))
+          .cast("double").as("__raw"))
+      val all = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__raw"), lit(0.0)).as("__raw"))
+      val tot = all.agg(
+        sum(col("__raw").cast("decimal(28,12)")).cast("double").as("__t"))
+      checkpoint(all.crossJoin(broadcast(tot))
+        .select(col("node"), round(col("__raw") / col("__t"), 12).as("v")))
+    }
+    var hub = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), round(lit(1.0) / col("n"), 12).as("v"))
+    var auth: DataFrame = hub
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "src", "dst")  // authorities gather from hubs
+      hub = halfStep(auth, "dst", "src")  // hubs gather from authorities
+    }
+    val out = auth.withColumnRenamed("v", "authority")
+      .join(hub.withColumnRenamed("v", "hub"), "node")
+    adj.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** The same loop as generated DuckDB CTE half-steps — the cross-engine
+    * oracle for [[hits]]; generated from the same `iters`, never
+    * hand-copied. */
+  def hitsOracleSql(edgesSql: String, iters: Int): String = {
+    val base =
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nc AS (SELECT COUNT(*) AS n FROM nodes),
+         |h0 AS (SELECT node, ROUND(1.0 / n, 12) AS v FROM nodes, nc)""".stripMargin
+    def half(out: String, in: String, joinSide: String,
+        groupSide: String): String =
+      s"""${out}r AS (
+         |  SELECT n.node, COALESCE(s.rawv, 0.0) AS rawv
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.$groupSide AS node,
+         |      CAST(SUM(CAST(ROUND(p.v, 12) AS DECIMAL(28,12))) AS DOUBLE) AS rawv
+         |    FROM $in p JOIN e ON p.node = e.$joinSide
+         |    GROUP BY e.$groupSide) s ON s.node = n.node),
+         |${out}t AS (
+         |  SELECT CAST(SUM(CAST(rawv AS DECIMAL(28,12))) AS DOUBLE) AS t
+         |  FROM ${out}r),
+         |$out AS (SELECT node, ROUND(rawv / t, 12) AS v FROM ${out}r, ${out}t)""".stripMargin
+    val stages = (1 to iters).flatMap { k =>
+      Seq(half(s"a$k", s"h${k - 1}", "src", "dst"),
+        half(s"h$k", s"a$k", "dst", "src"))
+    }
+    (base +: stages).mkString(",\n") +
+      s"""\nSELECT a.node, a.v AS authority, h.v AS hub
+         |FROM a$iters a JOIN h$iters h USING (node) ORDER BY node""".stripMargin
+  }
+
   /** Exact global triangle count by canonical wedge closure — the
     * classic distributed formulation (each triangle {a < b < c} is
     * enumerated exactly once): normalize to undirected edges with

@@ -43,7 +43,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_hybrid_rrf",         // bm25's corpus stats scalar (n_docs, avgdl)
     "q_x_dsir",               // 1-row raw/target token-total scalars
     "q_a_psi",                // 1-row base/current total scalars
-    "q_x_topterms")           // 1-row corpus-count idf scalar
+    "q_x_topterms",           // 1-row corpus-count idf scalar
+    "q_x_hits")               // 1-row node count + per-round L1 totals
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

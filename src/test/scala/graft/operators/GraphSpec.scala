@@ -56,4 +56,27 @@ class GraphSpec extends SparkSpec {
     // closing the wedge makes exactly one
     assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == 1L)
   }
+
+  // ───────────────────── hits ─────────────────────
+
+  private def hits(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, (Double, Double)] =
+    Graph.hits(spark, edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  test("the pointed-at node is the authority; the pointers are hubs") {
+    // 1,2,3 all point at 4; 4 points nowhere
+    val got = hits(Seq((1L, 4L), (2L, 4L), (3L, 4L)))
+    val (a4, h4) = got(4L)
+    assert(a4 > 0.99 && h4 == 0.0) // all authority mass; no out-links
+    Seq(1L, 2L, 3L).foreach { n =>
+      val (a, h) = got(n)
+      assert(a == 0.0 && math.abs(h - 1.0 / 3) < 1e-9)
+    }
+  }
+
+  test("each side L1-normalizes to 1 every round") {
+    val got = hits(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)), iters = 2)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
