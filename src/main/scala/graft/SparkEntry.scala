@@ -2201,6 +2201,22 @@ object SparkEntry {
           sum(col("event_id")).cast("bigint").as("sum_id"))
         .orderBy(col("event_type"))),
 
+    // A-anova: one-way ANOVA F across event types — two aggregates
+    // total (k-row group partials, then the grand total), the k-group
+    // generalization of the Welch t gate
+    "q_a_anova" -> ((s, dir) =>
+      graft.operators.Profiling.anovaF(
+        t(s, dir, "events"), "event_type", "value")),
+
+    // A-wmedian: per-flag quantity-weighted price median — running +
+    // total DECIMAL weight in one group-keyed window, exact crossing
+    // test (2·cumw ≥ W, no division), tie-order-invariant min
+    "q_a_wmedian" -> ((s, dir) =>
+      graft.operators.Profiling.weightedMedian(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
     // A-psi: Population Stability Index drift decomposition — the two
     // event halves' value distributions compared over a 16-bin histogram
     // ([0, 320), width 20 — an exactly-representable width, so the
@@ -4395,6 +4411,45 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // ANOVA: identical algebraic partials (round-6 products into DECIMAL
+    // sums, round-9 per-group (Σv)²/n), fixed-order closed form
+    "q_a_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) AS t,
+        |    CAST(SUM(CAST(s2 AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+        |    CAST(SUM(CAST(ROUND(s1 * s1 / n, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sg
+        |  FROM g)
+        |SELECT k, nn AS n,
+        |  ROUND(sg - t * t / nn, 6) AS ss_between,
+        |  ROUND(ss - sg, 6) AS ss_within,
+        |  CASE WHEN k > 1 AND nn > k AND ss - sg > 0
+        |       THEN ROUND(((sg - t * t / nn) / (k - 1))
+        |                  / ((ss - sg) / (nn - k)), 6) END AS f_stat
+        |FROM a""".stripMargin,
+
+    // weighted median: identical running/total DECIMAL weights and
+    // exact doubling crossing test
+    "q_a_wmedian" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) OVER (
+        |      PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) OVER (
+        |      PARTITION BY l_returnflag) AS tw
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+        |SELECT l_returnflag, min(l_extendedprice) AS w_median,
+        |       CAST(max(tw) AS DOUBLE) AS w_total
+        |FROM b WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // PSI: identical clamp-bucket histogram, smoothed shares from
     // identical integers, ln in DOUBLE, per-bin ROUND(,9)

@@ -408,4 +408,76 @@ object Profiling {
           (col("__nn") * least(col("__r") - 1, col("__c") - 1))), 6)
           .as("cramers_v"))
   }
+
+  /** One-way ANOVA F statistic — does a numeric measure differ across
+    * the levels of a categorical factor (the k-group generalization of
+    * [[welchTTest]]; completes the test family with [[chiSquare]] and
+    * the proportions z).
+    *
+    * Computed entirely from per-group algebraic partials (n, Σv, Σv²):
+    * SSB = Σ_g (Σv_g)²/n_g − (Σv)²/N, SSW = Σv² − Σ_g (Σv_g)²/n_g,
+    * F = (SSB/(k−1)) / (SSW/(N−k)). Two aggregates total — one
+    * group-keyed (k rows), one grand-total — both map-side combinable;
+    * nothing else moves.
+    *
+    * Cross-engine: Σv/Σv² accumulate as DECIMAL (per-term round-6
+    * products); each group's (Σv)²/n rounds to 9 into a DECIMAL sum;
+    * the closed form is fixed-order IEEE; outputs round to 6. Nulls
+    * drop; needs k ≥ 2 groups and N > k (else F is null). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val perGroup = df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(v, 6).cast("decimal(38,6)")).cast("double").as("__s1"),
+        sum(round(v * v, 6).cast("decimal(38,6)")).cast("double").as("__s2"))
+    val agg = perGroup.agg(
+      count(lit(1)).as("__k"),
+      sum(col("__n")).as("__nn"),
+      sum(col("__s1").cast("decimal(38,6)")).cast("double").as("__t"),
+      sum(col("__s2").cast("decimal(38,6)")).cast("double").as("__ss"),
+      sum(round(col("__s1") * col("__s1") / col("__n"), 9)
+        .cast("decimal(38,9)")).cast("double").as("__sg"))
+    val ssb = col("__sg") - col("__t") * col("__t") / col("__nn")
+    val ssw = col("__ss") - col("__sg")
+    val f = (ssb / (col("__k") - lit(1))) / (ssw / (col("__nn") - col("__k")))
+    agg.select(col("__k").as("k"), col("__nn").as("n"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      when(col("__k") > 1 && col("__nn") > col("__k") && ssw > 0,
+        round(f, 6)).as("f_stat"))
+  }
+
+  /** Per-group weighted median — the smallest value whose cumulative
+    * weight reaches half the group's total (the survey-statistics /
+    * cost-weighted robust center; with unit weights it degrades to the
+    * lower median).
+    *
+    * Scale shape: one group-keyed window computes the running and total
+    * weight in the same pass (groups sort independently — no global
+    * sort), then a grouped min over the crossing rows. The crossing test
+    * compares DECIMAL sums (`2·cumw ≥ W`) — exact, no division — and
+    * the result is invariant to how ties order within equal values.
+    * Null values/weights drop; negative weights are rejected upstream by
+    * the domain (weights are counts/masses). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    base
+      .withColumn("__cw",
+        sum(round(col(weightCol), 6).cast("decimal(38,6)")).over(runW))
+      .withColumn("__tw",
+        sum(round(col(weightCol), 6).cast("decimal(38,6)")).over(totW))
+      .where(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      // min over the crossing rows is tie-order invariant; a row COUNT
+      // past the crossing would not be — don't emit one
+      .agg(min(col(valueCol)).as("w_median"),
+        max(col("__tw")).cast("double").as("w_total"))
+  }
 }

@@ -203,4 +203,44 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") == 0.0)
     assert(r.getAs[Long]("n") == 90L)
   }
+
+  // ───────────────────── anovaF ─────────────────────
+
+  test("anovaF separates shifted groups and nulls out identical ones") {
+    // three groups with the SAME spread, very different means → huge F
+    val shifted = (1 to 30).flatMap(i => Seq(
+      ("a", 10.0 + i % 3), ("b", 50.0 + i % 3), ("c", 90.0 + i % 3)))
+    val r1 = Profiling.anovaF(shifted.toDF("g", "v"), "g", "v").first()
+    assert(r1.getAs[Long]("k") == 3L && r1.getAs[Long]("n") == 90L)
+    assert(r1.getAs[Double]("f_stat") > 1000.0)
+    // identical groups → SSB ~0 → F ~0 (but defined)
+    val same = (1 to 30).flatMap(i => Seq(("a", 5.0 + i % 4), ("b", 5.0 + i % 4)))
+    val r2 = Profiling.anovaF(same.toDF("g", "v"), "g", "v").first()
+    assert(math.abs(r2.getAs[Double]("ss_between")) < 1e-6)
+    // a single group or zero within-variance → null F, no NaN
+    val one = Profiling.anovaF(Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v"), "g", "v").first()
+    assert(one.isNullAt(one.fieldIndex("f_stat")))
+  }
+
+  // ───────────────────── weightedMedian ─────────────────────
+
+  test("weightedMedian finds the weight-crossing value per group") {
+    // group g: value 1 carries weight 9, value 100 weight 1 → median 1;
+    // group h: symmetric unit weights over 1..4 → lower-half crossing at 2
+    val rows = Seq(
+      ("g", 1.0, 9.0), ("g", 100.0, 1.0),
+      ("h", 1.0, 1.0), ("h", 2.0, 1.0), ("h", 3.0, 1.0), ("h", 4.0, 1.0))
+    val got = Profiling.weightedMedian(rows.toDF("g", "v", "w"), "g", "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("g") == ((1.0, 10.0)))
+    assert(got("h") == ((2.0, 4.0)))
+  }
+
+  test("weightedMedian is invariant to tie order and layout") {
+    val rows = (1L to 500L).map(i => (s"s${i % 3}", (i % 7).toDouble, (i % 4 + 1).toDouble))
+    def run(parts: Int) =
+      Profiling.weightedMedian(rows.toDF("g", "v", "w").repartition(parts),
+        "g", "v", "w").orderBy("g").collect().toSeq
+    assert(run(1) == run(9))
+  }
 }
