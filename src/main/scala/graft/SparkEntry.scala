@@ -2201,6 +2201,15 @@ object SparkEntry {
           sum(col("event_id")).cast("bigint").as("sum_id"))
         .orderBy(col("event_type"))),
 
+    // W-attribution: first/last-touch conversion credit — one user-keyed
+    // ordered window (running first/last over the strictly-preceding
+    // frame), then a (first, last) matrix aggregate
+    "q_w_attribution" -> ((s, dir) =>
+      graft.operators.Cohort.touchAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_id",
+          "event_type", "value", convType = "purchase")
+        .orderBy(col("first_touch"), col("last_touch"))),
+
     // A-anova: one-way ANOVA F across event types — two aggregates
     // total (k-row group partials, then the grand total), the k-group
     // generalization of the Welch t gate
@@ -4411,6 +4420,24 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // attribution: identical strictly-preceding first/last windows with
+    // the same (ts, event_id) order; DECIMAL revenue
+    "q_w_attribution" ->
+      """WITH touched AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                IGNORE NULLS) OVER w AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS) OVER w AS last_touch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_conv,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM touched
+        |WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ANOVA: identical algebraic partials (round-6 products into DECIMAL
     // sums, round-9 per-group (Σv)²/n), fixed-order closed form

@@ -49,4 +49,36 @@ object Cohort {
         col("users") / max(when(col("offset") === 0, col("users"))).over(w), 6))
       .orderBy(col("cohort"), col("offset"))
   }
+
+  /** Multi-touch conversion attribution — each conversion event credits
+    * the user's FIRST preceding touch (brand discovery) and LAST
+    * preceding touch (closing channel), the two standard single-touch
+    * models. Conversions with no preceding touch (a user's first event
+    * is the purchase) drop out — there is nothing to credit.
+    *
+    * Scale shape: one user-keyed ordered window (first/last ignoreNulls
+    * over the strictly-preceding frame — running state, no self-join,
+    * no per-conversion rescan), then a matrix-sized
+    * (first_touch, last_touch) aggregate. The same shuffle budget as
+    * sessionization.
+    *
+    * Returns (`first_touch`, `last_touch`, `n_conv`, `revenue`) with
+    * revenue the DECIMAL-exact sum of the conversion values cast to
+    * double. */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, valueCol: String,
+      convType: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    events
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .where(col(typeCol) === convType && col("last_touch").isNotNull)
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_conv"),
+        sum(round(col(valueCol), 6).cast("decimal(38,6)")).cast("double")
+          .as("revenue"))
+  }
 }

@@ -37,4 +37,35 @@ class CohortSpec extends SparkSpec {
     assert(!plan.contains("Expand"),
       "distinct users must come from the collect_set dedup, not an Expand")
   }
+
+  // ───────────────────── touchAttribution ─────────────────────
+
+  test("conversions credit the first and last preceding touch") {
+    // user 1: ad → email → purchase(10) → search → purchase(5)
+    // user 2: purchase(99) with no preceding touch → dropped
+    val ev = Seq(
+      (1L, 1L, 10L, "ad", 0.0), (1L, 2L, 20L, "email", 0.0),
+      (1L, 3L, 30L, "purchase", 10.0), (1L, 4L, 40L, "search", 0.0),
+      (1L, 5L, 50L, "purchase", 5.0),
+      (2L, 6L, 10L, "purchase", 99.0)
+    ).toDF("u", "id", "ts", "t", "v")
+    val got = Cohort.touchAttribution(ev, "u", "ts", "id", "t", "v", "purchase")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // purchase 1: first=ad, last=email; purchase 2: first=ad, last=search
+    assert(got == Map(
+      ("ad", "email") -> ((1L, 10.0)),
+      ("ad", "search") -> ((1L, 5.0))))
+  }
+
+  test("a purchase between touches is transparent to later attributions") {
+    // the earlier purchase must not become a 'touch' for the later one
+    val ev = Seq(
+      (1L, 1L, 10L, "ad", 0.0), (1L, 2L, 20L, "purchase", 1.0),
+      (1L, 3L, 30L, "purchase", 2.0)
+    ).toDF("u", "id", "ts", "t", "v")
+    val got = Cohort.touchAttribution(ev, "u", "ts", "id", "t", "v", "purchase")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("ad", "ad", 2L, 3.0)))
+  }
 }
