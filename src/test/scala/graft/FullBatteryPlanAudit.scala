@@ -44,7 +44,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_dsir",               // 1-row raw/target token-total scalars
     "q_a_psi",                // 1-row base/current total scalars
     "q_x_topterms",           // 1-row corpus-count idf scalar
-    "q_x_hits")               // 1-row node count + per-round L1 totals
+    "q_x_hits",               // 1-row node count + per-round L1 totals
+    "q_d_neyman")             // 1-row Σ(N_h·σ_h) weight scalar
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
