@@ -2128,7 +2128,7 @@ object SparkEntry {
         transform(sequence(lit(0L), ((size(toks) - lit(1)) / lit(8)).cast("long")),
           i => array_join(slice(toks, (i * lit(8L) + lit(1L)).cast("int"), lit(8)), " ")),
         "\n")
-      val d = t(s, dir, "documents").select(col("doc_id"), mltext.as("mtext"))
+      val d = tw(s, dir, "documents").select(col("doc_id"), mltext.as("mtext"))
       graft.operators.Repetition.gopherSignals(d, "doc_id", "mtext")
         .orderBy(col("doc_id"))
     }),
@@ -2186,7 +2186,7 @@ object SparkEntry {
     // rank window
     "q_x_topterms" -> ((s, dir) =>
       graft.operators.TextAnalysis.topTerms(
-          t(s, dir, "documents"), "doc_id", "text", k = 3)
+          tw(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
     // D-neyman: minimum-variance stratified sampling — budget allocated
@@ -2266,7 +2266,7 @@ object SparkEntry {
     // English slice as the target distribution. Bucket tables broadcast;
     // per-doc scoring joins distinct (doc, bucket) rows, not tokens.
     "q_x_dsir" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tw(s, dir, "documents")
       graft.operators.ImportanceWeights.dsirLogRatios(
           d, d.filter(col("lang") === "en"), "doc_id", "text",
           buckets = 256)
