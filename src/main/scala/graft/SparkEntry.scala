@@ -2201,6 +2201,30 @@ object SparkEntry {
           sum(col("event_id")).cast("bigint").as("sum_id"))
         .orderBy(col("event_type"))),
 
+    // T-twap: per-user time-weighted value average — each observation
+    // weighted by its holding interval (lead window on the session
+    // shuffle); the irregular-series mean
+    "q_t_twap" -> ((s, dir) =>
+      graft.operators.TimeSeries.timeWeightedAvg(
+          t(s, dir, "events"), "user_id", "ts", "value", tieCol = "event_id")
+        .orderBy(col("user_id"))),
+
+    // S-shards: rendezvous-hash routing census — the same corpus
+    // assigned over 5 and 6 shards; the (before, after) matrix is
+    // hash-gated and exhibits the minimal-movement property (keys only
+    // ever move INTO the added shard)
+    "q_s_shards" -> ((s, dir) => {
+      val sh = graft.operators.Sharding
+      val five = (0 until 5).map(i => s"s$i")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          sh.rendezvousAssign(col("doc_id"), five).as("shard_a"),
+          sh.rendezvousAssign(col("doc_id"), five :+ "s5").as("shard_b"))
+        .groupBy(col("shard_a"), col("shard_b"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("shard_a"), col("shard_b"))
+    }),
+
     // W-attribution: first/last-touch conversion credit — one user-keyed
     // ordered window (running first/last over the strictly-preceding
     // frame), then a (first, last) matrix aggregate
@@ -4420,6 +4444,42 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // TWAP: identical lead-window holding intervals (epoch-ns integers),
+    // round-6 weighted terms into DECIMAL sums, division in DOUBLE
+    "q_t_twap" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    LEAD(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_ns(ts) AS dur
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(dur) AS BIGINT) AS total_span,
+        |  ROUND(CAST(SUM(CAST(ROUND(value * dur, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |        / CAST(SUM(dur) AS DOUBLE), 6) AS twap
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // rendezvous routing: identical per-shard md5 scores; argmax via the
+    // (h, s) DESC rank twin of Spark's greatest-of-structs
+    "q_s_shards" ->
+      """WITH scored AS (
+        |  SELECT doc_id, t.s,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || t.s) AS h
+        |  FROM documents,
+        |    (VALUES ('s0'),('s1'),('s2'),('s3'),('s4'),('s5')) t(s)),
+        |r AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn5,
+        |    CASE WHEN s <> 's5' THEN row_number() OVER (
+        |      PARTITION BY doc_id, (s = 's5') ORDER BY h DESC, s DESC) END AS rn
+        |  FROM scored),
+        |a AS (SELECT doc_id, s AS shard_a FROM r WHERE s <> 's5' AND rn = 1),
+        |b AS (SELECT doc_id, s AS shard_b FROM r WHERE rn5 = 1)
+        |SELECT shard_a, shard_b, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM a JOIN b USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // attribution: identical strictly-preceding first/last windows with
     // the same (ts, event_id) order; DECIMAL revenue

@@ -122,4 +122,35 @@ object TimeSeries {
       col("__n").as("n_prev"), z.as("z"),
       coalesce(abs(z) > zThresh, lit(false)).as("is_anomaly"))
   }
+
+  /** Per-key time-weighted average — each observation weighted by how
+    * long it remained current (until the key's next observation): the
+    * billing/position/telemetry mean for irregular series, where the
+    * arithmetic mean over-weights chatty periods.
+    *
+    *   TWAP = Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)
+    *
+    * The key's LAST observation has no holding interval and drops out
+    * (a caller wanting a closing horizon appends a sentinel row).
+    *
+    * Scale shape: one key-partitioned lead window (the sessionization
+    * shuffle) + one per-key aggregate. `tsCol` must be integral epoch
+    * units; weighted terms round to 6 into DECIMAL sums and the final
+    * division runs in DOUBLE.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(keyCol), col(tsCol), col(valCol),
+        (lead(col(tsCol), 1).over(w) - col(tsCol)).as("__dur"))
+      .where(col("__dur").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur")).as("total_span"),
+        round(
+          sum(round(col(valCol) * col("__dur"), 6).cast("decimal(38,6)"))
+            .cast("double") /
+          sum(col("__dur")).cast("double"), 6).as("twap"))
+  }
 }

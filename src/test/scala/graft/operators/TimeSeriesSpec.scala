@@ -90,6 +90,17 @@ class TimeSeriesSpec extends SparkSpec {
       out.last.isNullAt(out.last.fieldIndex("z")))
   }
 
+  test("timeWeightedAvg weights by holding interval, drops the last row") {
+    // k: value 10 held 1..5 (4 units), 20 held 5..6 (1 unit) → 12.0;
+    // the closing 20 at ts=6 has no interval; singleton key drops out
+    val rows = Seq(("k", 1L, 1L, 10.0), ("k", 5L, 2L, 20.0),
+      ("k", 6L, 3L, 30.0), ("solo", 9L, 4L, 7.0)).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.timeWeightedAvg(rows, "k", "ts", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map("k" -> ((2L, 5L, (10.0 * 4 + 20.0 * 1) / 5))))
+  }
+
   test("keys are scored independently") {
     val quiet = (0 until 6).map(i => ("a", i.toLong, i.toLong, 10.0 + (i % 2) * 0.2))
     val loud = (0 until 6).map(i => ("b", i.toLong, (100 + i).toLong, 1000.0 + (i % 2) * 20))
