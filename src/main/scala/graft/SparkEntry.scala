@@ -2285,6 +2285,19 @@ object SparkEntry {
           iters = 3)
         .orderBy(col("node"))),
 
+    // X-lpa: deterministic label-propagation communities over the
+    // same-parity mod-50 lineitem graph (two structural halves CC would
+    // also split — but LPA is gated on the fixed-round label DYNAMICS,
+    // pure integer counting, generated CTE oracle)
+    "q_x_lpa" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(s,
+          t(s, dir, "lineitem").select(
+            (col("l_orderkey") % 50).as("src"),
+            (col("l_partkey") % 50).as("dst"))
+            .where((col("src") % 2) === (col("dst") % 2)),
+          iters = 3)
+        .orderBy(col("node"))),
+
     // X-dsir: DSIR-style importance weighting for data selection — the
     // corpus scored by hashed-unigram log likelihood ratio against the
     // English slice as the target distribution. Bucket tables broadcast;
@@ -4584,6 +4597,13 @@ object SparkEntry {
     "q_x_hits" -> graft.operators.Graph.hitsOracleSql(
       """SELECT l_orderkey % 50 AS src, l_partkey % 50 AS dst
         |FROM lineitem WHERE l_orderkey % 50 <> l_partkey % 50""".stripMargin,
+      iters = 3),
+
+    // LPA: generated vote/pick rounds, integer-only
+    "q_x_lpa" -> graft.operators.Graph.lpaOracleSql(
+      """SELECT l_orderkey % 50 AS src, l_partkey % 50 AS dst
+        |FROM lineitem
+        |WHERE (l_orderkey % 50) % 2 = (l_partkey % 50) % 2""".stripMargin,
       iters = 3),
 
     // DSIR log ratios: same md5-prefix bucket idiom, same smoothed

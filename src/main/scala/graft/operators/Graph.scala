@@ -213,6 +213,73 @@ object Graph {
          |FROM a$iters a JOIN h$iters h USING (node) ORDER BY node""".stripMargin
   }
 
+  /** `iters` rounds of synchronous label propagation (Raghavan et al.
+    * 2007) over the symmetrized edge set — community detection where
+    * connected components are too coarse (CC labels everything reachable
+    * as one; LPA splits a connected graph along its dense regions).
+    * Deterministic variant: every node starts labeled with its own id;
+    * each round it adopts the most frequent label among its neighbors,
+    * ties to the SMALLEST label — no RNG, no async order dependence, so
+    * the fixed round count is exactly reproducible cross-engine (and
+    * entirely integer arithmetic: nothing to round).
+    *
+    * Scale shape: the symmetric adjacency is cached and src-partitioned
+    * once; each round is one edge-keyed join + (node, label) count +
+    * node-partitioned rank window — the node-sized label relation is the
+    * only thing moving. `checkpoint` cuts lineage per round.
+    *
+    * Returns (`node`, `community`) after `iters` rounds.
+    */
+  def labelPropagation(spark: SparkSession, edges: DataFrame, iters: Int,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iters >= 1, s"need at least one round, got $iters")
+    val dir0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = dir0
+      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).cache()
+    val nodes = sym.select(col("src").as("node")).distinct().cache()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      labels = checkpoint(
+        sym.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("node"), col("label")))
+    }
+    val out = labels.withColumnRenamed("label", "community")
+    sym.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** The deterministic-LPA oracle: `iters` generated vote/pick CTE
+    * rounds — pure integer counting, no float surface at all. */
+  def lpaOracleSql(edgesSql: String, iters: Int): String = {
+    val base =
+      s"""WITH d AS (SELECT src, dst FROM ($edgesSql) WHERE src <> dst),
+         |e AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)""".stripMargin
+    val stages = (1 to iters).map { k =>
+      s"""v$k AS (
+         |  SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM l${k - 1} l JOIN e ON l.node = e.src
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |    FROM v$k) WHERE rn = 1)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT node, label AS community FROM l$iters ORDER BY node"
+  }
+
   /** Exact global triangle count by canonical wedge closure — the
     * classic distributed formulation (each triangle {a < b < c} is
     * enumerated exactly once): normalize to undirected edges with

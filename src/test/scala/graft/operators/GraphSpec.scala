@@ -57,6 +57,31 @@ class GraphSpec extends SparkSpec {
     assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == 1L)
   }
 
+  // ───────────────────── labelPropagation ─────────────────────
+
+  private def communities(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =
+    Graph.labelPropagation(spark, edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two cliques joined by one bridge resolve into two communities") {
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((4L, 10L))
+    val got = communities(edges)
+    val left = Seq(1L, 2L, 3L, 4L).map(got)
+    val right = Seq(10L, 11L, 12L, 13L).map(got)
+    assert(left.distinct.size == 1 && right.distinct.size == 1)
+    assert(left.head != right.head)
+  }
+
+  test("labels are deterministic: ties go to the smallest label") {
+    // a path 1-2-3: node 2 sees labels {1, 3} tied → adopts 1
+    val got1 = communities(Seq((1L, 2L), (2L, 3L)), iters = 1)
+    assert(got1(2L) == 1L)
+    // direction of input edges is irrelevant (symmetrized)
+    assert(communities(Seq((2L, 1L), (3L, 2L)), iters = 1) == got1)
+  }
+
   // ───────────────────── hits ─────────────────────
 
   private def hits(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, (Double, Double)] =
