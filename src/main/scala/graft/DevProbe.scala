@@ -87,6 +87,19 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("windowfam")) {
+      windowFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("graphfam")) {
+      graphFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(1000000L),
+        args.lift(2).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -632,5 +645,88 @@ object DevProbe {
     println(f"[spatial $n/side] side=$side%.0f radius=$radius pairs=$pairs " +
       f"join=${(t1 - t0) / 1e9}%.1fs naive_candidates=${n * n}%d")
     l.unpersist(); r.unpersist()
+  }
+
+  /** Windowed-analytics family at event scale: n synthetic events over
+    * n/1000 users (hash-derived types/values/timestamps, deterministic),
+    * driven through the four one-user-window operators (rolling
+    * anomaly, Markov transitions, touch attribution, TWAP) plus the
+    * two-scan PSI — each shares the SAME user-keyed shuffle shape, so
+    * this measures that family's scaling directly. Narrow rows
+    * (4 columns) keep the shuffle working set ~tens of bytes/row:
+    * disk-safe at 100M+. */
+  private def windowFamilyProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val users = math.max(1000L, n / 1000L)
+    val types = Array("view", "click", "search", "email", "purchase")
+    val ev = spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id"), lit(1)), lit(users)).as("user_id"),
+      (col("id") * 37L + pmod(xxhash64(col("id"), lit(2)), lit(1000L)))
+        .as("ts"),
+      element_at(typedLit(types),
+        (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(30000L)).cast("double") / 100.0)
+        .as("value")).cache()
+    ev.count()
+    def timed(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[windowfam $n] $tag rows=$out wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    timed("anomaly") {
+      graft.operators.TimeSeries.rollingAnomaly(ev, "user_id", "ts",
+        "value", tieCol = "event_id", zThresh = 2.5)
+        .where(col("is_anomaly")).count()
+    }
+    timed("transitions") {
+      graft.operators.Funnel.transitionMatrix(ev, "user_id", "ts",
+        "event_type", "event_id").count()
+    }
+    timed("attribution") {
+      graft.operators.Cohort.touchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "value", convType = "purchase").count()
+    }
+    timed("twap") {
+      graft.operators.TimeSeries.timeWeightedAvg(ev, "user_id", "ts",
+        "value", tieCol = "event_id").count()
+    }
+    timed("psi") {
+      graft.operators.Drift.psiBins(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "value", lo = 0.0, hi = 320.0, bins = 16).count()
+    }
+    ev.unpersist()
+  }
+
+  /** Graph family at scale: a deterministic random digraph (hash-derived
+    * endpoints over `nodes` vertices, `edges` edges — expected degree
+    * edges/nodes, so wedge volume stays ~deg²·nodes) through triangle
+    * counting, 3-round HITS, and 3-round LPA. */
+  private def graphFamilyProbe(spark: SparkSession, nodes: Long,
+      edges: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val e = spark.range(edges).select(
+      pmod(xxhash64(col("id"), lit(11)), lit(nodes)).as("src"),
+      pmod(xxhash64(col("id"), lit(13)), lit(nodes)).as("dst")).cache()
+    e.count()
+    def timed(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[graphfam $nodes/$edges] $tag out=$out wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    timed("triangles") {
+      graft.operators.Graph.triangleCount(e, "src", "dst")
+        .head().getLong(0)
+    }
+    timed("hits3") {
+      graft.operators.Graph.hits(spark, e, iters = 3).count()
+    }
+    timed("lpa3") {
+      graft.operators.Graph.labelPropagation(spark, e, iters = 3).count()
+    }
+    e.unpersist()
   }
 }
