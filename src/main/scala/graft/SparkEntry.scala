@@ -2250,6 +2250,14 @@ object SparkEntry {
           "l_quantity")
         .orderBy(col("l_returnflag"))),
 
+    // A-ols: per-flag price-on-quantity regression — closed-form OLS
+    // from five decimal sums in ONE group aggregate
+    "q_a_ols" -> ((s, dir) =>
+      graft.operators.Profiling.groupOls(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
     // A-psi: Population Stability Index drift decomposition — the two
     // event halves' value distributions compared over a 16-bin histogram
     // ([0, 320), width 20 — an exactly-representable width, so the
@@ -4511,6 +4519,28 @@ object SparkEntry {
         |FROM touched
         |WHERE event_type = 'purchase' AND last_touch IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // group OLS: identical five decimal sums and fixed-order closed form
+    "q_a_ols" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |       THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |       THEN ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) END AS intercept,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |       THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     // ANOVA: identical algebraic partials (round-6 products into DECIMAL
     // sums, round-9 per-group (Σv)²/n), fixed-order closed form

@@ -447,6 +447,43 @@ object Profiling {
         round(f, 6)).as("f_stat"))
   }
 
+  /** Per-group simple linear regression (closed-form OLS) — slope,
+    * intercept, and r² of `yCol` on `xCol` within each group, from the
+    * five algebraic sums (n, Σx, Σy, Σxy, Σx², Σy²): the "regression
+    * by segment" analytics primitive (elasticities, trends per region,
+    * per-device calibration) without MLlib.
+    *
+    * ONE group-keyed aggregate — map-side combinable, nothing else
+    * moves; the closed form is per-group scalar arithmetic.
+    *
+    * Cross-engine: per-term products ROUND(,6) into DECIMAL sums;
+    * the closed form is fixed-order IEEE; outputs round to 6. Groups
+    * with zero x-variance (or a single row) get null slope/intercept/r²
+    * — never NaN. Rows with a null on either side drop (listwise).
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    def dsum(c: org.apache.spark.sql.Column, as: String) =
+      sum(round(c, 6).cast("decimal(38,6)")).cast("double").as(as)
+    val agg = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), dsum(x, "__sx"), dsum(y, "__sy"),
+        dsum(x * y, "__sxy"), dsum(x * x, "__sxx"), dsum(y * y, "__syy"))
+    val n = col("n")
+    val covN = n * col("__sxy") - col("__sx") * col("__sy")   // n²·cov
+    val varxN = n * col("__sxx") - col("__sx") * col("__sx")  // n²·var(x)
+    val varyN = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = covN / varxN
+    val ok = n > 1 && varxN > 0
+    agg.select(col(groupCol), n,
+      when(ok, round(slope, 6)).as("slope"),
+      when(ok, round((col("__sy") - slope * col("__sx")) / n, 6))
+        .as("intercept"),
+      when(ok && varyN > 0, round(covN * covN / (varxN * varyN), 6))
+        .as("r2"))
+  }
+
   /** Per-group weighted median — the smallest value whose cumulative
     * weight reaches half the group's total (the survey-statistics /
     * cost-weighted robust center; with unit weights it degrades to the

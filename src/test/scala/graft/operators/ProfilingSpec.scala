@@ -222,6 +222,25 @@ class ProfilingSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("f_stat")))
   }
 
+  // ───────────────────── groupOls ─────────────────────
+
+  test("groupOls recovers a planted linear relationship per group") {
+    // g: y = 3x + 7 exactly (r² = 1); h: y independent of x (slope ~0);
+    // z: zero x-variance → nulls
+    val rows =
+      (1 to 40).map(i => ("g", i.toDouble, 3.0 * i + 7)) ++
+      (1 to 40).map(i => ("h", i.toDouble, (i % 2).toDouble)) ++
+      Seq(("z", 5.0, 1.0), ("z", 5.0, 9.0))
+    val got = Profiling.groupOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g").getDouble(2) == 3.0 && got("g").getDouble(3) == 7.0)
+    assert(got("g").getDouble(4) == 1.0)
+    assert(math.abs(got("h").getDouble(2)) < 0.05)
+    assert(got("h").getDouble(4) < 0.05)
+    val z = got("z")
+    assert(z.isNullAt(2) && z.isNullAt(3) && z.isNullAt(4))
+  }
+
   // ───────────────────── weightedMedian ─────────────────────
 
   test("weightedMedian finds the weight-crossing value per group") {
