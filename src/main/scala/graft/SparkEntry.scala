@@ -2316,6 +2316,108 @@ object SparkEntry {
           d, d.filter(col("lang") === "en"), "doc_id", "text",
           buckets = 256)
         .orderBy(col("doc_id"))
+    }),
+
+    // T-cusum: Page's one-sided CUSUM drift scores per user — the
+    // max(0,·) recursion evaluated as running-sum-minus-running-min
+    // (two incremental O(1)/row frames on ONE user-keyed window), never
+    // a sequential scan
+    "q_t_cusum" -> ((s, dir) =>
+      graft.operators.TimeSeries.cusum(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "value", tieCol = "event_id",
+          target = 150.0, slack = 10.0, threshold = 400.0)
+        .select(col("event_id"), col("cusum_pos"), col("cusum_neg"),
+          col("is_alarm"))
+        .orderBy(col("event_id"))),
+
+    // T-ewma: truncated-window EWMA smoothing per user — `lookback`
+    // O(1) lag reads on one user-keyed window; the geometric weights
+    // ship as pre-rounded literals to BOTH engines (no pow() surface)
+    "q_t_ewma" -> ((s, dir) =>
+      graft.operators.TimeSeries.ewmaSmooth(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "value", tieCol = "event_id",
+          alpha = 0.3, lookback = 5)
+        .select(col("event_id"), col("ewma"))
+        .orderBy(col("event_id"))),
+
+    // A-skyline: the (quantity, price) Pareto frontier of lineitem —
+    // three-stage distributed reduction (per-x min, per-bucket scan,
+    // broadcast cross-bucket filter); the oracle is the quadratic
+    // dominance NOT EXISTS
+    "q_a_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline2d(
+          t(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
+          bucketWidth = 5.0)
+        .orderBy(col("l_quantity"))),
+
+    // W-paths: top opening event paths — each user's first 3 event
+    // types joined `a>b>c` and counted; rank filter BEFORE the
+    // collect bounds per-user state at depth
+    "q_w_paths" -> ((s, dir) =>
+      graft.operators.Funnel.topPaths(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        depth = 3, k = 20)),
+
+    // A-mi: mutual information between return flag and line status —
+    // the chiSquare shape (cell aggregate + two marginals + 1-row
+    // total); ln runs on an exact integer-count ratio in both engines
+    "q_a_mi" -> ((s, dir) =>
+      graft.operators.Profiling.mutualInfo(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")),
+
+    // A-benford: first-digit audit of order totals — integer-side
+    // digit extraction (scale-by-100, round, first decimal char), the
+    // nine Benford shares as pre-rounded literals in both engines
+    "q_a_benford" -> ((s, dir) =>
+      graft.operators.Profiling.benfordDigits(
+          t(s, dir, "orders"), "o_totalprice", scale = 2)
+        .orderBy(col("digit"))),
+
+    // X-kcore: 3-core of the sparse mod-97 lineitem projection — six
+    // peel rounds (fixpoint + idempotent margin at both SFs), integer
+    // degree output, generated unrolled-CTE oracle
+    "q_x_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(s,
+          t(s, dir, "lineitem")
+            .where(col("l_quantity") <= 2)
+            .select((col("l_orderkey") % 97).as("src"),
+              (col("l_partkey") % 97).as("dst")),
+          k = 3, rounds = 6)
+        .orderBy(col("node"))),
+
+    // X-bfs: bounded-horizon BFS distances from node 0 over the same
+    // sparse projection — 4 synchronous relax-and-min rounds (nodes
+    // beyond 4 hops absent: the bounded-horizon contract, exercised at
+    // sf0.001 where the graph's eccentricity exceeds 4)
+    "q_x_bfs" -> ((s, dir) =>
+      graft.operators.Graph.bfsDistances(s,
+          t(s, dir, "lineitem")
+            .where(col("l_quantity") <= 2)
+            .select((col("l_orderkey") % 97).as("src"),
+              (col("l_partkey") % 97).as("dst")),
+          source = 0L, maxDepth = 4)
+        .orderBy(col("node"))),
+
+    // A-unpivot: wide-to-long reshape of the per-flag measure panel —
+    // the relational melt (Spark's native unpivot; the pivot gate's
+    // inverse), decimal-exact sums cast to double BEFORE the reshape
+    "q_a_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            .as("sum_price"),
+          sum(round(col("l_extendedprice") * col("l_discount"), 6)
+            .cast("decimal(38,6)")).cast("double").as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
     })
   )
 
@@ -4666,6 +4768,154 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(ROUND(n * lam, 9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS log_ratio
         |FROM docb JOIN lam USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CUSUM: the identical running-sum / running-min window pair — the
+    // max(0,·) recursion's reflection identity, decimal-exact
+    "q_t_cusum" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    SUM(CAST(ROUND(value - 150.0 - 10.0, 6) AS DECIMAL(38,6))) OVER w AS cp,
+        |    SUM(CAST(ROUND(150.0 - value - 10.0, 6) AS DECIMAL(38,6))) OVER w AS cn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  -- LEAST over DECIMAL(38,6) silently degrades to DOUBLE in
+        |  -- DuckDB (and via a non-correctly-rounded conversion); the
+        |  -- CASE keeps the whole clamp in exact decimal
+        |  SELECT event_id,
+        |    CAST(cp - (CASE WHEN MIN(cp) OVER w2 < CAST(0 AS DECIMAL(38,6))
+        |               THEN MIN(cp) OVER w2
+        |               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS cusum_pos,
+        |    CAST(cn - (CASE WHEN MIN(cn) OVER w2 < CAST(0 AS DECIMAL(38,6))
+        |               THEN MIN(cn) OVER w2
+        |               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS cusum_neg
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, cusum_pos, cusum_neg,
+        |       (cusum_pos > 400.0 OR cusum_neg > 400.0) AS is_alarm
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    // EWMA: the same lag ladder with the same pre-rounded weight
+    // literals (generated so both engines consume identical constants)
+    "q_t_ewma" -> {
+      val ws = graft.operators.TimeSeries.ewmaWeights(0.3, 5)
+      val lags = ws.indices
+        .map(j => s"lag(value, $j) OVER w AS v$j").mkString(",\n    ")
+      // DECIMAL(28,9) with a per-step re-cast, mirroring the engine:
+      // both engines grow precision by one per `+` and silently degrade
+      // past 38 (Spark truncates scale to 6, DuckDB goes DOUBLE), so
+      // every addition folds back to (28,9) — exact for bounded sums
+      val z = "CAST(0 AS DECIMAL(28,9))"
+      def chain(pieces: Seq[String]): String =
+        pieces.reduce((a, b) => s"CAST($a + $b AS DECIMAL(28,9))")
+      val terms = chain(ws.zipWithIndex.map { case (w, j) =>
+        s"COALESCE(CAST(ROUND(v$j * $w, 9) AS DECIMAL(28,9)), $z)"
+      })
+      val mass = chain(ws.zipWithIndex.map { case (w, j) =>
+        s"COALESCE(CASE WHEN v$j IS NOT NULL THEN CAST($w AS DECIMAL(28,9)) END, $z)"
+      })
+      s"""WITH l AS (
+         |  SELECT event_id,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id,
+         |  CASE WHEN ($mass) > $z
+         |       THEN ROUND(CAST(($terms) AS DOUBLE) /
+         |                  CAST(($mass) AS DOUBLE), 6) END AS ewma
+         |FROM l ORDER BY event_id""".stripMargin
+    },
+
+    // skyline: the quadratic dominance NOT EXISTS (exact by definition)
+    "q_a_skyline" -> graft.operators.Skyline.oracleSql(
+      "SELECT l_quantity, l_extendedprice FROM lineitem",
+      "l_quantity", "l_extendedprice"),
+
+    // top paths: identical rank-then-join formulation; string_agg with
+    // an explicit ORDER BY pins the concatenation order
+    "q_w_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    // mutual information: ln on the exact integer-count ratio, per-cell
+    // round-9 terms into a DECIMAL sum
+    "q_a_mi" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT SUM(o) AS n FROM cells)
+        |SELECT
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |    (CAST(o AS DOUBLE) / n) *
+        |    ln(CAST(o * n AS DOUBLE) / CAST(ra * cb AS DOUBLE)),
+        |    9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS mi_nats,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot""".stripMargin,
+
+    // Benford: integer-side digit extraction; the nine expected shares
+    // as generated pre-rounded literals (identical to the engine's)
+    "q_a_benford" -> {
+      val expVals = graft.operators.Profiling.benfordExpected.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, CAST($p AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH expd(digit, p_exp) AS (VALUES $expVals),
+         |c AS (
+         |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0, 0)
+         |           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    count(*) AS n
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+         |  GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS t FROM c)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(n AS DOUBLE) / t, 6) AS p_obs, p_exp,
+         |  ROUND((CAST(n AS DOUBLE) - p_exp * t) *
+         |        (CAST(n AS DOUBLE) - p_exp * t) / (p_exp * t), 6) AS chi2_term
+         |FROM c JOIN expd USING (digit) CROSS JOIN tot
+         |ORDER BY digit""".stripMargin
+    },
+
+    // k-core: generated unrolled peel rounds, integer-only
+    "q_x_kcore" -> graft.operators.Graph.kCoreOracleSql(
+      """SELECT l_orderkey % 97 AS src, l_partkey % 97 AS dst
+        |FROM lineitem WHERE l_quantity <= 2""".stripMargin,
+      k = 3, rounds = 6),
+
+    // BFS: generated relax-and-min rounds, integer-only
+    "q_x_bfs" -> graft.operators.Graph.bfsOracleSql(
+      """SELECT l_orderkey % 97 AS src, l_partkey % 97 AS dst
+        |FROM lineitem WHERE l_quantity <= 2""".stripMargin,
+      source = 0L, maxDepth = 4),
+
+    // unpivot: the UNION ALL melt of the same decimal-exact wide panel
+    "q_a_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     // q_x_lsh_topk / q_x_ivf_topk / q_d2_sample / q_d2b_stratified:
     // intentionally no oracle — approximate ANN and engine-seeded

@@ -112,4 +112,35 @@ object Funnel {
     counts.withColumn("p",
       round(col("n").cast("double") / sum(col("n")).over(rowTot), 6))
   }
+
+  /** Top opening event paths: each user's first `depth` event types (by
+    * time, `tieCol` breaking exact ties) joined into one `a>b>c` path
+    * string, counted across users — the onboarding/drop-off "what do
+    * people actually do first" query.
+    *
+    * Scale shape: one user-keyed rank window (the sessionization
+    * shuffle), a per-user aggregate whose state is bounded by `depth`
+    * (the rank filter runs BEFORE the collect — no unbounded per-user
+    * array), then a path-cardinality-sized count. The final top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, depth: Int, k: Int): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"need 1 <= depth <= 32, got $depth")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(typeCol),
+        row_number().over(w).as("__rn"))
+      .where(col("__rn") <= depth)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__rn"),
+          col(typeCol).as("t")))), s => s.getField("t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -307,4 +307,116 @@ object Graph {
       .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** `rounds` of k-core peeling (Seidman 1983) over the symmetrized
+    * edge set: repeatedly delete every node with degree < k; what
+    * survives a fixpoint is the k-core — the standard graph-density
+    * filter (spam/bot subgraph mining, community seeding). Peeling is
+    * monotone, so a fixed round count is a sound UNDER-approximation
+    * that becomes exact once no round deletes anything; pass `rounds` ≥
+    * the peel depth for the exact core (the gate pins convergence by
+    * running two extra idempotent rounds — integer-only arithmetic, so
+    * the generated unrolled-CTE oracle is bit-exact).
+    *
+    * Scale shape: each round is one degree count over the shrinking
+    * edge set plus two semi-joins against the ≥k node list — the same
+    * cached-adjacency regime as [[labelPropagation]]; the node-sized
+    * degree relation is broadcastable. `checkpoint` cuts lineage per
+    * round. Returns (`node`, `degree`) of the surviving subgraph.
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int, rounds: Int,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"need at least one peel round, got $rounds")
+    val dir0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    var sym = dir0
+      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("node"))
+      sym = checkpoint(
+        sym.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+          .select(col("src"), col("dst")))
+    }
+    sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("degree"))
+  }
+
+  /** The k-core oracle: `rounds` generated peel CTEs — degree count,
+    * ≥k filter, both-endpoint semi-join — integer-only. */
+  def kCoreOracleSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val base =
+      s"""WITH d AS (SELECT src, dst FROM ($edgesSql) WHERE src <> dst),
+         |e0 AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d))""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""g$r AS (
+         |  SELECT src AS node FROM e${r - 1}
+         |  GROUP BY src HAVING count(*) >= $k),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  WHERE e.src IN (SELECT node FROM g$r)
+         |    AND e.dst IN (SELECT node FROM g$r))""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"""\nSELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Unweighted single-source shortest paths by synchronous frontier
+    * expansion (distributed BFS): `maxDepth` rounds of "relax every
+    * edge out of the current distance table, keep the min". Nodes not
+    * reached within `maxDepth` hops are absent from the output — the
+    * bounded-horizon contract that makes the operator safe on graphs
+    * whose diameter is unknown (and the generated unrolled-CTE oracle
+    * bit-exact: integer hops only).
+    *
+    * Scale shape: the directed adjacency is deduped and src-partitioned
+    * once; each round joins the node-sized distance relation to it and
+    * min-aggregates — the pageRank movement pattern. `checkpoint` cuts
+    * lineage per round. Returns (`node`, `dist`).
+    */
+  def bfsDistances(spark: SparkSession, edges: DataFrame, source: Long,
+      maxDepth: Int,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(maxDepth >= 1, s"need at least one hop, got $maxDepth")
+    val adj = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().repartition(col("src")).cache()
+    var dist = adj.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to maxDepth) {
+      dist = checkpoint(
+        dist.union(
+            adj.join(dist.withColumnRenamed("node", "src"), "src")
+              .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+          .groupBy(col("node"))
+          .agg(min(col("dist")).as("dist")))
+    }
+    adj.unpersist(blocking = false)
+    dist
+  }
+
+  /** The BFS oracle: `maxDepth` generated relax-and-min CTE rounds. */
+  def bfsOracleSql(edgesSql: String, source: Long, maxDepth: Int): String = {
+    val base =
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql) WHERE src <> dst),
+         |d0 AS (SELECT CAST($source AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val stages = (1 to maxDepth).map { r =>
+      s"""d$r AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${r - 1} d JOIN e ON d.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT node, dist FROM d$maxDepth ORDER BY node"
+  }
 }

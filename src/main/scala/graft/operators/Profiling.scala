@@ -517,4 +517,80 @@ object Profiling {
       .agg(min(col(valueCol)).as("w_median"),
         max(col("__tw")).cast("double").as("w_total"))
   }
+
+  /** Mutual information (in nats) between two categorical columns —
+    * the feature-selection companion to [[chiSquare]]:
+    * MI = Σ_{a,b} p(a,b) · ln( p(a,b) / (p(a)·p(b)) ).
+    *
+    * Same shape as chiSquare: one cell aggregate (|A|·|B| rows), two
+    * marginal aggregates over the cells, a broadcast 1-row total. The
+    * log runs on an exact COUNT ratio — ln(o·n / (ra·cb)) with all four
+    * operands integers — so both engines evaluate ln at the identical
+    * double argument; per-cell terms round to 9 into a DECIMAL sum.
+    * Returns one row: `mi_nats`, `n_cells`, `n`. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val nTot = cells.agg(sum(col("__o")).as("__n"))
+    // p(a,b)·ln(p(a,b)/(p(a)p(b))) = (o/n)·ln(o·n/(ra·cb))
+    val term = (col("__o").cast("double") / col("__n")) *
+      log((col("__o") * col("__n")).cast("double") /
+        (col("__ra") * col("__cb")).cast("double"))
+    cells
+      .join(rowTot, "__a").join(colTot, "__b")
+      .crossJoin(broadcast(nTot))
+      .agg(
+        round(sum(round(term, 9).cast("decimal(38,9)")).cast("double"), 6)
+          .as("mi_nats"),
+        count(lit(1)).cast("bigint").as("n_cells"),
+        max(col("__n")).cast("bigint").as("n"))
+  }
+
+  /** Benford first-digit audit of a positive numeric column — observed
+    * leading-digit distribution against Benford's law
+    * (p_d = log10(1 + 1/d)), with the chi-square deviation statistic;
+    * the classic fraud/synthetic-data screen.
+    *
+    * The leading digit is extracted INTEGER-side: the value scales by
+    * 10^`scale` (e.g. 2 for cent-exact prices), rounds to a BIGINT, and
+    * takes the first character of its decimal rendering — no
+    * floating-point log10/pow on data values, so extraction is
+    * bit-exact in any engine. The nine expected shares ship as
+    * pre-rounded literals from [[benfordExpected]]. One scan, 9-row
+    * output (`digit`, `n`, `p_obs`, `p_exp`) + 1-row `chi2` panel
+    * folded in as digit 0. */
+  def benfordDigits(df: DataFrame, valCol: String, scale: Int): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"need 0 <= scale <= 6, got $scale")
+    val v = col(valCol)
+    val asInt = round(v * lit(math.pow(10, scale)), 0).cast("bigint")
+    val digit = substring(asInt.cast("string"), 1, 1).cast("int")
+    val counts = df
+      .where(v.isNotNull && v > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    val expRows = benfordExpected.zipWithIndex.map { case (p, i) =>
+      (i + 1, p)
+    }
+    val exp = df.sparkSession.createDataFrame(expRows)
+      .toDF("digit", "p_exp")
+    counts.join(broadcast(exp), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n").cast("bigint").as("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("p_obs"),
+        col("p_exp"),
+        round((col("n").cast("double") - col("p_exp") * col("__t")) *
+          (col("n").cast("double") - col("p_exp") * col("__t")) /
+          (col("p_exp") * col("__t")), 6).as("chi2_term"))
+  }
+
+  /** log10(1 + 1/d) for d = 1..9, pre-rounded to 9 — the literals BOTH
+    * engines consume (no cross-engine log10 surface). */
+  def benfordExpected: Seq[Double] =
+    (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
 }

@@ -86,6 +86,20 @@ object TimeSeries {
     * z-score is per-row arithmetic on those three numbers. No global
     * sort, no self-join, state bounded by `lookback` rows per task.
     *
+    * The bounded frame is NOT evaluated as a sliding aggregate — Spark's
+    * `SlidingWindowFunctionFrame` rebuilds the whole buffer every time
+    * the frame moves (aggregates can't retract), making a ROWS
+    * [-lookback, -1] sum O(lookback) PER ROW. Instead the rolling sums
+    * are differences of running cumulative sums:
+    *   Σ v over [t-lookback, t-1]  =  cum(t-1) − cum(t-1-lookback)
+    * where `cum` is the inclusive running sum
+    * (`UnboundedPrecedingWindowFunctionFrame`, incremental O(1)/row) and
+    * the two endpoints are `lag` reads (offset frames, O(1)). DECIMAL
+    * addition/subtraction is exact, so the difference is bit-identical
+    * to the direct frame sum — the oracle contract is unchanged. The
+    * 100M-event probe: 101.7 s (sliding frame) → O(1)/row independent
+    * of `lookback`.
+    *
     * Cross-engine reproducibility: the rolling sums accumulate per-term
     * ROUND(v,6) / ROUND(v²,6) as DECIMAL(38,6) (order-invariant, exact);
     * mean and variance derive in DOUBLE from those exact sums via the
@@ -102,17 +116,30 @@ object TimeSeries {
     require(lookback >= minObs && minObs >= 2,
       s"need lookback >= minObs >= 2, got lookback=$lookback minObs=$minObs")
     val clash = df.columns.toSet
-      .intersect(Set("__n", "__s1", "__s2", "n_prev", "z", "is_anomaly"))
+      .intersect(Set("__n", "__s1", "__s2", "__cn", "__c1", "__c2",
+        "n_prev", "z", "is_anomaly"))
     require(clash.isEmpty,
       s"rollingAnomaly reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col(tieCol))
-      .rowsBetween(-lookback, -1)
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col(valCol)
-    val withSums = df.select(col(keyCol), col(tsCol), col(tieCol), v,
-      count(v).over(w).as("__n"),
-      sum(round(v, 6).cast("decimal(38,6)")).over(w).cast("double").as("__s1"),
-      sum(round(v * v, 6).cast("decimal(38,6)")).over(w).cast("double").as("__s2"))
+    val zero = lit(0).cast("decimal(38,6)")
+    // inclusive running sums (incremental frame) …
+    val withCums = df.select(col(keyCol), col(tsCol), col(tieCol), v,
+      sum(when(v.isNotNull, 1L).otherwise(0L)).over(run).as("__cn"),
+      sum(round(v, 6).cast("decimal(38,6)")).over(run).as("__c1"),
+      sum(round(v * v, 6).cast("decimal(38,6)")).over(run).as("__c2"))
+    // … differenced at lag 1 and lag lookback+1 give the exact
+    // [-lookback, -1] frame sums without a sliding-frame rebuild
+    val withSums = withCums.select(col(keyCol), col(tsCol), col(tieCol), v,
+      (coalesce(lag(col("__cn"), 1).over(ord), lit(0L)) -
+        coalesce(lag(col("__cn"), lookback + 1).over(ord), lit(0L))).as("__n"),
+      (coalesce(lag(col("__c1"), 1).over(ord), zero) -
+        coalesce(lag(col("__c1"), lookback + 1).over(ord), zero))
+        .cast("double").as("__s1"),
+      (coalesce(lag(col("__c2"), 1).over(ord), zero) -
+        coalesce(lag(col("__c2"), lookback + 1).over(ord), zero))
+        .cast("double").as("__s2"))
     val mean = col("__s1") / col("__n")
     val variance = (col("__s2") - col("__s1") * col("__s1") / col("__n")) /
       (col("__n") - lit(1))
@@ -138,6 +165,119 @@ object TimeSeries {
     * units; weighted terms round to 6 into DECIMAL sums and the final
     * division runs in DOUBLE.
     */
+  /** One-sided CUSUM change-point scores per series key (Page 1954):
+    * the classic drift detector
+    *
+    *   S⁺_t = max(0, S⁺_{t-1} + (x_t − target − slack))
+    *   S⁻_t = max(0, S⁻_{t-1} − (x_t − target) − slack)
+    *
+    * with an alarm when either side exceeds `threshold`.
+    *
+    * The recursion is NOT evaluated recursively — max(0, ·) resets are
+    * the running-minimum identity: with d_t = x_t − target − slack and
+    * C_t = Σ_{j≤t} d_j,
+    *
+    *   S⁺_t = C_t − min(0, min_{j≤t} C_j)
+    *
+    * so the whole detector is one key-partitioned window computing a
+    * running sum and a running min (both incremental O(1)/row frames),
+    * exactly the [[rollingAnomaly]] regime — no sliding-frame rebuild,
+    * no sequential scan. Deviations round to 6 into DECIMAL running
+    * sums (order-exact); min/greatest comparisons happen ON the
+    * decimals; only the reported scores cast to DOUBLE.
+    *
+    * Output: key/order cols + (`cusum_pos`, `cusum_neg`, `is_alarm`).
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      tieCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val clash = df.columns.toSet
+      .intersect(Set("__dp", "__dn", "__cp", "__cn", "cusum_pos",
+        "cusum_neg", "is_alarm"))
+    require(clash.isEmpty,
+      s"cusum reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = lit(0).cast("decimal(38,6)")
+    val v = col(valCol)
+    val withCums = df.select(col(keyCol), col(tsCol), col(tieCol), v,
+      sum(round(v - lit(target) - lit(slack), 6).cast("decimal(38,6)"))
+        .over(run).as("__cp"),
+      sum(round(lit(target) - v - lit(slack), 6).cast("decimal(38,6)"))
+        .over(run).as("__cn"))
+    val sPos = (col("__cp") -
+      least(zero, min(col("__cp")).over(run))).cast("double")
+    val sNeg = (col("__cn") -
+      least(zero, min(col("__cn")).over(run))).cast("double")
+    withCums.select(col(keyCol), col(tsCol), col(tieCol), v,
+      sPos.as("cusum_pos"), sNeg.as("cusum_neg"),
+      (sPos > threshold || sNeg > threshold).as("is_alarm"))
+  }
+
+  /** Windowed EWMA smoothing per series key: each point smoothed over
+    * its own plus the previous `lookback − 1` observations with
+    * geometric weights α(1−α)^j, renormalized over the visible window
+    * (so warm-up rows are proper weighted means, not biased-low ones).
+    *
+    * The exact infinite-history EWMA recursion needs either a
+    * sequential scan or pow() ratios that overflow at partition length;
+    * the truncated window keeps the operator one key-partitioned
+    * window of `lookback` O(1) `lag` reads — and since (1−α)^j for the
+    * FIXED window is a handful of constants, both engines consume the
+    * same pre-rounded weight literals ([[ewmaWeights]]), leaving no
+    * cross-engine pow() surface. Per-term products round to 9 into a
+    * DECIMAL sum; the final normalize divides in DOUBLE.
+    *
+    * Output: key/order cols + `ewma`.
+    */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, alpha: Double,
+      lookback: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    require(lookback >= 1 && lookback <= 64,
+      s"need 1 <= lookback <= 64, got $lookback")
+    require(!df.columns.contains("ewma"),
+      "ewmaSmooth emits an `ewma` column — rename the input's first")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val ws = ewmaWeights(alpha, lookback)
+    val v = col(valCol)
+    // lag(v, j) is null past the partition start — weighted terms and
+    // weight mass both skip missing history via the null-propagating sum.
+    // DECIMAL(28,9), NOT (38,9): both engines grow precision by one per
+    // `+` and silently degrade past 38 (Spark truncates the scale to 6,
+    // DuckDB converts to DOUBLE) — 28 gives the whole chain headroom to
+    // stay exact, which is the operator's entire cross-engine contract
+    val terms = ws.zipWithIndex.map { case (wj, j) =>
+      round(lag(v, j).over(ord) * lit(wj), 9).cast("decimal(28,9)")
+    }
+    val mass = ws.zipWithIndex.map { case (wj, j) =>
+      when(lag(v, j).over(ord).isNotNull, lit(wj).cast("decimal(28,9)"))
+    }
+    val z9 = lit(0).cast("decimal(28,9)")
+    // each step re-casts to (28,9): sums are bounded (≤ lookback·|v|max
+    // with sub-1 weights), so the cast is exact and the chain can never
+    // creep up to the precision cap no matter how long `lookback` is
+    def chain(cols: Seq[Column]): Column =
+      cols.reduce((a, b) =>
+        (coalesce(a, z9) + coalesce(b, z9)).cast("decimal(28,9)"))
+    val tsum = chain(terms)
+    val msum = chain(mass)
+    // msum = 0 (a null value with no visible history) yields null, not
+    // 0/0 — NaN formatting is not a cross-engine surface worth having
+    df.select(col(keyCol), col(tsCol), col(tieCol), v,
+      when(msum > z9,
+        round(tsum.cast("double") / msum.cast("double"), 6)).as("ewma"))
+  }
+
+  /** The fixed weight ladder α(1−α)^j, j = 0 until lookback, each
+    * pre-rounded to 9 — the literals BOTH engines consume. */
+  def ewmaWeights(alpha: Double, lookback: Int): Seq[Double] =
+    (0 until lookback).map(j =>
+      BigDecimal(alpha * math.pow(1 - alpha, j))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

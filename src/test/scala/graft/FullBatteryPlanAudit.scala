@@ -45,7 +45,9 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_a_psi",                // 1-row base/current total scalars
     "q_x_topterms",           // 1-row corpus-count idf scalar
     "q_x_hits",               // 1-row node count + per-round L1 totals
-    "q_d_neyman")             // 1-row Σ(N_h·σ_h) weight scalar
+    "q_d_neyman",             // 1-row Σ(N_h·σ_h) weight scalar
+    "q_a_mi",                 // 1-row grand-total over the cell table
+    "q_a_benford")            // 1-row digit-count total scalar
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -67,10 +69,11 @@ class FullBatteryPlanAudit extends SparkSpec {
     assert(bad.isEmpty, s"unexpected nested-loop joins in: ${bad.mkString(", ")}")
   }
 
-  // queries whose single-partition exchange is a rank window over an
-  // ALREADY top-k-limited result list (≤ tens of rows by construction —
-  // the RRF fusion contract), not a keyed operator over data
-  private val boundedTopKWindowOk = Set("q_x_hybrid_rrf")
+  // queries whose single-partition exchange is a window over an ALREADY
+  // bounded relation (≤ tens/hundreds of rows by construction), not a
+  // keyed operator over data: the RRF fusion's top-k-limited result
+  // lists; the skyline's bucket-count-sized cross-bucket minimum table
+  private val boundedTopKWindowOk = Set("q_x_hybrid_rrf", "q_a_skyline")
 
   test("every single-partition exchange feeds a grand-total aggregate") {
     // a SinglePartition exchange is the correct (and only) shape for a

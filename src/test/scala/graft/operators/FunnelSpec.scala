@@ -91,4 +91,28 @@ class FunnelSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
     assert(got == Set(("x", "y"), ("y", "z")))
   }
+
+  // ───────────────────── topPaths ─────────────────────
+
+  test("topPaths takes each user's first `depth` types in time order") {
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 3L, 30L, "buy"),
+      (1L, 4L, 40L, "view"), // beyond depth 3 — ignored
+      (2L, 5L, 10L, "view"), (2L, 6L, 20L, "click"), (2L, 7L, 30L, "buy"),
+      (3L, 8L, 10L, "view")) // short history: path is just "view"
+      .toDF("u", "id", "ts", "t")
+    val got = Funnel.topPaths(ev, "u", "ts", "t", "id", depth = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("view>click>buy" -> 2L, "view" -> 1L))
+  }
+
+  test("topPaths breaks count ties by path and equal timestamps by tie col") {
+    val ev = Seq(
+      (1L, 2L, 10L, "b"), (1L, 1L, 10L, "a"), // same ts: id order → a>b
+      (2L, 3L, 10L, "z"))
+      .toDF("u", "id", "ts", "t")
+    val got = Funnel.topPaths(ev, "u", "ts", "t", "id", depth = 2, k = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a>b", "z")) // counts tie at 1 → lexicographic path
+  }
 }

@@ -104,4 +104,56 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
   }
+
+  // ───────────────────── kCore ─────────────────────
+
+  private def coreOf(edges: Seq[(Long, Long)], k: Int, rounds: Int = 8) = {
+    import spark.implicits._
+    Graph.kCore(spark, edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore peels a pendant chain off a triangle") {
+    // triangle 1-2-3 plus tail 3-4-5: the 2-core is exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = coreOf(edges, k = 2)
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore cascades: removing one node can doom its neighbors") {
+    // path 1-2-3-4: every node peels for k=2 (ends first, then the middle)
+    val got = coreOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)), k = 2)
+    assert(got.isEmpty)
+  }
+
+  test("kCore ignores self-loops and edge direction") {
+    val got = coreOf(Seq((2L, 1L), (3L, 2L), (3L, 1L), (1L, 1L)), k = 2)
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
+  // ───────────────────── bfsDistances ─────────────────────
+
+  private def bfsOf(edges: Seq[(Long, Long)], src: Long, depth: Int) = {
+    import spark.implicits._
+    Graph.bfsDistances(spark, edges.toDF("src", "dst"), src, depth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs takes the shortest of multiple routes") {
+    // 0→1→2→3 but also 0→3 directly: dist(3) = 1
+    val got = bfsOf(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)), 0L, 4)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("bfs respects direction and the depth horizon") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 0L))
+    val got = bfsOf(chain, 0L, 2)
+    // 3, 4 beyond horizon; 9 unreachable (edge points INTO 0)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("bfs on a cycle terminates with stable minima") {
+    val got = bfsOf(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 0L, 6)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
 }

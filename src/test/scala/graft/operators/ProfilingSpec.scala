@@ -262,4 +262,54 @@ class ProfilingSpec extends SparkSpec {
         "g", "v", "w").orderBy("g").collect().toSeq
     assert(run(1) == run(9))
   }
+
+  // ───────────────────── mutualInfo ─────────────────────
+
+  test("mutualInfo is 0 for independent columns, ln2 for identical ones") {
+    import spark.implicits._
+    // perfectly independent 2×2: every cell n/4
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    val mi0 = Profiling.mutualInfo(indep.toDF("u", "v"), "u", "v")
+      .head().getAs[Double]("mi_nats")
+    assert(mi0 == 0.0)
+    // identical binary columns: MI = H = ln 2
+    val same = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+    val mi1 = Profiling.mutualInfo(same.toDF("u", "v"), "u", "v")
+      .head().getAs[Double]("mi_nats")
+    assert(math.abs(mi1 - math.log(2)) < 1e-6)
+  }
+
+  test("mutualInfo drops null labels and counts cells") {
+    import spark.implicits._
+    val rows = Seq(("a", "x"), ("a", null), (null, "y"), ("b", "y"))
+    val r = Profiling.mutualInfo(rows.toDF("u", "v"), "u", "v").head()
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_cells") == 2L)
+  }
+
+  // ───────────────────── benfordDigits ─────────────────────
+
+  test("benford extracts leading digits integer-side and sums shares to 1") {
+    import spark.implicits._
+    val vals = Seq(1.23, 12.34, 199.99, 2.50, 0.91, 923.11, -5.0, 0.0)
+    val out = Profiling.benfordDigits(vals.toDF("v"), "v", scale = 2)
+      .orderBy("digit").collect()
+    // -5.0 and 0.0 excluded; leading digits of cents-scaled ints:
+    // 123→1, 1234→1, 19999→1, 250→2, 91→9, 92311→9
+    val byDigit = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit == Map(1 -> 3L, 2 -> 1L, 9 -> 2L))
+    assert(math.abs(out.map(_.getAs[Double]("p_obs")).sum - 1.0) < 1e-5)
+    // expected shares are the Benford literals
+    val exp = out.map(_.getAs[Double]("p_exp")).toSeq
+    val lad = Profiling.benfordExpected
+    assert(exp == Seq(lad(0), lad(1), lad(8)))
+  }
+
+  test("benford chi2 terms are non-negative and finite") {
+    import spark.implicits._
+    val vals = (1 to 300).map(i => i * 1.17)
+    val out = Profiling.benfordDigits(vals.toDF("v"), "v", scale = 2).collect()
+    assert(out.forall { r =>
+      val t = r.getAs[Double]("chi2_term"); t >= 0 && !t.isNaN && !t.isInfinite
+    })
+  }
 }

@@ -110,4 +110,63 @@ class TimeSeriesSpec extends SparkSpec {
     assert(aLast.getAs[Boolean]("is_anomaly"))
     assert(out.filter(_.getString(0) == "b").forall(!_.getAs[Boolean]("is_anomaly")))
   }
+
+  // ───────────────────── cusum ─────────────────────
+
+  test("cusum matches the sequential max(0,·) recursion exactly") {
+    val vals = Seq(10.0, 14.0, 9.0, 30.0, 31.0, 29.0, 8.0, 2.0, 3.0, 11.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+    val out = TimeSeries.cusum(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id", target = 10.0, slack = 2.0, threshold = 20.0)
+      .orderBy("ts").collect()
+    // reference: the literal per-row recursion
+    var sp = 0.0; var sn = 0.0
+    val expected = vals.map { v =>
+      sp = math.max(0.0, sp + (v - 10.0 - 2.0))
+      sn = math.max(0.0, sn + (10.0 - v - 2.0))
+      (sp, sn, sp > 20.0 || sn > 20.0)
+    }
+    val got = out.map(r => (r.getAs[Double]("cusum_pos"),
+      r.getAs[Double]("cusum_neg"), r.getAs[Boolean]("is_alarm"))).toSeq
+    assert(got == expected)
+  }
+
+  test("cusum scores keys independently and resets at zero") {
+    val rows = Seq(("a", 0L, 0L, 100.0), ("a", 1L, 1L, 100.0),
+      ("b", 0L, 2L, 0.0), ("b", 1L, 3L, 0.0))
+    val out = TimeSeries.cusum(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id", target = 50.0, slack = 0.0, threshold = 75.0)
+      .orderBy("k", "ts").collect()
+    // a drifts high: 50, 100 (alarm at row 2); b drifts low symmetrically
+    assert(out.map(_.getAs[Double]("cusum_pos")).toSeq == Seq(50.0, 100.0, 0.0, 0.0))
+    assert(out.map(_.getAs[Double]("cusum_neg")).toSeq == Seq(0.0, 0.0, 50.0, 100.0))
+    assert(out.map(_.getAs[Boolean]("is_alarm")).toSeq ==
+      Seq(false, true, false, true))
+  }
+
+  // ───────────────────── ewmaSmooth ─────────────────────
+
+  test("ewma matches the renormalized truncated weighting") {
+    val vals = Seq(10.0, 20.0, 30.0, 40.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+    val out = TimeSeries.ewmaSmooth(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id", alpha = 0.5, lookback = 3)
+      .orderBy("ts").collect().map(_.getAs[Double]("ewma")).toSeq
+    val w = TimeSeries.ewmaWeights(0.5, 3) // 0.5, 0.25, 0.125
+    def ref(vs: Seq[Double]): Double = {
+      val pairs = vs.reverse.zip(w)
+      pairs.map { case (v, wj) => v * wj }.sum / pairs.map(_._2).sum
+    }
+    val expected = Seq(ref(Seq(10.0)), ref(Seq(10.0, 20.0)),
+      ref(Seq(10.0, 20.0, 30.0)), ref(Seq(20.0, 30.0, 40.0)))
+    out.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+  }
+
+  test("ewma warm-up rows renormalize over visible history only") {
+    val rows = Seq(("k", 0L, 0L, 7.0))
+    val out = TimeSeries.ewmaSmooth(rows.toDF("k", "ts", "id", "v"),
+      "k", "ts", "v", "id", alpha = 0.3, lookback = 5).collect()
+    // a single point's smoothed value is itself (weights renormalize)
+    assert(math.abs(out.head.getAs[Double]("ewma") - 7.0) < 1e-6)
+  }
 }
