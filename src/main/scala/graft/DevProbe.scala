@@ -727,6 +727,16 @@ object DevProbe {
     timed("lpa3") {
       graft.operators.Graph.labelPropagation(spark, e, iters = 3).count()
     }
+    // expected degree 2·edges/nodes — k at half that peels a real
+    // fraction without emptying the core
+    timed("kcore") {
+      graft.operators.Graph.kCore(spark, e,
+        k = math.max(2, (edges / nodes).toInt), rounds = 6).count()
+    }
+    timed("bfs4") {
+      graft.operators.Graph.bfsDistances(spark, e, source = 0L,
+        maxDepth = 4).count()
+    }
     e.unpersist()
   }
 }

@@ -2400,6 +2400,16 @@ object SparkEntry {
           source = 0L, maxDepth = 4)
         .orderBy(col("node"))),
 
+    // X-jaro: Jaro-Winkler name linkage over part names — first-token +
+    // length-bucket blocking feeds the fused codegen JaroWinkler
+    // expression (pinned bit-exact to DuckDB's jaro_winkler_similarity
+    // by a 3000-case fuzz); never corpus²
+    "q_x_jaro" -> ((s, dir) =>
+      graft.operators.Linkage.jaroWinklerPairs(
+          t(s, dir, "part").filter(col("p_partkey") <= 400),
+          "p_partkey", "p_name", threshold = 0.90)
+        .orderBy(col("id1"), col("id2"))),
+
     // A-unpivot: wide-to-long reshape of the per-flag measure panel —
     // the relational melt (Spark's native unpivot; the pivot gate's
     // inverse), decimal-exact sums cast to double BEFORE the reshape
@@ -4900,6 +4910,22 @@ object SparkEntry {
       """SELECT l_orderkey % 97 AS src, l_partkey % 97 AS dst
         |FROM lineitem WHERE l_quantity <= 2""".stripMargin,
       source = 0L, maxDepth = 4),
+
+    // Jaro-Winkler linkage: DuckDB's jaro_winkler_similarity IS the
+    // reference the engine expression is fuzz-pinned to
+    "q_x_jaro" ->
+      """WITH k AS (
+        |  SELECT p_partkey AS id, p_name AS nm,
+        |    split_part(p_name, ' ', 1) AS b1,
+        |    CAST(length(p_name) // 8 AS INT) AS b2
+        |  FROM part
+        |  WHERE p_partkey <= 400 AND p_partkey IS NOT NULL
+        |    AND p_name IS NOT NULL)
+        |SELECT a.id AS id1, b.id AS id2,
+        |       ROUND(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |FROM k a JOIN k b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.id < b.id
+        |WHERE ROUND(jaro_winkler_similarity(a.nm, b.nm), 6) >= 0.90
+        |ORDER BY id1, id2""".stripMargin,
 
     // unpivot: the UNION ALL melt of the same decimal-exact wide panel
     "q_a_unpivot" ->
