@@ -2410,6 +2410,34 @@ object SparkEntry {
           "p_partkey", "p_name", threshold = 0.90)
         .orderBy(col("id1"), col("id2"))),
 
+    // A-cuped: CUPED variance reduction — per-flag price means adjusted
+    // by the quantity covariate; one variant-keyed aggregate + a
+    // broadcast pooled-scalar fold, nothing else touches the data
+    "q_a_cuped" -> ((s, dir) =>
+      graft.operators.Experiment.cupedAdjust(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
+    // D-systematic: every-7th event along (ts, event_id) — global
+    // positions via range partitioning + a partition-count pass, never
+    // a single-partition sort
+    "q_d_systematic" -> ((s, dir) =>
+      graft.operators.Sampling.systematicSample(
+          t(s, dir, "events").select("event_id", "ts"),
+          Seq("ts", "event_id"), k = 7, offset = 3)
+        .select(col("event_id"))
+        .orderBy(col("event_id"))),
+
+    // F-qnorm: quantile normalization of event values across event
+    // types — rank window + rank-keyed reference mean + join back
+    "q_f_qnorm" -> ((s, dir) =>
+      graft.operators.FeatureScaling.quantileNormalize(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_type", "value", tieCol = "event_id")
+        .select(col("event_id"), col("qnorm"))
+        .orderBy(col("event_id"))),
+
     // A-unpivot: wide-to-long reshape of the per-flag measure panel —
     // the relational melt (Spark's native unpivot; the pivot gate's
     // inverse), decimal-exact sums cast to double BEFORE the reshape
@@ -4926,6 +4954,58 @@ object SparkEntry {
         |FROM k a JOIN k b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.id < b.id
         |WHERE ROUND(jaro_winkler_similarity(a.nm, b.nm), 6) >= 0.90
         |ORDER BY id1, id2""".stripMargin,
+
+    // CUPED: same decimal power sums, same fixed-order pooled formula
+    "q_a_cuped" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) AS sx,
+        |    SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6))) AS sy,
+        |    SUM(CAST(ROUND(l_quantity * l_extendedprice, 6) AS DECIMAL(38,6))) AS sxy,
+        |    SUM(CAST(ROUND(l_quantity * l_quantity, 6) AS DECIMAL(38,6))) AS sxx,
+        |    SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 6) AS DECIMAL(38,6))) AS syy
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT SUM(n) AS nn,
+        |    CAST(SUM(sx) AS DOUBLE) AS tx, CAST(SUM(sy) AS DOUBLE) AS ty,
+        |    CAST(SUM(sxy) AS DOUBLE) AS txy, CAST(SUM(sxx) AS DOUBLE) AS txx,
+        |    CAST(SUM(syy) AS DOUBLE) AS tyy
+        |  FROM v)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+        |  ROUND(CAST(sy AS DOUBLE) / n -
+        |    ((txy - tx * ty / nn) / (txx - tx * tx / nn)) *
+        |    (CAST(sx AS DOUBLE) / n - tx / nn), 6) AS mean_y_adj,
+        |  ROUND((txy - tx * ty / nn) / (txx - tx * tx / nn), 6) AS theta,
+        |  ROUND(1.0 - (txy - tx * ty / nn) * (txy - tx * ty / nn) /
+        |    ((txx - tx * tx / nn) * (tyy - ty * ty / nn)), 6) AS var_ratio
+        |FROM v CROSS JOIN p ORDER BY l_returnflag""".stripMargin,
+
+    // systematic sampling: the global row_number twin of the
+    // range-partitioned distributed index
+    "q_d_systematic" ->
+      """WITH r AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id FROM r WHERE (rn - 1) % 7 = 3
+        |ORDER BY event_id""".stripMargin,
+
+    // quantile normalization: identical rank window + rank-mean join
+    "q_f_qnorm" ->
+      """WITH ranked AS (
+        |  SELECT event_id, event_type, value, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value, event_id) AS rk
+        |  FROM events WHERE value IS NOT NULL),
+        |ref AS (
+        |  SELECT rk,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*) AS ref
+        |  FROM ranked GROUP BY rk)
+        |SELECT event_id, ROUND(ref, 6) AS qnorm
+        |FROM ranked JOIN ref USING (rk) ORDER BY event_id""".stripMargin,
 
     // unpivot: the UNION ALL melt of the same decimal-exact wide panel
     "q_a_unpivot" ->

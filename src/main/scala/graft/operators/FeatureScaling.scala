@@ -120,4 +120,36 @@ object FeatureScaling {
         round(greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("double"))), 6))
       .drop("__lo", "__hi")
   }
+
+  /** Quantile normalization (Bolstad et al. 2003): every group's value
+    * distribution is forced onto the SAME reference distribution — the
+    * cross-group mean at each sorted rank. The batch-effect remover for
+    * multi-source feature columns (each source keeps its internal
+    * ordering; scale/shape artifacts between sources vanish).
+    *
+    * Rank r's reference = mean over groups of the group's r-th smallest
+    * value (groups shorter than r simply don't contribute at r — the
+    * unequal-size generalization). Ties within a group order by
+    * `tieCol` so ranks are deterministic.
+    *
+    * Scale shape: one group-keyed rank window (the running-sum
+    * shuffle), one rank-keyed mean aggregate (rows = max group size),
+    * and a rank-keyed join back — every stage keyed, nothing global.
+    * Reference means accumulate per-term ROUND(,6) DECIMAL and divide
+    * in DOUBLE; output rounds to 6.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, out: String = "qnorm"): DataFrame = {
+    guard(df, "quantileNormalize", "__rank", "__ref", out)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df.where(col(valueCol).isNotNull)
+      .withColumn("__rank", row_number().over(w))
+    val reference = ranked.groupBy(col("__rank"))
+      .agg((sum(round(col(valueCol), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1))).as("__ref"))
+    ranked.join(reference, "__rank")
+      .withColumn(out, round(col("__ref"), 6))
+      .drop("__rank", "__ref")
+  }
 }

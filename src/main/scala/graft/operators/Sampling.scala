@@ -244,4 +244,46 @@ object Sampling {
     }
     df.withColumn("fold", fold)
   }
+
+  /** Systematic (every-kth) sampling along a sort order — the survey
+    * design when the frame has a meaningful order (time, id) and the
+    * sample must spread evenly across it rather than cluster like an
+    * iid draw. Keeps rows at global sorted positions ≡ `offset`
+    * (mod `k`); `orderCols` must be a unique key for determinism.
+    *
+    * Scale shape: the global index is computed WITHOUT a global sort
+    * shuffle to one partition — `repartitionByRange` on the order key
+    * plus per-partition sort gives a globally ordered layout; a
+    * partition-count-sized row-count pass turns local indices into
+    * exact global positions (the classic distributed zipWithIndex).
+    * Cost: one range shuffle + one lightweight counting job.
+    */
+  def systematicSample(df: DataFrame, orderCols: Seq[String], k: Int,
+      offset: Int = 0, partitions: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(offset >= 0 && offset < k, s"need 0 <= offset < k, got $offset")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val cols = orderCols.map(col)
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val schema = ranged.schema
+    // one .rdd so the counting job and the filter job share lineage —
+    // the range shuffle's files are reused, not recomputed
+    val rdd = ranged.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val starts = counts.scanLeft(0L)(_ + _)
+    val kept = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var g = starts(i)
+      it.filter { _ =>
+        val keep = g % k == offset
+        g += 1
+        keep
+      }
+    }
+    df.sparkSession.createDataFrame(kept, schema)
+  }
 }

@@ -47,7 +47,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_hits",               // 1-row node count + per-round L1 totals
     "q_d_neyman",             // 1-row Σ(N_h·σ_h) weight scalar
     "q_a_mi",                 // 1-row grand-total over the cell table
-    "q_a_benford")            // 1-row digit-count total scalar
+    "q_a_benford",            // 1-row digit-count total scalar
+    "q_a_cuped")              // 1-row pooled θ/mean scalar panel
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

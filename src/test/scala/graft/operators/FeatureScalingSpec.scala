@@ -76,4 +76,29 @@ class FeatureScalingSpec extends SparkSpec {
     }
     assert(aggs.size == 1, s"expected one fused stats aggregate, got ${aggs.size}")
   }
+
+  // ───────────────────── quantileNormalize ─────────────────────
+
+  test("quantile normalization forces every group onto the rank means") {
+    import spark.implicits._
+    // two equal-size groups: rank means are (avg of the r-th smallest)
+    val rows = Seq(("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 6.0),
+      ("b", 4L, 10.0), ("b", 5L, 20.0), ("b", 6L, 30.0))
+    val out = FeatureScaling.quantileNormalize(
+        rows.toDF("g", "id", "v"), "g", "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("qnorm")).toMap
+    // rank refs: (2+10)/2=6, (4+20)/2=12, (6+30)/2=18
+    assert(out(1L) == 6.0 && out(2L) == 12.0 && out(3L) == 18.0)
+    assert(out(4L) == 6.0 && out(5L) == 12.0 && out(6L) == 18.0)
+  }
+
+  test("unequal group sizes: long ranks average over present groups only") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("b", 3L, 5.0))
+    val out = FeatureScaling.quantileNormalize(
+        rows.toDF("g", "id", "v"), "g", "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("qnorm")).toMap
+    assert(out(1L) == 3.0 && out(3L) == 3.0) // rank 1: (1+5)/2
+    assert(out(2L) == 3.0)                   // rank 2: a alone
+  }
 }

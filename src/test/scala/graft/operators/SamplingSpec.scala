@@ -209,4 +209,24 @@ class SamplingSpec extends SparkSpec {
     assert(run(1, 200) == run(8, 200))
     assert(run(4, 100).subsetOf(run(4, 400)))
   }
+
+  // ───────────────────── systematicSample ─────────────────────
+
+  test("systematic sample keeps exactly the positions ≡ offset mod k") {
+    val data = (1L to 103L).map(i => (i * 10, i)).toDF("ts", "id")
+    val kept = Sampling.systematicSample(data, Seq("ts", "id"), k = 5,
+        offset = 2).select("id").as[Long].collect().sorted.toSeq
+    // sorted positions 0..102; keep 2, 7, 12, … → ids 3, 8, 13, …
+    assert(kept == (2L until 103L by 5).map(_ + 1))
+  }
+
+  test("systematic sample is layout- and partition-count-independent") {
+    val data = (1L to 500L).map(i => ((i * 37) % 1000, i)).toDF("ts", "id")
+    def run(parts: Int, rangeParts: Int) =
+      Sampling.systematicSample(data.repartition(parts), Seq("ts", "id"),
+        k = 7, offset = 0, partitions = rangeParts)
+        .select("id").as[Long].collect().toSet
+    assert(run(1, 4) == run(16, 4))
+    assert(run(4, 2) == run(4, 11)) // range-partition count is internal
+  }
 }
