@@ -2438,6 +2438,27 @@ object SparkEntry {
         .select(col("event_id"), col("qnorm"))
         .orderBy(col("event_id"))),
 
+    // W-rfm: RFM segmentation of customers from their orders — one
+    // entity aggregate, then three exact NTILEs computed from
+    // range-partitioned global positions (GlobalOrder.ntileAtScale):
+    // no single-partition window anywhere
+    "q_w_rfm" -> ((s, dir) =>
+      graft.operators.Cohort.rfmScores(
+          t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice",
+          k = 5)
+        .orderBy(col("o_custkey"))),
+
+    // X-assoc: pairwise association rules over order baskets (bounded
+    // mod-40 item domain) — basket-keyed pair join + marginals, ratios
+    // from exact integer counts
+    "q_x_assoc" -> ((s, dir) =>
+      graft.operators.Cooccurrence.associationRules(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey").as("basket"),
+              (col("l_partkey") % 40).as("item")),
+          "basket", "item", minSupport = 20)
+        .orderBy(col("ante"), col("cons"))),
+
     // A-unpivot: wide-to-long reshape of the per-flag measure panel —
     // the relational melt (Spark's native unpivot; the pivot gate's
     // inverse), decimal-exact sums cast to double BEFORE the reshape
@@ -5006,6 +5027,55 @@ object SparkEntry {
         |  FROM ranked GROUP BY rk)
         |SELECT event_id, ROUND(ref, 6) AS qnorm
         |FROM ranked JOIN ref USING (rk) ORDER BY event_id""".stripMargin,
+
+    // RFM: NTILE window twin of the distributed global-position scoring
+    "q_w_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    MAX(o_orderdate) AS recency,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT o_custkey, recency, CAST(frequency AS BIGINT) AS frequency,
+        |  monetary,
+        |  CAST(NTILE(5) OVER (ORDER BY recency, o_custkey) AS INT) AS r,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m,
+        |  CAST(NTILE(5) OVER (ORDER BY recency, o_custkey) * 100 +
+        |       NTILE(5) OVER (ORDER BY frequency, o_custkey) * 10 +
+        |       NTILE(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS segment
+        |FROM base ORDER BY o_custkey""".stripMargin,
+
+    // association rules: same distinct-basket pair join + marginals
+    "q_x_assoc" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 40 AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pc AS (
+        |  SELECT a.i AS i, c.i AS j, count(*) AS nab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY i),
+        |tot AS (SELECT count(DISTINCT b) AS nb FROM bi),
+        |d AS (
+        |  SELECT i AS ante, j AS cons, nab FROM pc
+        |  UNION ALL
+        |  SELECT j AS ante, i AS cons, nab FROM pc)
+        |SELECT ante, cons, CAST(nab AS BIGINT) AS n_ab,
+        |  ROUND(CAST(nab AS DOUBLE) / nb, 6) AS support,
+        |  ROUND(CAST(nab AS DOUBLE) / na.ni, 6) AS confidence,
+        |  ROUND(CAST(nab AS DOUBLE) * nb / (CAST(na.ni AS DOUBLE) * nc.ni), 6)
+        |    AS lift
+        |FROM d
+        |JOIN ic na ON d.ante = na.i
+        |JOIN ic nc ON d.cons = nc.i
+        |CROSS JOIN tot
+        |ORDER BY ante, cons""".stripMargin,
 
     // unpivot: the UNION ALL melt of the same decimal-exact wide panel
     "q_a_unpivot" ->

@@ -81,4 +81,40 @@ object Cohort {
         sum(round(col(valueCol), 6).cast("decimal(38,6)")).cast("double")
           .as("revenue"))
   }
+
+  /** RFM segmentation (Hughes 1994): per entity, recency (latest
+    * activity), frequency (row count), monetary (decimal-exact spend),
+    * each scored 1..k by exact NTILE over the entity panel — higher
+    * score = more recent / frequent / valuable. `segment` packs the
+    * three scores as r·100 + f·10 + m (the "555 champions" convention).
+    *
+    * Scale shape: one entity-keyed aggregate reduces the data to the
+    * entity panel; the three NTILEs run through
+    * [[GlobalOrder.ntileAtScale]] — exact SQL NTILE semantics from
+    * range-partitioned global positions, never a single-partition
+    * window, so the scoring scales with the ENTITY count on the same
+    * terms as any shuffle. Entity id breaks all ties.
+    */
+  def rfmScores(df: DataFrame, entityCol: String, tsCol: String,
+      amountCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val clash = df.columns.toSet
+      .intersect(Set("recency", "frequency", "monetary", "r", "f", "m", "segment"))
+    require(clash.isEmpty,
+      s"rfmScores reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val base = df
+      .where(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(
+        max(col(tsCol)).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(amountCol), 6).cast("decimal(38,6)")).cast("double")
+          .as("monetary"))
+    val withR = GlobalOrder.ntileAtScale(base, Seq("recency", entityCol), k, "r")
+    val withF = GlobalOrder.ntileAtScale(withR, Seq("frequency", entityCol), k, "f")
+    val withM = GlobalOrder.ntileAtScale(withF, Seq("monetary", entityCol), k, "m")
+    withM.withColumn("segment",
+      (col("r") * 100 + col("f") * 10 + col("m")).cast("int"))
+  }
 }

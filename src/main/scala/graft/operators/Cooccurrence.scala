@@ -71,4 +71,50 @@ object Cooccurrence {
         col("__it.co_item").as("co_item"), col("__it.n").as("n"))
       .orderBy(col("item"), col("rank"))
   }
+
+  /** Pairwise association rules (Agrawal & Srikant 1994, the 2-itemset
+    * slice): for item pairs co-occurring in at least `minSupport`
+    * baskets, both directional rules a→b with
+    *
+    *   support    = n_ab / N          confidence = n_ab / n_a
+    *   lift       = n_ab · N / (n_a · n_b)
+    *
+    * Scale shape: baskets dedupe to distinct (basket, item) rows; the
+    * pair count is a basket-keyed self-join (bounded by basket size²,
+    * the apriori candidate cost — cap basket width upstream for
+    * pathological carts); item marginals and the basket total are one
+    * aggregate each. Ratios derive from exact integer counts in
+    * DOUBLE, rounded to 6 — the chiSquare playbook.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val bi = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val pairCounts = bi.join(bi.select(col("__b"), col("__i").as("__j")), "__b")
+      .where(col("__i") < col("__j"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(count(lit(1)).as("__nab"))
+      .where(col("__nab") >= minSupport)
+    val itemCounts = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val total = bi.agg(countDistinct(col("__b")).as("__nb"))
+    val directed = pairCounts
+      .select(col("__i").as("ante"), col("__j").as("cons"), col("__nab"))
+      .union(pairCounts
+        .select(col("__j").as("ante"), col("__i").as("cons"), col("__nab")))
+    directed
+      .join(itemCounts.select(col("__i").as("ante"), col("__ni").as("__na")), "ante")
+      .join(itemCounts.select(col("__i").as("cons"), col("__ni").as("__nc")), "cons")
+      .crossJoin(broadcast(total))
+      .select(col("ante"), col("cons"),
+        col("__nab").cast("bigint").as("n_ab"),
+        round(col("__nab").cast("double") / col("__nb"), 6).as("support"),
+        round(col("__nab").cast("double") / col("__na"), 6).as("confidence"),
+        // marginal product in DOUBLE — two long marginals can overflow
+        // int64 at corpus scale
+        round(col("__nab").cast("double") * col("__nb") /
+          (col("__na").cast("double") * col("__nc")), 6).as("lift"))
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global-order primitives WITHOUT a single-partition sort: an empty
+  * `Window.orderBy(...)` funnels the whole relation through one task —
+  * the canonical 1000-executor-cluster serializer — so anything needing
+  * global positions (ntile, systematic sampling, exact global ranks)
+  * routes through range partitioning + a partition-count-sized offset
+  * pass instead (the classic distributed zipWithIndex):
+  *
+  *  1. `repartitionByRange` on the order key gives a layout where
+  *     partition i's rows all precede partition i+1's;
+  *  2. a lightweight counting job (one Long per partition) turns local
+  *     indices into exact global positions;
+  *  3. the consumer maps positions to whatever it needs (every-kth
+  *     filter, ntile bucket, rank).
+  *
+  * Cost: one range shuffle + one counting job that reuses the shuffle
+  * files. `orderCols` must be a unique key for determinism.
+  */
+object GlobalOrder {
+
+  /** Adds `out` = the row's 0-based global position in the
+    * `orderCols` sort order. */
+  def withGlobalIndex(df: DataFrame, orderCols: Seq[String],
+      out: String = "gidx", partitions: Int = 0): DataFrame =
+    withGlobalIndexAndCount(df, orderCols, out, partitions)._1
+
+  /** [[withGlobalIndex]] plus the total row count — already known from
+    * the per-partition counting pass, so consumers needing n (ntile)
+    * don't pay a second action. */
+  def withGlobalIndexAndCount(df: DataFrame, orderCols: Seq[String],
+      out: String = "gidx", partitions: Int = 0): (DataFrame, Long) = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains(out),
+      s"withGlobalIndex emits `$out` — rename the input's first")
+    val cols = orderCols.map(col)
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val rdd = ranged.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val starts = counts.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(out,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var g = starts(i)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ g)
+        g += 1
+        r
+      }
+    }
+    (df.sparkSession.createDataFrame(indexed, schema), starts.last)
+  }
+
+  /** Adds `out` = NTILE(k) over the global `orderCols` order — exact
+    * SQL NTILE semantics (first n mod k buckets get the extra row),
+    * derived arithmetically from the global position, so no
+    * single-partition window ever exists in the plan. */
+  def ntileAtScale(df: DataFrame, orderCols: Seq[String], k: Int,
+      out: String = "ntile", partitions: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idx = "__ntile_gidx"
+    val (indexed, n) = withGlobalIndexAndCount(df, orderCols, idx, partitions)
+    val size = n / k
+    val rem = n % k
+    // SQL NTILE: buckets 1..rem have size+1 rows, the rest size rows
+    val g = col(idx)
+    val bucket =
+      if (size == 0) g + lit(1L) // fewer rows than buckets: row i → tile i+1
+      else when(g < lit((size + 1) * rem),
+          g.divide(lit(size + 1)).cast("long") + 1L)
+        .otherwise(lit(rem) +
+          (g - lit((size + 1) * rem)).divide(lit(size)).cast("long") + 1L)
+    indexed.withColumn(out, bucket.cast("int")).drop(idx)
+  }
+}

@@ -64,4 +64,28 @@ class CooccurrenceSpec extends SparkSpec {
     val base = Cooccurrence.relatedItems(rows, "b", "i", k = 3)
     assert(got.collect().toSet == base.collect().toSet)
   }
+
+  test("associationRules: textbook support/confidence/lift on a tiny corpus") {
+    // baskets: {x,y} ×3, {x} ×1, {y} ×1, {x,z} ×1 → N=6
+    val bi = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (3L, "y"), (4L, "x"), (5L, "y"), (6L, "x"), (6L, "z")).toDF("b", "i")
+    val got = Cooccurrence.associationRules(bi, "b", "i", minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toMap
+    // x→y: n_ab=3, supp 3/6, conf 3/5 (x in 5), lift 3·6/(5·4)=0.9
+    assert(got(("x", "y")) == ((3L, 0.5, 0.6, 0.9)))
+    // y→x mirrors with conf 3/4
+    assert(got(("y", "x")) == ((3L, 0.5, 0.75, 0.9)))
+    // x→z: n=1, conf 1/5, lift 6/5 = 1.2
+    assert(got(("x", "z")) == ((1L, math.round(1.0 / 6 * 1e6) / 1e6, 0.2, 1.2)))
+  }
+
+  test("associationRules dedupes repeated items and applies minSupport") {
+    val bi = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("b", "i")
+    val got = Cooccurrence.associationRules(bi, "b", "i", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "a"))) // (a,c) at support 1 drops
+  }
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Distributed global index / ntile: exact SQL NTILE semantics without
+  * a single-partition window, layout independence. */
+class GlobalOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("global index is the exact sort position, any layout") {
+    val df = (1L to 97L).map(i => ((i * 53) % 101, i)).toDF("v", "id")
+    def run(parts: Int) =
+      GlobalOrder.withGlobalIndex(df.repartition(parts), Seq("v", "id"))
+        .select("id", "gidx").as[(Long, Long)].collect().toMap
+    val expect = (1L to 97L).sortBy(i => ((i * 53) % 101, i))
+      .zipWithIndex.map { case (id, g) => id -> g.toLong }.toMap
+    assert(run(1) == expect)
+    assert(run(13) == expect)
+  }
+
+  test("ntileAtScale equals the window NTILE for every k incl. remainders") {
+    val df = (1L to 23L).map(i => ((i * 7) % 29, i)).toDF("v", "id")
+    for (k <- Seq(1, 2, 4, 5, 23, 40)) {
+      val got = GlobalOrder.ntileAtScale(df, Seq("v", "id"), k, "nt")
+        .select("id", "nt").as[(Long, Int)].collect().toMap
+      val expect = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).as("nt"))
+        .as[(Long, Int)].collect().toMap
+      assert(got == expect, s"k=$k")
+    }
+  }
+
+  test("rfmScores: monotone metrics land monotone scores; ties break by id") {
+    // customer i: i orders of 10.0 each on day i → all three metrics
+    // increase with i, so r = f = m and segments are perfect nnn
+    val orders = (1 to 10).flatMap(c => (1 to c).map(_ =>
+      (c.toLong, c.toLong * 1000L, 10.0))).toDF("cust", "ts", "amt")
+    val out = Cohort.rfmScores(orders, "cust", "ts", "amt")
+      .orderBy("cust").collect()
+    val segs = out.map(r => r.getAs[Long]("cust") -> r.getAs[Int]("segment"))
+    assert(segs.map(_._2).toSeq == Seq(111, 111, 222, 222, 333, 333, 444, 444, 555, 555))
+  }
+}
