@@ -2477,6 +2477,100 @@ object SparkEntry {
           Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
           "measure", "value")
         .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
+    // T-acf: per-user autocorrelation at lags 1..3 — all lead reads in
+    // ONE key-partitioned window pass, inline posexplode fan-out, one
+    // (key, lag) aggregate; integer-exact decimal sufficient statistics
+    "q_t_acf" -> ((s, dir) =>
+      graft.operators.TimeSeries.autocorrelation(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "value", tieCol = "event_id", maxLag = 3)
+        .orderBy(col("user_id"), col("lag_k"))),
+
+    // T-interp: per-user linear interpolation of planted nulls — two
+    // incremental frames on one window (running last before / running
+    // first after), never a neighbor self-join
+    "q_t_interp" -> ((s, dir) =>
+      graft.operators.TimeSeries.interpolate(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            col("ts"),
+            when(col("event_id") % 7 === 0, lit(null))
+              .otherwise(col("value")).as("value")),
+          "user_id", "ts", "value", tieCol = "event_id")
+        .select(col("event_id"), col("v_interp"))
+        .orderBy(col("event_id"))),
+
+    // T-seasonal: (day-of-week, hour) baseline + residual — a
+    // 168-cell broadcast profile joined back map-side; calendar parts
+    // from the epoch-nano BIGINT by integer division only
+    "q_t_seasonal" -> ((s, dir) =>
+      graft.operators.TimeSeries.seasonalBaseline(
+          t(s, dir, "events"), "event_id", "ts", "value")
+        .orderBy(col("event_id"))),
+
+    // A-spearman: tie-averaged rank correlation with DISTRIBUTED ranks
+    // (GlobalOrder.withPrefixSum — range shuffle + partition-sized
+    // offsets, no single-partition rank window); doubled ranks keep
+    // every sufficient statistic an exact integer
+    "q_a_spearman" -> ((s, dir) =>
+      graft.operators.Profiling.spearman(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")),
+
+    // X-linkpred: common-neighbor + Adamic-Adar link scores over the
+    // sparse mod-150 quantity≤10 lineitem projection (density tuned so
+    // BOTH SFs leave thousands of non-adjacent candidate pairs) —
+    // wedge-join candidates (triangle regime, Σdeg² not pairs²),
+    // broadcast degree table, one anti-join against existing edges
+    "q_x_linkpred" -> ((s, dir) =>
+      graft.operators.Graph.linkPrediction(
+          t(s, dir, "lineitem").where(col("l_quantity") <= 10)
+            .select(
+              (col("l_orderkey") % 150).as("u"),
+              (col("l_partkey") % 150).as("v")),
+          "u", "v", minCommon = 2)
+        .orderBy(col("u"), col("v"))),
+
+    // S-diff: snapshot reconciliation — orders vs a deterministically
+    // perturbed next version (drops, updates, inserts); one full-outer
+    // join + null-safe column masks, the audit twin of MERGE/SCD2
+    "q_s_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val kept = o.where(col("o_orderkey") % 19 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 31 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 23 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val added = o.where(col("o_orderkey") % 17 === 3)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      graft.operators.Snapshot.diff(o, kept.unionByName(added),
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // X-golden: survivorship capstone — entity clusters collapsed to
+    // one golden record each (max balance, id tiebreak); cluster-keyed
+    // row_number bounded by block size, singletons pass through as
+    // their own golden record. The candidate edges add a
+    // sorted-neighborhood band (|Δid| ≤ 3) on top of fuzzyPairs — the
+    // classic SNM refinement; without it the synthetic name space
+    // chains every record into one cluster and the pick is trivial
+    "q_x_golden" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val edges = graft.operators.Dedup.fuzzyPairs(
+          t(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .where(abs(col("id1") - col("id2")) <= 3)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      val clusters = graft.operators.Dedup.connectedComponents(edges)
+      graft.operators.Linkage.goldenRecords(sup, "s_suppkey", clusters,
+          Seq(col("s_acctbal").desc))
+        .select(col("cluster"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_members"))
+        .orderBy(col("cluster"))
     })
   )
 
@@ -5092,6 +5186,202 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    // ACF: the same lead ladder + UNION fan-out, identical decimal
+    // sufficient statistics and fixed-order double assembly
+    "q_t_acf" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, value FROM events),
+        |l AS (
+        |  SELECT user_id, value AS x,
+        |    lead(value, 1) OVER w AS y1,
+        |    lead(value, 2) OVER w AS y2,
+        |    lead(value, 3) OVER w AS y3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT user_id, CAST(1 AS INTEGER) AS lag_k, x, y1 AS y FROM l
+        |  UNION ALL SELECT user_id, 2, x, y2 FROM l
+        |  UNION ALL SELECT user_id, 3, x, y3 FROM l),
+        |a AS (
+        |  SELECT user_id, lag_k, count(*) AS n_pairs,
+        |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+        |  GROUP BY user_id, lag_k)
+        |SELECT user_id, lag_k, n_pairs,
+        |  CASE WHEN n_pairs >= 2
+        |        AND CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+        |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0
+        |  THEN ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) *
+        |         (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) END AS acf
+        |FROM a ORDER BY user_id, lag_k""".stripMargin,
+
+    // interpolation: the same two incremental frames (running last
+    // before / running first after) and fixed-order double blend
+    "q_t_interp" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, v, ts,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+        |      OVER wb AS pt,
+        |    first_value(v IGNORE NULLS) OVER wa AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+        |      OVER wa AS nt
+        |  FROM e
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         ROUND(pv + (nv - pv) *
+        |           (CAST(ts - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6)
+        |       WHEN pv IS NOT NULL THEN pv
+        |       ELSE nv END AS v_interp
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    // seasonal: integer-only calendar parts off epoch nanos
+    // (1970-01-01 was a Thursday), decimal-exact cell means
+    "q_t_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_id, value AS v,
+        |    CAST(((epoch_ns(ts) // 86400000000000) + 4) % 7 AS INTEGER) AS dow,
+        |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS "hour"
+        |  FROM events),
+        |p AS (
+        |  SELECT dow, "hour",
+        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(v), 6)
+        |      AS baseline
+        |  FROM e GROUP BY dow, "hour")
+        |SELECT e.event_id, e.dow, e."hour", e.v, p.baseline,
+        |  ROUND(e.v - p.baseline, 6) AS residual
+        |FROM e JOIN p USING (dow, "hour") ORDER BY event_id""".stripMargin,
+
+    // spearman: tie-averaged ranks via the window twin (2·rank + cnt − 1
+    // doubles the .5-averages into exact integers), identical fixed-order
+    // closed form
+    "q_a_spearman" ->
+      """WITH c AS (
+        |  SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (
+        |  SELECT
+        |    2 * rank() OVER (ORDER BY a) + count(*) OVER (PARTITION BY a) - 1 AS ra,
+        |    2 * rank() OVER (ORDER BY b) + count(*) OVER (PARTITION BY b) - 1 AS rb
+        |  FROM c),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(CAST(ra AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(rb AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ra AS DECIMAL(19,0)) * CAST(ra AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(rb AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(ra AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+        |  FROM r)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |         (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho
+        |FROM s""".stripMargin,
+
+    // link prediction: the same wedge join + NOT EXISTS anti-join,
+    // per-witness 1/ln(deg) rounded into a decimal sum
+    "q_x_linkpred" ->
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 150, l_partkey % 150) AS a,
+        |    greatest(l_orderkey % 150, l_partkey % 150) AS b
+        |  FROM lineitem
+        |  WHERE l_orderkey % 150 <> l_partkey % 150 AND l_quantity <= 10),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a AS w, count(*) AS d FROM sym GROUP BY a),
+        |wed AS (
+        |  SELECT s1.a AS w, s1.b AS u, s2.b AS v
+        |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b),
+        |cand AS (
+        |  SELECT w, u, v FROM wed
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = wed.u AND e.b = wed.v))
+        |SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+        |  ROUND(CAST(SUM(CAST(ROUND(1.0 / ln(CAST(d AS DOUBLE)), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS aa
+        |FROM cand JOIN deg USING (w)
+        |GROUP BY u, v HAVING count(*) >= 2
+        |ORDER BY u, v""".stripMargin,
+
+    // snapshot diff: the same perturbation replayed in SQL, FULL OUTER
+    // + IS DISTINCT FROM masks
+    "q_s_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 23 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 19 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 17 = 3),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_old,
+        |    n.o_orderkey IS NOT NULL AS in_new,
+        |    o.o_orderstatus AS os, n.o_orderstatus AS ns,
+        |    o.o_totalprice AS op, n.o_totalprice AS np
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |       WHEN NOT in_new THEN 'removed'
+        |       WHEN (os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np)
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  CASE WHEN in_old AND in_new
+        |        AND ((os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np))
+        |    THEN concat_ws(',',
+        |      CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+        |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
+        |    ELSE '' END AS changed_cols
+        |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // golden records: the entity closure (with the SNM |Δid| ≤ 3 band)
+    // + survivorship window
+    "q_x_golden" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.s_suppkey id1, b.s_suppkey id2
+        |  FROM supplier a JOIN supplier b
+        |    ON a.s_suppkey < b.s_suppkey
+        |   AND substring(a.s_name, 1, 1) = substring(b.s_name, 1, 1)
+        |   AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        |  WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |    AND abs(a.s_suppkey - b.s_suppkey) <= 3),
+        |sym AS (SELECT id1 a, id2 b FROM edges UNION SELECT id2, id1 FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+        |cl AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+        |       FROM reach GROUP BY a),
+        |asg AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal,
+        |    COALESCE(cl.cluster, s.s_suppkey) AS cluster
+        |  FROM supplier s LEFT JOIN cl ON s.s_suppkey = cl.id),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cluster
+        |                       ORDER BY s_acctbal DESC, s_suppkey) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM asg)
+        |SELECT cluster, s_suppkey, s_name, s_acctbal,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     // q_x_lsh_topk / q_x_ivf_topk / q_d2_sample / q_d2b_stratified:
     // intentionally no oracle — approximate ANN and engine-seeded

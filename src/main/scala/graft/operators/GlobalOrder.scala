@@ -61,6 +61,52 @@ object GlobalOrder {
     (df.sparkSession.createDataFrame(indexed, schema), starts.last)
   }
 
+  /** Adds `out` = the EXCLUSIVE running total of `weightCol` in the
+    * global `orderCols` order (row i gets the sum of all earlier rows'
+    * weights) — the weighted generalization of [[withGlobalIndex]]:
+    * with weight 1 it reproduces the global index; with per-value
+    * counts it yields exact global CDFs and tie-averaged ranks without
+    * any single-partition window.
+    *
+    * Same cost model: one range shuffle + a per-partition Long-pair
+    * counting job whose collected state is partition-count-sized.
+    * `weightCol` must be integral and non-null.
+    */
+  def withPrefixSum(df: DataFrame, orderCols: Seq[String],
+      weightCol: String, out: String = "prefix_sum",
+      partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains(out),
+      s"withPrefixSum emits `$out` — rename the input's first")
+    val cols = orderCols.map(col)
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val wIdx = df.columns.indexOf(weightCol)
+    require(wIdx >= 0, s"no column `$weightCol` in ${df.columns.mkString(", ")}")
+    val ranged = df.repartitionByRange(p, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val rdd = ranged.rdd
+    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(wIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val starts = totals.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(out,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val summed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var g = starts(i)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ g)
+        g += row.getLong(wIdx)
+        r
+      }
+    }
+    df.sparkSession.createDataFrame(summed, schema)
+  }
+
   /** Adds `out` = NTILE(k) over the global `orderCols` order — exact
     * SQL NTILE semantics (first n mod k buckets get the extra row),
     * derived arithmetically from the global position, so no

@@ -43,4 +43,46 @@ object Linkage {
           col("__n1"), col("__n2")), 6).as("jw"))
       .where(col("jw") >= threshold)
   }
+
+  /** Survivorship: collapse each entity cluster to its golden record —
+    * the step after candidate pairs close into clusters
+    * ([[graft.operators.Dedup.connectedComponents]]) where one
+    * representative row must be CHOSEN, not synthesized. The survivor
+    * is the cluster member ranking first under `precedence` (the
+    * business rule — e.g. highest completeness, most recent, largest
+    * balance), with `idCol` ascending as the deterministic final tie
+    * break.
+    *
+    * Scale shape: one equi-join of the records to the cluster
+    * assignment (both keyed on the record id) + one cluster-keyed
+    * row_number window — state bounded by cluster size, which the
+    * upstream blocking already bounds. Singleton ids absent from
+    * `clusters` pass through as their own golden record.
+    *
+    * Output: records schema + (`cluster`, `n_members`).
+    */
+  def goldenRecords(records: DataFrame, idCol: String,
+      clusters: DataFrame, precedence: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
+    require(precedence.nonEmpty, "need at least one precedence column")
+    val clash = records.columns.toSet
+      .intersect(Set("cluster", "n_members", "__rn", "id"))
+    require(clash.isEmpty,
+      s"goldenRecords reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val assigned = records.join(clusters.select(col("id"), col("cluster")),
+        records(idCol) === col("id"), "left")
+      .withColumn("cluster",
+        coalesce(col("cluster"), records(idCol)))
+      .drop("id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(precedence :+ col(idCol).asc: _*)
+    assigned
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -590,6 +590,64 @@ object Profiling {
 
   /** log10(1 + 1/d) for d = 1..9, pre-rounded to 9 — the literals BOTH
     * engines consume (no cross-engine log10 surface). */
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association complement to [[correlationMatrix]]'s Pearson
+    * (robust to outliers and nonlinearity; the profiling question is
+    * "do these move together at all", not "linearly").
+    *
+    * Ranks are the standard tie-averaged ("fractional") ranks, computed
+    * DISTRIBUTEDLY: per-column distinct-value counts feed
+    * [[GlobalOrder.withPrefixSum]] (range shuffle + a partition-sized
+    * offset pass), so no single-partition rank window ever exists —
+    * the piece that would serialize a 100 TB column through one task.
+    * Rows with a null on either side drop first (pairwise-complete).
+    *
+    * Cross-engine reproducibility: everything up to the final formula
+    * is INTEGER — the engine carries DOUBLED ranks (2·rank is always
+    * integral even for .5-tie averages; Pearson is invariant under the
+    * scaling), so the five sufficient statistics are exact BIGINT sums
+    * with zero float surface. The closed form assembles in DOUBLE with
+    * fixed parenthesization, `sqrt` is IEEE-exact, output rounds to 6.
+    *
+    * Output: one row (n, rho).
+    */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val clean = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    // doubled tie-averaged rank of value v (1-based ranks):
+    //   2·avgrank = 2·(#smaller) + (#equal) + 1
+    // — #smaller is the exclusive weighted prefix sum over the
+    // distinct-value table, #equal its count
+    def doubledRanks(c: String, out: String): DataFrame = {
+      val counts = clean.groupBy(col(c)).agg(count(lit(1)).as("__w"))
+      GlobalOrder.withPrefixSum(counts, Seq(c), "__w", "__pre")
+        .select(col(c),
+          (lit(2) * col("__pre") + col("__w") + lit(1)).as(out))
+    }
+    clean
+      .join(doubledRanks("__a", "__ra"), "__a")
+      .join(doubledRanks("__b", "__rb"), "__b")
+      .agg(count(lit(1)).as("n"),
+        // DECIMAL(38,0) keeps the quadratic sums exact far past the
+        // ~1.3M-row point where Σ(2n)²·n would overflow BIGINT
+        sum(col("__ra").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__rb").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__ra").cast("decimal(19,0)") *
+          col("__ra").cast("decimal(19,0)")).as("__sxx"),
+        sum(col("__rb").cast("decimal(19,0)") *
+          col("__rb").cast("decimal(19,0)")).as("__syy"),
+        sum(col("__ra").cast("decimal(19,0)") *
+          col("__rb").cast("decimal(19,0)")).as("__sxy"))
+      .select(col("n"),
+        round((col("n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("__sxx").cast("double") -
+              col("__sx").cast("double") * col("__sx").cast("double")) *
+            (col("n").cast("double") * col("__syy").cast("double") -
+              col("__sy").cast("double") * col("__sy").cast("double"))), 6)
+          .as("rho"))
+  }
+
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)

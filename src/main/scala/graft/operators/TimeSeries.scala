@@ -278,6 +278,141 @@ object TimeSeries {
       BigDecimal(alpha * math.pow(1 - alpha, j))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  /** Per-key autocorrelation function at lags 1..`maxLag` — the
+    * seasonality/persistence diagnostic (is a series mean-reverting?
+    * does it echo at lag 7?). Each lag's coefficient is the Pearson
+    * correlation of the paired series (x_t, x_{t+k}) over the rows
+    * where both exist — the "sample ACF of the overlapping segments"
+    * formulation, which needs no full-series mean and therefore stays
+    * a single aggregate.
+    *
+    * Scale shape: ONE key-partitioned window computes all `maxLag`
+    * lead reads in a single pass (shared frame, O(maxLag)/row); an
+    * inline posexplode fans the (lag, x, y) pairs out and one
+    * (key, lag) aggregate finishes — two shuffles total, both on the
+    * series key, no self-join of the series against itself.
+    *
+    * Cross-engine reproducibility: x, y, x², y², x·y each round to 6
+    * into DECIMAL(38,6) sums (order-exact); the correlation assembles
+    * in DOUBLE with a fixed parenthesization mirrored in the oracle;
+    * `sqrt` is IEEE-exact; output rounds to 6. Degenerate lags (n < 2
+    * pairs or zero variance on either side) yield a null `acf`.
+    *
+    * Output: (key, lag_k, n_pairs, acf).
+    */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"need 1 <= maxLag <= 64, got $maxLag")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val v = col(valCol)
+    val d6 = (c: Column) => round(c, 6).cast("decimal(38,6)")
+    // window expressions can't sit under a Generate — materialize the
+    // lead ladder as columns first, then explode the (lag, x, y) structs
+    val leads = df.select(Seq(col(keyCol), v.as("__x")) ++
+      (1 to maxLag).map(k => lead(v, k).over(ord).as(s"__y$k")): _*)
+    val pairs = (1 to maxLag).map(k =>
+      struct(lit(k).as("lag_k"), col("__x").as("x"), col(s"__y$k").as("y")))
+    val exploded = leads
+      .select(col(keyCol), explode(array(pairs: _*)).as("__p"))
+      .select(col(keyCol), col("__p.lag_k").as("lag_k"),
+        col("__p.x").as("x"), col("__p.y").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val agg = exploded.groupBy(col(keyCol), col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d6(col("x"))).cast("double").as("__sx"),
+        sum(d6(col("y"))).cast("double").as("__sy"),
+        sum(d6(col("x") * col("x"))).cast("double").as("__sxx"),
+        sum(d6(col("y") * col("y"))).cast("double").as("__syy"),
+        sum(d6(col("x") * col("y"))).cast("double").as("__sxy"))
+    val n = col("n_pairs").cast("double")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    agg.select(col(keyCol), col("lag_k"), col("n_pairs"),
+      when(col("n_pairs") >= 2 && varX > 0 && varY > 0,
+        round(cov / sqrt(varX * varY), 6)).as("acf"))
+  }
+
+  /** Per-key linear interpolation of missing values — each null gets
+    * the straight line between its nearest non-null neighbors in event
+    * time (the pandas `interpolate(method='time')` contract); a null
+    * run before the first observation back-fills from the next value,
+    * one after the last forward-fills from the previous, and a key
+    * with no observations at all stays null.
+    *
+    * Scale shape: ONE key-partitioned window evaluated with two frames
+    * (running last over the preceding rows, running first over the
+    * following rows) — both incremental, no sliding rebuild, no
+    * self-join to find neighbors.
+    *
+    * Cross-engine reproducibility: the interpolation weight is a DOUBLE
+    * ratio of epoch-tick DIFFERENCES (small integers — never the raw
+    * ~1.7e18 nano values, which exceed double's exact range); the
+    * blend `v0 + (v1 − v0)·w` is fixed-order double math rounded to 6.
+    *
+    * Output: key/order cols + `v` + `v_interp`.
+    */
+  def interpolate(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    require(!df.columns.contains("v_interp"),
+      "interpolate emits `v_interp` — rename the input's first")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val before = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valCol)
+    val obsTs = when(v.isNotNull, col(tsCol))
+    val prevV = last(v, ignoreNulls = true).over(before)
+    val prevT = last(obsTs, ignoreNulls = true).over(before)
+    val nextV = first(v, ignoreNulls = true).over(after)
+    val nextT = first(obsTs, ignoreNulls = true).over(after)
+    val w = (col(tsCol) - prevT).cast("double") /
+      (nextT - prevT).cast("double")
+    val interp = when(v.isNotNull, v)
+      .when(prevV.isNotNull && nextV.isNotNull,
+        round(prevV + (nextV - prevV) * w, 6))
+      .when(prevV.isNotNull, prevV)
+      .otherwise(nextV)
+    df.select(col(keyCol), col(tsCol), col(tieCol), v,
+      interp.as("v_interp"))
+  }
+
+  /** Calendar-seasonal baseline and residual: each observation scored
+    * against the exact mean of its (day-of-week, hour-of-day) cell —
+    * the standard first pass at telemetry seasonality (deseasonalized
+    * residuals feed [[rollingAnomaly]]/[[cusum]] far better than raw
+    * values do).
+    *
+    * Scale shape: the baseline is one global aggregate onto at most
+    * 168 cells — a broadcast-sized profile joined back map-side; no
+    * window, no per-key state. Calendar parts derive from the
+    * epoch-nano BIGINT by integer division only (the +4 offset puts
+    * epoch day 0, a Thursday, at dow 4 — the 0 = Sunday convention),
+    * so there is no timezone or double surface anywhere.
+    *
+    * Output: idCol + (dow, hour, v, baseline, residual), baseline the
+    * decimal-exact cell mean rounded to 6, residual = round(v −
+    * baseline, 6).
+    */
+  def seasonalBaseline(df: DataFrame, idCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("dow", "hour", "baseline", "residual"))
+    require(clash.isEmpty,
+      s"seasonalBaseline reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val day = 86400000000000L
+    val hour = 3600000000000L
+    val parts = df.select(col(idCol), col(valCol).as("v"),
+      ((expr(s"`$tsCol` div ${day}L") + 4) % 7).cast("int").as("dow"),
+      (expr(s"`$tsCol` div ${hour}L") % 24).cast("int").as("hour"))
+    val profile = parts.groupBy(col("dow"), col("hour"))
+      .agg(round(sum(col("v").cast("decimal(38,6)")).cast("double") /
+        count(col("v")), 6).as("baseline"))
+    parts.join(broadcast(profile), Seq("dow", "hour"))
+      .select(col(idCol), col("dow"), col("hour"), col("v"),
+        col("baseline"), round(col("v") - col("baseline"), 6).as("residual"))
+  }
+
   def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -32,6 +32,19 @@ class GlobalOrderSpec extends SparkSpec {
     }
   }
 
+  test("prefix sum is the exact exclusive weighted running total, any layout") {
+    val df = (1L to 50L).map(i => ((i * 37) % 61, i, i % 5 + 1)).toDF("v", "id", "w")
+    def run(parts: Int) =
+      GlobalOrder.withPrefixSum(df.repartition(parts), Seq("v", "id"), "w", "ps")
+        .select("id", "ps").as[(Long, Long)].collect().toMap
+    val sorted = (1L to 50L).map(i => ((i * 37) % 61, i, i % 5 + 1))
+      .sortBy(t => (t._1, t._2))
+    val expect = sorted.scanLeft(0L)(_ + _._3).zip(sorted)
+      .map { case (pre, t) => t._2 -> pre }.toMap
+    assert(run(1) == expect)
+    assert(run(7) == expect)
+  }
+
   test("rfmScores: monotone metrics land monotone scores; ties break by id") {
     // customer i: i orders of 10.0 each on day i → all three metrics
     // increase with i, so r = f = m and segments are perfect nnn

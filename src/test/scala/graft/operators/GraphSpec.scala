@@ -156,4 +156,30 @@ class GraphSpec extends SparkSpec {
     val got = bfsOf(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 0L, 6)
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
+
+  test("link prediction scores non-adjacent pairs by shared neighbors") {
+    import spark.implicits._
+    // star 0-{1,2,3} plus edge 1-2: candidates are the non-adjacent
+    // pairs among the leaves; 1-2 is an EDGE and must be excluded
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val out = Graph.linkPrediction(edges, "src", "dst", minCommon = 1)
+      .orderBy("u", "v").collect()
+    val cn = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cn")).toMap
+    assert(cn == Map((1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // the single shared witness is hub 0 with degree 3 → aa = 1/ln 3
+    val aa = BigDecimal(1.0 / math.log(3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach(r => assert(math.abs(r.getAs[Double]("aa") - aa) < 1e-6))
+  }
+
+  test("link prediction is direction- and duplicate-insensitive") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val noisy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("src", "dst")
+    val a = Graph.linkPrediction(base, "src", "dst").collect().toSeq
+    val b = Graph.linkPrediction(noisy, "src", "dst").collect().toSeq
+    assert(a == b && a.size == 1)
+    assert(a.head.getLong(0) == 1L && a.head.getLong(1) == 3L)
+  }
 }

@@ -312,4 +312,25 @@ class ProfilingSpec extends SparkSpec {
       val t = r.getAs[Double]("chi2_term"); t >= 0 && !t.isNaN && !t.isInfinite
     })
   }
+
+  test("spearman: ±1 on monotone transforms, tie-averaged in between") {
+    import spark.implicits._
+    // any strictly monotone transform → exactly 1 (rank-identical)
+    val mono = (1 to 40).map(i => (i.toDouble, math.exp(i / 7.0)))
+    val up = Profiling.spearman(mono.toDF("a", "b"), "a", "b").head()
+    assert(up.getAs[Long]("n") == 40L)
+    assert(math.abs(up.getAs[Double]("rho") - 1.0) < 1e-9)
+    val anti = Profiling.spearman(
+      mono.map { case (a, b) => (a, -b) }.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(anti.getAs[Double]("rho") + 1.0) < 1e-9)
+    // tie-averaged ranks: hand-checked textbook value — a = (1,2,3,4),
+    // b = (10,10,20,30): rho = 0.9486833 (fractional ranks 1.5,1.5,3,4)
+    val tied = Seq((1.0, 10.0), (2.0, 10.0), (3.0, 20.0), (4.0, 30.0))
+    val got = Profiling.spearman(tied.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(got.getAs[Double]("rho") - 0.948683) < 1e-6)
+    // layout independence: repartitioned input gives the identical rho
+    val re = Profiling.spearman(tied.toDF("a", "b").repartition(5), "a", "b")
+      .head()
+    assert(re.getAs[Double]("rho") == got.getAs[Double]("rho"))
+  }
 }

@@ -169,4 +169,72 @@ class TimeSeriesSpec extends SparkSpec {
     // a single point's smoothed value is itself (weights renormalize)
     assert(math.abs(out.head.getAs[Double]("ewma") - 7.0) < 1e-6)
   }
+
+  // ───────────────────── autocorrelation ─────────────────────
+
+  test("acf: a linear series is perfectly autocorrelated at every lag") {
+    // x_t = t → the (x_t, x_{t+k}) pairs are exactly collinear
+    val rows = (1 to 12).map(i => ("k", i.toLong, i.toLong, i.toDouble))
+    val out = TimeSeries.autocorrelation(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id", maxLag = 3)
+      .orderBy("lag_k").collect()
+    assert(out.map(_.getAs[Int]("lag_k")).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getAs[Long]("n_pairs")).toSeq == Seq(11L, 10L, 9L))
+    out.foreach(r => assert(math.abs(r.getAs[Double]("acf") - 1.0) < 1e-6))
+  }
+
+  test("acf: an alternating series is anti-correlated at lag 1, " +
+      "correlated at lag 2; degenerate lags go null") {
+    val vals = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+    val out = TimeSeries.autocorrelation(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id", maxLag = 2)
+      .orderBy("lag_k").collect()
+    assert(math.abs(out(0).getAs[Double]("acf") + 1.0) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("acf") - 1.0) < 1e-6)
+    // a constant series has zero variance on both sides → null
+    val const = (1 to 5).map(i => ("c", i.toLong, i.toLong, 3.0))
+    val cOut = TimeSeries.autocorrelation(const.toDF("k", "ts", "id", "v"),
+      "k", "ts", "v", "id", maxLag = 1).collect()
+    assert(cOut.forall(_.isNullAt(cOut.head.fieldIndex("acf"))))
+  }
+
+  // ───────────────────── interpolate ─────────────────────
+
+  test("interpolate: time-weighted blend between neighbors, edge fills") {
+    val rows = Seq[(String, Long, Long, java.lang.Double)](
+      ("k", 0L, 0L, null),             // before first obs → back-fill 10
+      ("k", 10L, 1L, Double.box(10.0)),
+      ("k", 14L, 2L, null),            // 40% of the way 10 → 20 → 14.0
+      ("k", 20L, 3L, Double.box(20.0)),
+      ("k", 30L, 4L, null),            // after last obs → forward-fill 20
+      ("z", 5L, 5L, null))             // key with no obs at all → null
+    val out = TimeSeries.interpolate(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id")
+      .orderBy("id").collect()
+    def vi(i: Int): Option[Double] =
+      Option(out(i).getAs[java.lang.Double]("v_interp")).map(_.doubleValue)
+    assert(vi(0).contains(10.0))
+    assert(vi(1).contains(10.0))
+    assert(vi(2).contains(14.0))
+    assert(vi(3).contains(20.0))
+    assert(vi(4).contains(20.0))
+    assert(vi(5).isEmpty)
+  }
+
+  // ───────────────────── seasonalBaseline ─────────────────────
+
+  test("seasonal baseline is the cell mean; residuals center the cell") {
+    val hour = 3600000000000L
+    // two observations in hour-0 Thursday, one in hour-1 Thursday
+    val rows = Seq((1L, 0L * hour, 10.0), (2L, 0L * hour + 1, 30.0),
+      (3L, 1L * hour, 5.0))
+    val out = TimeSeries.seasonalBaseline(rows.toDF("id", "ts", "v"),
+        "id", "ts", "v")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Int]("dow")).toSeq == Seq(4, 4, 4)) // Thursday
+    assert(out.map(_.getAs[Int]("hour")).toSeq == Seq(0, 0, 1))
+    assert(out.map(_.getAs[Double]("baseline")).toSeq == Seq(20.0, 20.0, 5.0))
+    assert(out.map(_.getAs[Double]("residual")).toSeq == Seq(-10.0, 10.0, 0.0))
+  }
 }
