@@ -2551,6 +2551,68 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // X-tokensort: permutation-duplicate detection — token-sort keys
+    // collapse reordered names with ZERO pair generation (one map-side
+    // key + one hash aggregate); the gate plants reversed-token
+    // variants of every 10th part name
+    "q_x_tokensort" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val rev = p.where(col("id") % 10 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          array_join(reverse(split(col("name"), " ")), " ").as("name"))
+      graft.operators.Linkage.tokenSortGroups(p.unionByName(rev),
+          "id", "name")
+        .orderBy(col("key"))
+    }),
+
+    // F-cdf: exact global empirical CDF — distinct-value counts through
+    // the distributed prefix-sum (range shuffle + partition-sized
+    // offsets; the grand total is free from the counting pass), never
+    // a single-partition running-sum window
+    "q_f_cdf" -> ((s, dir) =>
+      graft.operators.GlobalOrder.exactCdf(
+          t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy(col("l_extendedprice"))),
+
+    // A-seqgaps: sequence-contiguity audit — per-order line numbers
+    // with planted holes (line 2 of every 5th order dropped); one
+    // grouped min/max/distinct aggregate, nothing per-gap
+    "q_a_seqgaps" -> ((s, dir) =>
+      graft.operators.Expectations.sequenceGaps(
+          t(s, dir, "lineitem")
+            .where(!(col("l_linenumber") === 2 && col("l_orderkey") % 5 === 0)),
+          "l_orderkey", "l_linenumber")
+        .orderBy(col("l_orderkey"))),
+
+    // X-degdist: degree distribution of the sparse projection — two
+    // keyed aggregates; the Σdeg² wedge-volume diagnostic that prices
+    // the triangle/linkpred family before running it
+    "q_x_degree_dist" -> ((s, dir) =>
+      graft.operators.Graph.degreeHistogram(
+          t(s, dir, "lineitem").where(col("l_quantity") <= 10)
+            .select(
+              (col("l_orderkey") % 150).as("u"),
+              (col("l_partkey") % 150).as("v")),
+          "u", "v")
+        .orderBy(col("deg"))),
+
+    // X-powerlaw: log-log OLS fit of the degree distribution (the
+    // power-law exponent estimate) — degreeHistogram composed into
+    // groupOls; ln runs on exact integer-valued doubles in both engines
+    "q_x_powerlaw" -> ((s, dir) =>
+      graft.operators.Profiling.groupOls(
+        graft.operators.Graph.degreeHistogram(
+            t(s, dir, "lineitem").where(col("l_quantity") <= 10)
+              .select(
+                (col("l_orderkey") % 150).as("u"),
+                (col("l_partkey") % 150).as("v")),
+            "u", "v")
+          .select(lit("deg_dist").as("g"),
+            log(col("deg").cast("double")).as("lx"),
+            log(col("n_nodes").cast("double")).as("ly")),
+        "g", "lx", "ly")),
+
     // X-golden: survivorship capstone — entity clusters collapsed to
     // one golden record each (max balance, id tiebreak); cluster-keyed
     // row_number bounded by block size, singletons pass through as
@@ -5350,6 +5412,105 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // token-sort keys: list_sort/list_reverse twins of sort_array/
+    // reverse — lowercase ASCII tokens sort identically (binary order)
+    "q_x_tokensort" ->
+      """WITH src AS (
+        |  SELECT p_partkey AS id, p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000,
+        |    array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |k AS (
+        |  SELECT id,
+        |    array_to_string(list_sort(string_split(lower(name), ' ')), ' ')
+        |      AS key
+        |  FROM src)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM k GROUP BY key HAVING count(*) >= 2
+        |ORDER BY key""".stripMargin,
+
+    // exact CDF: the window running sum IS safe in the oracle (DuckDB
+    // runs single-node anyway); the engine side never builds one
+    "q_f_cdf" ->
+      """WITH c AS (
+        |  SELECT l_extendedprice AS v, count(*) AS n FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM c),
+        |cum AS (
+        |  SELECT v, n,
+        |    SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS cum_n
+        |  FROM c)
+        |SELECT v AS l_extendedprice, CAST(n AS BIGINT) AS n,
+        |  CAST(cum_n AS BIGINT) AS cum_n,
+        |  ROUND(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cdf
+        |FROM cum CROSS JOIN t ORDER BY l_extendedprice""".stripMargin,
+
+    // sequence gaps: the same planted-hole filter + grouped arithmetic
+    "q_a_seqgaps" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE NOT (l_linenumber = 2 AND l_orderkey % 5 = 0)),
+        |g AS (
+        |  SELECT l_orderkey, min(l_linenumber) AS seq_min,
+        |    max(l_linenumber) AS seq_max,
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_present
+        |  FROM f GROUP BY 1)
+        |SELECT l_orderkey, seq_min, seq_max, n_present,
+        |  CAST(seq_max - seq_min + 1 - n_present AS BIGINT) AS n_missing
+        |FROM g WHERE seq_max - seq_min + 1 - n_present > 0
+        |ORDER BY l_orderkey""".stripMargin,
+
+    // degree distribution: two grouped counts over the symmetrized
+    // canonical edge set
+    "q_x_degree_dist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 150, l_partkey % 150) AS a,
+        |    greatest(l_orderkey % 150, l_partkey % 150) AS b
+        |  FROM lineitem
+        |  WHERE l_orderkey % 150 <> l_partkey % 150 AND l_quantity <= 10),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |d AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY deg ORDER BY deg""".stripMargin,
+
+    // power-law fit: ln of exact integer ratios into the q_a_ols
+    // algebra, identical fixed-order closed form
+    "q_x_powerlaw" ->
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 150, l_partkey % 150) AS a,
+        |    greatest(l_orderkey % 150, l_partkey % 150) AS b
+        |  FROM lineitem
+        |  WHERE l_orderkey % 150 <> l_partkey % 150 AND l_quantity <= 10),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |d AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+        |h AS (SELECT deg, count(*) AS n_nodes FROM d GROUP BY deg),
+        |l AS (
+        |  SELECT ln(CAST(deg AS DOUBLE)) AS lx,
+        |    ln(CAST(n_nodes AS DOUBLE)) AS ly
+        |  FROM h),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(CAST(ROUND(lx, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(ly, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(lx * ly, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(lx * lx, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(ly * ly, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM l)
+        |SELECT 'deg_dist' AS g, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |       THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+        |       THEN ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) END AS intercept,
+        |  CASE WHEN n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |       THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+        |FROM g""".stripMargin,
 
     // golden records: the entity closure (with the SNM |Δid| ≤ 3 band)
     // + survivorship window

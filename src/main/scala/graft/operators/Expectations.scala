@@ -54,4 +54,26 @@ object Expectations {
       .select(col("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0).as("pass"))
   }
+
+  /** Per-key sequence-contiguity audit: keys whose integral `seqCol`
+    * has holes between its min and max (missing invoice lines, skipped
+    * batch ids, gapped page numbers — the classic completeness check
+    * on anything that should count 1..n).
+    *
+    * Scale shape: one (key)-grouped aggregate — min, max, distinct
+    * count — nothing per-gap; `n_missing` is pure arithmetic on the
+    * three. Duplicated sequence numbers don't mask holes (the distinct
+    * count ignores them). Nulls drop first.
+    *
+    * Output: (key, seq_min, seq_max, n_present, n_missing) for keys
+    * with n_missing > 0. */
+  def sequenceGaps(df: DataFrame, keyCol: String,
+      seqCol: String): DataFrame =
+    df.where(col(seqCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(col(seqCol)).as("seq_min"), max(col(seqCol)).as("seq_max"),
+        countDistinct(col(seqCol)).as("n_present"))
+      .withColumn("n_missing",
+        col("seq_max") - col("seq_min") + lit(1) - col("n_present"))
+      .where(col("n_missing") > 0)
 }

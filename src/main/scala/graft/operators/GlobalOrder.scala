@@ -74,7 +74,15 @@ object GlobalOrder {
     */
   def withPrefixSum(df: DataFrame, orderCols: Seq[String],
       weightCol: String, out: String = "prefix_sum",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    withPrefixSumAndTotal(df, orderCols, weightCol, out, partitions)._1
+
+  /** [[withPrefixSum]] plus the grand total of `weightCol` — already
+    * known from the per-partition counting pass, so consumers needing
+    * the total (CDFs, share-of-total) pay no extra aggregate. */
+  def withPrefixSumAndTotal(df: DataFrame, orderCols: Seq[String],
+      weightCol: String, out: String = "prefix_sum",
+      partitions: Int = 0): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(out),
       s"withPrefixSum emits `$out` — rename the input's first")
@@ -104,7 +112,30 @@ object GlobalOrder {
         r
       }
     }
-    df.sparkSession.createDataFrame(summed, schema)
+    (df.sparkSession.createDataFrame(summed, schema), starts.last)
+  }
+
+  /** Exact global CDF of `valueCol`: one row per distinct value with
+    * its count, inclusive cumulative count, and cumulative share — the
+    * empirical distribution function at scale (exact percentiles,
+    * calibration curves, drift baselines), built on
+    * [[withPrefixSumAndTotal]] so no single-partition running-sum
+    * window ever exists; the grand total comes free from the counting
+    * pass and lands as a literal, not a scalar join.
+    *
+    * Output: (valueCol, n, cum_n, cdf) with cdf = cum_n/total in
+    * DOUBLE rounded to 6. Nulls drop.
+    */
+  def exactCdf(df: DataFrame, valueCol: String,
+      partitions: Int = 0): DataFrame = {
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+    val (pre, total) =
+      withPrefixSumAndTotal(counts, Seq(valueCol), "n", "__pre", partitions)
+    pre.select(col(valueCol), col("n"),
+      (col("__pre") + col("n")).as("cum_n"),
+      round((col("__pre") + col("n")).cast("double") /
+        lit(total).cast("double"), 6).as("cdf"))
   }
 
   /** Adds `out` = NTILE(k) over the global `orderCols` order — exact

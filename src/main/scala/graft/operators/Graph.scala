@@ -330,6 +330,27 @@ object Graph {
     *
     * Output: (u, v, cn, aa) with u < v.
     */
+  /** Degree distribution of the undirected graph: one row per distinct
+    * degree with the number of nodes holding it — the first diagnostic
+    * on any production graph (hub detection, power-law fitting, the
+    * Σdeg² wedge-volume estimate that prices [[triangleCount]] /
+    * [[linkPrediction]] before running them).
+    *
+    * Scale shape: two keyed aggregates (degree per node, then nodes
+    * per degree) — the second input is node-sized, the output
+    * distinct-degree-sized. Output: (deg, n_nodes). */
+  def degreeHistogram(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
       minCommon: Int = 1): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")

@@ -44,6 +44,29 @@ object Linkage {
       .where(col("jw") >= threshold)
   }
 
+  /** Token-sort canonicalization: records whose names are the same
+    * multiset of tokens in a different order ("acme trading corp" /
+    * "corp acme trading") collapse onto one key — the zero-candidate-
+    * join member of the linkage family (fuzzyPairs and
+    * jaroWinklerPairs catch typos; this catches permutations, the
+    * token_sort_ratio idea as an exact-key group-by).
+    *
+    * Scale shape: the key is a pure map-side expression (lowercase →
+    * split → sort → join), so the whole operator is one hash
+    * aggregate on the canonical key — no pair generation at all.
+    *
+    * Output: one row per key matched by ≥ 2 records —
+    * (key, n, min_id, max_id). */
+  def tokenSortGroups(df: DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val key = array_join(sort_array(split(lower(col(nameCol)), " ")), " ")
+    df.where(col(idCol).isNotNull && col(nameCol).isNotNull)
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .where(col("n") >= 2)
+  }
+
   /** Survivorship: collapse each entity cluster to its golden record —
     * the step after candidate pairs close into clusters
     * ([[graft.operators.Dedup.connectedComponents]]) where one

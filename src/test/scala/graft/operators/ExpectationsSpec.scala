@@ -46,4 +46,19 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.audit(df, Seq("bad'name" -> lit(true)))
     }
   }
+
+  test("sequenceGaps finds holes; duplicates and nulls don't mask them") {
+    import spark.implicits._
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, 1L), (1L, 2L), (1L, 3L),        // contiguous → absent
+      (2L, 1L), (2L, 3L), (2L, 3L),        // missing 2; dup 3 no mask
+      (3L, 5L), (3L, 8L),                  // missing 6, 7
+      (4L, 1L), (4L, null))                // null drops; singleton → absent
+      .toDF("k", "seq")
+    val out = Expectations.sequenceGaps(rows, "k", "seq")
+      .orderBy("k").collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((2L, 1L, 3L, 2L, 1L), (3L, 5L, 8L, 2L, 2L)))
+  }
 }

@@ -45,6 +45,14 @@ class GlobalOrderSpec extends SparkSpec {
     assert(run(7) == expect)
   }
 
+  test("exactCdf: counts, cumulative counts, and shares per distinct value") {
+    val df = Seq(3.0, 1.0, 2.0, 1.0, 3.0, 3.0, 1.0, 1.0).toDF("v")
+    val out = GlobalOrder.exactCdf(df, "v").orderBy("v").collect()
+    assert(out.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(
+        (1.0, 4L, 4L, 0.5), (2.0, 1L, 5L, 0.625), (3.0, 3L, 8L, 1.0)))
+  }
+
   test("rfmScores: monotone metrics land monotone scores; ties break by id") {
     // customer i: i orders of 10.0 each on day i → all three metrics
     // increase with i, so r = f = m and segments are perfect nnn

@@ -173,6 +173,17 @@ class GraphSpec extends SparkSpec {
     out.foreach(r => assert(math.abs(r.getAs[Double]("aa") - aa) < 1e-6))
   }
 
+  test("degree histogram counts nodes per degree on the canonical graph") {
+    import spark.implicits._
+    // star 0-{1,2,3} + edge 1-2 (sent with noise: dup + reversed):
+    // deg(0)=3, deg(1)=deg(2)=2, deg(3)=1
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (2L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.degreeHistogram(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("link prediction is direction- and duplicate-insensitive") {
     import spark.implicits._
     val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")

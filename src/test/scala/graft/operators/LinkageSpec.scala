@@ -24,6 +24,21 @@ class LinkageSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 3L), (7L, 7L, 1L)))
   }
 
+  test("token-sort keys group permutations, not different multisets") {
+    val df = Seq(
+      (1L, "Acme Trading Corp"),
+      (2L, "corp acme trading"),   // permutation + case → same key
+      (3L, "acme acme trading"),   // different MULTISET → no group
+      (4L, "zeta llc"))
+      .toDF("id_", "name")
+    val out = Linkage.tokenSortGroups(df, "id_", "name").collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "acme corp trading")
+    assert(out.head.getAs[Long]("n") == 2L)
+    assert(out.head.getAs[Long]("min_id") == 1L)
+    assert(out.head.getAs[Long]("max_id") == 2L)
+  }
+
   test("equal precedence breaks ties by ascending id") {
     val records = Seq((5L, "a", 1.0), (4L, "b", 1.0)).toDF("id_", "name", "bal")
     val clusters = Seq((4L, 4L), (5L, 4L)).toDF("id", "cluster")
