@@ -1793,7 +1793,7 @@ object SparkEntry {
     // after; in-plan unpivot, no driver round-trip.
     "q_a_covmatrix" -> ((s, dir) =>
       graft.operators.Profiling.covarianceMatrix(
-        t(s, dir, "lineitem"),
+        tw(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // F-target-enc: leave-one-out target encoding — high-cardinality
@@ -2254,7 +2254,7 @@ object SparkEntry {
     // from five decimal sums in ONE group aggregate
     "q_a_ols" -> ((s, dir) =>
       graft.operators.Profiling.groupOls(
-          t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          tw(s, dir, "lineitem"), "l_returnflag", "l_quantity",
           "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
@@ -2415,7 +2415,7 @@ object SparkEntry {
     // broadcast pooled-scalar fold, nothing else touches the data
     "q_a_cuped" -> ((s, dir) =>
       graft.operators.Experiment.cupedAdjust(
-          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          tw(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
           "l_quantity")
         .orderBy(col("l_returnflag"))),
 
@@ -2549,6 +2549,104 @@ object SparkEntry {
       graft.operators.Snapshot.diff(o, kept.unionByName(added),
           Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // SQL-q3: the TPC-H Q3 shape (shipping-priority revenue) through
+    // the SQL surface — a 3-way selective join; AQE broadcasts the
+    // filtered customer side, revenue is a decimal-exact sum, top-10
+    // via TakeOrderedAndProject
+    "q_sql_q3" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q3_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q3_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q3_lineitem")
+      s.sql(
+        """SELECT l_orderkey,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+          |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+          |  CAST(o_orderdate AS DATE) AS o_orderdate
+          |FROM q3_customer
+          |JOIN q3_orders ON c_custkey = o_custkey
+          |JOIN q3_lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < DATE '1998-01-01'
+          |  AND l_shipdate > DATE '1998-01-01'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin)
+    }),
+
+    // SQL-q5: the TPC-H Q5 shape (local-supplier revenue by nation) —
+    // a 6-way join where the dimension chain (region→nation→supplier)
+    // broadcasts and only the fact-side joins shuffle
+    "q_sql_q5" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q5_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q5_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q5_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q5_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("q5_nation")
+      t(s, dir, "region").createOrReplaceTempView("q5_region")
+      s.sql(
+        """SELECT n_name,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+          |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          |FROM q5_customer
+          |JOIN q5_orders ON c_custkey = o_custkey
+          |JOIN q5_lineitem ON l_orderkey = o_orderkey
+          |JOIN q5_supplier ON l_suppkey = s_suppkey
+          |  AND c_nationkey = s_nationkey
+          |JOIN q5_nation ON s_nationkey = n_nationkey
+          |JOIN q5_region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= DATE '1996-01-01'
+          |  AND o_orderdate < DATE '1997-01-01'
+          |GROUP BY n_name
+          |ORDER BY n_name""".stripMargin)
+    }),
+
+    // X-phrase: exact quoted-phrase search over the positional index —
+    // map-side token prune (the bm25 rule), then one (doc, position)
+    // equi-join per additional phrase word
+    "q_x_phrase" -> ((s, dir) =>
+      graft.operators.TextSearch.phraseSearch(
+          tw(s, dir, "documents"), "doc_id", "text", "order fast")
+        .orderBy(col("doc_id"))),
+
+    // A-abc: ABC revenue-concentration classes per part — descending
+    // contribution ranking via the distributed prefix sum (exact
+    // decimal cents as integer weights), inclusive-share cuts
+    "q_a_abc" -> ((s, dir) =>
+      graft.operators.GlobalOrder.abcClassification(
+          t(s, dir, "lineitem"), "l_partkey", "l_extendedprice")
+        .orderBy(col("l_partkey"))),
+
+    // X-clustercoef: per-node local clustering coefficient — canonical
+    // triangle enumeration charged to all three members, joined to the
+    // node-sized degree table
+    "q_x_clustercoef" -> ((s, dir) =>
+      graft.operators.Graph.clusteringCoefficient(
+          t(s, dir, "lineitem").where(col("l_quantity") <= 10)
+            .select(
+              (col("l_orderkey") % 150).as("u"),
+              (col("l_partkey") % 150).as("v")),
+          "u", "v")
+        .orderBy(col("node"))),
+
+    // T-mom: month-over-month revenue growth — calendar-bounded month
+    // panel (≤ a few dozen rows by domain), decimal-exact monthly sums,
+    // growth ratio in double; the global lag window runs over the
+    // BOUNDED panel, never the fact table
+    "q_t_mom" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(sum(col("o_totalprice").cast("decimal(38,2)")).cast("double")
+          .as("rev"))
+      val w = Window.orderBy(col("y"), col("m"))
+      monthly
+        .select(col("y"), col("m"), col("rev"),
+          round((col("rev") - lag(col("rev"), 1).over(w)) /
+            lag(col("rev"), 1).over(w), 6).as("growth"))
+        .orderBy(col("y"), col("m"))
     }),
 
     // X-tokensort: permutation-duplicate detection — token-sort keys
@@ -5412,6 +5510,117 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // TPC-H Q3 shape: identical SQL over the raw tables
+    "q_sql_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |  AND l_shipdate > DATE '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // TPC-H Q5 shape: identical SQL over the raw tables
+    "q_sql_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    // phrase search: 1-based generate_subscripts positions — relative
+    // offsets match the engine's 0-based posexplode
+    "q_x_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM t)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'order' AND b.tok = 'fast'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    // ABC: the window running share IS safe in the oracle; the engine
+    // side ranks through the distributed prefix sum instead
+    "q_a_abc" ->
+      """WITH k AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, cents,
+        |    ROUND(CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE), 6)
+        |      AS cum_share
+        |  FROM k)
+        |SELECT l_partkey, cents, cum_share,
+        |  CASE WHEN cum_share <= 0.8 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY l_partkey""".stripMargin,
+
+    // clustering coefficient: canonical triangle enumeration charged to
+    // all three members, identical fixed-order double
+    "q_x_clustercoef" ->
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 150, l_partkey % 150) AS a,
+        |    greatest(l_orderkey % 150, l_partkey % 150) AS b
+        |  FROM lineitem
+        |  WHERE l_orderkey % 150 <> l_partkey % 150 AND l_quantity <= 10),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+        |  ROUND(2.0 * COALESCE(tn.n_tri, 0)
+        |        / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS cc
+        |FROM deg d LEFT JOIN tn USING (node)
+        |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin,
+
+    // month-over-month: the same bounded month panel + lag ratio
+    "q_t_mom" ->
+      """WITH mo AS (
+        |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, m, rev,
+        |  ROUND((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS growth
+        |FROM mo
+        |WINDOW w AS (ORDER BY y, m)
+        |ORDER BY y, m""".stripMargin,
 
     // token-sort keys: list_sort/list_reverse twins of sort_array/
     // reverse — lowercase ASCII tokens sort identically (binary order)

@@ -138,6 +138,36 @@ object GlobalOrder {
         lit(total).cast("double"), 6).as("cdf"))
   }
 
+  /** ABC contribution analysis: rank keys by descending total value and
+    * classify by inclusive cumulative share — A while ≤ `aCut`, B while
+    * ≤ `bCut`, C after (the 80/15/5 inventory/revenue-concentration
+    * standard). The ranking rides [[withPrefixSumAndTotal]], so no
+    * single-partition running-share window exists at any size.
+    *
+    * Values accumulate as exact DECIMAL(38,2) cents (`valueCol` is
+    * money-like); the share is the only double, rounded to 6. Keys tie
+    * deterministically by key ascending within equal value.
+    *
+    * Output: (keyCol, cents, cum_share, abc_class). */
+  def abcClassification(df: DataFrame, keyCol: String, valueCol: String,
+      aCut: Double = 0.8, bCut: Double = 0.95,
+      partitions: Int = 0): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1,
+      s"need 0 < aCut < bCut < 1, got $aCut, $bCut")
+    val perKey = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg((sum(col(valueCol).cast("decimal(38,2)")) * 100)
+        .cast("long").as("cents"))
+      .withColumn("__negc", -col("cents"))
+    val (pre, total) = withPrefixSumAndTotal(perKey,
+      Seq("__negc", keyCol), "cents", "__pre", partitions)
+    val share = round((col("__pre") + col("cents")).cast("double") /
+      lit(total).cast("double"), 6)
+    pre.select(col(keyCol), col("cents"), share.as("cum_share"),
+      when(share <= aCut, "A").when(share <= bCut, "B").otherwise("C")
+        .as("abc_class"))
+  }
+
   /** Adds `out` = NTILE(k) over the global `orderCols` order — exact
     * SQL NTILE semantics (first n mod k buckets get the extra row),
     * derived arithmetically from the global position, so no

@@ -72,4 +72,36 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Exact phrase search over the positional index: documents containing
+    * `phrase`'s tokens CONSECUTIVELY, with the occurrence count — the
+    * quoted-query complement to [[bm25Search]]'s bag-of-words ranking.
+    *
+    * Scale shape: the posexplode keeps only the phrase's own tokens
+    * map-side (the bm25 prune), so the position join chains — one
+    * equi-join per additional phrase word, keyed on (doc, position) —
+    * run over matching postings only, never the full index. A w-word
+    * phrase is w−1 joins; real phrase queries are short.
+    *
+    * Output: (idCol, n_occurrences) for documents with ≥ 1 match. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.size >= 2, s"phrase needs >= 2 words, got '$phrase'")
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .toDF(idCol, "__pos", "__tok")
+      .where(col("__tok").isin(words.distinct: _*))
+    val first = toks.where(col("__tok") === words.head)
+      .select(col(idCol), col("__pos").as("__p0"))
+    val matched = words.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          toks.where(col("__tok") === w)
+            .select(col(idCol), (col("__pos") - i).as("__p0")),
+          Seq(idCol, "__p0"))
+    }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -75,7 +75,8 @@ class FullBatteryPlanAudit extends SparkSpec {
   // bounded relation (≤ tens/hundreds of rows by construction), not a
   // keyed operator over data: the RRF fusion's top-k-limited result
   // lists; the skyline's bucket-count-sized cross-bucket minimum table
-  private val boundedTopKWindowOk = Set("q_x_hybrid_rrf", "q_a_skyline")
+  private val boundedTopKWindowOk = Set("q_x_hybrid_rrf", "q_a_skyline",
+    "q_t_mom") // calendar-bounded month panel (≤ dozens of rows by domain)
 
   test("every single-partition exchange feeds a grand-total aggregate") {
     // a SinglePartition exchange is the correct (and only) shape for a

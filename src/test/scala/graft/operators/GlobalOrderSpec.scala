@@ -45,6 +45,18 @@ class GlobalOrderSpec extends SparkSpec {
     assert(run(7) == expect)
   }
 
+  test("abcClassification: inclusive cumulative-share cuts, exact cents") {
+    // revenues 50, 30, 15, 5 → shares 0.5, 0.8, 0.95, 1.0 → A A B C
+    val df = Seq(("p1", 50.0), ("p2", 30.0), ("p3", 15.0), ("p4", 5.0))
+      .toDF("k", "v")
+    val got = GlobalOrder.abcClassification(df, "k", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("p1", 5000L, 0.5, "A"), ("p2", 3000L, 0.8, "A"),
+      ("p3", 1500L, 0.95, "B"), ("p4", 500L, 1.0, "C")))
+  }
+
   test("exactCdf: counts, cumulative counts, and shares per distinct value") {
     val df = Seq(3.0, 1.0, 2.0, 1.0, 3.0, 3.0, 1.0, 1.0).toDF("v")
     val out = GlobalOrder.exactCdf(df, "v").orderBy("v").collect()

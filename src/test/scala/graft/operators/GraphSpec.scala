@@ -173,6 +173,18 @@ class GraphSpec extends SparkSpec {
     out.foreach(r => assert(math.abs(r.getAs[Double]("aa") - aa) < 1e-6))
   }
 
+  test("clustering coefficient: closed triangles over neighbor pairs") {
+    import spark.implicits._
+    // triangle 0-1-2 plus pendant 2-3: cc(0)=cc(1)=1 (deg 2, 1 tri),
+    // cc(2)=1/3 (deg 3, 1 of 3 pairs closed), 3 excluded (deg 1)
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      0L -> (2L, 1L, 1.0), 1L -> (2L, 1L, 1.0), 2L -> (3L, 1L, 0.333333)))
+  }
+
   test("degree histogram counts nodes per degree on the canonical graph") {
     import spark.implicits._
     // star 0-{1,2,3} + edge 1-2 (sent with noise: dup + reversed):

@@ -52,4 +52,32 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.bm25Search(docs, "doc_id", "text", Seq.empty, 5)
     }
   }
+
+  test("phraseSearch matches consecutive tokens only, counts occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data big data big"),   // "big data" twice
+      (2L, "data big"),                // reversed — no match
+      (3L, "big x data"),              // gap — no match
+      (4L, "big data")                 // once
+    ).toDF("doc_id", "text")
+    val got = TextSearch.phraseSearch(docs, "doc_id", "text", "big data")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("phraseSearch handles 3-word phrases and repeated words") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b a a b"),   // "a a b" at 0 and 3
+      (2L, "a b a a b"),     // at 2
+      (3L, "a b a b")        // never
+    ).toDF("doc_id", "text")
+    val got = TextSearch.phraseSearch(docs, "doc_id", "text", "a a b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+    assertThrows[IllegalArgumentException] {
+      TextSearch.phraseSearch(docs, "doc_id", "text", "solo")
+    }
+  }
 }
