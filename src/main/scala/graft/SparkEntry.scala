@@ -2551,6 +2551,41 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // T-rollcorr: rolling correlation of value vs the JSON prop series
+    // — six windowed sufficient statistics as differences of inclusive
+    // running decimal sums (the rollingAnomaly O(1)/row rewrite; a
+    // bounded ROWS frame would rebuild its buffer every row)
+    "q_t_rollcorr" -> ((s, dir) =>
+      graft.operators.TimeSeries.rollingCorrelation(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            col("ts"), col("value"),
+            get_json_object(col("props"), "$.k").cast("double").as("k_val")),
+          "user_id", "ts", "event_id", "value", "k_val",
+          lookback = 8, minObs = 4)
+        .select(col("event_id"), col("n_win"), col("corr"))
+        .orderBy(col("event_id"))),
+
+    // X-kanon: k-anonymity / l-diversity audit — one QI-keyed
+    // aggregate, output bounded to the violating groups
+    "q_x_kanon" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(
+          t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+          "c_acctbal", k = 10, l = 8)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // P-missing: missingness-pattern table — map-side null masks into
+    // one hash aggregate; planted correlated nulls
+    "q_p_missing" -> ((s, dir) =>
+      graft.operators.Profiling.missingPatterns(
+          t(s, dir, "events").select(
+            when(col("event_id") % 7 === 0, lit(null))
+              .otherwise(col("value")).as("value"),
+            when(col("event_id") % 11 === 0, lit(null))
+              .otherwise(col("props")).as("props"),
+            col("event_type")),
+          Seq("value", "props", "event_type"))
+        .orderBy(col("pattern"))),
+
     // SQL-q3: the TPC-H Q3 shape (shipping-priority revenue) through
     // the SQL surface — a 3-way selective join; AQE broadcasts the
     // filtered customer side, revenue is a decimal-exact sum, top-10
@@ -5510,6 +5545,64 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // rolling correlation: the direct bounded frame IS safe in the
+    // oracle (decimal frame sums are order-exact, so they equal the
+    // engine's running-sum differences bit for bit)
+    "q_t_rollcorr" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts, value AS x,
+        |    CAST(json_extract(props, '$.k') AS DOUBLE) AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT event_id,
+        |    SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER w AS n,
+        |    CAST(SUM(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN ROUND(x, 6) ELSE 0 END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN ROUND(y, 6) ELSE 0 END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN ROUND(x * y, 6) ELSE 0 END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN ROUND(x * x, 6) ELSE 0 END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN ROUND(y * y, 6) ELSE 0 END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS syy
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, CAST(n AS BIGINT) AS n_win,
+        |  CASE WHEN n >= 4
+        |        AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+        |  THEN ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |         (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS corr
+        |FROM b ORDER BY event_id""".stripMargin,
+
+    // k-anonymity / l-diversity: one QI aggregate + violation filter
+    "q_x_kanon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n, n_sensitive,
+        |  n >= 10 AS k_ok, n_sensitive >= 8 AS l_ok
+        |FROM g WHERE NOT (n >= 10) OR NOT (n_sensitive >= 8)
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // missingness patterns: identical planted masks
+    "q_p_missing" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS p,
+        |    event_type AS t
+        |  FROM events)
+        |SELECT (CASE WHEN v IS NOT NULL THEN '1' ELSE '0' END ||
+        |        CASE WHEN p IS NOT NULL THEN '1' ELSE '0' END ||
+        |        CASE WHEN t IS NOT NULL THEN '1' ELSE '0' END) AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY pattern""".stripMargin,
 
     // TPC-H Q3 shape: identical SQL over the raw tables
     "q_sql_q3" ->

@@ -648,6 +648,22 @@ object Profiling {
           .as("rho"))
   }
 
+  /** Missingness-pattern table: row counts per null-mask combination
+    * over `cols` — the missingno/mice diagnostic that distinguishes
+    * "5% nulls scattered" from "5% of rows missing everything"
+    * (correlated missingness means a broken upstream join, not noise).
+    *
+    * Scale shape: the mask is a map-side string of 0/1 flags; one hash
+    * aggregate over at most 2^|cols| groups. Output: (pattern, n) with
+    * pattern positions in `cols` order, '1' = present. */
+  def missingPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.size <= 30, s"at most 30 columns, got ${cols.size}")
+    val mask = concat(cols.map(c =>
+      when(col(c).isNotNull, lit("1")).otherwise(lit("0"))): _*)
+    df.groupBy(mask.as("pattern")).agg(count(lit(1)).as("n"))
+  }
+
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -413,6 +413,69 @@ object TimeSeries {
         col("baseline"), round(col("v") - col("baseline"), 6).as("residual"))
   }
 
+  /** Rolling correlation of two aligned series per key — each point's
+    * Pearson correlation over the window of its last `lookback`
+    * observations (inclusive): the co-movement monitor (price pairs,
+    * metric coupling, sensor agreement) whose regime changes matter
+    * more than the global coefficient.
+    *
+    * Scale shape: the [[rollingAnomaly]] rewrite — the six windowed
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are differences
+    * of INCLUSIVE running sums read back at lag `lookback`, so cost is
+    * O(1)/row regardless of `lookback` (a direct bounded ROWS frame
+    * would rebuild its buffer every row). DECIMAL running sums make
+    * the differences exact, so results are bit-identical to the
+    * direct-frame formulation the oracle uses.
+    *
+    * Rows where either side is null contribute nothing to any sum
+    * (and don't count toward n). Windows with n < `minObs` or a
+    * degenerate variance on either side yield a null `corr`.
+    *
+    * Output: key/order cols + (n_win, corr).
+    */
+  def rollingCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, xCol: String, yCol: String, lookback: Int,
+      minObs: Int = 3): DataFrame = {
+    require(lookback >= minObs && minObs >= 2,
+      s"need lookback >= minObs >= 2, got lookback=$lookback minObs=$minObs")
+    val clash = df.columns.toSet
+      .intersect(Set("n_win", "corr", "__cn", "__cx", "__cy", "__cxy",
+        "__cxx", "__cyy"))
+    require(clash.isEmpty,
+      s"rollingCorrelation reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(xCol); val y = col(yCol)
+    val both = x.isNotNull && y.isNotNull
+    val zero = lit(0).cast("decimal(38,6)")
+    def d6(c: Column) = when(both, round(c, 6)).otherwise(lit(0))
+      .cast("decimal(38,6)")
+    val withCums = df.select(col(keyCol), col(tsCol), col(tieCol), x, y,
+      sum(when(both, 1L).otherwise(0L)).over(run).as("__cn"),
+      sum(d6(x)).over(run).as("__cx"),
+      sum(d6(y)).over(run).as("__cy"),
+      sum(d6(x * y)).over(run).as("__cxy"),
+      sum(d6(x * x)).over(run).as("__cxx"),
+      sum(d6(y * y)).over(run).as("__cyy"))
+    // inclusive window of the last `lookback` rows = cum(t) − cum(t−lookback)
+    def win(c: String): Column =
+      (col(c) - coalesce(lag(col(c), lookback).over(ord), zero))
+        .cast("double")
+    val withSums = withCums.select(col(keyCol), col(tsCol), col(tieCol),
+      (col("__cn") - coalesce(lag(col("__cn"), lookback).over(ord), lit(0L)))
+        .as("n_win"),
+      win("__cx").as("__sx"), win("__cy").as("__sy"),
+      win("__cxy").as("__sxy"), win("__cxx").as("__sxx"),
+      win("__cyy").as("__syy"))
+    val n = col("n_win").cast("double")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    withSums.select(col(keyCol), col(tsCol), col(tieCol), col("n_win"),
+      when(col("n_win") >= minObs && varX > 0 && varY > 0,
+        round(cov / sqrt(varX * varY), 6)).as("corr"))
+  }
+
   def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -313,6 +313,17 @@ class ProfilingSpec extends SparkSpec {
     })
   }
 
+  test("missingPatterns counts rows per null-mask combination") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, String)](
+      (Double.box(1.0), "a"), (Double.box(2.0), null),
+      (null, "c"), (null, null), (Double.box(5.0), "e"))
+      .toDF("x", "y")
+    val got = Profiling.missingPatterns(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("11" -> 2L, "10" -> 1L, "01" -> 1L, "00" -> 1L))
+  }
+
   test("spearman: ±1 on monotone transforms, tie-averaged in between") {
     import spark.implicits._
     // any strictly monotone transform → exactly 1 (rank-identical)

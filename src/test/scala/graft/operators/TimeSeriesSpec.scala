@@ -222,6 +222,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(vi(5).isEmpty)
   }
 
+  // ───────────────────── rollingCorrelation ─────────────────────
+
+  test("rolling correlation tracks the window's local relationship") {
+    // first 4 points move together, next 4 move oppositely: with
+    // lookback 4 the windows become pure ±1 once homogeneous
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0)
+    val ys = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0)
+    val rows = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      ("k", i.toLong, i.toLong, x, y) }
+    val out = TimeSeries.rollingCorrelation(
+        rows.toDF("k", "ts", "id", "x", "y"),
+        "k", "ts", "id", "x", "y", lookback = 4, minObs = 3)
+      .orderBy("ts").collect()
+    def corr(i: Int): Option[Double] =
+      Option(out(i).getAs[java.lang.Double]("corr")).map(_.doubleValue)
+    assert(out.map(_.getAs[Long]("n_win")).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 4L, 4L, 4L, 4L))
+    assert(corr(0).isEmpty && corr(1).isEmpty)          // below minObs
+    assert(math.abs(corr(3).get - 1.0) < 1e-6)          // aligned window
+    assert(math.abs(corr(7).get + 1.0) < 1e-6)          // inverted window
+  }
+
+  test("rolling correlation: null on either side drops the pair") {
+    val rows = Seq[(String, Long, Long, java.lang.Double, java.lang.Double)](
+      ("k", 0L, 0L, Double.box(1.0), Double.box(1.0)),
+      ("k", 1L, 1L, Double.box(2.0), null),
+      ("k", 2L, 2L, Double.box(3.0), Double.box(3.0)),
+      ("k", 3L, 3L, Double.box(4.0), Double.box(4.0)))
+    val out = TimeSeries.rollingCorrelation(rows.toDF("k", "ts", "id", "x", "y"),
+        "k", "ts", "id", "x", "y", lookback = 4, minObs = 3)
+      .orderBy("ts").collect()
+    assert(out.map(_.getAs[Long]("n_win")).toSeq == Seq(1L, 1L, 2L, 3L))
+    assert(math.abs(out(3).getAs[Double]("corr") - 1.0) < 1e-6)
+  }
+
   // ───────────────────── seasonalBaseline ─────────────────────
 
   test("seasonal baseline is the cell mean; residuals center the cell") {
