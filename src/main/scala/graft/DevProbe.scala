@@ -100,6 +100,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("rankfam")) {
+      rankFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -699,6 +705,46 @@ object DevProbe {
         "value", lo = 0.0, hi = 320.0, bins = 16).count()
     }
     ev.unpersist()
+  }
+
+  /** Global-order family at scale: n hash-derived values (1M distinct,
+    * so the distinct-value relations stay large but sub-row-count)
+    * through the four prefix-sum/range-partition consumers — exact CDF,
+    * Spearman (two rank joins), ABC classification (100k keys), and
+    * NTILE over the FULL row set (the only one that range-shuffles
+    * every row, the family's worst case). Measures the two-pass
+    * (count-then-index) RDD machinery's scaling directly. */
+  private def rankFamilyProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(n).select(
+        col("id"),
+        (pmod(xxhash64(col("id"), lit(21)), lit(1000000L)).cast("double")
+          / 100.0).as("x"))
+      .withColumn("y",
+        col("x") * 2.0 +
+          pmod(xxhash64(col("id"), lit(22)), lit(1000L)).cast("double"))
+      .withColumn("k", pmod(xxhash64(col("id"), lit(23)), lit(100000L)))
+      .cache()
+    df.count()
+    def timed(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[rankfam $n] $tag out=$out wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    timed("cdf") {
+      graft.operators.GlobalOrder.exactCdf(df, "x").count()
+    }
+    timed("spearman") {
+      graft.operators.Profiling.spearman(df, "x", "y").head(); 1L
+    }
+    timed("abc") {
+      graft.operators.GlobalOrder.abcClassification(df, "k", "x").count()
+    }
+    timed("ntile100") {
+      graft.operators.GlobalOrder.ntileAtScale(df, Seq("x", "id"), 100)
+        .groupBy(col("ntile")).count().count()
+    }
+    df.unpersist()
   }
 
   /** Graph family at scale: a deterministic random digraph (hash-derived

@@ -2551,6 +2551,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // X-mutualnn: mutual-nearest-neighbor pairs within label blocks —
+    // the reciprocity-filtered embedding-dedup refinement; quadratic
+    // only inside the bounded block (the semanticDedup contract)
+    "q_x_mutual_nn" -> ((s, dir) =>
+      graft.operators.Similarity.mutualNearestPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("id1"))),
+
+    // T-forecast: seasonal-naive backtest — (dow, hour) profile fit on
+    // the even half, MAE/bias scored on the odd half; the mandatory
+    // forecasting baseline as one broadcast join + one aggregate
+    "q_t_forecast" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.TimeSeries.seasonalForecastBacktest(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "event_id", "ts", "value")
+    }),
+
     // T-rollcorr: rolling correlation of value vs the JSON prop series
     // — six windowed sufficient statistics as differences of inclusive
     // running decimal sums (the rollingAnomaly O(1)/row rewrite; a
@@ -5545,6 +5564,51 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // mutual NN: the same block-scoped scoring + top-1 windows + the
+    // reciprocity self-join; list_cosine_similarity parity as in
+    // q_x_cosine_topk
+    "q_x_mutual_nn" ->
+      """WITH s AS (
+        |  SELECT a.label AS label, a.vec_id AS ida, b.vec_id AS idb,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |t1 AS (
+        |  SELECT label, ida, idb, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY label, ida
+        |                                 ORDER BY cos DESC, idb) AS rn
+        |    FROM s)
+        |  WHERE rn = 1)
+        |SELECT x.label AS label, x.ida AS id1, x.idb AS id2, x.cos AS cos
+        |FROM t1 x JOIN t1 y ON x.ida = y.idb AND x.idb = y.ida
+        |WHERE x.ida < x.idb
+        |ORDER BY id1""".stripMargin,
+
+    // seasonal backtest: identical profile fit + scored join
+    "q_t_forecast" ->
+      """WITH tr AS (
+        |  SELECT CAST(((epoch_ns(ts) // 86400000000000) + 4) % 7 AS INTEGER) AS dow,
+        |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS "hour",
+        |    value AS v
+        |  FROM events WHERE event_id % 2 = 0),
+        |p AS (
+        |  SELECT dow, "hour",
+        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(v), 6)
+        |      AS baseline
+        |  FROM tr GROUP BY dow, "hour"),
+        |te AS (
+        |  SELECT CAST(((epoch_ns(ts) // 86400000000000) + 4) % 7 AS INTEGER) AS dow,
+        |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS "hour",
+        |    value AS v
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  ROUND(CAST(SUM(CAST(ROUND(abs(v - baseline), 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / count(*), 6) AS mae,
+        |  ROUND(CAST(SUM(CAST(ROUND(v - baseline, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / count(*), 6) AS bias
+        |FROM te JOIN p USING (dow, "hour")""".stripMargin,
 
     // rolling correlation: the direct bounded frame IS safe in the
     // oracle (decimal frame sums are order-exact, so they equal the

@@ -201,6 +201,47 @@ object Similarity {
   /** All-pairs exact cosine for a small broadcastable query set against the
     * corpus: one scan of the corpus, queries broadcast. Returns per query
     * the top-k corpus ids. */
+  /** Mutual-nearest-neighbor pairs within groups: (a, b) where b is
+    * a's top-1 cosine neighbor AND a is b's — the high-precision
+    * embedding-dedup refinement (MNN survives threshold tuning: a hub
+    * vector near many others is top-1 FOR many but reciprocates at
+    * most once).
+    *
+    * Scale shape: the pairwise scoring is scoped to `groupCol` blocks
+    * (a cluster id from [[trainCentroids]]/[[ivfAssign]], an LSH
+    * bucket, or a ground-truth label) — the [[graft.operators.Dedup]]
+    * semanticDedup contract: quadratic only inside an explicitly
+    * bounded block, with the group equi-join as the only shuffle. The
+    * mutual check is one self-join of the group-sized top-1 relation.
+    *
+    * Ties break by neighbor id ascending (deterministic top-1); cosine
+    * rounds to 6 ([[graft.functions.VectorExprs.cosine]] parity with
+    * DuckDB's list_cosine_similarity).
+    *
+    * Output: (groupCol, id1, id2, cos) with id1 < id2. */
+  def mutualNearestPairs(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("__g"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"))
+    val b = df.select(col(groupCol).as("__g"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"))
+    val scored = a.join(b, "__g")
+      .where(col("__ida") =!= col("__idb"))
+      .select(col("__g"), col("__ida"), col("__idb"),
+        round(VectorExprs.cosine(col("__va"), col("__vb")), 6).as("cos"))
+    val w = Window.partitionBy(col("__g"), col("__ida"))
+      .orderBy(col("cos").desc, col("__idb"))
+    val top1 = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__g"), col("__ida"), col("__idb"), col("cos"))
+    top1.alias("x").join(top1.alias("y"),
+        col("x.__ida") === col("y.__idb") &&
+          col("x.__idb") === col("y.__ida"))
+      .where(col("x.__ida") < col("x.__idb"))
+      .select(col("x.__g").as(groupCol), col("x.__ida").as("id1"),
+        col("x.__idb").as("id2"), col("x.cos").as("cos"))
+  }
+
   def batchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))

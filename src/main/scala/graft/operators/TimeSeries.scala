@@ -400,17 +400,49 @@ object TimeSeries {
       .intersect(Set("dow", "hour", "baseline", "residual"))
     require(clash.isEmpty,
       s"seasonalBaseline reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
-    val day = 86400000000000L
-    val hour = 3600000000000L
-    val parts = df.select(col(idCol), col(valCol).as("v"),
-      ((expr(s"`$tsCol` div ${day}L") + 4) % 7).cast("int").as("dow"),
-      (expr(s"`$tsCol` div ${hour}L") % 24).cast("int").as("hour"))
-    val profile = parts.groupBy(col("dow"), col("hour"))
-      .agg(round(sum(col("v").cast("decimal(38,6)")).cast("double") /
-        count(col("v")), 6).as("baseline"))
-    parts.join(broadcast(profile), Seq("dow", "hour"))
+    val parts = calendarParts(df, idCol, tsCol, valCol)
+    parts.join(broadcast(seasonalProfile(parts)), Seq("dow", "hour"))
       .select(col(idCol), col("dow"), col("hour"), col("v"),
         col("baseline"), round(col("v") - col("baseline"), 6).as("residual"))
+  }
+
+  private def calendarParts(df: DataFrame, idCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val day = 86400000000000L
+    val hour = 3600000000000L
+    df.select(col(idCol), col(valCol).as("v"),
+      ((expr(s"`$tsCol` div ${day}L") + 4) % 7).cast("int").as("dow"),
+      (expr(s"`$tsCol` div ${hour}L") % 24).cast("int").as("hour"))
+  }
+
+  private def seasonalProfile(parts: DataFrame): DataFrame =
+    parts.groupBy(col("dow"), col("hour"))
+      .agg(round(sum(col("v").cast("decimal(38,6)")).cast("double") /
+        count(col("v")), 6).as("baseline"))
+
+  /** Seasonal-naive forecast backtest: fit the (dow, hour) profile on
+    * `train`, score it on `test` — the mandatory baseline any real
+    * forecasting model must beat, and the cheapest honest answer to
+    * "how predictable is this metric". Test cells absent from the
+    * training profile drop (nothing to predict with).
+    *
+    * Scale shape: one training aggregate onto ≤ 168 cells, broadcast
+    * back over the test side, one global error aggregate. Errors
+    * round to 6 into DECIMAL sums; MAE/bias divide in DOUBLE.
+    *
+    * Output: one row (n_scored, mae, bias). */
+  def seasonalForecastBacktest(train: DataFrame, test: DataFrame,
+      idCol: String, tsCol: String, valCol: String): DataFrame = {
+    val profile = seasonalProfile(calendarParts(train, idCol, tsCol, valCol))
+    calendarParts(test, idCol, tsCol, valCol)
+      .join(broadcast(profile), Seq("dow", "hour"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum(round(abs(col("v") - col("baseline")), 6)
+            .cast("decimal(38,6)")).cast("double") / count(lit(1)), 6)
+          .as("mae"),
+        round(sum(round(col("v") - col("baseline"), 6)
+            .cast("decimal(38,6)")).cast("double") / count(lit(1)), 6)
+          .as("bias"))
   }
 
   /** Rolling correlation of two aligned series per key — each point's

@@ -117,4 +117,20 @@ class SimilaritySpec extends SparkSpec {
       .select("rank").as[Int].collect()
     assert(selfRank.length == 3 && selfRank.forall(_ == 1))
   }
+
+  test("mutualNearestPairs keeps only reciprocal top-1 pairs, per group") {
+    // group 0: 1↔2 near-identical, 3 closer to 2 than to 1 (one-sided);
+    // group 1 is a separate block — its pair must not cross groups
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.999f, 0.04f, 0.0f)),
+      (3L, 0, Seq(0.9f, 0.43f, 0.0f)),
+      (10L, 1, Seq(0.0f, 1.0f, 0.0f)),
+      (11L, 1, Seq(0.0f, 0.999f, 0.04f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.mutualNearestPairs(rows, "vec_id", "embedding", "label")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // 3's top-1 is 2, but 2's top-1 is 1 → (2,3) is NOT mutual
+    assert(got == Set((1L, 2L), (10L, 11L)))
+  }
 }

@@ -259,6 +259,22 @@ class TimeSeriesSpec extends SparkSpec {
 
   // ───────────────────── seasonalBaseline ─────────────────────
 
+  test("seasonal backtest scores test rows against the train profile") {
+    val hour = 3600000000000L
+    // train: hour-0 mean 10, hour-1 mean 20; test hits hour-0 with 13
+    // and hour-1 with 14 → MAE (3+6)/2, bias (3−6)/2; hour-2 test row
+    // has no trained cell → dropped
+    val train = Seq((1L, 0L, 8.0), (2L, 1L, 12.0), (3L, hour, 20.0))
+      .toDF("id", "ts", "v")
+    val test = Seq((4L, 2L, 13.0), (5L, hour + 1, 14.0),
+      (6L, 2 * hour, 99.0)).toDF("id", "ts", "v")
+    val out = TimeSeries.seasonalForecastBacktest(train, test, "id", "ts", "v")
+      .head()
+    assert(out.getAs[Long]("n_scored") == 2L)
+    assert(out.getAs[Double]("mae") == 4.5)
+    assert(out.getAs[Double]("bias") == -1.5)
+  }
+
   test("seasonal baseline is the cell mean; residuals center the cell") {
     val hour = 3600000000000L
     // two observations in hour-0 Thursday, one in hour-1 Thursday
