@@ -2551,6 +2551,65 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // T-islands: gaps-and-islands interval coalescing — 30-minute
+    // activity windows per user merged into maximal covered spans; one
+    // key window (running max end + running sum of starts), no
+    // interval self-join
+    "q_t_islands" -> ((s, dir) =>
+      graft.operators.Intervals.coalesceIntervals(
+          t(s, dir, "events").select(col("user_id"), col("ts").as("s_ts"),
+            (col("ts") + 1800000000000L).as("e_ts"), col("event_id")),
+          "user_id", "s_ts", "e_ts", "event_id")
+        .orderBy(col("user_id"), col("island"))),
+
+    // W-absence: temporal anti-join — clicks with NO same-user
+    // purchase within the following hour (the negative-funnel
+    // question); left_anti on the user key with the range in the join
+    // condition
+    "q_w_absence" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      clicks.join(purch,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("ts") &&
+            col("p_ts") <= col("ts") + 3600000000000L,
+          "left_anti")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_unanswered"))
+        .orderBy(col("user_id"))
+    }),
+
+    // X-ltv: cohort LTV curve — customers grouped by first-order
+    // month, revenue by cohort age with a per-cohort cumulative
+    // (decimal-exact through the window, cast at the edge)
+    "q_x_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("mi"),
+        col("o_totalprice"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("cohort"))
+      val panel = o.join(first, "o_custkey")
+        .groupBy(col("cohort"), (col("mi") - col("cohort")).as("age"))
+        .agg(sum(col("o_totalprice").cast("decimal(38,2)")).as("__rev"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      panel.select(col("cohort"), col("age"),
+          col("__rev").cast("double").as("rev"),
+          sum(col("__rev")).over(w).cast("double").as("cum_rev"))
+        .orderBy(col("cohort"), col("age"))
+    }),
+
+    // X-soundex: phonetic blocking codes — Spark's native codegen
+    // soundex over a planted textbook corpus, oracled against an
+    // INDEPENDENT plain-Scala implementation (the HashGoldens pattern)
+    "q_x_soundex" -> ((s, dir) =>
+      graft.operators.Phonetic.corpusDF(s)
+        .select(col("name"), soundex(col("name")).as("code"))
+        .orderBy(col("name"))),
+
     // X-mutualnn: mutual-nearest-neighbor pairs within label blocks —
     // the reciprocity-filtered embedding-dedup refinement; quadratic
     // only inside the bounded block (the semanticDedup contract)
@@ -5564,6 +5623,69 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // islands: identical running-max-end marks + running-sum numbering
+    "q_t_islands" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS s_ts,
+        |    epoch_ns(ts) + 1800000000000 AS e_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, s_ts, e_ts,
+        |    CASE WHEN max(e_ts) OVER wb IS NULL
+        |          OR s_ts > max(e_ts) OVER wb THEN 1 ELSE 0 END AS nw
+        |  FROM iv
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY s_ts, e_ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (
+        |  SELECT user_id, s_ts, e_ts,
+        |    SUM(nw) OVER (PARTITION BY user_id ORDER BY s_ts, e_ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM m)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  min(s_ts) AS span_start, max(e_ts) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
+    // absence: the NOT EXISTS twin of the left_anti range join
+    "q_w_absence" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts
+        |  FROM events),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_unanswered
+        |FROM c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p
+        |  WHERE p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + 3600000000000)
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // LTV: identical cohort panel + per-cohort cumulative decimal sums
+    "q_x_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+        |    o_totalprice
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(mi) AS cohort FROM o GROUP BY 1),
+        |panel AS (
+        |  SELECT cohort, mi - cohort AS age,
+        |    SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev_d
+        |  FROM o JOIN f USING (o_custkey)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cohort AS INTEGER) AS cohort, CAST(age AS INTEGER) AS age,
+        |  CAST(rev_d AS DOUBLE) AS rev,
+        |  CAST(SUM(rev_d) OVER (PARTITION BY cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_rev
+        |FROM panel ORDER BY cohort, age""".stripMargin,
+
+    // soundex: dump-time VALUES from the independent implementation
+    "q_x_soundex" -> graft.operators.Phonetic.goldenSql,
 
     // mutual NN: the same block-scoped scoring + top-1 windows + the
     // reciprocity self-join; list_cosine_similarity parity as in

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval algebra over per-key validity/activity ranges — the
+  * "gaps and islands" family: coalescing overlapping intervals into
+  * maximal covered spans (entity timelines, maintenance windows,
+  * coverage audits) without any interval self-join.
+  *
+  * Scale shape: ONE key-partitioned window pass — a running max of
+  * interval ends (incremental frame) marks island starts, a running
+  * sum of the marks numbers the islands — then one (key, island)
+  * aggregate. State per task is bounded by the key's own rows.
+  */
+object Intervals {
+
+  /** Merge each key's overlapping-or-touching intervals
+    * ([startCol, endCol], integral units; touching means
+    * next.start ≤ running max end) into islands.
+    *
+    * Output: (key, island, span_start, span_end, n_intervals) — island
+    * is the key's 1-based island index in start order. Zero- or
+    * negative-length intervals participate as points. */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tieCol: String): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("island", "span_start", "span_end", "n_intervals",
+        "__pmax", "__new"))
+    require(clash.isEmpty,
+      s"coalesceIntervals reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol), col(tieCol))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(startCol), col(endCol), col(tieCol),
+        when(col(startCol) > max(col(endCol)).over(before), 1L)
+          .otherwise(when(max(col(endCol)).over(before).isNull, 1L)
+            .otherwise(0L)).as("__new"))
+      .select(col(keyCol), col(startCol), col(endCol),
+        sum(col("__new")).over(run).as("island"))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+}
