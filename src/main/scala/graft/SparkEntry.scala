@@ -2551,6 +2551,38 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // A-theilsen: robust per-group trend slope — lower median of
+    // pairwise slopes over a deterministic hash sample (the estimator
+    // is quadratic by definition; the sample bounds it the standard
+    // way); pairs join group-keyed, median via one rank window
+    "q_a_theilsen" -> ((s, dir) => {
+      val o = graft.operators.Sampling.hashSample(
+          t(s, dir, "orders"), "o_orderkey", fraction = 0.125, salt = "ts7")
+        .select(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .as("mi"),
+          col("o_totalprice"), col("o_orderkey"))
+      graft.operators.Profiling.theilSen(o, "o_orderpriority", "mi",
+          "o_totalprice", "o_orderkey")
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A-mode: per-group modal value (smallest-value tie break) — one
+    // grouped count + one rank window over the distinct-value relation
+    "q_a_mode" -> ((s, dir) =>
+      graft.operators.Profiling.modeByGroup(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
+    // D-seqpoisson: sequential Poisson weighted sampling — real-valued
+    // weights, u/w priorities from the salted key hash, bounded-heap
+    // top-k; deterministic across runs/layouts/engines
+    "q_d_seqpoisson" -> ((s, dir) =>
+      graft.operators.Sampling.sequentialPoisson(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          "o_orderkey", "o_totalprice", k = 25, salt = "sp1")
+        .orderBy(col("o_orderkey"))),
+
     // T-islands: gaps-and-islands interval coalescing — 30-minute
     // activity windows per user merged into maximal covered spans; one
     // key window (running max end + running sum of starts), no
@@ -5623,6 +5655,56 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // Theil-Sen: identical hash sample, pair join, and lower-median
+    // rank selection
+    "q_a_theilsen" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+        |    o_totalprice
+        |  FROM orders
+        |  WHERE md5(CAST(o_orderkey AS VARCHAR) || 'ts7')
+        |        < '20000000000000000000000000000000'),
+        |p AS (
+        |  SELECT a.o_orderpriority AS g, a.o_orderkey AS id1,
+        |    b.o_orderkey AS id2,
+        |    ROUND((b.o_totalprice - a.o_totalprice)
+        |          / CAST(b.mi - a.mi AS DOUBLE), 9) AS slope
+        |  FROM s a JOIN s b
+        |    ON a.o_orderpriority = b.o_orderpriority
+        |   AND a.o_orderkey < b.o_orderkey AND a.mi <> b.mi),
+        |r AS (
+        |  SELECT g, slope,
+        |    row_number() OVER (PARTITION BY g ORDER BY slope, id1, id2) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM p)
+        |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n_pairs,
+        |  slope AS slope_med
+        |FROM r WHERE rn = (n + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // mode: identical count + rank-1 selection
+    "q_a_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem
+        |  WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode, CAST(n AS BIGINT) AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // sequential Poisson: same 52-bit uniform and u/w priorities
+    "q_d_seqpoisson" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'sp1'), 1, 13))::BIGINT
+        |     / 4503599627370496.0) / o_totalprice AS prio
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |  ORDER BY prio, o_orderkey LIMIT 25)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // islands: identical running-max-end marks + running-sum numbering
     "q_t_islands" ->

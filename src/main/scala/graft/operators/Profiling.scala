@@ -664,6 +664,66 @@ object Profiling {
     df.groupBy(mask.as("pattern")).agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group mode: the most frequent value, ties broken by smallest
+    * value — the categorical/discrete central tendency the mean and
+    * median panels can't answer. One grouped count + one
+    * (group)-keyed rank window over the distinct-value relation.
+    * Output: (group, mode, n_mode). */
+  def modeByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__n").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(groupCol), col(valueCol).as("mode"), col("__n").as("n_mode"))
+  }
+
+  /** Per-group Theil-Sen slope: the LOWER median of all pairwise
+    * slopes — the robust regression complement to [[groupOls]] (a
+    * single wild outlier moves OLS arbitrarily; it moves the median
+    * slope not at all). Pairs with equal x drop (undefined slope).
+    *
+    * The input is expected to be PRE-SAMPLED (e.g.
+    * [[Sampling.hashSample]]) — pairwise volume is quadratic in group
+    * size by definition of the estimator, so the caller bounds it the
+    * standard way: Theil-Sen on a deterministic sample. The join is
+    * group-keyed; the median is one group-keyed rank window over the
+    * pair relation.
+    *
+    * Slopes round to 9 (identical double division both engines); the
+    * lower median picks row (n+1) div 2 in (slope, id1, id2) order —
+    * deterministic under ties. Output: (group, n_pairs, slope_med). */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, idCol: String): DataFrame = {
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(xCol).as("__x"), col(yCol).as("__y"))
+    val pairs = base.alias("a").join(base.alias("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
+          col("a.__x") =!= col("b.__x"))
+      .select(col("a.__g").as("__g"), col("a.__id").as("__id1"),
+        col("b.__id").as("__id2"),
+        round((col("b.__y") - col("a.__y")) /
+          (col("b.__x") - col("a.__x")).cast("double"), 9).as("__slope"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
+      .orderBy(col("__slope"), col("__id1"), col("__id2"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // `div`, not `/`: Spark's `/` on integers is DOUBLE division, and
+      // rn == 2.5 would never hold for even pair counts
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("__g").as(groupCol), col("__n").as("n_pairs"),
+        col("__slope").as("slope_med"))
+  }
+
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -109,6 +109,34 @@ object Sampling {
       .drop("__prio")
   }
 
+  /** Sequential Poisson sampling (Ohlsson): a weighted-without-
+    * replacement sample of k keys with inclusion probability ≈ ∝ the
+    * REAL-VALUED `weightCol` — the survey-statistics standard, and the
+    * unbounded-weight complement to [[weightedSample]]'s
+    * max-of-w-hashes (which needs small integer weights). Priority is
+    * u/w with u a deterministic 52-bit uniform from the salted key
+    * md5; the k SMALLEST priorities win, so the sample is stable
+    * across runs, layouts, and engines, and changing `salt` draws an
+    * independent sample.
+    *
+    * Scale shape: a map-side priority + one TakeOrderedAndProject
+    * (per-partition bounded heap, never a global sort). Rows with
+    * null/non-positive weight or a null key drop. */
+  def sequentialPoisson(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // 13 hex chars = 52 bits — exactly representable in a double
+    val u = conv(substring(
+        md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0)
+    df.where(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__prio", u / col(weightCol))
+      .orderBy(col("__prio"), col(keyCol))
+      .limit(k)
+      .drop("__prio")
+  }
+
   /** Deterministic stratified sampling: per-stratum fractions through
     * the same salted content-hash threshold — the engine-reproducible
     * twin of `df.stat.sampleBy` (whose seeded RNG is partition-layout-

@@ -313,6 +313,42 @@ class ProfilingSpec extends SparkSpec {
     })
   }
 
+  test("modeByGroup picks the most frequent value, smallest on ties") {
+    import spark.implicits._
+    val df = Seq(("a", 2.0), ("a", 2.0), ("a", 1.0),
+      ("b", 5.0), ("b", 3.0)).toDF("g", "v") // b: tie 3 vs 5 → 3
+    val got = Profiling.modeByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("a" -> (2.0, 2L), "b" -> (3.0, 1L)))
+  }
+
+  test("theilSen shrugs off the outlier that wrecks OLS") {
+    import spark.implicits._
+    // y = 2x exactly, except one wild outlier at x=6
+    val rows = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
+      (4L, 4.0, 8.0), (5L, 5.0, 10.0), (6L, 6.0, 500.0))
+      .map { case (id, x, y) => ("g", id, x, y) }
+    val df = rows.toDF("g", "id", "x", "y")
+    val ts = Profiling.theilSen(df, "g", "x", "y", "id").head()
+    assert(ts.getAs[Long]("n_pairs") == 15L)
+    assert(ts.getAs[Double]("slope_med") == 2.0)
+    val ols = Profiling.groupOls(df, "g", "x", "y").head()
+    assert(ols.getAs[Double]("slope") > 30.0) // OLS dragged far off
+  }
+
+  test("theilSen lower median is deterministic for even pair counts") {
+    import spark.implicits._
+    // 3 points → 3 pairs... use 4 x-distinct points → 6 pairs (even)
+    val df = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 3.0),
+      ("g", 3L, 3.0, 4.0), ("g", 4L, 4.0, 8.0)).toDF("g", "id", "x", "y")
+    // slopes: (1,2)=2 (1,3)=1.5 (1,4)≈2.3333 (2,3)=1 (2,4)=2.5 (3,4)=4
+    // sorted: 1, 1.5, 2, 2.333…, 2.5, 4 → lower median (pos 3) = 2
+    val ts = Profiling.theilSen(df, "g", "x", "y", "id").head()
+    assert(ts.getAs[Long]("n_pairs") == 6L)
+    assert(ts.getAs[Double]("slope_med") == 2.0)
+  }
+
   test("missingPatterns counts rows per null-mask combination") {
     import spark.implicits._
     val df = Seq[(java.lang.Double, String)](

@@ -229,4 +229,21 @@ class SamplingSpec extends SparkSpec {
     assert(run(1, 4) == run(16, 4))
     assert(run(4, 2) == run(4, 11)) // range-partition count is internal
   }
+
+  test("sequentialPoisson: deterministic, layout-independent, weighted") {
+    val data = (1L to 400L).map(i => (i, (i % 20 + 1).toDouble))
+      .toDF("id", "w")
+    def run(parts: Int) =
+      Sampling.sequentialPoisson(data.repartition(parts), "id", "w",
+        k = 50, salt = "t").select("id").as[Long].collect().toSet
+    val a = run(1)
+    assert(a == run(13) && a.size == 50)
+    // weighting pulls: heavy rows (w ≥ 11) should out-represent light
+    // ones by construction — deterministic given the fixed salt
+    val heavy = a.count(id => id % 20 + 1 >= 11)
+    assert(heavy > 25, s"heavy=$heavy of 50")
+    // k >= survivors returns everything with positive weight
+    val all = Sampling.sequentialPoisson(data, "id", "w", k = 500)
+    assert(all.count() == 400)
+  }
 }
