@@ -2551,6 +2551,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // A-mannwhitney: rank-sum two-sample test — tie-averaged ranks
+    // from ONE distinct-value prefix-sum pass (no per-row rank join:
+    // the rank-sum needs only Σ count_A(v)·avgrank(v)); doubled ranks
+    // keep every statistic integer-exact
+    "q_a_mannwhitney" -> ((s, dir) =>
+      graft.operators.Profiling.mannWhitneyU(
+        t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+
+    // A-ks: bin-free two-sample distribution test — both empirical
+    // CDFs ride the distinct-value prefix sums, one max aggregate
+    "q_a_ks" -> ((s, dir) =>
+      graft.operators.Profiling.ksTest(
+        t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+
+    // X-silhouette: centroid-form clustering quality per label — k-row
+    // broadcast centroid panel, one scoring pass, one label-keyed mean
+    "q_x_silhouette" -> ((s, dir) =>
+      graft.operators.Clustering.silhouetteByLabel(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("label"))),
+
     // A-theilsen: robust per-group trend slope — lower median of
     // pairwise slopes over a deterministic hash sample (the estimator
     // is quadratic by definition; the sample bounds it the standard
@@ -5655,6 +5676,105 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // Mann-Whitney: rank window twin of the prefix-sum formulation;
+    // identical decimal statistics and fixed-order closed form
+    "q_a_mannwhitney" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, value AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |counts AS (
+        |  SELECT v, SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    count(*) AS ct
+        |  FROM c GROUP BY v),
+        |pre AS (
+        |  SELECT v, ca, ct,
+        |    COALESCE(SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM counts),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(ct) AS BIGINT) AS nt,
+        |    CAST(SUM(CAST(ca AS DECIMAL(38,0)) *
+        |      CAST(2 * p + ct + 1 AS DECIMAL(19,0))) AS DOUBLE) AS r1d,
+        |    CAST(SUM(CAST(ct AS DECIMAL(19,0)) * CAST(ct AS DECIMAL(19,0))
+        |      * CAST(ct AS DECIMAL(19,0)) - CAST(ct AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS tie
+        |  FROM pre)
+        |SELECT n1, nt - n1 AS n2,
+        |  (r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
+        |  CASE WHEN CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE) / 12.0 *
+        |         ((CAST(nt AS DOUBLE) + 1.0) - tie /
+        |          (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0))) > 0
+        |  THEN ROUND(
+        |    ((r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+        |     - CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE)) /
+        |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE) / 12.0 *
+        |      ((CAST(nt AS DOUBLE) + 1.0) - tie /
+        |       (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0))))), 6)
+        |  END AS z
+        |FROM a""".stripMargin,
+
+    // KS: window-cumulative CDF twin, identical round-9 gaps
+    "q_a_ks" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, value AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |counts AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |cum AS (
+        |  SELECT v, ca, cb,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM counts)
+        |SELECT CAST(MAX(na) AS BIGINT) AS n1, CAST(MAX(nb) AS BIGINT) AS n2,
+        |  ROUND(MAX(ROUND(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) -
+        |    CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)), 6) AS ks_d
+        |FROM cum""".stripMargin,
+
+    // silhouette: identical centroid panel (REAL[] quantization = the
+    // float expression input), scoring, and label means
+    "q_x_silhouette" ->
+      """WITH ex AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |cm AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+        |          / CAST(count(*) AS DOUBLE), 6) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT label AS clabel,
+        |    CAST(CAST(list(c ORDER BY pos) AS REAL[]) AS DOUBLE[]) AS cvec
+        |  FROM cm GROUP BY label),
+        |sc AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      c.cvec), 6) AS cos
+        |  FROM embeddings e CROSS JOIN cl c),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN label = clabel THEN cos END) AS cosown,
+        |    MAX(CASE WHEN label <> clabel THEN cos END) AS cosoth
+        |  FROM sc GROUP BY 1, 2),
+        |s AS (
+        |  SELECT label,
+        |    CASE WHEN GREATEST(ROUND(1.0 - cosown, 6), ROUND(1.0 - cosoth, 6)) > 0
+        |         THEN ROUND((ROUND(1.0 - cosoth, 6) - ROUND(1.0 - cosown, 6))
+        |              / GREATEST(ROUND(1.0 - cosown, 6),
+        |                         ROUND(1.0 - cosoth, 6)), 6)
+        |         ELSE 0.0 END AS sv
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+        |  ROUND(CAST(SUM(CAST(sv AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_silhouette
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
     // Theil-Sen: identical hash sample, pair join, and lower-median
     // rank selection

@@ -211,4 +211,50 @@ object Clustering {
       s"""
          |SELECT vid AS $idCol, cid FROM af WHERE $docFilter
          |ORDER BY vid""".stripMargin
+
+  /** Per-cluster mean silhouette, centroid formulation: each point's
+    * cohesion a = cosine distance to its OWN cluster centroid,
+    * separation b = distance to the NEAREST OTHER centroid,
+    * s = (b − a)/max(a, b) — the standard clustering-quality readout
+    * (full pairwise silhouette is corpus² across clusters; the
+    * centroid form is the linear-cost variant every large-scale
+    * pipeline actually runs).
+    *
+    * Scale shape: centroids come from
+    * [[Similarity.groupCentroids]]' (group, dim)-keyed aggregate and
+    * collapse to a k-row broadcast panel; scoring is one pass over
+    * the points (k cosines each), then one label-keyed mean. The
+    * centroid array quantizes through FLOAT (the fused
+    * [[graft.functions.VectorExprs.cosine]] expression's input type —
+    * the oracle replicates the quantization with a REAL[] cast).
+    *
+    * Output: (labelCol, n_points, mean_silhouette). */
+  def silhouetteByLabel(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = Similarity.groupCentroids(df, labelCol, vecCol)
+    val cvecs = cents.groupBy(col(labelCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c"))))
+        .as("__pc"))
+      .select(col(labelCol).as("__clabel"),
+        expr("transform(__pc, p -> cast(p.c as float))").as("__cvec"))
+    val scored = df.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cvecs))
+      .select(col(idCol), col(labelCol), col("__clabel"),
+        round(graft.functions.VectorExprs.cosine(col(vecCol), col("__cvec")),
+          6).as("__cos"))
+    val perPoint = scored.groupBy(col(idCol), col(labelCol))
+      .agg(max(when(col(labelCol) === col("__clabel"), col("__cos")))
+          .as("__cosown"),
+        max(when(col(labelCol) =!= col("__clabel"), col("__cos")))
+          .as("__cosoth"))
+    val a = round(lit(1.0) - col("__cosown"), 6)
+    val b = round(lit(1.0) - col("__cosoth"), 6)
+    val s = when(greatest(a, b) > 0, round((b - a) / greatest(a, b), 6))
+      .otherwise(lit(0.0))
+    perPoint.select(col(labelCol), s.as("__s"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__s").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"))
+  }
 }

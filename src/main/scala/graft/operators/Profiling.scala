@@ -724,6 +724,89 @@ object Profiling {
         col("__slope").as("slope_med"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test: does one
+    * group stochastically dominate the other — the nonparametric
+    * complement to [[welchTTest]] (no normality assumption; robust to
+    * outliers by construction). Normal approximation with the
+    * standard tie-corrected variance, no continuity correction.
+    *
+    * Scale shape: the [[spearman]] regime — tie-averaged ranks come
+    * from one distinct-value prefix-sum pass
+    * ([[GlobalOrder.withPrefixSum]]), and the test reduces to ONE
+    * aggregate over the distinct-value relation; no per-row rank join
+    * is ever needed (the rank-sum only needs Σ count_A(v)·avgrank(v)).
+    * DOUBLED ranks keep every statistic an exact integer (DECIMAL
+    * sums); only the final closed form runs in fixed-order DOUBLE.
+    *
+    * Output: one row (n1, n2, u1, z) — u1 the U statistic of
+    * `groupA`, z null when the variance degenerates (all values
+    * tied). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "need two distinct groups")
+    val clean = df.where(col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__grp"), col(valueCol).as("__v"))
+    val counts = clean.groupBy(col("__v"))
+      .agg(sum(when(col("__grp") === groupA, 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__ct"))
+    val pre = GlobalOrder.withPrefixSum(counts, Seq("__v"), "__ct", "__pre")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val agg = pre.agg(
+      sum(col("__ca")).as("__n1"), sum(col("__ct")).as("__nt"),
+      // doubled rank-sum of A: Σ ca · (2·prefix + ct + 1) — exact
+      sum(col("__ca").cast("decimal(38,0)") *
+        d19(lit(2) * col("__pre") + col("__ct") + lit(1))).as("__r1d"),
+      // tie correction Σ (t³ − t) — exact
+      sum(d19(col("__ct")) * d19(col("__ct")) * d19(col("__ct")) -
+        d19(col("__ct"))).as("__tie"))
+    val n1 = col("__n1").cast("double")
+    val n2 = (col("__nt") - col("__n1")).cast("double")
+    val nt = col("__nt").cast("double")
+    val u12 = col("__r1d").cast("double") - n1 * (n1 + lit(1.0))
+    val variance = n1 * n2 / lit(12.0) *
+      ((nt + lit(1.0)) - col("__tie").cast("double") / (nt * (nt - lit(1.0))))
+    agg.select(col("__n1").as("n1"),
+      (col("__nt") - col("__n1")).as("n2"),
+      (u12 / lit(2.0)).as("u1"),
+      when(variance > 0,
+        round((u12 - n1 * n2) / (lit(2.0) * sqrt(variance)), 6)).as("z"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic: the maximum gap between
+    * the groups' empirical CDFs — the distribution-shape drift test
+    * ([[graft.operators.Drift]]'s PSI needs binning; KS is bin-free).
+    *
+    * Scale shape: both CDFs ride the distinct-value prefix-sum pass
+    * (two [[GlobalOrder.withPrefixSumAndTotal]] calls — totals come
+    * free), then one max aggregate; no global sort window, no
+    * per-row work. CDF gaps round to 9 before the max (identical
+    * fixed-order doubles), the reported D to 6.
+    *
+    * Output: one row (n1, n2, ks_d). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "need two distinct groups")
+    val clean = df.where(col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__grp"), col(valueCol).as("__v"))
+    val counts = clean.groupBy(col("__v"))
+      .agg(sum(when(col("__grp") === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__grp") === groupB, 1L).otherwise(0L)).as("__cb"))
+    val (preA, totA) = GlobalOrder.withPrefixSumAndTotal(
+      counts, Seq("__v"), "__ca", "__pa")
+    val (preB, totB) = GlobalOrder.withPrefixSumAndTotal(
+      preA, Seq("__v"), "__cb", "__pb")
+    require(totA > 0 && totB > 0,
+      s"both groups need rows, got $totA / $totB")
+    val gap = round(abs(
+      (col("__pa") + col("__ca")).cast("double") / lit(totA.toDouble) -
+        (col("__pb") + col("__cb")).cast("double") / lit(totB.toDouble)), 9)
+    preB.agg(max(gap).as("__d"))
+      .select(lit(totA).as("n1"), lit(totB).as("n2"),
+        round(col("__d"), 6).as("ks_d"))
+  }
+
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)

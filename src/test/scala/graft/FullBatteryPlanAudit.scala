@@ -49,7 +49,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_a_mi",                 // 1-row grand-total over the cell table
     "q_a_benford",            // 1-row digit-count total scalar
     "q_a_cuped",              // 1-row pooled θ/mean scalar panel
-    "q_x_assoc")              // 1-row basket-total scalar
+    "q_x_assoc",              // 1-row basket-total scalar
+    "q_x_silhouette")         // k-row broadcast centroid panel
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

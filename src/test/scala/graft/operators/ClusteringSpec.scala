@@ -64,4 +64,25 @@ class ClusteringSpec extends SparkSpec {
       Clustering.kMeans(pts, "vec_id", "embedding", k = 1, dim = 3, iters = 1)
     }
   }
+
+  test("silhouette: separated labels score high, shuffled labels low") {
+    // two tight orthogonal clouds
+    def pt(base: (Float, Float), j: Float) = Seq(base._1 + j, base._2)
+    val good = (0 until 6).map(i =>
+      (i.toLong, i % 2,
+        if (i % 2 == 0) pt((1f, 0f), i * 0.01f) else Seq(0f + i * 0.01f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val g = Clustering.silhouetteByLabel(good, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("mean_silhouette"))
+      .toMap
+    assert(g.values.forall(_ > 0.5), s"got $g")
+    // same points with labels IGNORING geometry → near-zero/negative
+    val bad = (0 until 6).map(i =>
+      (i.toLong, i % 2,
+        if (i < 3) pt((1f, 0f), i * 0.01f) else Seq(0f + i * 0.01f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val b = Clustering.silhouetteByLabel(bad, "vec_id", "embedding", "label")
+      .collect().map(_.getAs[Double]("mean_silhouette"))
+    assert(b.forall(_ < 0.3), s"got ${b.toSeq}")
+  }
 }

@@ -313,6 +313,38 @@ class ProfilingSpec extends SparkSpec {
     })
   }
 
+  test("mannWhitneyU: hand-checked U and z with ties") {
+    import spark.implicits._
+    // A = (1, 2, 2), B = (3, 3, 4): every A < every B → U1 = 0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0),
+      ("b", 3.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = Profiling.mannWhitneyU(df, "g", "v", "a", "b").head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Double]("u1") == 0.0)
+    // σ² = (9/12)·(7 − 12/30) = 4.95; z = (0 − 4.5)/sqrt(4.95)
+    val expZ = BigDecimal(-4.5 / math.sqrt(4.95))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == expZ)
+    // all-tied input degenerates to null z
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val t = Profiling.mannWhitneyU(tied, "g", "v", "a", "b").head()
+    assert(t.isNullAt(t.fieldIndex("z")))
+  }
+
+  test("ksTest: exact D on hand-built samples, 1.0 on disjoint ones") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6} → max CDF gap 0.5 (at value 2)
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Profiling.ksTest(df, "g", "v", "a", "b").head()
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 4L)
+    assert(r.getAs[Double]("ks_d") == 0.5)
+    val disj = (Seq(1.0, 2.0).map(("a", _)) ++ Seq(9.0).map(("b", _)))
+      .toDF("g", "v")
+    assert(Profiling.ksTest(disj, "g", "v", "a", "b")
+      .head().getAs[Double]("ks_d") == 1.0)
+  }
+
   test("modeByGroup picks the most frequent value, smallest on ties") {
     import spark.implicits._
     val df = Seq(("a", 2.0), ("a", 2.0), ("a", 1.0),
