@@ -2551,6 +2551,40 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // T-dau: daily + trailing-7-day active users — distinct (day, user)
+    // reduction, bounded ×7 map-side expansion, one day-keyed distinct
+    // count; no range join, no per-day rescan
+    "q_t_dau" -> ((s, dir) =>
+      graft.operators.Cohort.activeUsers(
+          t(s, dir, "events"), "user_id",
+          expr("ts div 86400000000000"), window = 7)
+        .orderBy(col("day"))),
+
+    // A-joincard: sampling-based join-size estimate vs truth —
+    // correlated KEY sampling on both sides (row sampling would
+    // estimate fraction² of the pairs), scaled per-key count products
+    "q_a_joincard" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      val est = graft.operators.Profiling.joinCardinalityEstimate(
+        o, "o_orderkey", l, "l_orderkey", fraction = 0.125, salt = "jc1")
+      val actual = o.select(col("o_orderkey").as("__k"))
+        .join(l.select(col("l_orderkey").as("__k")), "__k")
+        .agg(count(lit(1)).as("actual_pairs"))
+      est.crossJoin(actual)
+        .select(col("est_pairs"), col("actual_pairs"),
+          round(col("est_pairs") / col("actual_pairs").cast("double"), 6)
+            .as("err_ratio"))
+    }),
+
+    // X-ndcg: retrieval NDCG@10 with same-label relevance — bounded
+    // broadcast query batch, pre-rounded discount literals (no runtime
+    // log), label populations broadcast for the ideal ranking
+    "q_x_ndcg" -> ((s, dir) =>
+      graft.operators.Similarity.retrievalNdcg(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          col("vec_id") < 20, k = 10)
+        .orderBy(col("qid"))),
+
     // A-mannwhitney: rank-sum two-sample test — tie-averaged ranks
     // from ONE distinct-value prefix-sum pass (no per-row rank join:
     // the rank-sum needs only Σ count_A(v)·avgrank(v)); doubled ranks
@@ -5676,6 +5710,83 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // DAU/WAU: identical distinct reduction + ×7 expansion
+    "q_t_dau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM du GROUP BY 1),
+        |ex AS (SELECT day + r.range AS day2, user_id
+        |       FROM du CROSS JOIN range(0, 7) r),
+        |ra AS (SELECT day2 AS day,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_active
+        |       FROM ex GROUP BY 1)
+        |SELECT d.day, d.dau, ra.rolling_active
+        |FROM dau d JOIN ra USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // join cardinality: identical key sample + scaled count products
+    "q_a_joincard" ->
+      """WITH sa AS (
+        |  SELECT o_orderkey AS k, count(*) AS na FROM orders
+        |  WHERE md5(CAST(o_orderkey AS VARCHAR) || 'jc1')
+        |        < '20000000000000000000000000000000'
+        |  GROUP BY 1),
+        |sb AS (
+        |  SELECT l_orderkey AS k, count(*) AS nb FROM lineitem
+        |  WHERE md5(CAST(l_orderkey AS VARCHAR) || 'jc1')
+        |        < '20000000000000000000000000000000'
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT ROUND(COALESCE(CAST(SUM(CAST(na AS DECIMAL(19,0))
+        |    * CAST(nb AS DECIMAL(19,0))) AS DOUBLE), 0.0) / 0.125, 6)
+        |    AS est_pairs
+        |  FROM sa JOIN sb USING (k)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS actual_pairs
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT est_pairs, actual_pairs,
+        |  ROUND(est_pairs / CAST(actual_pairs AS DOUBLE), 6) AS err_ratio
+        |FROM e CROSS JOIN a""".stripMargin,
+
+    // NDCG: generated discount VALUES + identical left-fold idcg
+    "q_x_ndcg" -> {
+      val disc = graft.operators.Similarity.ndcgDiscounts(10)
+      val discVals = disc.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+      val idcg = disc.zipWithIndex
+        .map { case (d, i) =>
+          s"CASE WHEN nl - 1 >= ${i + 1} THEN $d ELSE 0.0 END" }
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 20),
+         |sc AS (
+         |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.qvec AS DOUBLE[])), 6) AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sc),
+         |t AS (SELECT * FROM r WHERE rnk <= 10),
+         |d(rnk, disc) AS (VALUES $discVals),
+         |pq AS (
+         |  SELECT qid, qlabel,
+         |    CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel,
+         |    CAST(SUM(CAST(ROUND(CASE WHEN label = qlabel THEN 1.0
+         |      ELSE 0.0 END * disc, 9) AS DECIMAL(38,9))) AS DOUBLE) AS dcg
+         |  FROM t JOIN d ON t.rnk = d.rnk GROUP BY qid, qlabel),
+         |lc AS (SELECT label AS qlabel, count(*) AS nl
+         |       FROM embeddings GROUP BY 1)
+         |SELECT qid, n_rel,
+         |  CASE WHEN $idcg > 0 THEN ROUND(dcg / ($idcg), 6) END AS ndcg
+         |FROM pq JOIN lc USING (qlabel) ORDER BY qid""".stripMargin
+    },
 
     // Mann-Whitney: rank window twin of the prefix-sum formulation;
     // identical decimal statistics and fixed-order closed form

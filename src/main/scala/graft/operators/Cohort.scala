@@ -117,4 +117,36 @@ object Cohort {
     withM.withColumn("segment",
       (col("r") * 100 + col("f") * 10 + col("m")).cast("int"))
   }
+
+  /** Daily/rolling active users: per day, the exact distinct-entity
+    * count (DAU) and the exact distinct count over the trailing
+    * `window` days (WAU/MAU) — the product-analytics vital signs.
+    *
+    * Scale shape: one distinct (day, entity) reduction (map-side
+    * dedup), then a bounded ×`window` MAP-SIDE expansion — each pair
+    * votes for the `window` target days it covers — and one
+    * day-keyed distinct count. NO range join and NO per-day rescan:
+    * the classic scalable rolling-distinct formulation. Target days
+    * with no native activity (pure trailing coverage) are excluded
+    * via a semi-join against the active-day set.
+    *
+    * `dayCol` must be an integral day index. Output:
+    * (day, dau, rolling_active). */
+  def activeUsers(events: DataFrame, entityCol: String, dayCol: Column,
+      window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 370,
+      s"need 1 <= window <= 370, got $window")
+    val du = events
+      .select(dayCol.cast("bigint").as("day"), col(entityCol).as("__e"))
+      .where(col("day").isNotNull && col("__e").isNotNull)
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val rolling = du
+      .select(explode(sequence(col("day"),
+        col("day") + lit(window - 1))).as("day"), col("__e"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__e")).as("rolling_active"))
+      .join(du.select(col("day")).distinct(), Seq("day"), "left_semi")
+    dau.join(rolling, Seq("day"))
+  }
 }

@@ -807,6 +807,36 @@ object Profiling {
         round(col("__d"), 6).as("ks_d"))
   }
 
+  /** Sampling-based equi-join cardinality estimate — the
+    * query-planning question ("how big is A ⋈ B on this key") answered
+    * without running the join: sample KEYS by salted content hash
+    * (both sides keep the same keys — the correlated-sampling
+    * requirement; independent row samples would estimate fraction²
+    * of the pairs), join the sampled per-key counts, and scale the
+    * pair count by 1/fraction.
+    *
+    * Scale shape: two map-side-filtered grouped counts over the
+    * sampled keys + one join of key-count relations — work scales
+    * with `fraction`, never the full join. Pair products accumulate
+    * as DECIMAL. Output: one row (est_pairs). */
+  def joinCardinalityEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"need 0 < fraction <= 1, got $fraction")
+    val thr = Sampling.hexThreshold(fraction)
+    def keep(c: Column) = md5(concat(
+      coalesce(c.cast("string"), lit(" null")), lit(salt))) < thr
+    val ca = a.where(col(aKey).isNotNull && keep(col(aKey)))
+      .groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__na"))
+    val cb = b.where(col(bKey).isNotNull && keep(col(bKey)))
+      .groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__nb"))
+    ca.join(cb, "__k")
+      .agg(sum(col("__na").cast("decimal(19,0)") *
+        col("__nb").cast("decimal(19,0)")).as("__s"))
+      .select(round(coalesce(col("__s").cast("double"), lit(0.0)) /
+        lit(fraction), 6).as("est_pairs"))
+  }
+
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)

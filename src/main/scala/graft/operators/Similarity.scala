@@ -242,6 +242,61 @@ object Similarity {
         col("x.__idb").as("id2"), col("x.cos").as("cos"))
   }
 
+  /** Pre-rounded NDCG discount ladder 1/log2(r+1) for ranks 1..k — the
+    * literals BOTH engines consume (no runtime log in the scoring
+    * path, the ewmaWeights pattern). */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Retrieval quality: NDCG@k of cosine top-k search, with same-label
+    * membership as the (binary) relevance signal — the standard
+    * embedding-space eval ("does nearest-neighbor search surface the
+    * right class"). Self-matches are excluded; the ideal ranking puts
+    * all available relevant docs (the query's label population minus
+    * itself, capped at k) first.
+    *
+    * Scale shape: queries are a bounded broadcast batch (the
+    * [[batchTopK]] contract); scoring is one corpus scan with a
+    * per-query bounded top-k window; label populations are a
+    * label-sized broadcast. All discounts are pre-rounded literals
+    * ([[ndcgDiscounts]]) — no runtime log anywhere, so DCG terms sum
+    * exactly as DECIMAL in both engines.
+    *
+    * Output: (qid, n_rel, ndcg) per query. */
+  def retrievalNdcg(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryFilter: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
+    val queries = corpus.where(queryFilter)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+        col(labelCol).as("__qlabel"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col("__qlabel"), col(idCol), col(labelCol),
+        round(VectorExprs.cosine(col(vecCol), col("__qvec")), 6).as("__cos"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__cos").desc, col(idCol))
+    val disc = ndcgDiscounts(k)
+    val discAt = element_at(
+      typedLit(disc), col("__rank").cast("int"))
+    val top = scored.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+    val rel = when(col(labelCol) === col("__qlabel"), 1.0).otherwise(0.0)
+    val perQ = top.groupBy(col("__qid"), col("__qlabel"))
+      .agg(sum(rel.cast("long")).as("n_rel"),
+        sum(round(rel * discAt, 9).cast("decimal(38,9)")).as("__dcg"))
+    val labelCounts = corpus.groupBy(col(labelCol).as("__qlabel"))
+      .agg(count(lit(1)).as("__nl"))
+    // idcg = sum of the first min(k, population − 1) discount literals
+    val idcg = disc.zipWithIndex.map { case (d, i) =>
+      when(col("__nl") - 1 >= i + 1, lit(d)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perQ.join(broadcast(labelCounts), "__qlabel")
+      .select(col("__qid").as("qid"), col("n_rel"),
+        when(idcg > 0,
+          round(col("__dcg").cast("double") / idcg, 6)).as("ndcg"))
+  }
+
   def batchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))

@@ -50,7 +50,9 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_a_benford",            // 1-row digit-count total scalar
     "q_a_cuped",              // 1-row pooled θ/mean scalar panel
     "q_x_assoc",              // 1-row basket-total scalar
-    "q_x_silhouette")         // k-row broadcast centroid panel
+    "q_x_silhouette",         // k-row broadcast centroid panel
+    "q_x_ndcg",               // bounded broadcast query batch
+    "q_a_joincard")           // 1-row estimate × 1-row actual
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -68,4 +68,18 @@ class CohortSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got == Seq(("ad", "ad", 2L, 3.0)))
   }
+
+  test("activeUsers: exact DAU and trailing-window distinct counts") {
+    import org.apache.spark.sql.functions.col
+    // day 0: users 1,2; day 1: user 1 (twice); day 3: user 3
+    val ev = Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 1L), (3L, 3L))
+      .toDF("d", "u")
+    val got = Cohort.activeUsers(ev, "u", col("d"), window = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // day 0: dau 2, win{day0}∪{} = {1,2} → 2
+    // day 1: dau 1, win{0,1} = {1,2} → 2
+    // day 3: dau 1, win{2,3} = {3} → 1 (day 2 inactive: no row at all)
+    assert(got.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 2L), (3L, 1L, 1L)))
+  }
 }

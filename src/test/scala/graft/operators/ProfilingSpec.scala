@@ -313,6 +313,21 @@ class ProfilingSpec extends SparkSpec {
     })
   }
 
+  test("joinCardinalityEstimate: exact at fraction 1, unbiased-ish sampled") {
+    import spark.implicits._
+    val a = (1L to 100L).map(k => (k, "x")).toDF("k", "pad")
+    // b: key k appears (k % 3 + 1) times
+    val b = (1L to 100L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k))
+      .toDF("k")
+    val actual = a.join(b, "k").count()
+    val full = Profiling.joinCardinalityEstimate(a, "k", b, "k", 1.0)
+      .head().getDouble(0)
+    assert(full == actual.toDouble)
+    val est = Profiling.joinCardinalityEstimate(a, "k", b, "k", 0.25, "s1")
+      .head().getDouble(0)
+    assert(est > 0 && math.abs(est - actual) / actual < 0.6)
+  }
+
   test("mannWhitneyU: hand-checked U and z with ties") {
     import spark.implicits._
     // A = (1, 2, 2), B = (3, 3, 4): every A < every B → U1 = 0

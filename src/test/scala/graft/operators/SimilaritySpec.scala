@@ -118,6 +118,34 @@ class SimilaritySpec extends SparkSpec {
     assert(selfRank.length == 3 && selfRank.forall(_ == 1))
   }
 
+  test("retrievalNdcg: clean clusters score 1.0, scrambled labels lower") {
+    import org.apache.spark.sql.functions.col
+    // two tight orthogonal clusters of 6 — every neighbor shares the
+    // query's label, and 5 relevant fill the whole ideal list (k=5)
+    val pts = (0 until 12).map { i =>
+      val lab = i % 2
+      val base = if (lab == 0) (1f, 0f) else (0f, 1f)
+      (i.toLong, lab, Seq(base._1 + i * 0.001f, base._2))
+    }.toDF("vec_id", "label", "embedding")
+    val perfect = Similarity.retrievalNdcg(pts, "vec_id", "embedding",
+        "label", col("vec_id") < 4, k = 5)
+      .collect()
+    assert(perfect.length == 4)
+    perfect.foreach { r =>
+      assert(r.getAs[Long]("n_rel") == 5L)
+      assert(r.getAs[Double]("ndcg") == 1.0)
+    }
+    // same geometry, labels assigned AGAINST geometry → ndcg < 1
+    val scrambled = (0 until 12).map { i =>
+      val base = if (i < 6) (1f, 0f) else (0f, 1f)
+      (i.toLong, i % 2, Seq(base._1 + i * 0.001f, base._2))
+    }.toDF("vec_id", "label", "embedding")
+    val worse = Similarity.retrievalNdcg(scrambled, "vec_id", "embedding",
+        "label", col("vec_id") < 4, k = 5)
+      .collect().map(_.getAs[Double]("ndcg"))
+    assert(worse.forall(_ < 1.0))
+  }
+
   test("mutualNearestPairs keeps only reciprocal top-1 pairs, per group") {
     // group 0: 1↔2 near-identical, 3 closer to 2 than to 1 (one-sided);
     // group 1 is a separate block — its pair must not cross groups
