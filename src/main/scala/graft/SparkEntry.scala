@@ -2551,6 +2551,41 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // X-assortativity: degree-mixing correlation over the sparse
+    // projection — broadcast degree relation onto the symmetrized
+    // edges, one aggregate of integer-exact decimal sums
+    "q_x_assortativity" -> ((s, dir) =>
+      graft.operators.Graph.assortativity(
+          t(s, dir, "lineitem").where(col("l_quantity") <= 10)
+            .select(
+              (col("l_orderkey") % 150).as("u"),
+              (col("l_partkey") % 150).as("v")),
+          "u", "v")),
+
+    // W-ttc: time-to-convert distribution (first click → first
+    // subsequent purchase per user) — exact interpolated percentiles
+    // over the converted-user panel, decimal-exact mean
+    "q_w_ttc" -> ((s, dir) =>
+      graft.operators.Funnel.timeToConvert(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        fromType = "click", toType = "purchase")),
+
+    // X-langconf: language-ID confusion matrix — the langid heuristic
+    // evaluated against the fixture's ground-truth lang column
+    "q_x_lang_confusion" -> ((s, dir) =>
+      graft.operators.TextAnalysis.withLanguageId(
+          tw(s, dir, "documents"), "text")
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))),
+
+    // X-feathash: hashing-trick signed bag-of-words — vocabulary-free
+    // map-side featurization, sparse exploded output
+    "q_x_feathash" -> ((s, dir) =>
+      graft.operators.TextAnalysis.hashedBagOfWords(
+          tw(s, dir, "documents"), "doc_id", "text", dim = 32)
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // T-dau: daily + trailing-7-day active users — distinct (day, user)
     // reduction, bounded ×7 map-side expansion, one day-keyed distinct
     // count; no range join, no per-day rescan
@@ -5710,6 +5745,92 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // assortativity: identical degree join + fixed-order closed form
+    "q_x_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 150, l_partkey % 150) AS a,
+        |    greatest(l_orderkey % 150, l_partkey % 150) AS b
+        |  FROM lineitem
+        |  WHERE l_orderkey % 150 <> l_partkey % 150 AND l_quantity <= 10),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a AS n, count(*) AS d FROM sym GROUP BY a),
+        |j AS (
+        |  SELECT du.d AS x, dv.d AS y
+        |  FROM sym JOIN deg du ON sym.a = du.n JOIN deg dv ON sym.b = dv.n),
+        |g AS (
+        |  SELECT count(*) AS ne,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT CAST(ne AS BIGINT) AS n_edges,
+        |  CASE WHEN CAST(ne AS DOUBLE) * sxx - sx * sx > 0
+        |        AND CAST(ne AS DOUBLE) * syy - sy * sy > 0
+        |  THEN ROUND((CAST(ne AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(ne AS DOUBLE) * sxx - sx * sx) *
+        |         (CAST(ne AS DOUBLE) * syy - sy * sy)), 6) END AS r
+        |FROM g""".stripMargin,
+
+    // time-to-convert: identical first-exposure join + percentile
+    // parity (quantile_cont ↔ Spark exact percentile)
+    "q_w_ttc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |f AS (
+        |  SELECT user_id, min(ts) AS t0 FROM e
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |d AS (
+        |  SELECT e.user_id, min(e.ts) - min(f.t0) AS delta
+        |  FROM e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+        |  GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(CAST(delta AS DECIMAL(38,0))) AS DOUBLE)
+        |        / count(*) / 1000000000.0, 6) AS mean_s,
+        |  ROUND(quantile_cont(delta, 0.5) / 1000000000.0, 6) AS med_s,
+        |  ROUND(quantile_cont(delta, 0.9) / 1000000000.0, 6) AS p90_s
+        |FROM d""".stripMargin,
+
+    // language confusion: the q_x_langid heuristic over the raw text,
+    // rolled up against ground truth
+    "q_x_lang_confusion" ->
+      """WITH hits AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|den|mit|ist|im)\b')) AS INTEGER) AS h_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
+        |    CAST(len(regexp_extract_all(text, '[的了是我不在有人这他]')) AS INTEGER) AS h_zh
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_zh = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+        |         WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |         WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |         WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM hits)
+        |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+
+    // feature hashing: identical md5 buckets and sign nibbles
+    "q_x_feathash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS bucket,
+        |    CASE WHEN substr(md5(tok), 16, 1) < '8' THEN 1 ELSE -1 END AS sg
+        |  FROM toks WHERE tok <> '')
+        |SELECT doc_id, bucket, CAST(SUM(sg) AS BIGINT) AS weight
+        |FROM h GROUP BY 1, 2 HAVING SUM(sg) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     // DAU/WAU: identical distinct reduction + ×7 expansion
     "q_t_dau" ->

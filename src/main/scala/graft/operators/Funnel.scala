@@ -124,6 +124,40 @@ object Funnel {
     * array), then a path-cardinality-sized count. The final top-k is a
     * TakeOrderedAndProject, never a global sort.
     */
+  /** Time-to-convert distribution: for users whose first `fromType`
+    * event is later followed by a `toType` event, the delay from that
+    * first exposure to the FIRST subsequent conversion — the latency
+    * companion to the step-count funnel (how FAST do converters
+    * convert, not just how many).
+    *
+    * Scale shape: one user-keyed aggregate pins each user's first
+    * exposure; one semi-filtered join + aggregate finds the first
+    * conversion at-or-after it; the result is a user-sized relation
+    * reduced by one global stats aggregate (exact interpolated
+    * percentiles over the converted-user panel — the
+    * q_a_group_median percentile-parity regime; mean via decimal
+    * sums). `tsCol` integral epoch-nanos; deltas convert to seconds
+    * in double at the edge.
+    *
+    * Output: one row (n_converted, mean_s, med_s, p90_s). */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val firstFrom = events.where(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__t0"))
+    val deltas = events.where(col(typeCol) === toType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__t1"))
+      .join(firstFrom, "__u")
+      .where(col("__t1") >= col("__t0"))
+      .groupBy(col("__u"))
+      .agg((min(col("__t1")) - first(col("__t0"))).as("__d"))
+    deltas.agg(count(lit(1)).as("n_converted"),
+      round(sum(col("__d").cast("decimal(38,0)")).cast("double") /
+        count(lit(1)) / lit(1.0e9), 6).as("mean_s"),
+      round(expr("percentile(__d, 0.5)") / lit(1.0e9), 6).as("med_s"),
+      round(expr("percentile(__d, 0.9)") / lit(1.0e9), 6).as("p90_s"))
+  }
+
   def topPaths(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String, depth: Int, k: Int): DataFrame = {
     require(depth >= 1 && depth <= 32, s"need 1 <= depth <= 32, got $depth")

@@ -347,6 +347,47 @@ object Graph {
           (col("deg") * (col("deg") - lit(1))).cast("double"), 6).as("cc"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all directed edge instances — do hubs link
+    * to hubs (r > 0, social networks) or to leaves (r < 0, the
+    * internet/biology)? The one-number mixing summary after
+    * [[degreeHistogram]].
+    *
+    * Scale shape: the node-sized degree relation broadcasts onto the
+    * symmetrized edge list (each undirected edge counted in both
+    * directions — the standard convention, making the statistic
+    * symmetric), then ONE aggregate of five integer-exact decimal
+    * sums; the closed form runs in fixed-order double. Output: one
+    * row (n_edges, r) — n_edges the directed instance count, r null
+    * for degree-regular graphs (zero variance). */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val agg = sym
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("__du"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("__dv"))), "b")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(d19(col("__du"))).as("__sx"), sum(d19(col("__dv"))).as("__sy"),
+        sum(d19(col("__du")) * d19(col("__dv"))).as("__sxy"),
+        sum(d19(col("__du")) * d19(col("__du"))).as("__sxx"),
+        sum(d19(col("__dv")) * d19(col("__dv"))).as("__syy"))
+    val n = col("n_edges").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val varX = n * col("__sxx").cast("double") - sx * sx
+    val varY = n * col("__syy").cast("double") - sy * sy
+    agg.select(col("n_edges"),
+      when(varX > 0 && varY > 0,
+        round((n * col("__sxy").cast("double") - sx * sy) /
+          sqrt(varX * varY), 6)).as("r"))
+  }
+
   /** Link prediction over the undirected graph: for every NON-adjacent
     * node pair sharing at least `minCommon` neighbors, the two classic
     * local scores — common-neighbor count and Adamic–Adar

@@ -541,4 +541,30 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** The hashing trick (Weinberger 2009): fixed-`dim` signed hashed
+    * bag-of-words — the vocabulary-free featurizer (no dictionary to
+    * build, broadcast, or grow; collisions average out under the ±1
+    * sign hash). The linear-model/TF-bottom layer for corpus-scale
+    * classifiers.
+    *
+    * Scale shape: pure map-side hashing (bucket = md5-derived mod
+    * `dim`, sign from the next hash nibble) + one (doc, bucket)
+    * aggregate. Output is the SPARSE exploded form (doc, bucket,
+    * weight ≠ 0) — array renderings don't hash cross-engine, rows do.
+    */
+  def hashedBagOfWords(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), s"need 2 <= dim <= 2^20, got $dim")
+    val tok = explode(split(trim(col(textCol)), "\\s+")).as("__tok")
+    val h = md5(col("__tok"))
+    docs.select(col(idCol), tok)
+      .where(col("__tok") =!= "")
+      .select(col(idCol),
+        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"),
+        when(substring(h, 16, 1) < "8", 1).otherwise(-1).as("__sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"))
+      .where(col("weight") =!= 0)
+  }
 }

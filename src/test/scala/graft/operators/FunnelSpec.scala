@@ -115,4 +115,24 @@ class FunnelSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("a>b", "z")) // counts tie at 1 → lexicographic path
   }
+
+  test("timeToConvert: first exposure to first subsequent conversion") {
+    val sec = 1000000000L
+    val ev = Seq(
+      // u1: click@10s, purchase@30s → 20s (the pre-click purchase@5s
+      // must NOT count)
+      (1L, 5 * sec, "purchase"), (1L, 10 * sec, "click"),
+      (1L, 30 * sec, "purchase"), (1L, 50 * sec, "purchase"),
+      // u2: click@0s, purchase@40s → 40s
+      (2L, 0L, "click"), (2L, 40 * sec, "purchase"),
+      // u3: click only → excluded; u4: purchase only → excluded
+      (3L, 7 * sec, "click"), (4L, 9 * sec, "purchase"))
+      .toDF("u", "ts", "t")
+    val r = Funnel.timeToConvert(ev, "u", "ts", "t", "click", "purchase")
+      .head()
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Double]("mean_s") == 30.0)
+    assert(r.getAs[Double]("med_s") == 30.0) // interpolated between 20, 40
+    assert(r.getAs[Double]("p90_s") == 38.0)
+  }
 }

@@ -173,6 +173,17 @@ class GraphSpec extends SparkSpec {
     out.foreach(r => assert(math.abs(r.getAs[Double]("aa") - aa) < 1e-6))
   }
 
+  test("assortativity: negative on a star, null on a regular graph") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val s = Graph.assortativity(star, "src", "dst").head()
+    assert(s.getAs[Long]("n_edges") == 8L)
+    assert(s.getAs[Double]("r") == -1.0) // hub(4) only ever meets leaves(1)
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val c = Graph.assortativity(cycle, "src", "dst").head()
+    assert(c.isNullAt(c.fieldIndex("r"))) // degree-regular: zero variance
+  }
+
   test("clustering coefficient: closed triangles over neighbor pairs") {
     import spark.implicits._
     // triangle 0-1-2 plus pendant 2-3: cc(0)=cc(1)=1 (deg 2, 1 tri),

@@ -358,4 +358,26 @@ class TextAnalysisSpec extends SparkSpec {
     // within doc 1, a and b tie (tf 1, same idf) → 'a' wins rank 1
     assert(got.head._3 == "a" && got(1)._3 == "c")
   }
+
+  test("hashedBagOfWords: signed counts per bucket, sparse, stable") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "alpha"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedBagOfWords(docs, "doc_id", "text", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // same token always lands in the same bucket with the same sign:
+    // doc 1's alpha weight is exactly twice doc 2's
+    val alphaW = out.collect { case ((2L, b), w) => (b, w) }.toSeq
+    assert(alphaW.size == 1)
+    val (alphaBucket, w2) = alphaW.head
+    assert(out((1L, alphaBucket)) == 2 * w2)
+    assert(math.abs(w2) == 1)
+    // empty doc contributes nothing
+    assert(!out.keys.exists(_._1 == 3L))
+    // repartitioned input gives identical output
+    val re = TextAnalysis.hashedBagOfWords(docs.repartition(5),
+      "doc_id", "text", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == out)
+  }
 }
