@@ -783,6 +783,19 @@ object DevProbe {
       graft.operators.Graph.bfsDistances(spark, e, source = 0L,
         maxDepth = 4).count()
     }
+    timed("degdist") {
+      graft.operators.Graph.degreeHistogram(e, "src", "dst").count()
+    }
+    timed("assortativity") {
+      graft.operators.Graph.assortativity(e, "src", "dst").head(); 1L
+    }
+    timed("clustercoef") {
+      graft.operators.Graph.clusteringCoefficient(e, "src", "dst").count()
+    }
+    timed("linkpred") {
+      graft.operators.Graph.linkPrediction(e, "src", "dst", minCommon = 2)
+        .count()
+    }
     e.unpersist()
   }
 }

@@ -2551,6 +2551,38 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // A-ols2: two-regressor OLS per group — Cramer's rule on the 3×3
+    // Gram matrix from ONE aggregate of nine decimal-exact sums
+    "q_a_ols2" -> ((s, dir) =>
+      graft.operators.Profiling.groupOls2(
+          tw(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_discount", "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
+    // T-drawdown: per-user max drawdown — running decimal sum + its
+    // running max in one window pass (the cusum regime), deepest
+    // peak-to-trough per key
+    "q_t_drawdown" -> ((s, dir) =>
+      graft.operators.TimeSeries.maxDrawdown(
+          t(s, dir, "events"), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id"))),
+
+    // T-growth: user growth curve — new users per first-active hour,
+    // cumulative via the distributed prefix sum (no bounded-window
+    // whitelist needed)
+    "q_t_growth" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("period"))
+        .groupBy(col("user_id")).agg(min(col("period")).as("period"))
+      val panel = firstSeen.groupBy(col("period"))
+        .agg(count(lit(1)).as("new_users"))
+      graft.operators.GlobalOrder.withPrefixSum(panel, Seq("period"),
+          "new_users", "prev_total")
+        .select(col("period"), col("new_users"),
+          (col("prev_total") + col("new_users")).as("cum_users"))
+        .orderBy(col("period"))
+    }),
+
     // X-assortativity: degree-mixing correlation over the sparse
     // projection — broadcast degree relation onto the symmetrized
     // edges, one aggregate of integer-exact decimal sums
@@ -5745,6 +5777,73 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // two-regressor OLS: identical Gram sums + cofactor expansion order
+    "q_a_ols2" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(ROUND(l_quantity * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(ROUND(l_discount * l_discount, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(ROUND(l_discount * l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM g)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 2 AND abs(det) > 1e-9 THEN ROUND(det0 / det, 6) END AS b0,
+        |  CASE WHEN n > 2 AND abs(det) > 1e-9 THEN ROUND(det1 / det, 6) END AS b1,
+        |  CASE WHEN n > 2 AND abs(det) > 1e-9 THEN ROUND(det2 / det, 6) END AS b2
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // drawdown: identical running sum + running max + (28,6) re-cast
+    // (a (38,6)−(38,6) would hit the precision cap in both engines)
+    "q_t_drawdown" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts, value FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) OVER w AS cum
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT user_id, cum,
+        |    MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM r)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(MAX(CAST(peak AS DECIMAL(28,6)) - CAST(cum AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS max_drawdown
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // growth curve: identical first-hour panel + window cumulative
+    "q_t_growth" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(epoch_ns(ts) // 3600000000000) AS period
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT period, CAST(count(*) AS BIGINT) AS new_users
+        |      FROM fd GROUP BY 1)
+        |SELECT period, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY period ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM p ORDER BY period""".stripMargin,
 
     // assortativity: identical degree join + fixed-order closed form
     "q_x_assortativity" ->

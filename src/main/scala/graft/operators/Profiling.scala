@@ -837,6 +837,48 @@ object Profiling {
         lit(fraction), 6).as("est_pairs"))
   }
 
+  /** Per-group TWO-regressor OLS — y = b0 + b1·x1 + b2·x2 via the
+    * closed-form normal equations (Cramer's rule on the 3×3 Gram
+    * matrix), the multiple-regression step up from [[groupOls]] with
+    * the same shape: ONE aggregate of nine decimal-exact sufficient
+    * sums, zero iteration, coefficients assembled in fixed-order
+    * double and rounded to 6. Groups with a singular Gram determinant
+    * (collinear regressors) yield null coefficients.
+    *
+    * Output: (group, n, b0, b1, b2). */
+  def groupOls2(df: DataFrame, groupCol: String, x1Col: String,
+      x2Col: String, yCol: String): DataFrame = {
+    val x1 = col(x1Col); val x2 = col(x2Col); val y = col(yCol)
+    def dsum(c: Column, as: String) =
+      sum(round(c, 6).cast("decimal(38,6)")).cast("double").as(as)
+    val agg = df.where(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        dsum(x1, "__s1"), dsum(x2, "__s2"), dsum(y, "__sy"),
+        dsum(x1 * x1, "__s11"), dsum(x1 * x2, "__s12"),
+        dsum(x2 * x2, "__s22"),
+        dsum(x1 * y, "__s1y"), dsum(x2 * y, "__s2y"))
+    val n = col("n").cast("double")
+    val (s1, s2, sy) = (col("__s1"), col("__s2"), col("__sy"))
+    val (s11, s12, s22) = (col("__s11"), col("__s12"), col("__s22"))
+    val (s1y, s2y) = (col("__s1y"), col("__s2y"))
+    // det of [[n s1 s2][s1 s11 s12][s2 s12 s22]], cofactor expansion
+    // along the first row — the EXACT term order the oracle mirrors
+    val det = n * (s11 * s22 - s12 * s12) -
+      s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) -
+      sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) -
+      s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    val ok = col("n") > 2 && abs(det) > lit(1e-9)
+    agg.select(col(groupCol), col("n"),
+      when(ok, round(det0 / det, 6)).as("b0"),
+      when(ok, round(det1 / det, 6)).as("b1"),
+      when(ok, round(det2 / det, 6)).as("b2"))
+  }
+
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)

@@ -508,6 +508,33 @@ object TimeSeries {
         round(cov / sqrt(varX * varY), 6)).as("corr"))
   }
 
+  /** Per-key maximum drawdown: the deepest peak-to-trough fall of the
+    * running cumulative sum — the risk metric for P&L/values series,
+    * and a change-magnitude summary for any accumulating signal.
+    *
+    * Scale shape: one key window computing the running DECIMAL sum and
+    * its running max in the same pass (both incremental O(1)/row
+    * frames — the [[cusum]] regime), then one per-key max aggregate.
+    * Peak minus current stays decimal (exact) until the output cast.
+    *
+    * Output: (key, n_obs, max_drawdown) — 0 for monotone series. */
+  def maxDrawdown(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(round(col(valCol), 6).cast("decimal(38,6)")).over(run)
+    df.where(col(valCol).isNotNull)
+      .select(col(keyCol), cum.as("__cum"),
+        max(cum).over(run).as("__peak"))
+      .groupBy(col(keyCol))
+      // re-cast to (28,6) before subtracting: a (38,6)−(38,6) would hit
+      // the precision cap (Spark truncates scale, DuckDB goes DOUBLE)
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("__peak").cast("decimal(28,6)") -
+          col("__cum").cast("decimal(28,6)")).cast("double")
+          .as("max_drawdown"))
+  }
+
   def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -313,6 +313,23 @@ class ProfilingSpec extends SparkSpec {
     })
   }
 
+  test("groupOls2 recovers exact planted coefficients") {
+    import spark.implicits._
+    // y = 3 + 2·x1 − 5·x2 exactly, on a non-collinear grid
+    val rows = for (x1 <- 0 to 5; x2 <- 0 to 4)
+      yield ("g", x1.toDouble, x2.toDouble, 3.0 + 2.0 * x1 - 5.0 * x2)
+    val r = Profiling.groupOls2(rows.toDF("g", "x1", "x2", "y"),
+      "g", "x1", "x2", "y").head()
+    assert(r.getAs[Double]("b0") == 3.0)
+    assert(r.getAs[Double]("b1") == 2.0)
+    assert(r.getAs[Double]("b2") == -5.0)
+    // collinear regressors → singular Gram → nulls
+    val col2 = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i, i * 1.5))
+    val c = Profiling.groupOls2(col2.toDF("g", "x1", "x2", "y"),
+      "g", "x1", "x2", "y").head()
+    assert(c.isNullAt(c.fieldIndex("b1")))
+  }
+
   test("joinCardinalityEstimate: exact at fraction 1, unbiased-ish sampled") {
     import spark.implicits._
     val a = (1L to 100L).map(k => (k, "x")).toDF("k", "pad")

@@ -257,6 +257,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out(3).getAs[Double]("corr") - 1.0) < 1e-6)
   }
 
+  // ───────────────────── maxDrawdown ─────────────────────
+
+  test("max drawdown is the deepest peak-to-trough fall; 0 when monotone") {
+    // cum: 5, 8, 2, 6, 1 → peak-to-trough: 8→1 = 7
+    val vals = Seq(5.0, 3.0, -6.0, 4.0, -5.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) } ++
+      Seq(("up", 0L, 9L, 1.0), ("up", 1L, 10L, 2.0))
+    val got = TimeSeries.maxDrawdown(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got("k") == (5L, 7.0))
+    assert(got("up") == (2L, 0.0))
+  }
+
   // ───────────────────── seasonalBaseline ─────────────────────
 
   test("seasonal backtest scores test rows against the train profile") {
