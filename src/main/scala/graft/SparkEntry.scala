@@ -2551,6 +2551,43 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ST-dedup: batch twin of the watermarked stream dedup — planted
+    // 1-second retransmissions, first arrival survives (the
+    // dropDuplicatesWithinWatermark keep-first semantics; the stream
+    // variant is proven in EventStreamsSpec)
+    "q_st_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val retrans = ev.where(col("event_id") % 3 === 0)
+        .withColumn("ts", col("ts") + 1000000000L)
+      graft.streaming.EventStreams.dedupeBatch(ev.unionByName(retrans))
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W-churn: period-over-period user transition census — 10-day
+    // periods anchored at the 2024-01-01 calendar boundary, "active"
+    // meaning a high-value event (value > 260 — tuned so sf0.001 shows
+    // churn and sf0.01 shows all four statuses); one user-keyed
+    // aggregate of activity flags, one tiny status rollup
+    "q_w_churn" -> ((s, dir) => {
+      val flags = t(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          expr("(ts - 1704067200000000000L) div 864000000000000L").as("p"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("p") === 1 && col("value") > 260, 1)
+            .otherwise(0)).as("__a1"),
+          max(when(col("p") === 2 && col("value") > 260, 1)
+            .otherwise(0)).as("__a2"))
+      flags.select(
+          when(col("__a1") === 1 && col("__a2") === 1, "retained")
+            .when(col("__a1") === 1, "churned")
+            .when(col("__a2") === 1, "new")
+            .otherwise("inactive").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // A-ols2: two-regressor OLS per group — Cramer's rule on the 3×3
     // Gram matrix from ONE aggregate of nine decimal-exact sums
     "q_a_ols2" -> ((s, dir) =>
@@ -5777,6 +5814,37 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // stream-dedup twin: first arrival per id over the planted
+    // retransmissions
+    "q_st_dedup" ->
+      """WITH all_ev AS (
+        |  SELECT event_id, epoch_ns(ts) AS ts FROM events
+        |  UNION ALL
+        |  SELECT event_id, epoch_ns(ts) + 1000000000 FROM events
+        |  WHERE event_id % 3 = 0),
+        |r AS (
+        |  SELECT event_id, ts,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        |  FROM all_ev)
+        |SELECT event_id, ts FROM r WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // churn census: identical activity flags + status rollup
+    "q_w_churn" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN (epoch_ns(ts) - 1704067200000000000) // 864000000000000 = 1
+        |         AND value > 260 THEN 1 ELSE 0 END) AS a1,
+        |    MAX(CASE WHEN (epoch_ns(ts) - 1704067200000000000) // 864000000000000 = 2
+        |         AND value > 260 THEN 1 ELSE 0 END) AS a2
+        |  FROM events GROUP BY 1)
+        |SELECT CASE WHEN a1 = 1 AND a2 = 1 THEN 'retained'
+        |            WHEN a1 = 1 THEN 'churned'
+        |            WHEN a2 = 1 THEN 'new'
+        |            ELSE 'inactive' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM f GROUP BY 1 ORDER BY status""".stripMargin,
 
     // two-regressor OLS: identical Gram sums + cofactor expansion order
     "q_a_ols2" ->

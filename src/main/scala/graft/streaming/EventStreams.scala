@@ -325,6 +325,20 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch twin of [[dedupeStream]]: keep each event id's FIRST arrival
+    * (dropDuplicatesWithinWatermark's keep-first semantics, replayable
+    * over history) — one id-keyed row_number window. `tsCol` must order
+    * arrivals; exact full-row duplicates pick an arbitrary-but-
+    * identical survivor. */
+  def dedupeBatch(events: org.apache.spark.sql.DataFrame,
+      idCol: String = "event_id", tsCol: String = "ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(tsCol))
+    events.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Watermarked stream-stream interval join: each left event joined to the
     * same user's right events with `r.ts ∈ [l.ts - lookback, l.ts]`. Both
     * sides carry watermarks and the condition bounds event time relative to

@@ -134,6 +134,15 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeBatch keeps each id's first arrival (the stream twin)") {
+    val df = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))
+      .toDF("event_id", "ts", "tag")
+    val got = EventStreams.dedupeBatch(df, "event_id", "ts")
+      .orderBy("event_id")
+      .select("event_id", "tag").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "b"), (2L, "c")))
+  }
+
   test("windowedTopTypes emits a window's heavy hitters when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
