@@ -2716,7 +2716,7 @@ object SparkEntry {
     // way); pairs join group-keyed, median via one rank window
     "q_a_theilsen" -> ((s, dir) => {
       val o = graft.operators.Sampling.hashSample(
-          t(s, dir, "orders"), "o_orderkey", fraction = 0.125, salt = "ts7")
+          t(s, dir, "orders"), "o_orderkey", fraction = 0.03125, salt = "ts7")
         .select(col("o_orderpriority"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
             .as("mi"),
@@ -6184,7 +6184,7 @@ object SparkEntry {
         |    o_totalprice
         |  FROM orders
         |  WHERE md5(CAST(o_orderkey AS VARCHAR) || 'ts7')
-        |        < '20000000000000000000000000000000'),
+        |        < '08000000000000000000000000000000'),
         |p AS (
         |  SELECT a.o_orderpriority AS g, a.o_orderkey AS id1,
         |    b.o_orderkey AS id2,

@@ -690,9 +690,14 @@ object Profiling {
     * The input is expected to be PRE-SAMPLED (e.g.
     * [[Sampling.hashSample]]) — pairwise volume is quadratic in group
     * size by definition of the estimator, so the caller bounds it the
-    * standard way: Theil-Sen on a deterministic sample. The join is
-    * group-keyed; the median is one group-keyed rank window over the
-    * pair relation.
+    * standard way: Theil-Sen on a deterministic sample. NOTE the
+    * quadratic means a FIXED FRACTION is not scale-safe (pairs grow
+    * n² while the fraction holds — the battery measured 63 s at 10×
+    * the tuned SF before the fraction was cut): a deployment should
+    * cap the per-group sample SIZE (e.g. [[Sampling.sequentialPoisson]]
+    * per group), paying a constant pair budget at any corpus size.
+    * The join is group-keyed; the median is one group-keyed rank
+    * window over the pair relation.
     *
     * Slopes round to 9 (identical double division both engines); the
     * lower median picks row (n+1) div 2 in (slope, id1, id2) order —
