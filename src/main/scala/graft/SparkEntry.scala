@@ -2551,6 +2551,79 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // S-cdcnet: changelog net-effect compaction — a synthesized two-op
+    // I/U/D batch per key collapsed to the minimal equivalent op (one
+    // key window, no self-join); the replay-idempotence primitive
+    "q_s_cdc_net" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val op1 = base.select(col("k"),
+        when(col("k") % 4 isin (0, 2), lit("I")).otherwise(lit("U")).as("op"),
+        col("v"), lit(1L).as("ts"))
+      val op2 = base.where(col("k") % 3 === 0).select(col("k"),
+        when(col("k") % 5 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (col("v") + 1.0).as("v"), lit(2L).as("ts"))
+      graft.operators.Changelog.netEffect(op1.unionByName(op2),
+          "k", "op", "ts", "ts", Seq("v"))
+        .orderBy(col("k"))
+    }),
+
+    // X-kappa: Cohen's κ of the language-ID heuristic vs ground truth —
+    // integer-exact confusion counts and marginals, fixed-order double
+    // closed form
+    "q_x_kappa" -> ((s, dir) => {
+      val conf = graft.operators.TextAnalysis.withLanguageId(
+          tw(s, dir, "documents"), "text")
+        .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+      val tot = conf.agg(sum(col("n")).as("__N"),
+        sum(when(col("lang") === col("lang_guess"), col("n"))
+          .otherwise(0L)).as("__agree"))
+      val rt = conf.groupBy(col("lang")).agg(sum(col("n")).as("__r"))
+      val ct = conf.groupBy(col("lang_guess")).agg(sum(col("n")).as("__c"))
+      val peNum = rt.join(ct, rt("lang") === ct("lang_guess"))
+        .agg(sum(col("__r").cast("decimal(19,0)") *
+          col("__c").cast("decimal(19,0)")).as("__pe_num"))
+      val nD = col("__N").cast("double")
+      val po = col("__agree").cast("double") / nD
+      val pe = col("__pe_num").cast("double") / (nD * nD)
+      tot.crossJoin(peNum)
+        .select(col("__N").as("n"), round(po, 6).as("po"),
+          round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+    // J-haversine: great-circle nearest-hub assignment — synthetic
+    // lat/lon from the key, a 5-row broadcast city panel, one scoring
+    // pass + per-customer rank; radians via an explicit literal so
+    // both engines multiply the same constant
+    "q_j_haversine" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 140).cast("double") - 70.0 + 0.5).as("lat"),
+        (((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
+          .as("lon"))
+      import s.implicits._
+      val cities = Seq(("cairo", 30.04, 31.24), ("nyc", 40.71, -74.0),
+        ("paris", 48.85, 2.35), ("sydney", -33.87, 151.21),
+        ("tokyo", 35.68, 139.69)).toDF("city", "clat", "clon")
+      val rad = lit(0.017453292519943295)
+      val sLat = sin((col("clat") - col("lat")) * rad / 2)
+      val sLon = sin((col("clon") - col("lon")) * rad / 2)
+      val a = sLat * sLat +
+        cos(col("lat") * rad) * cos(col("clat") * rad) * sLon * sLon
+      val scored = cust.crossJoin(broadcast(cities))
+        .select(col("c_custkey"), col("city"),
+          round(lit(12742.0) * asin(sqrt(a)), 6).as("dist"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("dist"), col("city"))
+      scored.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .groupBy(col("city"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("dist").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_km"))
+        .orderBy(col("city"))
+    }),
+
     // ST-dedup: batch twin of the watermarked stream dedup — planted
     // 1-second retransmissions, first arrival survives (the
     // dropDuplicatesWithinWatermark keep-first semantics; the stream
@@ -5814,6 +5887,104 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // CDC net effect: identical synthesized batch + window compaction
+    "q_s_cdc_net" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |op1 AS (
+        |  SELECT k, CASE WHEN k % 4 IN (0, 2) THEN 'I' ELSE 'U' END AS op,
+        |    v, 1 AS ts FROM base),
+        |op2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    v + 1.0 AS v, 2 AS ts FROM base WHERE k % 3 = 0),
+        |ch AS (SELECT * FROM op1 UNION ALL SELECT * FROM op2),
+        |m AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rr,
+        |    first_value(op) OVER (PARTITION BY k ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fop
+        |  FROM ch)
+        |SELECT k, net_op, v FROM (
+        |  SELECT k,
+        |    CASE WHEN fop = 'I' AND op = 'D' THEN NULL
+        |         WHEN fop = 'I' THEN 'I'
+        |         WHEN op = 'D' THEN 'D'
+        |         ELSE 'U' END AS net_op,
+        |    v
+        |  FROM m WHERE rr = 1)
+        |WHERE net_op IS NOT NULL ORDER BY k""".stripMargin,
+
+    // kappa: identical confusion marginals + fixed-order closed form
+    "q_x_kappa" ->
+      """WITH hits AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|den|mit|ist|im)\b')) AS INTEGER) AS h_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS INTEGER) AS h_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|del|las|por)\b')) AS INTEGER) AS h_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|en|un|du|une)\b')) AS INTEGER) AS h_fr,
+        |    CAST(len(regexp_extract_all(text, '[的了是我不在有人这他]')) AS INTEGER) AS h_zh
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+        |         WHEN h_zh = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+        |         WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+        |         WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+        |         WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+        |         ELSE 'de' END AS lang_guess
+        |  FROM hits),
+        |conf AS (SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(CASE WHEN lang = lang_guess THEN n ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM conf),
+        |rt AS (SELECT lang, SUM(n) AS r FROM conf GROUP BY 1),
+        |ct AS (SELECT lang_guess, SUM(n) AS c FROM conf GROUP BY 1),
+        |pe AS (
+        |  SELECT CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+        |    AS DOUBLE) AS pe_num
+        |  FROM rt JOIN ct ON rt.lang = ct.lang_guess)
+        |SELECT n_total AS n,
+        |  ROUND(CAST(agree AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS po,
+        |  ROUND(pe_num / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS pe,
+        |  ROUND((CAST(agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |         - pe_num / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+        |        / (1.0 - pe_num / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))), 6)
+        |    AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin,
+
+    // haversine: identical synthetic coordinates, explicit radians
+    // literal, fixed-order formula, round-6 distances before ranking
+    "q_j_haversine" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 140 AS DOUBLE) - 70.0 + 0.5 AS lat,
+        |    CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+        |  FROM customer),
+        |cities(city, clat, clon) AS (VALUES
+        |  ('cairo', 30.04, 31.24), ('nyc', 40.71, -74.0),
+        |  ('paris', 48.85, 2.35), ('sydney', -33.87, 151.21),
+        |  ('tokyo', 35.68, 139.69)),
+        |sc AS (
+        |  SELECT c_custkey, city,
+        |    ROUND(12742.0 * asin(sqrt(
+        |      sin((clat - lat) * 0.017453292519943295 / 2)
+        |        * sin((clat - lat) * 0.017453292519943295 / 2)
+        |      + cos(lat * 0.017453292519943295) * cos(clat * 0.017453292519943295)
+        |        * sin((clon - lon) * 0.017453292519943295 / 2)
+        |        * sin((clon - lon) * 0.017453292519943295 / 2))), 6) AS dist
+        |  FROM cust CROSS JOIN cities),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY dist, city) AS rn
+        |  FROM sc)
+        |SELECT city, CAST(count(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+        |    AS avg_km
+        |FROM r WHERE rn = 1
+        |GROUP BY city ORDER BY city""".stripMargin,
 
     // stream-dedup twin: first arrival per id over the planted
     // retransmissions

@@ -52,7 +52,9 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_assoc",              // 1-row basket-total scalar
     "q_x_silhouette",         // k-row broadcast centroid panel
     "q_x_ndcg",               // bounded broadcast query batch
-    "q_a_joincard")           // 1-row estimate × 1-row actual
+    "q_a_joincard",           // 1-row estimate × 1-row actual
+    "q_x_kappa",              // 1-row totals × 1-row pe scalar
+    "q_j_haversine")          // 5-row broadcast city panel
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
