@@ -2551,6 +2551,54 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // F-curve: piecewise-linear calibration — map-side interpolation
+    // between equally-spaced knot literals (both engines fold the same
+    // ladder), edge clamping at the grid boundaries
+    "q_f_curve" -> ((s, dir) =>
+      graft.operators.FeatureScaling.piecewiseLinear(
+          t(s, dir, "events").select("event_id", "value"),
+          // step 50 and 0.1-multiple knot gaps keep every blend a
+          // ≤5-decimal terminating value (2-decimal inputs × 2 ÷ 100 ×
+          // 0.1k) — round-6 never meets a half boundary in either engine
+          "value", x0 = 0.0, step = 50.0,
+          ys = Seq(0.0, 0.2, 0.3, 0.5, 0.6, 0.8, 0.9, 1.0, 1.0, 1.0))
+        .select(col("event_id"), col("calibrated"))
+        .orderBy(col("event_id"))),
+
+    // A-trimmed: 10% trimmed mean per group — exact per-group
+    // percentile bounds joined back (AQE broadcasts the group panel),
+    // decimal-exact mean of the surviving band
+    "q_a_trimmed" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.1)").as("__lo"),
+          expr("percentile(l_extendedprice, 0.9)").as("__hi"))
+      li.join(bounds, "l_returnflag")
+        .where(col("l_extendedprice") >= col("__lo") &&
+          col("l_extendedprice") <= col("__hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double") / count(lit(1)), 6).as("trimmed_mean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // F-impute: per-entity mean imputation of planted nulls — the
+    // group mean computed in the same window pass that fills (no
+    // join); entities with no observed value keep null
+    "q_f_impute" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val v = when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("value"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), v.as("v"))
+        .select(col("event_id"),
+          coalesce(col("v"),
+            round(sum(col("v").cast("decimal(38,6)")).over(w)
+              .cast("double") / count(col("v")).over(w), 6)).as("v_filled"))
+        .orderBy(col("event_id"))
+    }),
+
     // S-cdcnet: changelog net-effect compaction — a synthesized two-op
     // I/U/D batch per key collapsed to the minimal equivalent op (one
     // key window, no self-join); the replay-idempotence primitive
@@ -5887,6 +5935,48 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // calibration curve: identical knot ladder + clamped blend
+    "q_f_curve" -> {
+      val ys = Seq(0.0, 0.2, 0.3, 0.5, 0.6, 0.8, 0.9, 1.0, 1.0, 1.0)
+      val arr = ys.mkString("[", ", ", "]")
+      s"""SELECT event_id,
+         |  CASE WHEN value IS NULL THEN NULL ELSE
+         |    ROUND(ROUND(
+         |      list_extract($arr, LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INTEGER), 0), ${ys.size - 2}) + 1)
+         |      + (list_extract($arr, LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INTEGER), 0), ${ys.size - 2}) + 2)
+         |         - list_extract($arr, LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INTEGER), 0), ${ys.size - 2}) + 1))
+         |        * LEAST(GREATEST((value - (0.0 + CAST(LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INTEGER), 0), ${ys.size - 2}) AS DOUBLE) * 50.0)) / 50.0, 0.0), 1.0), 9), 6)
+         |  END AS calibrated
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    // trimmed mean: quantile_cont bounds + identical band filter
+    "q_a_trimmed" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.1) AS lo,
+        |    quantile_cont(l_extendedprice, 0.9) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag AS l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |        / count(*), 6) AS trimmed_mean
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |WHERE l.l_extendedprice >= lo AND l.l_extendedprice <= hi
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    // imputation: identical per-entity mean fill
+    "q_f_impute" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id,
+        |  COALESCE(v, ROUND(
+        |    CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER (PARTITION BY user_id)
+        |      AS DOUBLE) / count(v) OVER (PARTITION BY user_id), 6))
+        |    AS v_filled
+        |FROM e ORDER BY event_id""".stripMargin,
 
     // CDC net effect: identical synthesized batch + window compaction
     "q_s_cdc_net" ->

@@ -138,6 +138,40 @@ object FeatureScaling {
     * Reference means accumulate per-term ROUND(,6) DECIMAL and divide
     * in DOUBLE; output rounds to 6.
     */
+  /** Piecewise-linear calibration against an equally-spaced knot curve
+    * (`ys(i)` = the curve's value at `x0 + i·step`): every row
+    * interpolates between its two bracketing knots, values outside the
+    * grid clamp to the edge knots. The lookup-table transform behind
+    * score calibration, unit conversion curves, and histogram-equalized
+    * features — zero joins, zero shuffle, the knot ladder folds into
+    * the plan as literals (both engines consume the identical
+    * constants).
+    *
+    * The blend is fixed-order double arithmetic on pre-rounded knot
+    * literals; output rounds to 6. */
+  def piecewiseLinear(df: DataFrame, valueCol: String, x0: Double,
+      step: Double, ys: Seq[Double], out: String = "calibrated"): DataFrame = {
+    require(ys.size >= 2, s"need >= 2 knots, got ${ys.size}")
+    require(step > 0, s"step must be positive, got $step")
+    require(!df.columns.contains(out),
+      s"piecewiseLinear emits `$out` — rename the input's first")
+    val v = col(valueCol)
+    val n = ys.size
+    val idx = least(greatest(
+      floor((v - lit(x0)) / lit(step)).cast("int"), lit(0)), lit(n - 2))
+    val arr = typedLit(ys)
+    val yi = element_at(arr, idx + 1)
+    val yi1 = element_at(arr, idx + 2)
+    val frac = (v - (lit(x0) + idx.cast("double") * lit(step))) / lit(step)
+    val clamped = least(greatest(frac, lit(0.0)), lit(1.0))
+    // double-round (9 then 6): a single round-6 of the raw blend can
+    // land one ulp apart across engines at a half boundary (the Decay
+    // rule); the 9-digit pre-round absorbs it
+    df.withColumn(out,
+      when(v.isNull, lit(null))
+        .otherwise(round(round(yi + (yi1 - yi) * clamped, 9), 6)))
+  }
+
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
       tieCol: String, out: String = "qnorm"): DataFrame = {
     guard(df, "quantileNormalize", "__rank", "__ref", out)

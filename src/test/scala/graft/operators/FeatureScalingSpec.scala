@@ -101,4 +101,20 @@ class FeatureScalingSpec extends SparkSpec {
     assert(out(1L) == 3.0 && out(3L) == 3.0) // rank 1: (1+5)/2
     assert(out(2L) == 3.0)                   // rank 2: a alone
   }
+
+  // ───────────────────── piecewiseLinear ─────────────────────
+
+  test("piecewiseLinear interpolates between knots and clamps the edges") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](Double.box(-5.0), Double.box(0.0),
+      Double.box(5.0), Double.box(10.0), Double.box(15.0),
+      Double.box(25.0), null).toDF("v")
+    // knots at 0, 10, 20 → ys 0.0, 1.0, 0.5
+    val out = FeatureScaling.piecewiseLinear(df, "v", x0 = 0.0, step = 10.0,
+        ys = Seq(0.0, 1.0, 0.5))
+      .collect().map(r => Option(r.getAs[java.lang.Double]("calibrated"))
+        .map(_.doubleValue)).toSeq
+    assert(out == Seq(Some(0.0), Some(0.0), Some(0.5), Some(1.0),
+      Some(0.75), Some(0.5), None))
+  }
 }
