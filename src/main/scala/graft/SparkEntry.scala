@@ -2551,6 +2551,28 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // X-compsizes: connected-component SIZE DISTRIBUTION — the
+    // dedup/percolation readout over the sparse mod-500 quantity≤2
+    // projection (sf0.001 sits below the percolation threshold with a
+    // 7-size histogram; sf0.01 pins the fully-percolated giant — the
+    // k-core both-SFs-differently rule); min-label closure + two tiny
+    // keyed aggregates
+    "q_x_comp_sizes" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_quantity") <= 2 &&
+          col("l_orderkey") % 500 =!= col("l_partkey") % 500)
+        .select(least(col("l_orderkey") % 500, col("l_partkey") % 500)
+            .as("id1"),
+          greatest(col("l_orderkey") % 500, col("l_partkey") % 500)
+            .as("id2"))
+        .distinct().localCheckpoint()
+      graft.operators.Dedup.connectedComponents(edges)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy(col("component_size"))
+    }),
+
     // F-curve: piecewise-linear calibration — map-side interpolation
     // between equally-spaced knot literals (both engines fold the same
     // ladder), edge clamping at the grid boundaries
@@ -5935,6 +5957,26 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // component sizes: identical sparse projection + recursive closure
+    "q_x_comp_sizes" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT
+        |    least(l_orderkey % 500, l_partkey % 500) AS id1,
+        |    greatest(l_orderkey % 500, l_partkey % 500) AS id2
+        |  FROM lineitem
+        |  WHERE l_quantity <= 2 AND l_orderkey % 500 <> l_partkey % 500),
+        |sym AS (SELECT id1 a, id2 b FROM edges UNION SELECT id2, id1 FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+        |cl AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+        |       FROM reach GROUP BY a),
+        |sz AS (SELECT cluster, count(*) AS s FROM cl GROUP BY 1)
+        |SELECT CAST(s AS BIGINT) AS component_size,
+        |  CAST(count(*) AS BIGINT) AS n_components
+        |FROM sz GROUP BY s ORDER BY component_size""".stripMargin,
 
     // calibration curve: identical knot ladder + clamped blend
     "q_f_curve" -> {
