@@ -2551,6 +2551,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // T-concurrency: sweep-line peak overlap of 30-minute activity
+    // intervals — the +1/−1 delta stream summed through the
+    // distributed prefix sum (the textbook global running sum is a
+    // single-partition window; this never builds one); half-open
+    // semantics (ends apply before starts at equal instants)
+    "q_t_concurrency" -> ((s, dir) =>
+      graft.operators.Intervals.peakConcurrency(
+        t(s, dir, "events").select(col("ts").as("s_ts"),
+          (col("ts") + 1800000000000L).as("e_ts"), col("event_id")),
+        "s_ts", "e_ts", "event_id")),
+
+    // A-catentropy: per-user behavioral diversity — Shannon entropy of
+    // the event-type mix via H = ln n − (Σ c·ln c)/n (only the
+    // (group, category) counts ever shuffle)
+    "q_a_cat_entropy" -> ((s, dir) =>
+      graft.operators.Profiling.categoricalEntropy(
+          t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("user_id"))),
+
     // X-compsizes: connected-component SIZE DISTRIBUTION — the
     // dedup/percolation readout over the sparse mod-500 quantity≤2
     // projection (sf0.001 sits below the percolation threshold with a
@@ -5957,6 +5976,36 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // concurrency: the global running sum IS safe in the oracle
+    // (DuckDB is single-node); identical half-open sweep order
+    "q_t_concurrency" ->
+      """WITH d AS (
+        |  SELECT epoch_ns(ts) AS t, 1 AS dd, event_id AS i FROM events
+        |  UNION ALL
+        |  SELECT epoch_ns(ts) + 1800000000000, -1, event_id FROM events),
+        |r AS (
+        |  SELECT SUM(dd) OVER (ORDER BY t, dd, i ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS run
+        |  FROM d)
+        |SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_intervals,
+        |  CAST(MAX(run) AS BIGINT) AS peak
+        |FROM r""".stripMargin,
+
+    // categorical entropy: identical count relation + ln-of-integers
+    "q_a_cat_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cats,
+        |    CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n, n_cats,
+        |  ROUND(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) AS entropy
+        |FROM g ORDER BY user_id""".stripMargin,
 
     // component sizes: identical sparse projection + recursive closure
     "q_x_comp_sizes" ->

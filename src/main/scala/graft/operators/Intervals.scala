@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** GLOBAL peak concurrency of a set of intervals — the sweep-line
+    * max (how many intervals overlap at the busiest instant): capacity
+    * planning, max parallel sessions, license counting. The classic
+    * formulation is a +1/−1 delta stream under a GLOBAL ordered
+    * running sum — the single-partition-window serializer — so this
+    * one rides [[GlobalOrder.withPrefixSumAndTotal]] instead: range
+    * partition on the sweep order, partition-sized offsets, one max
+    * aggregate. At equal timestamps END deltas apply before START
+    * deltas (half-open intervals — back-to-back spans don't overlap);
+    * `tieCol` makes the sweep order total.
+    *
+    * Output: one row (n_intervals, peak). */
+  def peakConcurrency(df: DataFrame, startCol: String, endCol: String,
+      tieCol: String, partitions: Int = 0): DataFrame = {
+    val deltas = df
+      .select(col(startCol).as("__t"), lit(1L).as("__d"), col(tieCol).as("__i"))
+      .unionByName(df.select(col(endCol).as("__t"), lit(-1L).as("__d"),
+        col(tieCol).as("__i")))
+    val pre = GlobalOrder.withPrefixSum(deltas,
+      Seq("__t", "__d", "__i"), "__d", "__pre", partitions)
+    // the weight total is 0 by construction (+1/−1 pairs) — the
+    // interval count is half the delta rows
+    pre.agg(expr("count(*) div 2").as("n_intervals"),
+      max(col("__pre") + col("__d")).as("peak"))
+  }
+
   /** Merge each key's overlapping-or-touching intervals
     * ([startCol, endCol], integral units; touching means
     * next.start ≤ running max end) into islands.

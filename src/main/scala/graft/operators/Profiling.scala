@@ -884,6 +884,29 @@ object Profiling {
       when(ok, round(det2 / det, 6)).as("b2"))
   }
 
+  /** Shannon entropy of a categorical column per group — the
+    * behavioral-diversity profile (a user who only ever clicks scores
+    * 0; a uniform mix scores ln k). Uses the aggregation-friendly
+    * identity H = ln n − (Σ c·ln c)/n so the only shuffled state is
+    * the (group, category) count relation; ln runs on exact integer
+    * counts (parity-safe), per-term products round to 9 into a
+    * DECIMAL sum, the final form is fixed-order double rounded to 6.
+    *
+    * Output: (group, n, n_cats, entropy). */
+  def categoricalEntropy(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val counts = df.where(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    val agg = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_cats"),
+        sum(round(col("__c") * log(col("__c").cast("double")), 9)
+          .cast("decimal(38,9)")).cast("double").as("__s"))
+    agg.select(col(groupCol), col("n"), col("n_cats"),
+      round(log(col("n").cast("double")) -
+        col("__s") / col("n").cast("double"), 6).as("entropy"))
+  }
+
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)

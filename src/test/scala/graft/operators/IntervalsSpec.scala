@@ -36,6 +36,21 @@ class IntervalsSpec extends SparkSpec {
     assert(base == re)
   }
 
+  test("peak concurrency: sweep-line max with half-open boundaries") {
+    // [0,10] [5,15] [8,12] overlap 3-deep at t∈[8,10); [10,20] starts
+    // exactly when the first ends → must NOT count a 4th
+    val df = Seq((0L, 10L, 1L), (5L, 15L, 2L), (8L, 12L, 3L),
+      (10L, 20L, 4L)).toDF("s", "e", "id")
+    val r = Intervals.peakConcurrency(df, "s", "e", "id").head()
+    assert(r.getAs[Long]("n_intervals") == 4L)
+    assert(r.getAs[Long]("peak") == 3L)
+    // disjoint intervals → peak 1, any layout
+    val disj = Seq((0L, 1L, 1L), (2L, 3L, 2L), (4L, 5L, 3L))
+      .toDF("s", "e", "id")
+    assert(Intervals.peakConcurrency(disj.repartition(5), "s", "e", "id")
+      .head().getAs[Long]("peak") == 1L)
+  }
+
   test("an interval contained in an earlier long one does not split") {
     // [0,100] swallows [10,20] and [30,40]
     val df = Seq(("k", 0L, 100L, 1L), ("k", 10L, 20L, 2L),

@@ -313,6 +313,20 @@ class ProfilingSpec extends SparkSpec {
     })
   }
 
+  test("categoricalEntropy: 0 for constant, ln k for uniform mixes") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("mono", "a")) ++
+      Seq(("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d")))
+      .toDF("g", "c")
+    val got = Profiling.categoricalEntropy(df, "g", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("entropy"))).toMap
+    assert(got("mono") == (4L, 1L, 0.0))
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("uni") == (4L, 4L, ln4))
+  }
+
   test("groupOls2 recovers exact planted coefficients") {
     import spark.implicits._
     // y = 3 + 2·x1 − 5·x2 exactly, on a non-collinear grid
