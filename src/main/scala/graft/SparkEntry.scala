@@ -2551,6 +2551,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // X-vocabcov: tokenizer-budget coverage curve — what share of all
+    // corpus tokens the top-k vocabulary words capture (k = 5, 15 of
+    // the 31-word fixture vocab); TakeOrdered bounded heads, exact
+    // integer token sums, 1-row total scalar
+    "q_x_vocab_coverage" -> ((s, dir) => {
+      val vocab = graft.operators.TextAnalysis.vocabulary(
+          tw(s, dir, "documents"), "doc_id", "text")
+        .select(col("word"), col("tf"))
+      val total = vocab.agg(sum(col("tf")).as("__total"))
+      def cov(k: Int) = vocab.orderBy(col("tf").desc, col("word")).limit(k)
+        .agg(sum(col("tf")).as("top_tokens"))
+        .select(lit(k).as("k"), col("top_tokens"))
+      cov(5).unionByName(cov(15))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("top_tokens"),
+          col("__total").as("total_tokens"),
+          round(col("top_tokens").cast("double") /
+            col("__total").cast("double"), 6).as("coverage"))
+        .orderBy(col("k"))
+    }),
+
     // T-concurrency: sweep-line peak overlap of 30-minute activity
     // intervals — the +1/−1 delta stream summed through the
     // distributed prefix sum (the textbook global running sum is a
@@ -5976,6 +5997,26 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // vocab coverage: identical top-k heads + token totals
+    "q_x_vocab_coverage" ->
+      """WITH v AS (
+        |  SELECT w AS word, count(*) AS tf FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens FROM v),
+        |t5 AS (SELECT CAST(SUM(tf) AS BIGINT) AS top_tokens FROM
+        |       (SELECT tf FROM v ORDER BY tf DESC, word LIMIT 5)),
+        |t15 AS (SELECT CAST(SUM(tf) AS BIGINT) AS top_tokens FROM
+        |        (SELECT tf FROM v ORDER BY tf DESC, word LIMIT 15)),
+        |u AS (
+        |  SELECT 5 AS k, top_tokens FROM t5
+        |  UNION ALL SELECT 15, top_tokens FROM t15)
+        |SELECT k, top_tokens, total_tokens,
+        |  ROUND(CAST(top_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |    AS coverage
+        |FROM u CROSS JOIN tot ORDER BY k""".stripMargin,
 
     // concurrency: the global running sum IS safe in the oracle
     // (DuckDB is single-node); identical half-open sweep order

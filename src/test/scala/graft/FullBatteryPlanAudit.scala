@@ -54,7 +54,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_ndcg",               // bounded broadcast query batch
     "q_a_joincard",           // 1-row estimate × 1-row actual
     "q_x_kappa",              // 1-row totals × 1-row pe scalar
-    "q_j_haversine")          // 5-row broadcast city panel
+    "q_j_haversine",          // 5-row broadcast city panel
+    "q_x_vocab_coverage")     // 1-row token-total scalar (vocab idiom)
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
