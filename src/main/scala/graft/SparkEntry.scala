@@ -2551,6 +2551,21 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // X-ttr: per-document type-token ratio — lexical diversity as a
+    // pure map-side HOF (distinct tokens / tokens), the quality signal
+    // the stopword/punct panel doesn't capture
+    "q_x_ttr" -> ((s, dir) =>
+      tw(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(split(trim(col("text")), "\\s+")))
+            .as("n_types"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .select(col("doc_id"), col("n_types"), col("n_tokens"),
+          when(col("n_tokens") > 0,
+            round(col("n_types").cast("double") / col("n_tokens"), 6))
+            .as("ttr"))
+        .orderBy(col("doc_id"))),
+
     // X-vocabcov: tokenizer-budget coverage curve — what share of all
     // corpus tokens the top-k vocabulary words capture (k = 5, 15 of
     // the 31-word fixture vocab); TakeOrdered bounded heads, exact
@@ -5997,6 +6012,20 @@ object SparkEntry {
         |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
         |    ELSE '' END AS changed_cols
         |FROM j ORDER BY o_orderkey""".stripMargin,
+
+    // TTR: list_distinct/len twins of array_distinct/size
+    "q_x_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |    AS INTEGER) AS n_types,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+        |    AS n_tokens,
+        |  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |  THEN ROUND(
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) END AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // vocab coverage: identical top-k heads + token totals
     "q_x_vocab_coverage" ->
