@@ -2646,7 +2646,7 @@ object SparkEntry {
     // percentile bounds joined back (AQE broadcasts the group panel),
     // decimal-exact mean of the surviving band
     "q_a_trimmed" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tw(s, dir, "lineitem")
       val bounds = li.groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.1)").as("__lo"),
           expr("percentile(l_extendedprice, 0.9)").as("__hi"))
