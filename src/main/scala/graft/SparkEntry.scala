@@ -2767,7 +2767,13 @@ object SparkEntry {
     // periods anchored at the 2024-01-01 calendar boundary, "active"
     // meaning a high-value event (value > 260 — tuned so sf0.001 shows
     // churn and sf0.01 shows all four statuses); one user-keyed
-    // aggregate of activity flags, one tiny status rollup
+    // aggregate of activity flags, one tiny status rollup.
+    // NOTE: Spark `div` truncates toward zero while the oracle's `//`
+    // floors — they agree ONLY for non-negative deltas. The fixture's
+    // events all sit at/after the 2024-01-01 anchor, and only periods
+    // 1 and 2 are classified (period 0 never tested), so the twin
+    // holds; any gate testing period 0 or a later anchor must switch
+    // both sides to an explicit FLOOR formulation first.
     "q_w_churn" -> ((s, dir) => {
       val flags = t(s, dir, "events")
         .select(col("user_id"), col("value"),
@@ -2909,12 +2915,16 @@ object SparkEntry {
         .orderBy(col("label"))),
 
     // A-theilsen: robust per-group trend slope — lower median of
-    // pairwise slopes over a deterministic hash sample (the estimator
-    // is quadratic by definition; the sample bounds it the standard
-    // way); pairs join group-keyed, median via one rank window
+    // pairwise slopes over a deterministic SIZE-CAPPED per-group
+    // sample (the estimator is quadratic by definition; a fixed
+    // FRACTION is not scale-safe — pair volume grows with corpus² —
+    // while the cap pins the pair budget at C(64,2) per group forever,
+    // the SURVEY §8.6f rule); pairs join group-keyed, median via one
+    // rank window
     "q_a_theilsen" -> ((s, dir) => {
-      val o = graft.operators.Sampling.hashSample(
-          t(s, dir, "orders"), "o_orderkey", fraction = 0.03125, salt = "ts7")
+      val o = graft.operators.Sampling.groupCappedSample(
+          t(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+          cap = 64, salt = "ts7")
         .select(col("o_orderpriority"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
             .as("mi"),
@@ -3058,17 +3068,21 @@ object SparkEntry {
     // filtered customer side, revenue is a decimal-exact sum, top-10
     // via TakeOrderedAndProject
     "q_sql_q3" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("q3_customer")
-      t(s, dir, "orders").createOrReplaceTempView("q3_orders")
-      t(s, dir, "lineitem").createOrReplaceTempView("q3_lineitem")
+      // temp views are session-global shared state — suffix with the
+      // per-sfDir runToken (the bucketed-catalog rule) so concurrent
+      // runs on different scale factors can't race each other's views
+      val tk = runToken(dir)
+      t(s, dir, "customer").createOrReplaceTempView(s"q3_customer_$tk")
+      t(s, dir, "orders").createOrReplaceTempView(s"q3_orders_$tk")
+      t(s, dir, "lineitem").createOrReplaceTempView(s"q3_lineitem_$tk")
       s.sql(
-        """SELECT l_orderkey,
+        s"""SELECT l_orderkey,
           |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
           |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
           |  CAST(o_orderdate AS DATE) AS o_orderdate
-          |FROM q3_customer
-          |JOIN q3_orders ON c_custkey = o_custkey
-          |JOIN q3_lineitem ON l_orderkey = o_orderkey
+          |FROM q3_customer_$tk
+          |JOIN q3_orders_$tk ON c_custkey = o_custkey
+          |JOIN q3_lineitem_$tk ON l_orderkey = o_orderkey
           |WHERE c_mktsegment = 'BUILDING'
           |  AND o_orderdate < DATE '1998-01-01'
           |  AND l_shipdate > DATE '1998-01-01'
@@ -3081,23 +3095,25 @@ object SparkEntry {
     // a 6-way join where the dimension chain (region→nation→supplier)
     // broadcasts and only the fact-side joins shuffle
     "q_sql_q5" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("q5_customer")
-      t(s, dir, "orders").createOrReplaceTempView("q5_orders")
-      t(s, dir, "lineitem").createOrReplaceTempView("q5_lineitem")
-      t(s, dir, "supplier").createOrReplaceTempView("q5_supplier")
-      t(s, dir, "nation").createOrReplaceTempView("q5_nation")
-      t(s, dir, "region").createOrReplaceTempView("q5_region")
+      // same per-sfDir view isolation as q_sql_q3
+      val tk = runToken(dir)
+      t(s, dir, "customer").createOrReplaceTempView(s"q5_customer_$tk")
+      t(s, dir, "orders").createOrReplaceTempView(s"q5_orders_$tk")
+      t(s, dir, "lineitem").createOrReplaceTempView(s"q5_lineitem_$tk")
+      t(s, dir, "supplier").createOrReplaceTempView(s"q5_supplier_$tk")
+      t(s, dir, "nation").createOrReplaceTempView(s"q5_nation_$tk")
+      t(s, dir, "region").createOrReplaceTempView(s"q5_region_$tk")
       s.sql(
-        """SELECT n_name,
+        s"""SELECT n_name,
           |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
           |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-          |FROM q5_customer
-          |JOIN q5_orders ON c_custkey = o_custkey
-          |JOIN q5_lineitem ON l_orderkey = o_orderkey
-          |JOIN q5_supplier ON l_suppkey = s_suppkey
+          |FROM q5_customer_$tk
+          |JOIN q5_orders_$tk ON c_custkey = o_custkey
+          |JOIN q5_lineitem_$tk ON l_orderkey = o_orderkey
+          |JOIN q5_supplier_$tk ON l_suppkey = s_suppkey
           |  AND c_nationkey = s_nationkey
-          |JOIN q5_nation ON s_nationkey = n_nationkey
-          |JOIN q5_region ON n_regionkey = r_regionkey
+          |JOIN q5_nation_$tk ON s_nationkey = n_nationkey
+          |JOIN q5_region_$tk ON n_regionkey = r_regionkey
           |WHERE r_name = 'ASIA'
           |  AND o_orderdate >= DATE '1996-01-01'
           |  AND o_orderdate < DATE '1997-01-01'
@@ -6407,10 +6423,12 @@ object SparkEntry {
         |SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
         |FROM g GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
 
-    // feature hashing: identical md5 buckets and sign nibbles
+    // feature hashing: identical md5 buckets and sign nibbles; tokens
+    // split on \s+ to match the engine tokenizer (TextAnalysis
+    // .hashedBagOfWords) for multi-space/tab/newline runs
     "q_x_feathash" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
@@ -6597,16 +6615,27 @@ object SparkEntry {
         |    AS mean_silhouette
         |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
-    // Theil-Sen: identical hash sample, pair join, and lower-median
-    // rank selection
+    // Theil-Sen: identical two-phase size-capped per-group sample
+    // (census threshold pre-filter, then rank <= cap), pair join, and
+    // lower-median rank selection
     "q_a_theilsen" ->
-      """WITH s AS (
+      """WITH u AS (
         |  SELECT o_orderkey, o_orderpriority,
         |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
-        |    o_totalprice
-        |  FROM orders
-        |  WHERE md5(CAST(o_orderkey AS VARCHAR) || 'ts7')
-        |        < '08000000000000000000000000000000'),
+        |    o_totalprice,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'ts7'), 1, 13))::BIGINT
+        |      / 4503599627370496.0 AS uu
+        |  FROM orders),
+        |cs AS (SELECT o_orderpriority, count(*) AS gn FROM u GROUP BY 1),
+        |s AS (
+        |  SELECT * FROM (
+        |    SELECT u.o_orderkey, u.o_orderpriority, u.mi, u.o_totalprice,
+        |      row_number() OVER (PARTITION BY u.o_orderpriority
+        |                         ORDER BY u.uu, u.o_orderkey) AS srn
+        |    FROM u JOIN cs USING (o_orderpriority)
+        |    WHERE cs.gn <= 64
+        |       OR u.uu < 4.0 * 64.0 / CAST(cs.gn AS DOUBLE))
+        |  WHERE srn <= 64),
         |p AS (
         |  SELECT a.o_orderpriority AS g, a.o_orderkey AS id1,
         |    b.o_orderkey AS id2,

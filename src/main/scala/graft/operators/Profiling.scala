@@ -687,15 +687,14 @@ object Profiling {
     * single wild outlier moves OLS arbitrarily; it moves the median
     * slope not at all). Pairs with equal x drop (undefined slope).
     *
-    * The input is expected to be PRE-SAMPLED (e.g.
-    * [[Sampling.hashSample]]) — pairwise volume is quadratic in group
-    * size by definition of the estimator, so the caller bounds it the
-    * standard way: Theil-Sen on a deterministic sample. NOTE the
-    * quadratic means a FIXED FRACTION is not scale-safe (pairs grow
-    * n² while the fraction holds — the battery measured 63 s at 10×
-    * the tuned SF before the fraction was cut): a deployment should
-    * cap the per-group sample SIZE (e.g. [[Sampling.sequentialPoisson]]
-    * per group), paying a constant pair budget at any corpus size.
+    * CONTRACT: the input MUST be PRE-SAMPLED to a bounded per-group
+    * SIZE via [[Sampling.groupCappedSample]] (or an equivalent
+    * size-cap) — pairwise volume is quadratic in group size by
+    * definition of the estimator. A fixed FRACTION
+    * ([[Sampling.hashSample]]) is NOT scale-safe: pairs grow n² while
+    * the fraction holds (the battery measured 63 s at 10× the tuned
+    * SF before the fraction was cut), whereas a size cap pays a
+    * constant C(cap, 2) pair budget per group at any corpus size.
     * The join is group-keyed; the median is one group-keyed rank
     * window over the pair relation.
     *
@@ -830,7 +829,7 @@ object Profiling {
       s"need 0 < fraction <= 1, got $fraction")
     val thr = Sampling.hexThreshold(fraction)
     def keep(c: Column) = md5(concat(
-      coalesce(c.cast("string"), lit(" null")), lit(salt))) < thr
+      coalesce(c.cast("string"), lit("\u0000null")), lit(salt))) < thr
     val ca = a.where(col(aKey).isNotNull && keep(col(aKey)))
       .groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__na"))
     val cb = b.where(col(bKey).isNotNull && keep(col(bKey)))

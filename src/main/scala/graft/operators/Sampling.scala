@@ -85,6 +85,56 @@ object Sampling {
       .drop("__h", "__rn")
   }
 
+  /** Scale-safe [[bottomKPerGroup]]: a deterministic size-capped
+    * uniform sample per group whose window never holds a whole group.
+    * [[bottomKPerGroup]]'s row_number window puts each ENTIRE group in
+    * one task — correct, but a 10B-row group is a single-task sort.
+    * Here a group census (one map-side-combined count) derives a
+    * per-group pre-filter `u < oversample·cap/n` on the 52-bit salted
+    * key-hash uniform, so the rank window only ever sees
+    * ~oversample·cap survivors per group; the rank then pins the exact
+    * output size at `min(cap, survivors)`.
+    *
+    * The TWO-PHASE RULE IS THE DEFINITION — "the `cap` smallest
+    * (u, key) rows among those with u below the census threshold" — so
+    * an oracle replicating both phases is hash-exact, with no appeal
+    * to the (astronomically unlikely, P[Binomial(n, oversample·cap/n)
+    * < cap]) undershoot being impossible. Sampling is uniform within
+    * each group either way. Groups at/below `cap` keep every row.
+    *
+    * The quadratic-estimator guard (SURVEY §8.6f): a fixed FRACTION is
+    * not scale-safe for pair-generating consumers ([[Profiling.theilSen]]
+    * and friends) — pair volume grows with corpus² — while this cap
+    * fixes the per-group pair budget at C(cap, 2) forever. */
+  def groupCappedSample(df: DataFrame, groupCol: String, keyCol: String,
+      cap: Int, salt: String = "", oversample: Double = 4.0): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(oversample >= 2.0, s"oversample must be >= 2, got $oversample")
+    val reserved = Seq("__u", "__gn", "__rn", "__cg")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"groupCappedSample reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    // 13 hex chars = 52 bits, exact in a double (the sequentialPoisson
+    // uniform); the census threshold arithmetic is one IEEE division +
+    // multiply — identical in any engine
+    val u = conv(substring(hash(col(keyCol), salt), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)
+    // null-safe census join: a null group is one more group (the
+    // window's partitionBy treats it so; a bare equi-join would drop it)
+    val census = df.groupBy(col(groupCol).as("__cg"))
+      .agg(count(lit(1)).as("__gn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__u"), col(keyCol))
+    df.withColumn("__u", u)
+      .join(census, col(groupCol) <=> col("__cg"))
+      .drop("__cg")
+      .where(col("__gn") <= cap ||
+        col("__u") < lit(oversample) * lit(cap.toDouble) / col("__gn").cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__u", "__gn", "__rn")
+  }
+
   /** Deterministic WEIGHTED k-sample without replacement (A-ES,
     * Efraimidis–Spirtakis): rank rows by priority `u^(1/w)` (u uniform)
     * and keep the k largest, which samples each subset with probability

@@ -147,6 +147,36 @@ class SamplingSpec extends SparkSpec {
     assert(again == k5, "sample changed with partitioning")
   }
 
+  test("groupCappedSample: exact cap per big group, small groups whole, layout-independent") {
+    val df = rows.toDF("id", "g") // groups grp0..grp36, ~54 rows each
+      .union(Seq((9001L, "tiny"), (9002L, "tiny")).toDF("id", "g"))
+    val got = Sampling.groupCappedSample(df, "g", "id", cap = 7, salt = "c1")
+    val sizes = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert((0 to 36).forall(i => sizes(s"grp$i") == 7L), s"bad cap: $sizes")
+    assert(sizes("tiny") == 2L)
+    val ids = got.select("id").as[Long].collect().toSet
+    val again = Sampling.groupCappedSample(df.repartition(13), "g", "id", 7, "c1")
+      .select("id").as[Long].collect().toSet
+    assert(again == ids, "sample changed with partitioning")
+  }
+
+  test("groupCappedSample pre-filter keeps the rank window bounded") {
+    // one hot group 40× over the cap: the survivors entering the rank
+    // window must be ~oversample·cap, never the whole group — the
+    // scale contract that distinguishes this from bottomKPerGroup
+    val hot = (1L to 4000L).map(i => (i, "hot")).toDF("id", "g")
+    val cap = 100
+    val u = conv(substring(md5(concat(col("id").cast("string"), lit("c2"))), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0)
+    val survivors = hot.withColumn("__u", u)
+      .where(col("__u") < lit(4.0) * lit(cap.toDouble) / lit(4000.0))
+      .count()
+    assert(survivors < 16L * cap, s"pre-filter let $survivors rows through")
+    assert(survivors >= cap, s"pre-filter undershot: $survivors < $cap")
+    val out = Sampling.groupCappedSample(hot, "g", "id", cap, "c2")
+    assert(out.count() == cap.toLong)
+  }
+
   test("temperatureMix tempers skew: big sources cut, small kept whole") {
     // A:1000, B:100, C:10 docs, target 300. sqrt shares 31.62/10/3.16
     // (W≈44.79) → rates ≈ 0.2118 / 0.6697 / 1.0 (C caps)
