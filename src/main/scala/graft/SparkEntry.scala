@@ -1134,6 +1134,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // X-cluster: semantic dedup under a DELIBERATELY tiny block cap —
+    // the refinement path itself, fully oracled: a 120-copy family
+    // planted in-plan blows its k-means cluster past maxBlock=16, the
+    // hyperplane sub-split cannot separate exact copies (identical
+    // signs by construction), so the family lands in an OVERFLOW
+    // sub-bucket and is recalled through the sorted-neighborhood chain
+    // (copies share the projection, sort by id, pair with the next 8) —
+    // candidates stay linear in block size, never block². The twin
+    // replicates census, bit count, sub-bucket signs, and the window.
+    "q_x_semdedup_capped" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") < 300).select("vec_id", "embedding")
+        .unionByName(e.filter(col("vec_id") === 7)
+          .select(explode(sequence(lit(0L), lit(119L))).as("__i"),
+            col("embedding"))
+          .select((col("__i") + lit(1000000L)).as("vec_id"),
+            col("embedding")))
+      graft.operators.Clustering.semanticDedup(
+          corpus, "vec_id", "embedding", k = 4, dim = 64, iters = 1,
+          minCos = 0.9, maxBlock = 16, overflowWindow = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // X-graph: PageRank over a linkage graph — link-authority weighting
     // (the crawl-domain quality prior for corpus curation) as pure
     // relational algebra: 5 iterations, each a keyed join + decimal-
@@ -3818,7 +3841,9 @@ object SparkEntry {
         "embeddings", "vec_id", "embedding", 8, 64, 3, "vid < 50"),
 
     // semantic dedup: the same kMeans CTE chain over the same planted
-    // union, within-cluster pairs, three cosine folds
+    // union, within-cluster pairs, three cosine folds (no cluster here
+    // approaches the default maxBlock=4096, so the uncapped twin still
+    // describes the engine exactly — the capped path is q_x_semdedup_capped)
     "q_x_semdedup" ->
       graft.operators.Clustering.semanticDedupOracleSql(
         """(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
@@ -3826,6 +3851,18 @@ object SparkEntry {
           | SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 100) plant"""
           .stripMargin,
         "vec_id", "embedding", 16, 64, 2, 0.9),
+
+    // capped semantic dedup: the generated refinement twin — census,
+    // integer-exact bit count, identical plane-sign sub-buckets,
+    // overflow sorted-neighborhood window
+    "q_x_semdedup_capped" ->
+      graft.operators.Clustering.semanticDedupCappedOracleSql(
+        """(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+          | UNION ALL
+          | SELECT 1000000 + r.range AS vec_id, embedding
+          | FROM embeddings, range(0, 120) r WHERE vec_id = 7) plant"""
+          .stripMargin,
+        "vec_id", "embedding", 4, 64, 1, 0.9, 16, 8),
 
     // expectations audit: one conditional-sum aggregate, unpivoted to a
     // row per rule — identical rule set, FALSE-or-NULL counts as a

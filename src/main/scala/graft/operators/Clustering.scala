@@ -150,31 +150,42 @@ object Clustering {
   /** SemDeDup-style semantic dedup: cluster the corpus with [[kMeans]],
     * then mark every document that has a near-identical embedding
     * (cosine ≥ `minCos`) with a SMALLER id inside its own cluster —
-    * the cluster scope is what keeps the pairwise step tractable (the
-    * quadratic cost is bounded by cluster sizes, never corpus², and the
-    * pair join keys on the cluster id; hot clusters are AQE skew-split
-    * territory). Production scale wants k large enough that clusters
-    * fit the quadratic budget — k grows with the corpus, as in the
-    * SemDeDup paper.
+    * the cluster scope is what keeps the pairwise step tractable.
+    *
+    * The bound is ENFORCED, not assumed: with fixed `k` the clusters
+    * grow linearly with the corpus, so clusters over `maxBlock` rows
+    * refine through [[Similarity.refineOversizedBlocks]] (adaptive
+    * hyperplane sub-buckets; unsplittable sub-buckets — exact-copy
+    * families — fall back to sorted-neighborhood candidates), the
+    * [[Dedup.fuzzyPairs]] maxBlock discipline on the embedding side.
+    * Candidates per row are at most max(maxBlock, overflowWindow) —
+    * never cluster². The recall contract: a pair is recalled unless
+    * its vectors land on opposite sides of a sub-bucket hyperplane in
+    * a hot cluster, or sort more than `overflowWindow` apart in an
+    * overflow block; fitting clusters (every cluster at the default
+    * cap and gate scale) are exhaustive.
     *
     * Returns the DROPPED side: (`idCol`, `dup_of`, `cos`) where
-    * `dup_of` is the smallest smaller-id near-dup and `cos` its cosine
-    * (rounded to 6) — deterministic, and oracle-exact because
-    * assignments are ([[kMeans]]) and the cosine folds are the fused
-    * [[graft.functions.VectorExprs.cosine]] accumulation order. */
+    * `dup_of` is the smallest smaller-id RECALLED near-dup and `cos`
+    * its cosine (rounded to 6) — deterministic, and oracle-exact
+    * because assignments ([[kMeans]]), sub-bucket signs, and the
+    * cosine folds all replicate in the generated twin
+    * ([[semanticDedupCappedOracleSql]]). */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, iters: Int, minCos: Double,
+      maxBlock: Int = 4096, overflowWindow: Int = 16,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     val km = kMeans(corpus, idCol, vecCol, k, dim, iters)
     val withCid = corpus.select(col(idCol).as("__id"), col(vecCol).as("__e"))
       .join(km.assignments.select(col(idCol).as("__id"), col("cid")), "__id")
-    val a = withCid.select(col("cid"), col("__id").as("id1"), col("__e").as("e1"))
-    val b = withCid.select(col("cid"), col("__id").as("id2"), col("__e").as("e2"))
-    val pairs = materialize(a.join(b, Seq("cid"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("__cos",
-        graft.functions.VectorExprs.cosine(col("e1"), col("e2")))
-      .filter(col("__cos") >= minCos))
+    val planes = Similarity.subBucketPlanes(dim)
+    val refined = Similarity.refineOversizedBlocks(withCid, "cid", "__id",
+      "__e", maxBlock, planes)
+    val pairs = materialize(
+      Similarity.boundedBlockPairs(refined, overflowWindow, planes.last)
+        .withColumn("__cos",
+          graft.functions.VectorExprs.cosine(col("v1"), col("v2")))
+        .filter(col("__cos") >= minCos))
     pairs.groupBy(col("id2").as(idCol))
       .agg(min(col("id1")).as("dup_of"),
         round(min_by(col("__cos"), col("id1")), 6).as("cos"))
@@ -198,6 +209,83 @@ object Clustering {
          |      / (sqrt(${fold("x", "x")})
          |       * sqrt(${fold("y", "y")})) AS cos
          |    FROM wc x JOIN wc y ON x.cid = y.cid AND x.vid < y.vid)
+         |  WHERE cos >= $minCos)
+         |SELECT id2 AS $idCol, MIN(id1) AS dup_of,
+         |       ROUND(MIN_BY(cos, id1), 6) AS cos
+         |FROM pr GROUP BY id2 ORDER BY id2""".stripMargin
+  }
+
+  /** Oracle twin of the CAPPED [[semanticDedup]] — the same kMeans CTE
+    * chain, then the refinement replicated stage by stage: block
+    * census, integer-exact bit count (printf('%b') bit-length, no
+    * libm), sub-bucket signs over the SAME plane literals
+    * (Float→Double widening round-trips through toString), the second
+    * census's overflow flag, all-pairs inside fitting sub-buckets, and
+    * the sorted-neighborhood window inside overflow ones. */
+  def semanticDedupCappedOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int, dim: Int, iters: Int, minCos: Double,
+      maxBlock: Int, overflowWindow: Int): String = {
+    val planes = Similarity.subBucketPlanes(dim)
+    val maxBits = planes.length - 1
+    def fold(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST($x.v[i] AS DOUBLE) * CAST($y.v[i] AS DOUBLE)),
+         |      (a, b) -> a + b)""".stripMargin
+    def planeFold(v: String, p: Array[Float]) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST($v.v[i] AS DOUBLE) * ([${p.map(_.toDouble.toString).mkString(", ")}])[i]),
+         |        (a, b) -> a + b)""".stripMargin
+    val plRows = planes.init.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    loopCtes(table, idCol, vecCol, k, dim, iters) +
+      s"""
+         |, pl AS (SELECT * FROM (VALUES
+         |    $plRows) t(pid, pv)),
+         |cs1 AS (SELECT cid, count(*) AS n FROM af GROUP BY cid),
+         |bt AS (
+         |  SELECT cid, CASE WHEN n <= $maxBlock THEN 0
+         |    ELSE LEAST($maxBits,
+         |      length(printf('%b', (n + ${maxBlock - 1}) // $maxBlock - 1)))
+         |    END AS b
+         |  FROM cs1),
+         |sg AS (
+         |  SELECT a.vid, a.cid,
+         |    SUM(CASE WHEN p.pid < b.b AND ROUND(
+         |        list_reduce(list_transform(range(1, ${dim + 1}),
+         |          i -> CAST(e.v[i] AS DOUBLE) * p.pv[i]),
+         |          (x, y) -> x + y), 9) > 0
+         |      THEN (1::BIGINT << p.pid) ELSE 0 END) AS sub
+         |  FROM af a JOIN emb e USING (vid) JOIN bt b USING (cid)
+         |  CROSS JOIN pl p
+         |  GROUP BY a.vid, a.cid),
+         |cs2 AS (SELECT cid, sub, count(*) AS n2 FROM sg GROUP BY 1, 2),
+         |wc AS (
+         |  SELECT s.vid, s.cid, s.sub, (c.n2 > $maxBlock) AS ovf, e.v
+         |  FROM sg s JOIN cs2 c USING (cid, sub) JOIN emb e USING (vid)),
+         |np AS (
+         |  SELECT x.vid AS id1, y.vid AS id2,
+         |    ${fold("x", "y")}
+         |    / (sqrt(${fold("x", "x")})
+         |     * sqrt(${fold("y", "y")})) AS cos
+         |  FROM wc x JOIN wc y
+         |    ON x.cid = y.cid AND x.sub = y.sub AND x.vid < y.vid
+         |  WHERE NOT x.ovf),
+         |ovr AS (
+         |  SELECT vid, cid, sub, v,
+         |    row_number() OVER (PARTITION BY cid, sub
+         |      ORDER BY ROUND(${planeFold("wc", planes.last)}, 9), vid) AS rn
+         |  FROM wc WHERE ovf),
+         |op AS (
+         |  SELECT LEAST(x.vid, y.vid) AS id1, GREATEST(x.vid, y.vid) AS id2,
+         |    ${fold("x", "y")}
+         |    / (sqrt(${fold("x", "x")})
+         |     * sqrt(${fold("y", "y")})) AS cos
+         |  FROM ovr x JOIN ovr y
+         |    ON x.cid = y.cid AND x.sub = y.sub
+         |   AND y.rn > x.rn AND y.rn <= x.rn + $overflowWindow),
+         |pr AS (
+         |  SELECT * FROM (SELECT * FROM np UNION ALL SELECT * FROM op)
          |  WHERE cos >= $minCos)
          |SELECT id2 AS $idCol, MIN(id1) AS dup_of,
          |       ROUND(MIN_BY(cos, id1), 6) AS cos

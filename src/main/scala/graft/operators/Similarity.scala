@@ -198,6 +198,137 @@ object Similarity {
       .agg(round(sum(col("__v").cast("decimal(38,9)")).cast("double") /
         count(lit(1)).cast("double"), 6).as("c"))
 
+  // ──────────────── bounded embedding blocks ────────────────
+  //
+  // The embedding-side twin of Dedup.fuzzyPairs' maxBlock discipline:
+  // any operator that goes quadratic INSIDE a block (semantic dedup,
+  // mutual-NN refinement) must bound the block size, because with a
+  // fixed cluster/label/bucket count the blocks grow linearly with the
+  // corpus and the within-block pair volume re-emerges as corpus².
+
+  /** Plane count reserved by [[refineOversizedBlocks]]: 12 sub-bucket
+    * planes (splits up to 4096× over budget) + 1 overflow-sort
+    * projection plane. */
+  val SubBucketPlanes: Int = 13
+  /** Fixed seed for the shared sub-bucketing planes — part of the
+    * operator definition (generated oracles embed the same literals). */
+  val SubBucketSeed: Long = 0xb10c5L
+
+  /** The deterministic hyperplane set [[refineOversizedBlocks]] and its
+    * generated oracles share: planes 0..11 split, plane 12 projects. */
+  def subBucketPlanes(dim: Int): Array[Array[Float]] =
+    randomPlanes(dim, SubBucketPlanes, SubBucketSeed)
+
+  /** Refine (block, id, vec) rows so no unflagged block exceeds
+    * `maxBlock`: a block census (aggregate over BLOCK KEYS, never
+    * pairs) sizes each block; oversized blocks sub-bucket by the signs
+    * of `ceil(log2(ceil(n/maxBlock)))` hyperplane dot products (near-
+    * identical vectors share signs, so near-dups stay together — the
+    * property a hash split would destroy); a second census flags
+    * sub-buckets STILL over budget (exact copies share every sign and
+    * are unsplittable by construction) as overflow for
+    * [[boundedBlockPairs]]' sorted-neighborhood path.
+    *
+    * The bit count is integer-exact in any engine (no libm log2):
+    * bits = bit-length of ceil(n/maxBlock) − 1. Dot signs compare the
+    * ROUND-9 fold (both engines fold left over identical plane
+    * literals — the established cosine-parity argument).
+    *
+    * Output: (`__g` block, `__id`, `__v`, `__sub` sub-bucket,
+    * `__ovf`). Null blocks refine as one more block. */
+  def refineOversizedBlocks(df: DataFrame, blockCol: String, idCol: String,
+      vecCol: String, maxBlock: Int, planes: Array[Array[Float]]): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val maxBits = planes.length - 1 // last plane is the overflow projection
+    require(maxBits >= 1, s"need at least 2 planes, got ${planes.length}")
+    val rows = df.select(col(blockCol).as("__g"), col(idCol).as("__id"),
+      col(vecCol).as("__v"))
+    val census = rows.groupBy(col("__g").as("__cg"))
+      .agg(count(lit(1)).as("__n"))
+    // bits = bit-length of (ceil(n/maxBlock) - 1): the smallest b with
+    // n <= maxBlock * 2^b — exact integer arithmetic, no log2
+    val m = expr(s"(__n + ${maxBlock - 1}) div $maxBlock")
+    val bits = when(col("__n") <= maxBlock, lit(0))
+      .otherwise(least(lit(maxBits), length(bin(m - lit(1))).cast("int")))
+    val withBits = rows
+      .join(census.select(col("__cg"), bits.as("__bits")),
+        col("__g") <=> col("__cg"))
+      .drop("__cg")
+    val sub = planes.init.zipWithIndex.map { case (p, i) =>
+      when(lit(i) < col("__bits") &&
+          round(VectorExprs.dot(col("__v"), typedLit(p)), 9) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSub = withBits.withColumn("__sub", sub).drop("__bits")
+    val census2 = withSub
+      .groupBy(col("__g").as("__cg"), col("__sub").as("__cs"))
+      .agg(count(lit(1)).as("__n2"))
+    withSub
+      .join(census2, col("__g") <=> col("__cg") && col("__sub") === col("__cs"))
+      .select(col("__g"), col("__id"), col("__v"), col("__sub"),
+        (col("__n2") > maxBlock).as("__ovf"))
+  }
+
+  /** Undirected candidate pairs over [[refineOversizedBlocks]] output:
+    * fitting sub-blocks go all-pairs (bounded by `maxBlock` per key);
+    * overflow sub-blocks fall back to SORTED-NEIGHBORHOOD matching —
+    * rows sort by (round-9 projection onto the reserved plane, id) and
+    * each row pairs with its next `overflowWindow` neighbors, so
+    * candidates are linear in block size, never block². Exact copies
+    * (the unsplittable case) share the projection and sort by id, so a
+    * copy family is recalled as an id-ordered chain.
+    *
+    * Output: (`__g`, `id1`, `v1`, `id2`, `v2`) with id1 < id2; every
+    * unordered pair appears at most once (its block is unique). */
+  def boundedBlockPairs(refined: DataFrame, overflowWindow: Int,
+      projPlane: Array[Float]): DataFrame = {
+    require(overflowWindow >= 1,
+      s"overflowWindow must be >= 1, got $overflowWindow")
+    val fit = refined.filter(!col("__ovf"))
+    val a = fit.select(col("__g"), col("__sub"),
+      col("__id").as("id1"), col("__v").as("v1"))
+    val b = fit.select(col("__g"), col("__sub"),
+      col("__id").as("id2"), col("__v").as("v2"))
+    val normal = a.join(b, Seq("__g", "__sub"))
+      .filter(col("id1") < col("id2"))
+      .select(col("__g"), col("id1"), col("v1"), col("id2"), col("v2"))
+    val w = Window.partitionBy(col("__g"), col("__sub"))
+      .orderBy(col("__proj"), col("__id"))
+    val ranked = refined.filter(col("__ovf"))
+      .withColumn("__proj",
+        round(VectorExprs.dot(col("__v"), typedLit(projPlane)), 9))
+      .withColumn("__rn", row_number().over(w))
+    val probes = ranked.select(col("__g"), col("__sub"),
+      col("__id").as("__idL"), col("__v").as("__vL"),
+      explode(sequence(col("__rn") + 1, col("__rn") + overflowWindow))
+        .as("__rn"))
+    val overflow = probes
+      .join(ranked.select(col("__g"), col("__sub"), col("__rn"),
+        col("__id").as("__idR"), col("__v").as("__vR")),
+        Seq("__g", "__sub", "__rn"))
+      .select(col("__g"),
+        least(col("__idL"), col("__idR")).as("id1"),
+        when(col("__idL") < col("__idR"), col("__vL")).otherwise(col("__vR"))
+          .as("v1"),
+        greatest(col("__idL"), col("__idR")).as("id2"),
+        when(col("__idL") < col("__idR"), col("__vR")).otherwise(col("__vL"))
+          .as("v2"))
+    normal.unionByName(overflow)
+  }
+
+  /** Blocking diagnostic (the [[graft.operators.Dedup.fuzzyBlockStats]]
+    * twin): the refined block census as (block, sub_bucket, n,
+    * overflow) rows, overflow first then largest — which blocks went
+    * hot, how they split, and what stayed unsplittable. */
+  def embeddingBlockStats(df: DataFrame, blockCol: String, idCol: String,
+      vecCol: String, maxBlock: Int, dim: Int): DataFrame =
+    refineOversizedBlocks(df, blockCol, idCol, vecCol, maxBlock,
+        subBucketPlanes(dim))
+      .groupBy(col("__g").as(blockCol), col("__sub").as("sub_bucket"))
+      .agg(count(lit(1)).as("n"), max(col("__ovf")).as("overflow"))
+      .orderBy(col("overflow").desc, col("n").desc, col(blockCol),
+        col("sub_bucket"))
+
   /** All-pairs exact cosine for a small broadcastable query set against the
     * corpus: one scan of the corpus, queries broadcast. Returns per query
     * the top-k corpus ids. */
@@ -209,26 +340,41 @@ object Similarity {
     *
     * Scale shape: the pairwise scoring is scoped to `groupCol` blocks
     * (a cluster id from [[trainCentroids]]/[[ivfAssign]], an LSH
-    * bucket, or a ground-truth label) — the [[graft.operators.Dedup]]
-    * semanticDedup contract: quadratic only inside an explicitly
-    * bounded block, with the group equi-join as the only shuffle. The
-    * mutual check is one self-join of the group-sized top-1 relation.
+    * bucket, or a ground-truth label), and the bounded-block contract
+    * is ENFORCED, not just documented: groups over `maxBlock` rows
+    * refine through [[refineOversizedBlocks]] (hyperplane sub-buckets,
+    * sorted-neighborhood overflow), so candidates per row are at most
+    * max(maxBlock, 2·overflowWindow) — never group-quadratic. The
+    * top-1 search narrows to the refined candidates (the documented
+    * recall trade: a sub-bucket boundary can hide the true top-1, the
+    * same contract [[graft.operators.Dedup.fuzzyPairs]] records); at
+    * the default cap nothing refines below 4096-row groups, where the
+    * operator is exact. The mutual check is one self-join of the
+    * group-sized top-1 relation.
     *
     * Ties break by neighbor id ascending (deterministic top-1); cosine
     * rounds to 6 ([[graft.functions.VectorExprs.cosine]] parity with
-    * DuckDB's list_cosine_similarity).
+    * DuckDB's list_cosine_similarity). `dim` 0 infers the vector
+    * dimension with one 1-row job ([[inferDim]]); pass it explicitly
+    * on action-free hot paths.
     *
     * Output: (groupCol, id1, id2, cos) with id1 < id2. */
   def mutualNearestPairs(df: DataFrame, idCol: String, vecCol: String,
-      groupCol: String): DataFrame = {
-    val a = df.select(col(groupCol).as("__g"), col(idCol).as("__ida"),
-      col(vecCol).as("__va"))
-    val b = df.select(col(groupCol).as("__g"), col(idCol).as("__idb"),
-      col(vecCol).as("__vb"))
-    val scored = a.join(b, "__g")
-      .where(col("__ida") =!= col("__idb"))
-      .select(col("__g"), col("__ida"), col("__idb"),
-        round(VectorExprs.cosine(col("__va"), col("__vb")), 6).as("cos"))
+      groupCol: String, maxBlock: Int = 4096, overflowWindow: Int = 16,
+      dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val planes = subBucketPlanes(d)
+    val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
+      maxBlock, planes)
+    // candidates, DIRECTED (each unordered pair feeds both endpoints'
+    // top-1 searches)
+    val und = boundedBlockPairs(refined, overflowWindow, planes.last)
+    val scored = und
+      .select(col("__g"), col("id1").as("__ida"), col("id2").as("__idb"),
+        round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"))
+      .unionByName(und
+        .select(col("__g"), col("id2").as("__ida"), col("id1").as("__idb"),
+          round(VectorExprs.cosine(col("v2"), col("v1")), 6).as("cos")))
     val w = Window.partitionBy(col("__g"), col("__ida"))
       .orderBy(col("cos").desc, col("__idb"))
     val top1 = scored.withColumn("__rn", row_number().over(w))

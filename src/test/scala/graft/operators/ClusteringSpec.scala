@@ -55,6 +55,39 @@ class ClusteringSpec extends SparkSpec {
     assert(out.forall(_._3 >= 0.9999))
   }
 
+  test("semanticDedup refines an oversized copy family instead of going all-pairs") {
+    // 200 exact copies + 40 randoms in ONE k-means cluster (k = 1),
+    // block cap 16: the copies share every hyperplane sign (exact
+    // copies are unsplittable by construction), so they land in an
+    // OVERFLOW sub-bucket and are recalled through the sorted-
+    // neighborhood chain — each copy pairs with exactly its next 4
+    // id-neighbors, so dup_of is id−4 (floored at 0), never the
+    // all-pairs global minimum for every row
+    val base = Seq(3.0f, 1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i => (i.toLong, base)) ++
+      (0 until 40).map(i => (1000L + i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Clustering.semanticDedup(df, "vec_id", "embedding",
+        k = 1, dim = 8, iters = 1, minCos = 0.999,
+        maxBlock = 16, overflowWindow = 4)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == (1L to 199L), "every copy except id 0 must drop")
+    assert(out.forall { case (id2, dup, cos) =>
+      dup == math.max(0L, id2 - 4) && cos == 1.0
+    }, s"windowed recall must chain 4 back: ${out.take(8)}")
+    // the census must show the unsplittable family flagged overflow and
+    // every unflagged sub-block within the cap
+    val stats = Similarity.embeddingBlockStats(
+      df.withColumn("c", org.apache.spark.sql.functions.lit(0)),
+      "c", "vec_id", "embedding", 16, 8)
+      .collect()
+    assert(stats.exists(r => r.getBoolean(3) && r.getLong(2) >= 200L),
+      "copy family must be an overflow block")
+    assert(stats.filter(!_.getBoolean(3)).forall(_.getLong(2) <= 16L),
+      "non-overflow sub-blocks must fit the cap")
+  }
+
   test("kMeans validates its inputs") {
     val pts = Seq((0L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
     assertThrows[IllegalArgumentException] {

@@ -161,4 +161,29 @@ class SimilaritySpec extends SparkSpec {
     // 3's top-1 is 2, but 2's top-1 is 1 → (2,3) is NOT mutual
     assert(got == Set((1L, 2L), (10L, 11L)))
   }
+
+  test("mutualNearestPairs refines an oversized group; candidates stay bounded") {
+    // one 302-row label group, cap 32: the hyperplane sub-split must
+    // engage (no unrefined 302-row all-pairs), the planted exact-copy
+    // pair must survive refinement (identical vectors share every
+    // sign, so they cannot be separated), and the candidate volume
+    // must be linear in the group size, not quadratic
+    val base = Seq(2.0f, -1.0f, 0.5f, 3.0f, 0.0f, 1.0f, -2.0f, 0.25f)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq((1L, 0, base), (2L, 0, base)) ++
+      (0 until 300).map(i =>
+        (100L + i, 0, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.mutualNearestPairs(df, "vec_id", "embedding",
+      "label", maxBlock = 32, overflowWindow = 4, dim = 8)
+    assert(got.filter(col("id1") === 1L && col("id2") === 2L).count() == 1,
+      "planted exact-copy pair must survive refinement")
+    val planes = Similarity.subBucketPlanes(8)
+    val refined = Similarity.refineOversizedBlocks(df, "label", "vec_id",
+      "embedding", 32, planes)
+    val n = rows.size.toLong
+    val cand = Similarity.boundedBlockPairs(refined, 4, planes.last).count()
+    assert(cand <= n * 36, s"candidates not bounded: $cand")
+    assert(cand < n * (n - 1) / 4, s"looks all-pairs: $cand of ${n * (n - 1) / 2}")
+  }
 }
