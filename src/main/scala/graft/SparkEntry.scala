@@ -3040,6 +3040,15 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("id1"))),
 
+    // X-mnnivf: the PRODUCTION MNN composition — quantizer training
+    // (MLlib k-means, memoized per dir) → IVF assignment → mutual-NN
+    // inside the trained centroid blocks; the oracle is generated at
+    // dump time from the trained centroids (the q_x_pq pattern), so
+    // the engine-specific training state is itself under the gate
+    "q_x_mnn_ivf" -> ((s, dir) =>
+      graft.operators.Similarity.mnnIvfGate(t(s, dir, "embeddings"), dir)
+        .orderBy(col("id1"))),
+
     // T-forecast: seasonal-naive backtest — (dow, hour) profile fit on
     // the even half, MAE/bias scored on the odd half; the mandatory
     // forecasting baseline as one broadcast join + one aggregate
@@ -6796,6 +6805,11 @@ object SparkEntry {
         |FROM t1 x JOIN t1 y ON x.ida = y.idb AND x.idb = y.ida
         |WHERE x.ida < x.idb
         |ORDER BY id1""".stripMargin,
+
+    // MNN over trained IVF blocks: dump-time twin from the memoized
+    // centroids — same raw-cosine argmax assignment (fold order, ties
+    // to lowest cid) and the same block-scoped MNN
+    "q_x_mnn_ivf" -> graft.operators.Similarity.mnnIvfOracleSql(),
 
     // seasonal backtest: identical profile fit + scored join
     "q_t_forecast" ->

@@ -181,6 +181,91 @@ object Similarity {
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
   }
 
+  // ─────── q_x_mnn_ivf gate: MNN over a TRAINED quantizer's blocks ───────
+  //
+  // The production composition — trainCentroids → ivfAssign → block →
+  // mutualNearestPairs — gated end-to-end. The centroids are engine-
+  // trained (MLlib k-means — seeded but engine-specific), so the
+  // DuckDB twin is generated at DUMP time from the per-dir memo filled
+  // when the query ran (the q_x_pq pattern: Verify executes every
+  // query before writing oracle_sql.json in the same process).
+
+  private val mnnGateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
+  @volatile private var mnnLastDir: Option[String] = None
+
+  /** The q_x_mnn_ivf gate body: train (memoized per dir), assign every
+    * row to its nearest trained centroid, then mutual-NN inside the
+    * centroid blocks. */
+  def mnnIvfGate(emb: DataFrame, dir: String, k: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val cents = mnnGateCache.computeIfAbsent(dir, _ =>
+      trainCentroids(emb, "embedding", k).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1))
+    mnnLastDir = Some(dir)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val assigned = ivfAssign(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", cdf)
+    mutualNearestPairs(assigned, "vec_id", "embedding", "cid", dim = dim)
+  }
+
+  /** Generated twin of [[mnnIvfGate]]: the trained centroids inline as
+    * DOUBLE[] literals (Float→Double widens exactly and Double.toString
+    * round-trips), assignment replicated as the same raw-cosine argmax
+    * (identical fold order, ties to the lowest cid), then the
+    * block-scoped MNN with the same round-6 scoring and tie rules. */
+  def mnnIvfOracleSql(table: String = "embeddings", dim: Int = 64): String =
+    mnnLastDir.flatMap(d => Option(mnnGateCache.get(d))) match {
+      case None =>
+        "SELECT CAST(NULL AS INTEGER) AS cid, CAST(NULL AS BIGINT) AS id1, " +
+          "CAST(NULL AS BIGINT) AS id2, CAST(NULL AS DOUBLE) AS cos WHERE FALSE"
+      case Some(cents) =>
+        def fold(x: String, y: String) =
+          s"""list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE)),
+             |        (a, b) -> a + b)""".stripMargin
+        def cfold(x: String) =
+          s"""list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> CAST($x.embedding[i] AS DOUBLE) * c.cv[i]),
+             |        (a, b) -> a + b)""".stripMargin
+        val ceRows = cents.map { case (cid, v) =>
+          s"($cid, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(",\n    ")
+        s"""WITH ce AS (SELECT * FROM (VALUES
+           |    $ceRows) t(cid, cv)),
+           |asn AS (
+           |  SELECT vec_id, cid, embedding FROM (
+           |    SELECT e.vec_id, c.cid, e.embedding,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cfold("e")}
+           |        / (sqrt(${fold("e", "e")})
+           |         * sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+           |             i -> c.cv[i] * c.cv[i]), (a, b) -> a + b))) DESC,
+           |        c.cid) AS rn
+           |    FROM $table e CROSS JOIN ce c)
+           |  WHERE rn = 1),
+           |s AS (
+           |  SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb,
+           |    ROUND(${fold("a", "b")}
+           |      / (sqrt(${fold("a", "a")})
+           |       * sqrt(${fold("b", "b")})), 6) AS cos
+           |  FROM asn a JOIN asn b
+           |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+           |t1 AS (
+           |  SELECT cid, ida, idb, cos FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY cid, ida
+           |      ORDER BY cos DESC, idb) AS rn FROM s)
+           |  WHERE rn = 1)
+           |SELECT x.cid AS cid, x.ida AS id1, x.idb AS id2, x.cos AS cos
+           |FROM t1 x JOIN t1 y ON x.ida = y.idb AND x.idb = y.ida
+           |WHERE x.ida < x.idb
+           |ORDER BY id1""".stripMargin
+    }
+
   /** Per-group embedding centroids, exploded to (group, pos, c) rows:
     * the element-wise mean of each group's vectors — cluster
     * representatives, per-source embedding profiles, the IVF coarse-
