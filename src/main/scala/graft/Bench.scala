@@ -39,24 +39,35 @@ object Bench {
     // costs (codegen compiler, JIT of interpreted HOF paths, parquet footer
     // reads) don't land on whichever query sorts first alphabetically
     Seq("q_s_scan_count", "q_x_tokens", "q_a9_group_means").foreach(runOne)
-    // best of two FULL passes, per-query min: this host shows multi-minute
-    // degraded windows where the JVM runs 10-100× slow; back-to-back
-    // repeats land inside the same window, so the second sample of each
-    // query comes a whole pass later
+    // N FULL passes (SPARK_GRAFT_REPS, default 2), per-query MIN as the
+    // headline number: this host shows multi-minute degraded windows
+    // where the JVM runs 10-100× slow; back-to-back repeats land inside
+    // the same window, so each query's next sample comes a whole pass
+    // later. At REPS >= 3 the line also carries per-query MEDIANS, the
+    // noise-robust number to compare across rounds (a single-shot
+    // BENCH_r*.json cannot distinguish a regression from a noise window).
     // optional args: query-name subset (dev loop); driver runs with none
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
-    val passA = names.map(n => n -> runOne(n)).toMap
-    val passB = names.map(n => n -> runOne(n)).toMap
-    val results = names.map { n =>
-      val (a, b) = (passA(n), passB(n))
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    val passes = (1 to reps).map(_ => names.map(n => n -> runOne(n)).toMap)
+    def samples(n: String): Seq[Double] = passes.map(_(n)).filter(_ >= 0)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    val results = names.map(n =>
+      n -> samples(n).minOption.getOrElse(-1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val meds = names.map(n => "\"" + n + "\":" + median(samples(n)))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val medPart = if (reps >= 3) s""","queries_median":$meds""" else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$medPart,"sf":"$sfDir"}"""
     println(line)
     // the stdout line gets [info]-decorated under sbt, which defeats a
     // machine parse — also write the bare JSON to a file (SPARK_GRAFT_OUT

@@ -106,6 +106,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("embfam")) {
+      embFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -797,5 +803,89 @@ object DevProbe {
         .count()
     }
     e.unpersist()
+  }
+
+  /** Embedding-dedup/ANN rung (`runMain graft.DevProbe embfam [n]`):
+    * n 64-dim vectors with a planted 1%-of-corpus EXACT-COPY family
+    * (the unsplittable worst case for any sign-based split) pushed
+    * through the round-6 bounded-block machinery — hyperplane blocks,
+    * [[graft.operators.Similarity.refineOversizedBlocks]],
+    * [[graft.operators.Similarity.boundedBlockPairs]] — watching the
+    * two knobs the cap introduces: the LARGEST surviving block (must be
+    * the copy family, flagged overflow) and the candidate-pair volume
+    * (must stay ~linear: pairs/row bounded by max(maxBlock,
+    * 2·overflowWindow), never n²). Then the IVF side: trained-centroid
+    * assignment fan-out (max/mean rows per list) and one top-k probe. */
+  private def embFamilyProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Similarity
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[embfam $n] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val dim = 64
+    val family = Array.tabulate(dim)(i => (math.sin(i + 1.0) * 2.0).toFloat)
+    val corpus = spark.range(n).map { i =>
+      if (i % 100 == 0) (i, family.toSeq)
+      else {
+        val r = new scala.util.Random(i)
+        (i, Seq.fill(dim)(r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding").cache()
+    timed("generate+cache")(corpus.count())
+
+    // hyperplane blocks sized for ~64-row buckets, then the cap
+    val nPlanes = Similarity.planesFor(n, targetBucketSize = 64)
+    val blocked = timed("hyperplane blocking") {
+      val b = Similarity.hyperplaneBuckets(corpus, "embedding", nPlanes,
+        seed = 42L, dim = dim)
+      b.groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    }
+    println(s"[embfam $n] planes=$nPlanes largest raw bucket=$blocked")
+
+    val planes = Similarity.subBucketPlanes(dim)
+    val refined = Similarity.refineOversizedBlocks(
+      Similarity.hyperplaneBuckets(corpus, "embedding", nPlanes, 42L, dim),
+      "bucket", "vec_id", "embedding", maxBlock = 256, planes).cache()
+    timed("refine census") {
+      val top = refined.groupBy("__g", "__sub", "__ovf").count()
+        .orderBy(col("count").desc).limit(3).collect()
+      println(s"[embfam $n] top refined blocks: " + top.map(r =>
+        s"(ovf=${r.getBoolean(2)}, n=${r.getLong(3)})").mkString(", "))
+    }
+    val pairs = timed("boundedBlockPairs count") {
+      Similarity.boundedBlockPairs(refined, overflowWindow = 16, planes.last)
+        .count()
+    }
+    println(f"[embfam $n] candidate pairs=$pairs (${pairs.toDouble / n}%.1f per row)")
+    val dropped = timed("near-dup reduce (cos >= 0.99)") {
+      Similarity.boundedBlockPairs(refined, 16, planes.last)
+        .withColumn("__cos",
+          graft.functions.VectorExprs.cosine(col("v1"), col("v2")))
+        .filter(col("__cos") >= 0.99)
+        .groupBy("id2").agg(min("id1")).count()
+    }
+    println(s"[embfam $n] dropped near-dups=$dropped (planted=${n / 100 - 1})")
+    refined.unpersist()
+
+    // IVF fan-out: trained coarse quantizer, assignment skew, one probe
+    val cents = timed("trainCentroids k=64") {
+      Similarity.trainCentroids(corpus, "embedding", k = 64).cache()
+    }
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+      .cache()
+    timed("ivfAssign fan-out") {
+      val f = assigned.groupBy("cid").count()
+        .agg(max("count"), avg("count")).head()
+      println(f"[embfam $n] ivf list max=${f.getLong(0)} mean=${f.getDouble(1)}%.0f")
+    }
+    timed("ivfTopK probe (nprobe=2)") {
+      Similarity.ivfTopK(assigned, "vec_id", "embedding", cents,
+        family, k = 10, nprobe = 2).collect().length
+    }
+    assigned.unpersist(); cents.unpersist(); corpus.unpersist()
   }
 }
