@@ -2937,6 +2937,16 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("label"))),
 
+    // X-pca: principal components over the embedding corpus — ONE
+    // aggregate of 2 145 decimal moment sums (the only data-scale
+    // pass), driver Jacobi eigen-solve on the 64×64 covariance
+    // (config-sized), then pure map-side projection through the fused
+    // dot expression; the oracle is generated at dump time from the
+    // fitted components (the q_x_pq memo pattern)
+    "q_x_pca" -> ((s, dir) =>
+      graft.operators.Pca.pcaGate(t(s, dir, "embeddings"), dir)
+        .orderBy(col("vec_id"))),
+
     // A-theilsen: robust per-group trend slope — lower median of
     // pairwise slopes over a deterministic SIZE-CAPPED per-group
     // sample (the estimator is quadratic by definition; a fixed
@@ -6810,6 +6820,10 @@ object SparkEntry {
     // centroids — same raw-cosine argmax assignment (fold order, ties
     // to lowest cid) and the same block-scoped MNN
     "q_x_mnn_ivf" -> graft.operators.Similarity.mnnIvfOracleSql(),
+
+    // PCA projection: dump-time twin from the fitted components as
+    // DOUBLE[] literals — same dot fold, same offset literal, round-6
+    "q_x_pca" -> graft.operators.Pca.pcaOracleSql(),
 
     // seasonal backtest: identical profile fit + scored join
     "q_t_forecast" ->
