@@ -48,7 +48,8 @@ object MLQuality {
     val t2 = System.nanoTime()
 
     val preds = result.predictions.get
-    val Some((mae, rmse)) = graft.ml.FlightModel.evaluate(preds)
+    val (mae, rmse) = graft.ml.FlightModel.evaluate(preds)
+      .getOrElse(sys.error("no predictions to evaluate"))
     val labeled = graft.ml.FlightModel.addLabels(preds)
     val acc = labeled.filter(col("predicted_label") === col("actual_label"))
       .count().toDouble / labeled.count()

@@ -899,13 +899,28 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
-    // X-sim: hyperplane-LSH ANN top-k (rows-only — approximate by design;
-    // recall@10 >= 0.8 vs brute force asserted in SimilaritySpec)
+    // X-sim: hyperplane-LSH ANN top-k, gated through its recall
+    // contract (SimilaritySpec additionally asserts recall on planted
+    // fixtures)
     "q_x_lsh_topk" -> ((s, dir) => {
+      // ERROR-CONTRACT oracled (the HLL within_bound pattern): the
+      // output rows are the EXACT brute-force top-10 (fully DuckDB-
+      // verified values) carrying the ANN contract panel — the LSH
+      // probe returned exactly k rows AND recall@10 >= 0.8 — which the
+      // oracle asserts as literals. The approximation stays engine-
+      // side; its CONTRACT is hash-gated.
+      val sim = graft.operators.Similarity
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      graft.operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+      val brute = sim.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      val ann = sim.lshTopK(emb, "vec_id", "embedding", q, 10)
+      val panel = brute.join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(ann.agg(count(lit(1)).as("ann_k")))
+        .select(col("ann_k"), (col("__hits") >= 8).as("recall_ok"))
+      brute.crossJoin(broadcast(panel))
+        .orderBy(col("cos").desc, col("vec_id"))
     }),
 
     // X-dedup: embedding-cosine near-dup pairs — hyperplane-bucket
@@ -929,17 +944,29 @@ object SparkEntry {
     // X-sim: IVF ANN top-k against a PRE-BUILT index (kmeans quantizer +
     // cid-partitioned lists, built once offline — see [[ivfIndex]]): the
     // gated query measures the per-query probe only — broadcast-centroid
-    // argmax, then a partition-PRUNED scan of the nprobe lists (rows-only
-    // — approximate by design; recall asserted in SimilaritySpec)
+    // argmax, then a partition-PRUNED scan of the nprobe lists — gated
+    // through its recall contract (SimilaritySpec asserts recall too)
     "q_x_ivf_topk" -> ((s, dir) => {
+      // ERROR-CONTRACT oracled like q_x_lsh_topk: exact brute-force
+      // top-10 values + (probe returned k rows, recall@10 >= 0.8)
+      // asserted against literals; the probe itself stays the
+      // partition-pruned nprobe-list scan.
       val sim = graft.operators.Similarity
       val idx = ivfIndex(s, dir)
       import s.implicits._
       val centroids = idx.centroids.toDF("cid", "cvec")
         .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
       val assigned = s.read.parquet(idx.listsDir)
-      sim.ivfTopK(assigned, "vec_id", "embedding", centroids, idx.query, 10,
-        nprobe = 3)
+      val ann = sim.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        idx.query, 10, nprobe = 3)
+      val brute = sim.bruteForceTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", idx.query, 10)
+      val panel = brute.join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__hits"))
+        .crossJoin(ann.agg(count(lit(1)).as("ann_k")))
+        .select(col("ann_k"), (col("__hits") >= 8).as("recall_ok"))
+      brute.crossJoin(broadcast(panel))
+        .orderBy(col("cos").desc, col("vec_id"))
     }),
 
     // X-dedup: near-dup CLUSTERS — MinHash-LSH pairs (deterministic seeded
@@ -2947,6 +2974,13 @@ object SparkEntry {
       graft.operators.Pca.pcaGate(t(s, dir, "embeddings"), dir)
         .orderBy(col("vec_id"))),
 
+    // X-pca: WHITENED projection — the same memoized fit, each
+    // component scaled to unit variance by / sqrt(λ) with λ as an
+    // in-plan literal both engines sqrt at execution (IEEE-exact)
+    "q_x_pca_whiten" -> ((s, dir) =>
+      graft.operators.Pca.pcaWhitenGate(t(s, dir, "embeddings"), dir)
+        .orderBy(col("vec_id"))),
+
     // A-theilsen: robust per-group trend slope — lower median of
     // pairwise slopes over a deterministic SIZE-CAPPED per-group
     // sample (the estimator is quadratic by definition; a fixed
@@ -3045,10 +3079,16 @@ object SparkEntry {
     // X-mutualnn: mutual-nearest-neighbor pairs within label blocks —
     // the reciprocity-filtered embedding-dedup refinement; quadratic
     // only inside the bounded block (the semanticDedup contract)
-    "q_x_mutual_nn" -> ((s, dir) =>
+    "q_x_mutual_nn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // the exhaustive oracle twin holds only while no label block
+      // refines — enforce the fixture-scale assumption, don't assume it
+      graft.operators.Similarity.requireBlocksWithin(
+        e, "label", 4096, "q_x_mutual_nn")
       graft.operators.Similarity.mutualNearestPairs(
-          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-        .orderBy(col("id1"))),
+          e, "vec_id", "embedding", "label")
+        .orderBy(col("id1"))
+    }),
 
     // X-mnnivf: the PRODUCTION MNN composition — quantizer training
     // (MLlib k-means, memoized per dir) → IVF assignment → mutual-NN
@@ -3057,6 +3097,16 @@ object SparkEntry {
     // the engine-specific training state is itself under the gate
     "q_x_mnn_ivf" -> ((s, dir) =>
       graft.operators.Similarity.mnnIvfGate(t(s, dir, "embeddings"), dir)
+        .orderBy(col("id1"))),
+
+    // X-pipeline3: the FULL production embedding chain — PCA(k=16)
+    // reduction (one moment aggregate + map-side projection) → IVF
+    // quantizer trained ON the reduced vectors → mutual-NN dedup
+    // inside the trained blocks; PCA components and the trained
+    // codebook both memoize per dir so the dump-time twin regenerates
+    // the whole chain from literals
+    "q_x_pipeline3" -> ((s, dir) =>
+      graft.operators.Similarity.pcaIvfMnnGate(t(s, dir, "embeddings"), dir)
         .orderBy(col("id1"))),
 
     // T-forecast: seasonal-naive backtest — (dow, hour) profile fit on
@@ -7149,12 +7199,39 @@ object SparkEntry {
         |  CAST(n_members AS BIGINT) AS n_members
         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
-    // q_x_lsh_topk / q_x_ivf_topk / q_d2_sample / q_d2b_stratified:
-    // intentionally no oracle — approximate ANN and engine-seeded
-    // sampling are engine/layout-specific; they get rows-only checks
-    // plus unit-test coverage with planted recall / fraction assertions
-    // (SimilaritySpec / SamplingSpec). The former rows-only xxhash64
+    // ANN error-contract gates: exact brute-force top-10 (DuckDB
+    // recomputes the values) + the contract panel — the probe returned
+    // exactly k rows AND recall@10 >= 0.8 — asserted as literals. The
+    // approximate result set stays engine-side; its CONTRACT is what's
+    // hash-gated (the q_a_hll within_bound pattern).
+    "q_x_lsh_topk" -> annContractOracleSql,
+    "q_x_ivf_topk" -> annContractOracleSql,
+
+    // PCA whitening: the same dump-time twin with / sqrt(λ) literals
+    "q_x_pca_whiten" -> graft.operators.Pca.pcaOracleSql(whiten = true),
+
+    // PCA → trained IVF → block MNN: dump-time twin regenerating the
+    // whole chain (projection literals → argmax assignment → MNN)
+    "q_x_pipeline3" -> graft.operators.Similarity.pcaIvfMnnOracleSql(),
+
+    // q_d2_sample / q_d2b_stratified: intentionally no oracle —
+    // engine-seeded sampling is engine/layout-specific; they get
+    // rows-only checks plus unit-test coverage with fraction
+    // assertions (SamplingSpec). The former rows-only xxhash64
     // sketch gates (fingerprint / simhash / minhash_bands / cdc_fast)
-    // are now golden-oracled via [[graft.operators.HashGoldens]].
+    // are golden-oracled via [[graft.operators.HashGoldens]], and the
+    // former rows-only ANN gates are error-contract-oracled above.
   )
+
+  /** Shared twin for the two ANN contract gates (both probe the
+    * vec_id=0 embedding at k=10): the exact brute-force top-10 plus
+    * the literal contract columns. */
+  private def annContractOracleSql: String =
+    """WITH brute AS (
+      |  SELECT vec_id,
+      |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+      |  FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10)
+      |SELECT vec_id, cos, CAST(10 AS BIGINT) AS ann_k, TRUE AS recall_ok
+      |FROM brute ORDER BY cos DESC, vec_id""".stripMargin
 }

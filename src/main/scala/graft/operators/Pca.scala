@@ -37,7 +37,15 @@ object Pca {
   }
 
   /** One-pass moment fit + driver eigen-solve. `k` = number of
-    * components kept (eigenvalue-descending, deterministic signs). */
+    * components kept (eigenvalue-descending, deterministic signs).
+    *
+    * Input-scale contract: the per-term ROUND(·,9) quantizes moments
+    * ABSOLUTELY, and the E[xy]−E[x]E[y] form cancels — so covariance
+    * entries are trustworthy only when the rounding error (∝ |v|²·1e-9
+    * per term) is far below the data's spread. Roughly-unit-scale
+    * embeddings (|v_i| ≲ 10, variance ≳ 1e-6) satisfy this with ~6
+    * digits to spare; re-scale (or pre-center) inputs with |v_i| ≫ 100
+    * before fitting. */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(dim >= 2 && dim <= 256, s"need 2 <= dim <= 256, got $dim")
     require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got $k")
@@ -83,6 +91,37 @@ object Pca {
         - lit(off(c)), 6).as(s"pc${c + 1}")
     }
     df.select((col(idCol) +: cols.toSeq): _*)
+  }
+
+  /** Map-side WHITENED projection: pc_c = (dot(v, w_c) − ⟨mean, w_c⟩)
+    * / sqrt(λ_c), round-6 — unit-variance components, the purpose the
+    * header names. λ_c embeds as an in-plan literal and sqrt/divide run
+    * AT EXECUTION in both engines (sqrt is IEEE-correctly-rounded, the
+    * shared-literal discipline — never pre-divide driver-side). */
+  def projectWhitened(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    model.eigenvalues.foreach(ev => require(ev > 0,
+      s"whitening needs strictly positive eigenvalues, got $ev"))
+    val off = model.offsets
+    val cols = model.components.zipWithIndex.map { case (w, c) =>
+      round((graft.functions.VectorExprs.dot(col(vecCol), typedLit(w.toSeq))
+        - lit(off(c))) / sqrt(lit(model.eigenvalues(c))), 6).as(s"pc${c + 1}")
+    }
+    df.select((col(idCol) +: cols.toSeq): _*)
+  }
+
+  /** The projection re-shaped for downstream vector operators:
+    * (`idCol`, `pvec` array<float>) — the round-6 components quantized
+    * to FLOAT, so a generated oracle rebuilds the exact same vectors
+    * with `ROUND(..., 6)::REAL` (the established float-quantization
+    * parity idiom). This is the reduced representation the IVF/MNN
+    * stages of a production embedding pipeline consume. */
+  def projectedVec(df: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val p = project(df, idCol, vecCol, model)
+    p.select(col(idCol),
+      array(model.components.indices.map(i => col(s"pc${i + 1}")): _*)
+        .cast("array<float>").as("pvec"))
   }
 
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix — plain
@@ -150,9 +189,21 @@ object Pca {
     project(emb, "vec_id", "embedding", model)
   }
 
+  /** The q_x_pca_whiten gate body: same memoized fit, whitened
+    * projection ([[projectWhitened]]). */
+  def pcaWhitenGate(emb: DataFrame, dir: String, dim: Int = 64): DataFrame = {
+    val model = gateCache.computeIfAbsent(dir,
+      _ => fit(emb, "embedding", dim, k = 2))
+    lastDir = Some(dir)
+    projectWhitened(emb, "vec_id", "embedding", model)
+  }
+
   /** Generated twin of [[pcaGate]]: components inline as DOUBLE[]
-    * literals, the same dot fold and offset literal, round-6. */
-  def pcaOracleSql(table: String = "embeddings"): String =
+    * literals, the same dot fold and offset literal, round-6. With
+    * `whiten`, the twin of [[pcaWhitenGate]]: divide by sqrt(λ_c) with
+    * λ_c as the same literal BOTH engines sqrt at execution. */
+  def pcaOracleSql(table: String = "embeddings",
+      whiten: Boolean = false): String =
     lastDir.flatMap(d => Option(gateCache.get(d))) match {
       case None =>
         "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS pc1, " +
@@ -161,9 +212,10 @@ object Pca {
         val off = model.offsets
         val pcs = model.components.zipWithIndex.map { case (w, c) =>
           val lits = w.map(_.toDouble.toString).mkString(", ")
-          s"""ROUND(list_reduce(list_transform(range(1, ${model.dim + 1}),
+          val scale = if (whiten) s" / sqrt(${model.eigenvalues(c)})" else ""
+          s"""ROUND((list_reduce(list_transform(range(1, ${model.dim + 1}),
              |      i -> CAST(e.embedding[i] AS DOUBLE) * ([$lits])[i]),
-             |      (a, b) -> a + b) - ${off(c)}, 6) AS pc${c + 1}""".stripMargin
+             |      (a, b) -> a + b) - ${off(c)})$scale, 6) AS pc${c + 1}""".stripMargin
         }.mkString(",\n    ")
         s"""SELECT e.vec_id,
            |    $pcs

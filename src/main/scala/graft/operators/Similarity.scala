@@ -194,6 +194,22 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Float])]]()
   @volatile private var mnnLastDir: Option[String] = None
 
+  /** Gate-fixture guard: fail fast if any `groupCol` block exceeds
+    * `maxBlock` — the exhaustive within-block oracle twins
+    * ([[mnnIvfOracleSql]], the q_x_mutual_nn twin) describe the engine
+    * only while nothing refines; a grown/skewed fixture must trip THIS
+    * check (clear message), not a spurious hash mismatch. One keyed
+    * census action, gate-body-only (never on a production path). */
+  def requireBlocksWithin(df: DataFrame, groupCol: String, maxBlock: Int,
+      what: String): Unit = {
+    val top = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head().getLong(0)
+    require(top <= maxBlock,
+      s"$what: largest '$groupCol' block ($top rows) exceeds maxBlock=" +
+        s"$maxBlock — the engine would refine but the exhaustive oracle " +
+        "twin would not; shrink the fixture or generate the capped twin")
+  }
+
   /** The q_x_mnn_ivf gate body: train (memoized per dir), assign every
     * row to its nearest trained centroid, then mutual-NN inside the
     * centroid blocks. */
@@ -210,6 +226,7 @@ object Similarity {
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
     val assigned = ivfAssign(emb.select("vec_id", "embedding"),
       "vec_id", "embedding", cdf)
+    requireBlocksWithin(assigned, "cid", 4096, "q_x_mnn_ivf")
     mutualNearestPairs(assigned, "vec_id", "embedding", "cid", dim = dim)
   }
 
@@ -247,6 +264,112 @@ object Similarity {
            |             i -> c.cv[i] * c.cv[i]), (a, b) -> a + b))) DESC,
            |        c.cid) AS rn
            |    FROM $table e CROSS JOIN ce c)
+           |  WHERE rn = 1),
+           |s AS (
+           |  SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb,
+           |    ROUND(${fold("a", "b")}
+           |      / (sqrt(${fold("a", "a")})
+           |       * sqrt(${fold("b", "b")})), 6) AS cos
+           |  FROM asn a JOIN asn b
+           |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+           |t1 AS (
+           |  SELECT cid, ida, idb, cos FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY cid, ida
+           |      ORDER BY cos DESC, idb) AS rn FROM s)
+           |  WHERE rn = 1)
+           |SELECT x.cid AS cid, x.ida AS id1, x.idb AS id2, x.cos AS cos
+           |FROM t1 x JOIN t1 y ON x.ida = y.idb AND x.idb = y.ida
+           |WHERE x.ida < x.idb
+           |ORDER BY id1""".stripMargin
+    }
+
+  // ── q_x_pipeline3: PCA(k=16) → trained IVF → block-scoped MNN ──
+  //
+  // The capstone composition a production embedding pipeline runs: the
+  // 64-dim corpus projects onto the top-16 principal components (4×
+  // cheaper distance math, better-conditioned clusters), the quantizer
+  // trains ON THE REDUCED vectors, and mutual-NN dedup runs inside the
+  // trained blocks. Engine-trained state (PCA moments are exact, but
+  // the k-means codebook is MLlib-specific) memoizes per dir so the
+  // DuckDB twin regenerates the whole chain from literals at dump time
+  // (the q_x_pq / q_x_mnn_ivf pattern).
+
+  private val p3Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Pca.PcaModel, Array[(Int, Array[Float])])]()
+  @volatile private var p3LastDir: Option[String] = None
+
+  /** The q_x_pipeline3 gate body: PCA fit + quantizer training memoized
+    * per dir, then project → assign → mutual-NN, all map-side /
+    * block-bounded (the only data-scale passes are the one moment
+    * aggregate inside the fit, the projection scan, and the
+    * block-scoped MNN). */
+  def pcaIvfMnnGate(emb: DataFrame, dir: String, dim: Int = 64,
+      kPca: Int = 16, kIvf: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (model, cents) = p3Cache.computeIfAbsent(dir, _ => {
+      val m = Pca.fit(emb, "embedding", dim, kPca)
+      val proj = Pca.projectedVec(emb, "vec_id", "embedding", m)
+      val c = trainCentroids(proj, "pvec", kIvf).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      (m, c)
+    })
+    p3LastDir = Some(dir)
+    val proj = Pca.projectedVec(emb, "vec_id", "embedding", model)
+    val cdf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val assigned = ivfAssign(proj, "vec_id", "pvec", cdf)
+    requireBlocksWithin(assigned, "cid", 4096, "q_x_pipeline3")
+    mutualNearestPairs(assigned, "vec_id", "pvec", "cid", dim = kPca)
+  }
+
+  /** Generated twin of [[pcaIvfMnnGate]]: the PCA components/offsets
+    * AND the trained centroids inline as literals; the projection
+    * quantizes through `ROUND(·,6)::REAL` exactly like the engine's
+    * array<float> cast, then the same raw-cosine argmax assignment and
+    * block-scoped MNN as [[mnnIvfOracleSql]]. */
+  def pcaIvfMnnOracleSql(table: String = "embeddings"): String =
+    p3LastDir.flatMap(d => Option(p3Cache.get(d))) match {
+      case None =>
+        "SELECT CAST(NULL AS INTEGER) AS cid, CAST(NULL AS BIGINT) AS id1, " +
+          "CAST(NULL AS BIGINT) AS id2, CAST(NULL AS DOUBLE) AS cos WHERE FALSE"
+      case Some((model, cents)) =>
+        val off = model.offsets
+        val kPca = model.components.length
+        val pcExprs = model.components.zipWithIndex.map { case (w, c) =>
+          val lits = w.map(_.toDouble.toString).mkString(", ")
+          s"""ROUND(list_reduce(list_transform(range(1, ${model.dim + 1}),
+             |      i -> CAST(e.embedding[i] AS DOUBLE) * ([$lits])[i]),
+             |      (a, b) -> a + b) - ${off(c)}, 6)""".stripMargin
+        }.mkString(",\n      ")
+        def fold(x: String, y: String) =
+          s"""list_reduce(list_transform(range(1, ${kPca + 1}),
+             |        i -> CAST($x.pv[i] AS DOUBLE) * CAST($y.pv[i] AS DOUBLE)),
+             |        (a, b) -> a + b)""".stripMargin
+        def cfold(x: String) =
+          s"""list_reduce(list_transform(range(1, ${kPca + 1}),
+             |        i -> CAST($x.pv[i] AS DOUBLE) * c.cv[i]),
+             |        (a, b) -> a + b)""".stripMargin
+        val ceRows = cents.map { case (cid, v) =>
+          s"($cid, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(",\n    ")
+        s"""WITH pr AS (
+           |  SELECT e.vec_id,
+           |    [$pcExprs]::REAL[] AS pv
+           |  FROM $table e),
+           |ce AS (SELECT * FROM (VALUES
+           |    $ceRows) t(cid, cv)),
+           |asn AS (
+           |  SELECT vec_id, cid, pv FROM (
+           |    SELECT e.vec_id, c.cid, e.pv,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cfold("e")}
+           |        / (sqrt(${fold("e", "e")})
+           |         * sqrt(list_reduce(list_transform(range(1, ${kPca + 1}),
+           |             i -> c.cv[i] * c.cv[i]), (a, b) -> a + b))) DESC,
+           |        c.cid) AS rn
+           |    FROM pr e CROSS JOIN ce c)
            |  WHERE rn = 1),
            |s AS (
            |  SELECT a.cid, a.vec_id AS ida, b.vec_id AS idb,
@@ -372,9 +495,12 @@ object Similarity {
     val fit = refined.filter(!col("__ovf"))
     val a = fit.select(col("__g"), col("__sub"),
       col("__id").as("id1"), col("__v").as("v1"))
-    val b = fit.select(col("__g"), col("__sub"),
+    val b = fit.select(col("__g").as("__gb"), col("__sub").as("__subb"),
       col("__id").as("id2"), col("__v").as("v2"))
-    val normal = a.join(b, Seq("__g", "__sub"))
+    // null-safe on the block key: a null block is one more block (the
+    // refineOversizedBlocks contract), so its rows must still pair
+    val normal = a.join(b,
+        col("__g") <=> col("__gb") && col("__sub") === col("__subb"))
       .filter(col("id1") < col("id2"))
       .select(col("__g"), col("id1"), col("v1"), col("id2"), col("v2"))
     val w = Window.partitionBy(col("__g"), col("__sub"))
@@ -388,9 +514,11 @@ object Similarity {
       explode(sequence(col("__rn") + 1, col("__rn") + overflowWindow))
         .as("__rn"))
     val overflow = probes
-      .join(ranked.select(col("__g"), col("__sub"), col("__rn"),
+      .join(ranked.select(col("__g").as("__gb"), col("__sub").as("__subb"),
+        col("__rn").as("__rnb"),
         col("__id").as("__idR"), col("__v").as("__vR")),
-        Seq("__g", "__sub", "__rn"))
+        col("__g") <=> col("__gb") && col("__sub") === col("__subb") &&
+          col("__rn") === col("__rnb"))
       .select(col("__g"),
         least(col("__idL"), col("__idR")).as("id1"),
         when(col("__idL") < col("__idR"), col("__vL")).otherwise(col("__vR"))

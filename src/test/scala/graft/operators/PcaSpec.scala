@@ -58,4 +58,39 @@ class PcaSpec extends SparkSpec {
       proj.getDouble(1) >= proj.getDouble(2) - 1e-6,
       s"projection variances out of order: $proj")
   }
+
+  test("whitened projection has ~unit variance per component") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 500).map { i =>
+      val a = rnd.nextGaussian() * 5.0; val b = rnd.nextGaussian() * 0.5
+      (i.toLong, Seq((a + b).toFloat, (a - b).toFloat,
+        rnd.nextGaussian().toFloat, rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val model = Pca.fit(df, "vec", dim = 4, k = 3)
+    val v = Pca.projectWhitened(df, "id", "vec", model)
+      .agg(variance(col("pc1")), variance(col("pc2")), variance(col("pc3")))
+      .head()
+    // population eigenvalue vs sample variance differ by n/(n−1) plus
+    // round-6 quantization — unit within a few percent at n=500
+    (0 until 3).foreach(i => assert(math.abs(v.getDouble(i) - 1.0) < 0.05,
+      s"component ${i + 1} variance ${v.getDouble(i)} not ~1 after whitening"))
+  }
+
+  test("projectedVec packs the round-6 components as float vectors") {
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 100).map(i =>
+      (i.toLong, Seq.fill(5)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec")
+    val model = Pca.fit(df, "vec", 5, 3)
+    val packed = Pca.projectedVec(df, "id", "vec", model)
+    val viaCols = Pca.project(df, "id", "vec", model)
+    val joined = packed.join(viaCols, "id")
+    val bad = joined.filter(
+      element_at(col("pvec"), 1) =!= col("pc1").cast("float") ||
+      element_at(col("pvec"), 2) =!= col("pc2").cast("float") ||
+      element_at(col("pvec"), 3) =!= col("pc3").cast("float")).count()
+    assert(bad == 0, "pvec disagrees with the column projection")
+    assert(packed.schema("pvec").dataType.simpleString == "array<float>")
+  }
 }

@@ -186,4 +186,24 @@ class SimilaritySpec extends SparkSpec {
     assert(cand <= n * 36, s"candidates not bounded: $cand")
     assert(cand < n * (n - 1) / 4, s"looks all-pairs: $cand of ${n * (n - 1) / 2}")
   }
+
+  test("null blocks pair among themselves (null-safe block key)") {
+    // the refineOversizedBlocks contract says a null block is one more
+    // block — boundedBlockPairs must honor it through a NULL-SAFE join
+    // key (a null-unsafe equi-join would silently emit zero pairs)
+    val rows = Seq(
+      (1L, Some(0), Seq(1.0f, 0.0f)), (2L, Some(0), Seq(0.99f, 0.1f)),
+      (10L, None, Seq(0.0f, 1.0f)), (11L, None, Seq(0.1f, 0.99f)))
+      .toDF("vec_id", "label", "embedding")
+    val planes = Similarity.subBucketPlanes(2)
+    val refined = Similarity.refineOversizedBlocks(rows, "label", "vec_id",
+      "embedding", maxBlock = 16, planes = planes)
+    val pairs = Similarity.boundedBlockPairs(refined, 4, planes.last)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (10L, 11L)),
+      s"null block must pair internally (and never across): $pairs")
+    val mnn = Similarity.mutualNearestPairs(rows, "vec_id", "embedding",
+      "label", dim = 2).select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(mnn == Set((1L, 2L), (10L, 11L)), s"MNN over a null block: $mnn")
+  }
 }
