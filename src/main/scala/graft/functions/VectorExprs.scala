@@ -54,6 +54,14 @@ abstract class FloatVectorBinary extends BinaryExpression {
 case class CosineSimilarity(left: Expression, right: Expression) extends FloatVectorBinary {
   override def prettyName: String = "cosine_similarity"
 
+  /** Null-INTRODUCING: a zero-norm side yields null even when both
+    * inputs are non-null, so nullability must not derive from the
+    * children. Without this override, non-nullable inputs (literals,
+    * `when`-chain outputs) make codegen skip the isNull declaration the
+    * generated body assigns — an undeclared-variable compile error that
+    * silently drops the whole projection to interpreted eval. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

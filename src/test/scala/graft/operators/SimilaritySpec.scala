@@ -187,6 +187,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cand < n * (n - 1) / 4, s"looks all-pairs: $cand of ${n * (n - 1) / 2}")
   }
 
+  test("cosine of a zero-norm NON-NULLABLE input is null (null-introducing expr)") {
+    // literals are non-nullable: without CosineSimilarity.nullable=true
+    // the unsafe projection either fails to compile (undeclared isNull)
+    // or, worse, writes 0.0 where the semantic answer is null
+    val zero = org.apache.spark.sql.functions.typedLit(Seq(0.0f, 0.0f))
+    val one = org.apache.spark.sql.functions.typedLit(Seq(1.0f, 0.0f))
+    val c = VectorExprs.cosine(zero, one)
+    val df = spark.range(1).select(c.as("cos"))
+    assert(df.schema("cos").nullable, "cosine must declare itself nullable")
+    assert(df.head().isNullAt(0), "zero-norm cosine must be null")
+  }
+
   test("null blocks pair among themselves (null-safe block key)") {
     // the refineOversizedBlocks contract says a null block is one more
     // block — boundedBlockPairs must honor it through a NULL-SAFE join
