@@ -981,6 +981,24 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // X-clustersplit: dedup-AWARE train/val/test folds — near-dup
+    // cluster members share a fold (no eval row has a near-copy in
+    // train); folds are salted-hash cuts of the content-derived
+    // CLUSTER id (LSH pairs → connected components → left join →
+    // map-side hash). The gate panels per-fold counts + id sums; the
+    // oracle recomputes clusters with the exact-jaccard recursive CTE
+    // and the same md5 thresholds.
+    "q_x_cluster_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dedup.leakageSafeSplit(
+          d, "doc_id", "text", cuts = Seq(0.8, 0.9), salt = "g7")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("fold"))
+    }),
+
     // X-text: corpus vocabulary — tf + exact document frequency in one
     // word-keyed shuffle, IDF from a broadcast scalar corpus count; top 30
     // under a total order
@@ -3877,6 +3895,41 @@ object SparkEntry {
         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
         |SELECT a AS id, LEAST(a, MIN(b)) AS cluster
         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    // Dedup-aware folds: the q_x_dup_clusters closure feeding the
+    // q_d_group_split md5-threshold idiom on the CLUSTER id
+    "q_x_cluster_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |edges AS (
+        |  SELECT a.doc_id id1, b.doc_id id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (SELECT id1 a, id2 b FROM edges UNION SELECT id2, id1 FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+        |cl AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+        |       FROM reach GROUP BY a),
+        |wc AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        |f AS (
+        |  SELECT doc_id, cluster,
+        |    CASE WHEN md5(CAST(cluster AS VARCHAR) || 'g7') < 'cccccccc000000000000000000000000' THEN 0
+        |         WHEN md5(CAST(cluster AS VARCHAR) || 'g7') < 'e6666666000000000000000000000000' THEN 1
+        |         ELSE 2 END AS fold
+        |  FROM wc)
+        |SELECT CAST(fold AS INTEGER) AS fold, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
 
     "q_x_vocab" ->
       """WITH words AS (

@@ -34,6 +34,20 @@ object VectorExprs {
     * codegen entirely into interpreted eval). */
   def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), cents))
+
+  /** argmax over `cents` of COSINE similarity to `v` (array<float>),
+    * ties to the LOWEST index — the IVF coarse-assignment step fused
+    * into one generated map-side loop. Replaces the k-row crossJoin +
+    * per-row window argmax, which shuffles corpus×k rows through an
+    * exchange (365 s vs map-side at the 10M×64 probe rung). Per
+    * centroid, dot/nx/ny accumulate left-to-right exactly like
+    * [[CosineSimilarity]] and the comparison is STRICT (>), so the
+    * result is bit-identical to `row_number() OVER (ORDER BY cos DESC,
+    * cid) = 1` in a generated oracle; zero-norm sides yield no cosine
+    * and never win (an all-null row lands on index 0, matching
+    * DESC-NULLS-LAST + cid ordering). */
+  def nearestCentroidCosine(v: Column, cents: Array[Array[Float]]): Column =
+    ColumnBridge.column(NearestCentroidCosine(ColumnBridge.expression(v), cents))
 }
 
 abstract class FloatVectorBinary extends BinaryExpression {
@@ -160,6 +174,92 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
          |  if ($d < $bestD) { $bestD = $d; $best = $cid; }
          |}
          |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** IVF coarse assignment: index of the max-cosine centroid, ties to the
+  * lowest index (see [[VectorExprs.nearestCentroidCosine]] for the
+  * parity contract). The corpus vector's norm is accumulated once (its
+  * fold is independent of the centroid loop, so hoisting is
+  * bit-identical). */
+case class NearestCentroidCosine(child: Expression, cents: Array[Array[Float]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "nearest_centroid_cosine needs at least one centroid")
+  override def prettyName: String = "nearest_centroid_cosine"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var nx = 0.0
+    var i = 0
+    val nv = x.numElements()
+    while (i < nv) { val xv = x.getFloat(i).toDouble; nx += xv * xv; i += 1 }
+    var best = Double.NegativeInfinity; var bestCid = 0
+    var cid = 0
+    while (cid < cents.length) {
+      val cv = cents(cid)
+      val n = math.min(nv, cv.length)
+      var dot = 0.0; var ny = 0.0
+      i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble; val yv = cv(i).toDouble
+        dot += xv * yv; ny += yv * yv; i += 1
+      }
+      if (nx != 0.0 && ny != 0.0) {
+        val cos = dot / (math.sqrt(nx) * math.sqrt(ny))
+        if (cos > best) { best = cos; bestCid = cid }
+      }
+      cid += 1
+    }
+    java.lang.Integer.valueOf(bestCid)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("cents", cents, "float[][]")
+      val cid = ctx.freshName("cid"); val i = ctx.freshName("i")
+      val nv = ctx.freshName("nv"); val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val dot = ctx.freshName("dot"); val cos = ctx.freshName("cos")
+      val xv = ctx.freshName("xv"); val xw = ctx.freshName("xw")
+      val yv = ctx.freshName("yv"); val cv = ctx.freshName("cv")
+      val best = ctx.freshName("best"); val bestCid = ctx.freshName("bestCid")
+      s"""
+         |int $nv = $a.numElements();
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  $nx += $xv * $xv;
+         |}
+         |double $best = Double.NEGATIVE_INFINITY; int $bestCid = 0;
+         |for (int $cid = 0; $cid < $m.length; $cid++) {
+         |  float[] $cv = $m[$cid];
+         |  int $n = java.lang.Math.min($nv, $cv.length);
+         |  double $dot = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xw = (double) $a.getFloat($i);
+         |    double $yv = (double) $cv[$i];
+         |    $dot += $xw * $yv; $ny += $yv * $yv;
+         |  }
+         |  if ($nx != 0.0 && $ny != 0.0) {
+         |    double $cos = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    if ($cos > $best) { $best = $cos; $bestCid = $cid; }
+         |  }
+         |}
+         |${ev.value} = $bestCid;
        """.stripMargin
     })
 

@@ -710,4 +710,31 @@ object Dedup {
         VectorExprs.cosine(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Dedup-aware train/val/test split: near-dup CLUSTER members always
+    * land in the same fold, so evaluation rows never have a near-copy
+    * in training — the content-derived twin of
+    * [[graft.operators.Sampling.groupSplit]] (which needs a given
+    * group column). Duplicate clusters come from
+    * [[nearDupClusters]] (MinHash-LSH pairs → connected components);
+    * singleton documents are their own cluster, and folds are
+    * deterministic salted-hash cuts of the CLUSTER id, so the split is
+    * reproducible across runs and layouts.
+    *
+    * Scale shape: LSH candidates (band-bucket equi-join, never
+    * all-pairs) → iterative CC (keyed joins, localCheckpoint lineage
+    * cuts) → one left join of the corpus to the cluster map → map-side
+    * fold hash. Nothing quadratic, nothing single-partition.
+    *
+    * Output: (idCol, cluster, fold). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[Double], salt: String = "",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val cl = nearDupClusters(df, idCol, textCol, shingleN, k, bands, threshold)
+    val withCluster = df.select(col(idCol))
+      .join(cl.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+    Sampling.groupSplit(withCluster, "cluster", cuts, salt)
+  }
 }

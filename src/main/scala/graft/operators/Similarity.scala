@@ -121,18 +121,34 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF coarse assignment: nearest centroid per row. `centroids` is a
-    * small (id, vec) table — broadcast, so assignment is a map-side join +
-    * per-row argmax, no shuffle of the corpus. */
+  /** IVF coarse assignment: nearest centroid (max cosine, ties to the
+    * lowest id) per row — PURE MAP-SIDE via the fused
+    * [[graft.functions.VectorExprs.nearestCentroidCosine]] argmax with
+    * the (config-sized) centroid matrix as a codegen reference object.
+    * The k-row `centroids` table collapses to driver literals (one
+    * k-row collect); nothing about the corpus shuffles. The earlier
+    * crossJoin + per-row window argmax pushed corpus×k rows through an
+    * exchange — 365 s vs map-side at the 10M×64 embfam rung, and the
+    * classic 100 TB non-starter.
+    *
+    * Tie/fold semantics are bit-identical to the generated oracles'
+    * `row_number() OVER (ORDER BY cos DESC, cid) = 1` (strict-greater
+    * scan in ascending cid order, CosineSimilarity's left folds).
+    * Null embeddings assign a null cid (the window form assigned the
+    * lowest cid — an unexercised degenerate; fixtures are non-null). */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidId: String = "cid",
       centroidVec: String = "cvec"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__cos", VectorExprs.cosine(col(vecCol), col(centroidVec)))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col(centroidId))
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__cos", centroidVec)
+    val cents = centroids
+      .select(col(centroidId).cast("int"), col(centroidVec))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val idx = VectorExprs.nearestCentroidCosine(col(vecCol), cents.map(_._2))
+    // translate the dense argmax index back to the caller's cid values
+    // (identity for 0..k-1 codebooks, but the contract allows any ids)
+    corpus.withColumn(centroidId,
+      element_at(typedLit(cents.map(_._1).toSeq), idx + 1))
   }
 
   /** IVF top-k: assign the corpus to centroid lists once (typically cached /

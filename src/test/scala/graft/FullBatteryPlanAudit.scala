@@ -51,8 +51,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_a_cuped",              // 1-row pooled θ/mean scalar panel
     "q_x_assoc",              // 1-row basket-total scalar
     "q_x_silhouette",         // k-row broadcast centroid panel
-    "q_x_mnn_ivf",            // k-row broadcast centroid panel (ivfAssign)
-    "q_x_pipeline3",          // k-row broadcast centroid panel (ivfAssign)
+    // (q_x_mnn_ivf / q_x_pipeline3 need no entry: ivfAssign is now the
+    // fused map-side argmax — no broadcast panel in those plans at all)
     "q_x_lsh_topk",           // 1-row ANN contract panel (hits × ann_k)
     "q_x_ivf_topk",           // 1-row ANN contract panel (hits × ann_k)
     "q_x_ndcg",               // bounded broadcast query batch

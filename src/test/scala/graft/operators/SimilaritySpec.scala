@@ -187,6 +187,34 @@ class SimilaritySpec extends SparkSpec {
     assert(cand < n * (n - 1) / 4, s"looks all-pairs: $cand of ${n * (n - 1) / 2}")
   }
 
+  test("fused ivfAssign matches the crossJoin+window argmax twin exactly") {
+    // the map-side nearestCentroidCosine argmax replaced a corpus×k
+    // exchange; its tie/fold contract must stay bit-identical to
+    // row_number() OVER (ORDER BY cos DESC, cid) = 1 — including a
+    // planted EXACT TIE (duplicate centroid → lowest cid wins)
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cvecs = (0 until 5).map(c =>
+      (c, Seq.fill(8)(rnd.nextGaussian().toFloat))) :+ (5, Seq.fill(8)(0.0f))
+    val cents = (cvecs :+ ((6, cvecs(2)._2))) // cid 6 duplicates cid 2
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    val fused = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    // independent window twin (the pre-rewrite plan)
+    val joined = emb.crossJoin(broadcast(cents))
+      .withColumn("__cos", VectorExprs.cosine(col("embedding"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("__cos").desc, col("cid"))
+    val windowed = joined
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(fused == windowed, "fused argmax diverged from the window twin")
+    assert(!fused.values.exists(_ == 6), "exact tie must resolve to the LOWER cid")
+  }
+
   test("cosine of a zero-norm NON-NULLABLE input is null (null-introducing expr)") {
     // literals are non-nullable: without CosineSimilarity.nullable=true
     // the unsafe projection either fails to compile (undeclared isNull)
