@@ -856,18 +856,22 @@ object DevProbe {
       println(s"[embfam $n] top refined blocks: " + top.map(r =>
         s"(ovf=${r.getBoolean(2)}, n=${r.getLong(3)})").mkString(", "))
     }
-    val pairs = timed("boundedBlockPairs count") {
-      Similarity.boundedBlockPairs(refined, overflowWindow = 16, planes.last)
-        .count()
-    }
-    println(f"[embfam $n] candidate pairs=$pairs (${pairs.toDouble / n}%.1f per row)")
-    val dropped = timed("near-dup reduce (cos >= 0.99)") {
-      Similarity.boundedBlockPairs(refined, 16, planes.last)
+    // ONE pass over the candidate pairs for BOTH readouts (count +
+    // dropped near-dups): the fit⋈fit join's shuffle is the dominant
+    // disk cost at the 100M rung — a second boundedBlockPairs action
+    // doubles it past the machine's disk. count(DISTINCT id2 | cos ≥
+    // .99) ≡ the groupBy(id2) drop count, and the partial-distinct
+    // map-side combine keeps the agg shuffle tiny.
+    val (pairs, dropped) = timed("pairs census + near-dup reduce (one pass)") {
+      val r = Similarity.boundedBlockPairs(refined, overflowWindow = 16, planes.last)
         .withColumn("__cos",
           graft.functions.VectorExprs.cosine(col("v1"), col("v2")))
-        .filter(col("__cos") >= 0.99)
-        .groupBy("id2").agg(min("id1")).count()
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(when(col("__cos") >= 0.99, col("id2"))).as("dropped"))
+        .head()
+      (r.getLong(0), r.getLong(1))
     }
+    println(f"[embfam $n] candidate pairs=$pairs (${pairs.toDouble / n}%.1f per row)")
     println(s"[embfam $n] dropped near-dups=$dropped (planted=${n / 100 - 1})")
     refined.unpersist()
 

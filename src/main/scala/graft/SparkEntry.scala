@@ -3108,6 +3108,22 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // X-dedupsweep: dedup operating-point curve — drops per candidate
+    // threshold over label-blocked pairs (50 planted exact copies top
+    // up the natural ~0.4-0.5 cos band, so the curve has both a
+    // near-1.0 shelf and a natural tail); blocks stay under maxBlock
+    // so the all-pairs oracle describes the engine exactly
+    "q_x_dedup_sweep" -> ((s, dir) => {
+      val sim = graft.operators.Similarity
+      val e = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val corpus = e.unionByName(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 20000L).as("vec_id"), col("label"),
+          col("embedding")))
+      sim.requireBlocksWithin(corpus, "label", 4096, "q_x_dedup_sweep")
+      sim.dedupThresholdCurve(corpus, "vec_id", "embedding", "label",
+        thresholds = Seq(0.4, 0.45, 0.5, 0.999), dim = 64)
+    }),
+
     // X-mnnivf: the PRODUCTION MNN composition — quantizer training
     // (MLlib k-means, memoized per dir) → IVF assignment → mutual-NN
     // inside the trained centroid blocks; the oracle is generated at
@@ -7259,6 +7275,26 @@ object SparkEntry {
     // hash-gated (the q_a_hll within_bound pattern).
     "q_x_lsh_topk" -> annContractOracleSql,
     "q_x_ivf_topk" -> annContractOracleSql,
+
+    // Dedup threshold sweep: all-pairs within label blocks (the gate
+    // guards that nothing refines), same round-6 cosine, thresholds as
+    // DOUBLE in both engines
+    "q_x_dedup_sweep" ->
+      """WITH c AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 20000, label, embedding FROM embeddings
+        |  WHERE vec_id < 50),
+        |p AS (
+        |  SELECT b.vec_id AS id2,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |t AS (SELECT CAST(unnest([0.4, 0.45, 0.5, 0.999]) AS DOUBLE) AS threshold)
+        |SELECT t.threshold AS threshold,
+        |  CAST(count(DISTINCT p.id2) AS BIGINT) AS n_dropped
+        |FROM t JOIN p ON p.cos >= t.threshold
+        |GROUP BY t.threshold ORDER BY threshold""".stripMargin,
 
     // PCA whitening: the same dump-time twin with / sqrt(λ) literals
     "q_x_pca_whiten" -> graft.operators.Pca.pcaOracleSql(whiten = true),

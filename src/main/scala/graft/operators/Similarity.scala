@@ -461,12 +461,20 @@ object Similarity {
     * Output: (`__g` block, `__id`, `__v`, `__sub` sub-bucket,
     * `__ovf`). Null blocks refine as one more block. */
   def refineOversizedBlocks(df: DataFrame, blockCol: String, idCol: String,
-      vecCol: String, maxBlock: Int, planes: Array[Array[Float]]): DataFrame = {
+      vecCol: String, maxBlock: Int, planes: Array[Array[Float]],
+      smallCensus: Boolean = true): DataFrame = {
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     val maxBits = planes.length - 1 // last plane is the overflow projection
     require(maxBits >= 1, s"need at least 2 planes, got ${planes.length}")
     val rows = df.select(col(blockCol).as("__g"), col(idCol).as("__id"),
       col(vecCol).as("__v"))
+    // the census is BLOCK-COUNT-sized (buckets ≤ 2^planes, IVF cids = k,
+    // labels — never corpus-sized for a sane blocking), so broadcasting
+    // it keeps the corpus+vector payload out of BOTH census joins
+    // entirely (at the 100M embfam rung the two row shuffles alone
+    // exceed the machine's disk). `smallCensus = false` restores
+    // shuffle joins for a pathological unbounded block column.
+    def maybeB(c: DataFrame): DataFrame = if (smallCensus) broadcast(c) else c
     val census = rows.groupBy(col("__g").as("__cg"))
       .agg(count(lit(1)).as("__n"))
     // bits = bit-length of (ceil(n/maxBlock) - 1): the smallest b with
@@ -475,7 +483,7 @@ object Similarity {
     val bits = when(col("__n") <= maxBlock, lit(0))
       .otherwise(least(lit(maxBits), length(bin(m - lit(1))).cast("int")))
     val withBits = rows
-      .join(census.select(col("__cg"), bits.as("__bits")),
+      .join(maybeB(census.select(col("__cg"), bits.as("__bits"))),
         col("__g") <=> col("__cg"))
       .drop("__cg")
     val sub = planes.init.zipWithIndex.map { case (p, i) =>
@@ -488,7 +496,8 @@ object Similarity {
       .groupBy(col("__g").as("__cg"), col("__sub").as("__cs"))
       .agg(count(lit(1)).as("__n2"))
     withSub
-      .join(census2, col("__g") <=> col("__cg") && col("__sub") === col("__cs"))
+      .join(maybeB(census2),
+        col("__g") <=> col("__cg") && col("__sub") === col("__cs"))
       .select(col("__g"), col("__id"), col("__v"), col("__sub"),
         (col("__n2") > maxBlock).as("__ovf"))
   }
@@ -557,6 +566,36 @@ object Similarity {
       .agg(count(lit(1)).as("n"), max(col("__ovf")).as("overflow"))
       .orderBy(col("overflow").desc, col("n").desc, col(blockCol),
         col("sub_bucket"))
+
+  /** Dedup operating-point curve: for each threshold θ, the number of
+    * documents that semantic dedup at min-cos θ would DROP (a doc drops
+    * when a smaller-id block-mate sits at cos ≥ θ) — the tuning readout
+    * for choosing a dedup threshold before committing a full pass.
+    * One bounded-block pair generation (the [[boundedBlockPairs]]
+    * candidates, never corpus²), one explode over the config-sized
+    * threshold list, one keyed aggregate.
+    *
+    * Thresholds with zero drops emit no row (both engines agree).
+    * Output: (threshold, n_dropped). */
+  def dedupThresholdCurve(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, thresholds: Seq[Double], maxBlock: Int = 4096,
+      overflowWindow: Int = 16, dim: Int = 0): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val planes = subBucketPlanes(d)
+    val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
+      maxBlock, planes)
+    val pairs = boundedBlockPairs(refined, overflowWindow, planes.last)
+      .select(col("id2"),
+        round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"))
+    pairs
+      .select(col("id2"), col("cos"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .filter(col("cos") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("id2")).as("n_dropped"))
+      .orderBy(col("threshold"))
+  }
 
   /** All-pairs exact cosine for a small broadcastable query set against the
     * corpus: one scan of the corpus, queries broadcast. Returns per query
