@@ -26,6 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // HotSpot refuses to JIT methods over 8 KB of bytecode — a generated
+  // whole-stage method past that runs INTERPRETED forever (~400× slow;
+  // bisected at the 30M embfam rung). Sessions also set
+  // spark.sql.codegen.hugeMethodLimit=8000 so Spark falls back to
+  // non-WSCG by itself; this flag rescues anything that slips through.
+  "-XX:-DontCompileHugeMethods",
   // local[32] string-heavy workloads GC-thrash on a small heap; the
   // machine has 128 GiB (brief) so default generously
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

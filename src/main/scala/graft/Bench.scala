@@ -20,6 +20,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stages whose generated method exceeds the JVM's 8 KB JIT
+      // bytecode cap must FALL BACK (non-WSCG) instead of running
+      // interpreted forever; Spark's default guard (65536) sits far
+      // above the real HotSpot limit (DontCompileHugeMethods)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,7 +44,7 @@ object Bench {
     // costs (codegen compiler, JIT of interpreted HOF paths, parquet footer
     // reads) don't land on whichever query sorts first alphabetically
     Seq("q_s_scan_count", "q_x_tokens", "q_a9_group_means").foreach(runOne)
-    // N FULL passes (SPARK_GRAFT_REPS, default 2), per-query MIN as the
+    // N FULL passes (SPARK_GRAFT_REPS, default 3), per-query MIN as the
     // headline number: this host shows multi-minute degraded windows
     // where the JVM runs 10-100× slow; back-to-back repeats land inside
     // the same window, so each query's next sample comes a whole pass
@@ -47,7 +52,7 @@ object Bench {
     // noise-robust number to compare across rounds (a single-shot
     // BENCH_r*.json cannot distinguish a regression from a noise window).
     // optional args: query-name subset (dev loop); driver runs with none
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted

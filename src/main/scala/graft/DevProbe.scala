@@ -20,6 +20,11 @@ object DevProbe {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stages whose generated method exceeds the JVM's 8 KB JIT
+      // bytecode cap must FALL BACK (non-WSCG) instead of running
+      // interpreted forever; Spark's default guard (65536) sits far
+      // above the real HotSpot limit (DontCompileHugeMethods)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -107,7 +112,14 @@ object DevProbe {
     }
 
     if (args.headOption.contains("embfam")) {
-      embFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      embFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L),
+        skipPairs = args.contains("nopairs"))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("embstage")) {
+      embStageBisect(spark, args.lift(1).map(_.toLong).getOrElse(30000000L))
       spark.stop()
       return
     }
@@ -805,6 +817,69 @@ object DevProbe {
     e.unpersist()
   }
 
+  /** Stage-by-stage bisect of the refineOversizedBlocks DAG (dev tool
+    * for localizing the 10M→30M census blowup): times each sub-plan
+    * with a no-op action, no caching anywhere. */
+  private def embStageBisect(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Similarity
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[embstage $n] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val dim = 64
+    val family = Array.tabulate(dim)(i => (math.sin(i + 1.0) * 2.0).toFloat)
+    val corpus = spark.range(n).map { i =>
+      if (i % 100 == 0) (i, family.toSeq)
+      else {
+        val r = new scala.util.Random(i)
+        (i, Seq.fill(dim)(r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding").cache()
+    timed("generate+cache")(corpus.count())
+    val nPlanes = Similarity.planesFor(n, targetBucketSize = 64)
+    val blocked = Similarity.hyperplaneBuckets(corpus, "embedding", nPlanes, 42L, dim)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    timed("a) bucket project (foreach)")(noop(blocked.select(col("bucket"))))
+    val rows = blocked.select(col("bucket").as("__g"),
+      col("vec_id").as("__id"), col("embedding").as("__v"))
+    timed("b) census1 agg")(
+      rows.groupBy("__g").agg(count(lit(1))).agg(max(lit(1))).head())
+    val planes = Similarity.subBucketPlanes(dim)
+    val maxBlock = 256
+    val census = rows.groupBy(col("__g").as("__cg")).agg(count(lit(1)).as("__n"))
+    val m = expr(s"(__n + ${maxBlock - 1}) div $maxBlock")
+    val bits = when(col("__n") <= maxBlock, lit(0))
+      .otherwise(least(lit(planes.length - 1), length(bin(m - lit(1))).cast("int")))
+    val withBits = rows
+      .join(broadcast(census.select(col("__cg"), bits.as("__bits"))),
+        col("__g") <=> col("__cg"))
+      .drop("__cg")
+    timed("c) + census broadcast join")(noop(withBits.select(col("__g"), col("__bits"))))
+    val sub = planes.init.zipWithIndex.map { case (p, i) =>
+      when(lit(i) < col("__bits") &&
+          round(graft.functions.VectorExprs.dot(col("__v"), typedLit(p)), 9) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSub = withBits.withColumn("__sub", sub).drop("__bits")
+    timed("d) + sub-bucket dots")(noop(withSub.select(col("__g"), col("__sub"))))
+    val refined = Similarity.refineOversizedBlocks(blocked, "bucket",
+      "vec_id", "embedding", maxBlock, planes)
+    timed("e) full refined pruned (no __v)")(noop(refined.select(col("__g"), col("__sub"), col("__ovf"))))
+    timed("g) withBits CARRYING __v (no store)")(noop(withBits.select(col("__g"), col("__v"))))
+    timed("g2) withSub CARRYING __v (no store)")(noop(withSub.select(col("__g"), col("__sub"), col("__v"))))
+    println(s"[embstage $n] refined final plan:\n" +
+      refined.queryExecution.executedPlan.toString.split("\n").take(40).mkString("\n"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    timed("h2) full refined CARRYING __v, WSCG OFF")(noop(refined))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    timed("h) full refined CARRYING __v (no store)")(noop(refined))
+  }
+
   /** Embedding-dedup/ANN rung (`runMain graft.DevProbe embfam [n]`):
     * n 64-dim vectors with a planted 1%-of-corpus EXACT-COPY family
     * (the unsplittable worst case for any sign-based split) pushed
@@ -816,7 +891,8 @@ object DevProbe {
     * (must stay ~linear: pairs/row bounded by max(maxBlock,
     * 2·overflowWindow), never n²). Then the IVF side: trained-centroid
     * assignment fan-out (max/mean rows per list) and one top-k probe. */
-  private def embFamilyProbe(spark: SparkSession, n: Long): Unit = {
+  private def embFamilyProbe(spark: SparkSession, n: Long,
+      skipPairs: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.operators.Similarity
@@ -847,9 +923,19 @@ object DevProbe {
     println(s"[embfam $n] planes=$nPlanes largest raw bucket=$blocked")
 
     val planes = Similarity.subBucketPlanes(dim)
+    // localCheckpoint, NOT .cache(): the columnar InMemoryRelation batch
+    // builder degrades to ~200µs/row on this 5-column vector-bearing
+    // shape at ≥30M rows (bisected via `embstage`; all 32 threads pinned
+    // in DefaultCachedBatchSerializer.next) — row-format checkpoint
+    // storage materializes the same relation at memcpy speed
     val refined = Similarity.refineOversizedBlocks(
       Similarity.hyperplaneBuckets(corpus, "embedding", nPlanes, 42L, dim),
-      "bucket", "vec_id", "embedding", maxBlock = 256, planes).cache()
+      "bucket", "vec_id", "embedding", maxBlock = 256, planes)
+      .localCheckpoint()
+    println(s"[embfam $n] refined join nodes: " +
+      refined.queryExecution.executedPlan.toString.split("\n")
+        .filter(l => l.contains("Join") || l.contains("Exchange"))
+        .map(_.trim.take(90)).mkString(" | "))
     timed("refine census") {
       val top = refined.groupBy("__g", "__sub", "__ovf").count()
         .orderBy(col("count").desc).limit(3).collect()
@@ -862,6 +948,13 @@ object DevProbe {
     // doubles it past the machine's disk. count(DISTINCT id2 | cos ≥
     // .99) ≡ the groupBy(id2) drop count, and the partial-distinct
     // map-side combine keeps the agg shuffle tiny.
+    // `nopairs` skips the fit⋈fit pair shuffle — the one stage whose
+    // disk need (~2·n·300 B, poorly-compressible floats) exceeds THIS
+    // VM past ~50M rows; a real cluster's shuffle space is not the
+    // binding constraint there (linear bytes, 128+ reducers)
+    if (skipPairs) {
+      println(s"[embfam $n] pairs pass SKIPPED (nopairs)")
+    } else {
     val (pairs, dropped) = timed("pairs census + near-dup reduce (one pass)") {
       val r = Similarity.boundedBlockPairs(refined, overflowWindow = 16, planes.last)
         .withColumn("__cos",
@@ -873,6 +966,7 @@ object DevProbe {
     }
     println(f"[embfam $n] candidate pairs=$pairs (${pairs.toDouble / n}%.1f per row)")
     println(s"[embfam $n] dropped near-dups=$dropped (planted=${n / 100 - 1})")
+    }
     refined.unpersist()
 
     // IVF fan-out: trained coarse quantizer, assignment skew, one probe

@@ -18,6 +18,11 @@ object Verify {
       // micro-generation converts at IO.epochNanos instead; both end
       // as the same BIGINT convention)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stages whose generated method exceeds the JVM's 8 KB JIT
+      // bytecode cap must FALL BACK (non-WSCG) instead of running
+      // interpreted forever; Spark's default guard (65536) sits far
+      // above the real HotSpot limit (DontCompileHugeMethods)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

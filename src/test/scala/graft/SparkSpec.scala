@@ -16,6 +16,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stages whose generated method exceeds the JVM's 8 KB JIT
+      // bytecode cap must FALL BACK (non-WSCG) instead of running
+      // interpreted forever; Spark's default guard (65536) sits far
+      // above the real HotSpot limit (DontCompileHugeMethods)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
