@@ -3108,6 +3108,34 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // X-knngraph: per-node top-3 cosine neighbors within label blocks —
+    // the adjacency downstream graph curation consumes; bounded-block
+    // contract as q_x_mutual_nn (exhaustive twin valid while nothing
+    // refines, enforced)
+    "q_x_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.requireBlocksWithin(
+        e, "label", 4096, "q_x_knn_graph")
+      graft.operators.Similarity.knnGraph(
+          e, "vec_id", "embedding", "label", k = 3, dim = 64)
+        .orderBy(col("id"), col("rank"))
+    }),
+
+    // X-kcenter: greedy k-center coreset (farthest-first) over the
+    // embedding corpus — diverse-subset selection as k map-side passes
+    // + a 1-row argmax each; the oracle recomputes the full selection
+    // as an unrolled CTE (no engine state crosses)
+    "q_x_kcenter" -> ((s, dir) =>
+      graft.operators.Selection.farthestFirst(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+
+    // X-mmr: maximal marginal relevance top-k (λ=0.7) against the
+    // lowest-id vector as the query — relevance/diversity trade
+    // selection, same k-pass scale shape and unrolled-CTE oracle
+    "q_x_mmr" -> ((s, dir) =>
+      graft.operators.Selection.mmr(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+
     // X-dedupsweep: dedup operating-point curve — drops per candidate
     // threshold over label-blocked pairs (50 planted exact copies top
     // up the natural ~0.4-0.5 cos band, so the curve has both a
@@ -6934,6 +6962,29 @@ object SparkEntry {
         |FROM t1 x JOIN t1 y ON x.ida = y.idb AND x.idb = y.ida
         |WHERE x.ida < x.idb
         |ORDER BY id1""".stripMargin,
+
+    // kNN graph: exhaustive within-label top-3 window — same cosine
+    // parity and tie rule as the engine's bounded-candidate rank
+    "q_x_knn_graph" ->
+      """WITH s AS (
+        |  SELECT a.label AS label, a.vec_id AS ida, b.vec_id AS idb,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT label, ida AS id, rn AS rank, idb AS nbr, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label, ida
+        |                               ORDER BY cos DESC, idb) AS rn
+        |  FROM s)
+        |WHERE rn <= 3
+        |ORDER BY id, rank""".stripMargin,
+
+    // greedy k-center / MMR: fully independent unrolled-CTE selection
+    // replays (round-6 cosines, IEEE score arithmetic, lowest-id ties)
+    "q_x_kcenter" -> graft.operators.Selection.farthestFirstOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8),
+    "q_x_mmr" -> graft.operators.Selection.mmrOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8),
 
     // MNN over trained IVF blocks: dump-time twin from the memoized
     // centroids — same raw-cosine argmax assignment (fold order, ties

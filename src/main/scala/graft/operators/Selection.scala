@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+
+/** Training-data SUBSET SELECTION over an embedding column — the
+  * "which rows do we keep" counterpart to the dedup operators
+  * (reference workloads stop at drop-the-duplicates;
+  * a 100 TB curation pipeline also has to pick a diverse/relevant
+  * core, e.g. for annotation budgets or curriculum seeds).
+  *
+  * Two classical selectors, both driver-coordinated loops of k
+  * MAP-SIDE corpus passes (the selected set is config-sized, so each
+  * round is one fused scan + a 1-row aggregate — no join, no shuffle
+  * of the corpus, the same scale shape as
+  * [[Similarity.trainCentroids]]):
+  *
+  *  - [[farthestFirst]] — greedy k-center (Gonzalez): each round
+  *    selects the point FARTHEST from the selected set (max-min
+  *    cosine distance). The classic 2-approximation to the k-center
+  *    cover; radii are non-increasing and bound the corpus cover.
+  *  - [[mmr]] — maximal marginal relevance: each round selects
+  *    argmax λ·rel(v) − (1−λ)·max-sim-to-selected, trading query
+  *    relevance against redundancy.
+  *
+  * Determinism contract (the DuckDB-twin discipline): cosines round
+  * to 6 ([[VectorExprs.cosine]] ↔ `list_cosine_similarity` parity),
+  * every derived score is IEEE arithmetic on those shared doubles
+  * (bit-identical across engines — no further rounding anywhere),
+  * and every argmax breaks ties to the LOWEST id. The generated
+  * oracles ([[farthestFirstOracleSql]], [[mmrOracleSql]]) recompute
+  * the whole selection independently as an unrolled CTE — they never
+  * see engine state.
+  *
+  * At 100 TB: k passes over the corpus is the textbook distributed
+  * greedy selection; each pass is whole-stage-codegen'd map work
+  * (j≤k fused cosine expressions) feeding a single partial-aggregated
+  * 1-row max — shuffle bytes per round are O(#partitions), not O(n).
+  */
+object Selection {
+
+  /** One selection round: the (id, vector, score) row maximizing
+    * `score`, ties to the lowest id — computed as a struct-max
+    * aggregate (deterministic: ids are unique, so the comparison
+    * never reaches the vector field). */
+  private def argmaxRow(df: DataFrame, idCol: String, vecCol: String,
+      score: org.apache.spark.sql.Column): Row =
+    df.agg(max(struct(score.as("s"), (-col(idCol)).as("nid"),
+        col(vecCol).as("v"))).as("m"))
+      .select(col("m.s"), (-col("m.nid")).as("id"), col("m.v"))
+      .head()
+
+  /** Greedy k-center (farthest-first traversal) over `vecCol`
+    * (array<float>): seeds at the LOWEST id, then k−1 rounds of
+    * "select the point with maximum min-cosine-distance to the
+    * selected set". Returns (rank, id, radius): `radius` is the
+    * selected point's min distance at selection time (null for the
+    * seed) — non-increasing, and radius(k) bounds the cover of the
+    * unselected corpus within factor 2. */
+  def farthestFirst(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"config-sized k required, got $k")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+    val seed = base.orderBy(col("__id")).limit(1).head()
+    var selected = Vector[(Long, Seq[Float], Option[Double])](
+      (seed.getLong(0), seed.getSeq[Float](1), None))
+    while (selected.size < k) {
+      val remaining = base.where(!col("__id")
+        .isin(selected.map(_._1): _*))
+      // min cosine-distance to the selected set: each term is
+      // 1 − round-6 cosine (the shared cross-engine double); LEAST
+      // over doubles is order-independent
+      val dists = selected.map { case (_, v, _) =>
+        lit(1.0) - round(VectorExprs.cosine(col("__v"),
+          typedLit(v)), 6)
+      }
+      val minD = if (dists.size == 1) dists.head else least(dists: _*)
+      val r = argmaxRow(remaining, "__id", "__v", minD)
+      selected :+= ((r.getLong(1), r.getSeq[Float](2),
+        Some(r.getDouble(0))))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, rad), i) =>
+      (i + 1, id, rad)
+    }.toDF("rank", "vec_id", "radius")
+  }
+
+  /** The independent unrolled-CTE twin of [[farthestFirst]]: seed =
+    * min id; step j = argmax over the not-yet-selected corpus of
+    * LEAST over selected of (1 − round-6 list_cosine_similarity);
+    * ties to the lowest id. Recomputes everything from the parquet —
+    * shares no engine state. */
+  def farthestFirstOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int): String = {
+    def cosTo(c: String) =
+      s"""(1.0 - ROUND(list_cosine_similarity(
+         |      CAST(e.$vecCol AS DOUBLE[]),
+         |      (SELECT CAST($vecCol AS DOUBLE[]) FROM $c)), 6))""".stripMargin
+    val ctes = new StringBuilder
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // c_k referencing every c_i below it would expand the plan
+    // exponentially in k
+    ctes ++= s"c1 AS MATERIALIZED (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT 1)"
+    for (j <- 2 to k) {
+      // step j: min distance to the j−1 already-selected points,
+      // recomputed stateless (min over doubles is order-independent,
+      // so the nesting matches the engine's selection-order least)
+      val terms = (1 until j).map(i => cosTo(s"c$i"))
+      val minD = if (terms.size == 1) terms.head
+      else s"LEAST(${terms.mkString(",\n      ")})"
+      val notSel = (1 until j)
+        .map(i => s"e.$idCol <> (SELECT $idCol FROM c$i)")
+        .mkString(" AND ")
+      ctes ++= s""",
+        |c$j AS MATERIALIZED (
+        |  SELECT e.$idCol, e.$vecCol, $minD AS __d
+        |  FROM $table e
+        |  WHERE $notSel
+        |  ORDER BY __d DESC, e.$idCol LIMIT 1)""".stripMargin
+    }
+    val sel = (1 to k).map { j =>
+      val rad = if (j == 1) "CAST(NULL AS DOUBLE)" else "__d"
+      s"SELECT $j AS rank, $idCol AS vec_id, $rad AS radius FROM c$j"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${ctes.toString}\n$sel\nORDER BY rank"
+  }
+
+  /** Maximal marginal relevance top-k: query = the vector at the
+    * LOWEST id (excluded from candidates); round 1 picks the most
+    * query-similar candidate, round j>1 picks
+    * argmax λ·rel − (1−λ)·max-sim-to-selected. Returns
+    * (rank, id, score) where round 1's score is its relevance and
+    * later scores are the MMR objective — all IEEE arithmetic on the
+    * shared round-6 cosines, no further rounding. */
+  def mmr(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= 64, s"config-sized k required, got $k")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda in (0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+    val q = base.orderBy(col("__id")).limit(1).head()
+    val (qid, qvec) = (q.getLong(0), q.getSeq[Float](1))
+    val rel = round(VectorExprs.cosine(col("__v"), typedLit(qvec)), 6)
+    var selected = Vector.empty[(Long, Seq[Float], Double)]
+    while (selected.size < k) {
+      val remaining = base.where(!col("__id")
+        .isin((qid +: selected.map(_._1)): _*))
+      val score = if (selected.isEmpty) rel
+      else {
+        val sims = selected.map { case (_, v, _) =>
+          round(VectorExprs.cosine(col("__v"), typedLit(v)), 6)
+        }
+        val maxSim = if (sims.size == 1) sims.head
+        else greatest(sims: _*)
+        lit(lambda) * rel - lit(1.0 - lambda) * maxSim
+      }
+      val r = argmaxRow(remaining, "__id", "__v", score)
+      selected :+= ((r.getLong(1), r.getSeq[Float](2), r.getDouble(0)))
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, s), i) => (i + 1, id, s) }
+      .toDF("rank", "vec_id", "score")
+  }
+
+  /** The independent unrolled-CTE twin of [[mmr]]. `lambda` and
+    * `1 − lambda` are emitted as shortest-repr literals — the same
+    * doubles the engine's `lit(...)` parses. */
+  def mmrOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, lambda: Double = 0.7): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    def cosTo(c: String) =
+      s"""ROUND(list_cosine_similarity(
+         |      CAST(e.$vecCol AS DOUBLE[]),
+         |      (SELECT CAST($vecCol AS DOUBLE[]) FROM $c)), 6)""".stripMargin
+    val ctes = new StringBuilder
+    // MATERIALIZED prevents DuckDB's CTE inlining from expanding the
+    // step chain exponentially (c_k references every c_i below it)
+    ctes ++=
+      s"""q AS MATERIALIZED (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT 1),
+         |r AS MATERIALIZED (SELECT e.$idCol, e.$vecCol, ${cosTo("q")} AS __rel
+         |      FROM $table e
+         |      WHERE e.$idCol <> (SELECT $idCol FROM q)),
+         |c1 AS MATERIALIZED (SELECT $idCol, $vecCol, __rel AS __s FROM r
+         |       ORDER BY __rel DESC, $idCol LIMIT 1)""".stripMargin
+    for (j <- 2 to k) {
+      // step j: max similarity to the j−1 already-selected points,
+      // recomputed stateless (max over doubles is order-independent)
+      val terms = (1 until j).map(i => cosTo(s"c$i"))
+      val maxSim = if (terms.size == 1) terms.head
+      else s"GREATEST(${terms.mkString(",\n      ")})"
+      val notSel = (1 until j)
+        .map(i => s"e.$idCol <> (SELECT $idCol FROM c$i)")
+        .mkString(" AND ")
+      ctes ++= s""",
+        |c$j AS MATERIALIZED (
+        |  SELECT e.$idCol, e.$vecCol,
+        |    $lam * e.__rel - $oneMinus * $maxSim AS __s
+        |  FROM r e
+        |  WHERE $notSel
+        |  ORDER BY __s DESC, e.$idCol LIMIT 1)""".stripMargin
+    }
+    val sel = (1 to k).map { j =>
+      s"SELECT $j AS rank, $idCol AS vec_id, __s AS score FROM c$j"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${ctes.toString}\n$sel\nORDER BY rank"
+  }
+}

@@ -656,6 +656,42 @@ object Similarity {
         col("x.__idb").as("id2"), col("x.cos").as("cos"))
   }
 
+  /** k-NN GRAPH within groups: per node, its top-`k` cosine neighbors
+    * (rank 1..k, ties to the lowest neighbor id) — the adjacency that
+    * downstream graph curation (connected-component dedup families,
+    * label propagation, link-based quality) consumes. Same bounded
+    * scale shape as [[mutualNearestPairs]]: candidates come from
+    * [[refineOversizedBlocks]] + [[boundedBlockPairs]], so per-row
+    * work never exceeds max(maxBlock, 2·overflowWindow) regardless of
+    * group sizes; exact within groups below `maxBlock`. Nodes whose
+    * block yields fewer than k candidates emit fewer rows; singleton
+    * blocks emit none.
+    *
+    * Output: (groupCol, id, rank, nbr, cos) ordered by nothing —
+    * callers sort. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, k: Int, maxBlock: Int = 4096,
+      overflowWindow: Int = 16, dim: Int = 0): DataFrame = {
+    require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val planes = subBucketPlanes(d)
+    val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
+      maxBlock, planes)
+    val und = boundedBlockPairs(refined, overflowWindow, planes.last)
+    val scored = und
+      .select(col("__g"), col("id1").as("__ida"), col("id2").as("__idb"),
+        round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"))
+      .unionByName(und
+        .select(col("__g"), col("id2").as("__ida"), col("id1").as("__idb"),
+          round(VectorExprs.cosine(col("v2"), col("v1")), 6).as("cos")))
+    val w = Window.partitionBy(col("__g"), col("__ida"))
+      .orderBy(col("cos").desc, col("__idb"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("__g").as(groupCol), col("__ida").as("id"),
+        col("__rn").as("rank"), col("__idb").as("nbr"), col("cos"))
+  }
+
   /** Pre-rounded NDCG discount ladder 1/log2(r+1) for ranks 1..k — the
     * literals BOTH engines consume (no runtime log in the scoring
     * path, the ewmaWeights pattern). */
