@@ -124,6 +124,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("selfam")) {
+      selectionProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
     val t0 = System.nanoTime()
     val flights = graft.sources.FlightsGenerator.flights(spark, rows, seed = 42L,
@@ -815,6 +821,48 @@ object DevProbe {
         .count()
     }
     e.unpersist()
+  }
+
+  /** Selection-operator rung (`runMain graft.DevProbe selfam [n]`):
+    * greedy k-center and MMR over n 64-dim vectors with one planted
+    * antipode of the seed (must be k-center's round-2 pick at any
+    * corpus size — direction, not magnitude, is what cosine sees).
+    * Watch: per-round wall (must stay ~flat round-over-round modulo
+    * the growing j-term least/greatest chain), total ~linear in n,
+    * zero exchanges in the per-round plan (map-side fused cosines +
+    * a partial-aggregated 1-row struct-max). */
+  private def selectionProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Selection
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[selfam $n] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val dim = 64
+    val seedVec = {
+      val r = new scala.util.Random(0L)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val corpus = spark.range(n).map { i =>
+      if (i == 0L) (i, seedVec)
+      else if (i == n - 1) (i, seedVec.map(x => -x)) // the antipode
+      else {
+        val r = new scala.util.Random(i)
+        (i, Seq.fill(dim)(r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    timed("generate+checkpoint")(corpus.count())
+    val kc = timed("farthestFirst k=8")(
+      Selection.farthestFirst(corpus, "vec_id", "embedding", 8).collect())
+    println(s"[selfam $n] k-center picks: ${kc.map(_.getLong(1)).mkString(",")}")
+    require(kc(1).getLong(1) == n - 1,
+      s"round 2 must pick the planted antipode, got ${kc(1)}")
+    val mm = timed("mmr k=8")(
+      Selection.mmr(corpus, "vec_id", "embedding", 8).collect())
+    println(s"[selfam $n] mmr picks: ${mm.map(_.getLong(1)).mkString(",")}")
   }
 
   /** Stage-by-stage bisect of the refineOversizedBlocks DAG (dev tool

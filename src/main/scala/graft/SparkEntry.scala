@@ -3136,6 +3136,19 @@ object SparkEntry {
       graft.operators.Selection.mmr(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
 
+    // X-kcentercover: the selection-quality eval closing the k-center
+    // loop — per-threshold corpus coverage of the selected 8 centers
+    // (one map-side scan, 8 fused cosines, single 1-row aggregate);
+    // the oracle re-runs the full selection AND the curve
+    "q_x_kcenter_cover" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centers = graft.operators.Selection.farthestFirstCenters(
+        e, "vec_id", "embedding", k = 8)
+      graft.operators.Selection.coverageCurve(e, "vec_id", "embedding",
+          centers.map(_._2), Seq(0.85, 0.95, 1.0, 1.05))
+        .orderBy(col("threshold"))
+    }),
+
     // X-dedupsweep: dedup operating-point curve — drops per candidate
     // threshold over label-blocked pairs (50 planted exact copies top
     // up the natural ~0.4-0.5 cos band, so the curve has both a
@@ -6985,6 +6998,9 @@ object SparkEntry {
       "embeddings", "vec_id", "embedding", k = 8),
     "q_x_mmr" -> graft.operators.Selection.mmrOracleSql(
       "embeddings", "vec_id", "embedding", k = 8),
+    "q_x_kcenter_cover" -> graft.operators.Selection.coverageOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8,
+      thresholds = Seq(0.85, 0.95, 1.0, 1.05)),
 
     // MNN over trained IVF blocks: dump-time twin from the memoized
     // centroids — same raw-cosine argmax assignment (fold order, ties

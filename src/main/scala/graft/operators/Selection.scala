@@ -61,8 +61,19 @@ object Selection {
     * unselected corpus within factor 2. */
   def farthestFirst(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    require(k >= 1 && k <= 64, s"config-sized k required, got $k")
     val spark = corpus.sparkSession
+    import spark.implicits._
+    farthestFirstCenters(corpus, idCol, vecCol, k).zipWithIndex
+      .map { case ((id, _, rad), i) => (i + 1, id, rad) }
+      .toDF("rank", "vec_id", "radius")
+  }
+
+  /** [[farthestFirst]] returning the selected (id, vector, radius)
+    * triples in selection order — for callers that feed the centers
+    * into a downstream map-side pass ([[coverageCurve]]). */
+  def farthestFirstCenters(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): Vector[(Long, Seq[Float], Option[Double])] = {
+    require(k >= 1 && k <= 64, s"config-sized k required, got $k")
     val base = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).as("__v"))
     val seed = base.orderBy(col("__id")).limit(1).head()
@@ -83,10 +94,58 @@ object Selection {
       selected :+= ((r.getLong(1), r.getSeq[Float](2),
         Some(r.getDouble(0))))
     }
+    selected
+  }
+
+  /** Coverage curve of a selected-center set: for each threshold t,
+    * how many corpus rows sit within cosine distance t of their
+    * NEAREST center (min over centers of 1 − round-6 cosine — the
+    * same expression per term as the selection loop). One map-side
+    * scan with |centers| fused cosines + a single partial-aggregated
+    * row; the curve is assembled driver-side from that one row. The
+    * selection-quality eval that closes the k-center loop: radius(k)
+    * from [[farthestFirst]] bounds where the curve must hit 100%. */
+  def coverageCurve(corpus: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[Seq[Float]], thresholds: Seq[Double]): DataFrame = {
+    require(centers.nonEmpty && centers.size <= 64, "config-sized centers")
+    require(thresholds.nonEmpty && thresholds.size <= 32, "few thresholds")
+    val spark = corpus.sparkSession
+    val sims = centers.map(v =>
+      round(VectorExprs.cosine(col(vecCol), typedLit(v)), 6))
+    val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+    val minD = lit(1.0) - maxSim
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(minD <= lit(t), 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
     import spark.implicits._
-    selected.zipWithIndex.map { case ((id, _, rad), i) =>
-      (i + 1, id, rad)
-    }.toDF("rank", "vec_id", "radius")
+    thresholds.zipWithIndex.map { case (t, i) => (t, row.getLong(i)) }
+      .toDF("threshold", "n_cov")
+  }
+
+  /** The independent twin of [[farthestFirst]]+[[coverageCurve]]:
+    * recomputes the whole selection (same unrolled chain as
+    * [[farthestFirstOracleSql]]), then the same min-distance scan and
+    * per-threshold counts. */
+  def coverageOracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, thresholds: Seq[Double]): String = {
+    def cosTo(c: String) =
+      s"""ROUND(list_cosine_similarity(
+         |      CAST(e.$vecCol AS DOUBLE[]),
+         |      (SELECT CAST($vecCol AS DOUBLE[]) FROM $c)), 6)""".stripMargin
+    val sims = (1 to k).map(i => cosTo(s"c$i"))
+    val maxSim = if (sims.size == 1) sims.head
+    else s"GREATEST(${sims.mkString(",\n      ")})"
+    val curve = thresholds.map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  CAST((SELECT COUNT(*) FROM dist WHERE __d <= $t) AS BIGINT)
+         |    AS n_cov""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${ffCtes(table, idCol, vecCol, k)},
+       |dist AS MATERIALIZED (
+       |  SELECT 1.0 - $maxSim AS __d FROM $table e)
+       |$curve
+       |ORDER BY threshold""".stripMargin
   }
 
   /** The independent unrolled-CTE twin of [[farthestFirst]]: seed =
@@ -94,16 +153,18 @@ object Selection {
     * LEAST over selected of (1 − round-6 list_cosine_similarity);
     * ties to the lowest id. Recomputes everything from the parquet —
     * shares no engine state. */
-  def farthestFirstOracleSql(table: String, idCol: String,
-      vecCol: String, k: Int): String = {
+  /** The farthest-first selection chain c1..ck as a WITH-body —
+    * shared by [[farthestFirstOracleSql]] and [[coverageOracleSql]].
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    * c_k referencing every c_i below it would expand the plan
+    * exponentially in k. */
+  private def ffCtes(table: String, idCol: String, vecCol: String,
+      k: Int): String = {
     def cosTo(c: String) =
       s"""(1.0 - ROUND(list_cosine_similarity(
          |      CAST(e.$vecCol AS DOUBLE[]),
          |      (SELECT CAST($vecCol AS DOUBLE[]) FROM $c)), 6))""".stripMargin
     val ctes = new StringBuilder
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-    // c_k referencing every c_i below it would expand the plan
-    // exponentially in k
     ctes ++= s"c1 AS MATERIALIZED (SELECT $idCol, $vecCol FROM $table ORDER BY $idCol LIMIT 1)"
     for (j <- 2 to k) {
       // step j: min distance to the j−1 already-selected points,
@@ -122,11 +183,16 @@ object Selection {
         |  WHERE $notSel
         |  ORDER BY __d DESC, e.$idCol LIMIT 1)""".stripMargin
     }
+    ctes.toString
+  }
+
+  def farthestFirstOracleSql(table: String, idCol: String,
+      vecCol: String, k: Int): String = {
     val sel = (1 to k).map { j =>
       val rad = if (j == 1) "CAST(NULL AS DOUBLE)" else "__d"
       s"SELECT $j AS rank, $idCol AS vec_id, $rad AS radius FROM c$j"
     }.mkString("\nUNION ALL ")
-    s"WITH ${ctes.toString}\n$sel\nORDER BY rank"
+    s"WITH ${ffCtes(table, idCol, vecCol, k)}\n$sel\nORDER BY rank"
   }
 
   /** Maximal marginal relevance top-k: query = the vector at the

@@ -72,6 +72,20 @@ class SelectionSpec extends SparkSpec {
     assert(sel.map(_.getLong(1)).toSeq == topk.map(_._1).toSeq)
   }
 
+  test("coverageCurve is non-decreasing and total at the final selection radius") {
+    val centers = Selection.farthestFirstCenters(emb, "vec_id", "embedding", 8)
+    val lastRadius = centers.last._3.get
+    val n = emb.count()
+    val curve = Selection.coverageCurve(emb, "vec_id", "embedding",
+      centers.map(_._2), Seq(lastRadius / 2, lastRadius, 2.0)).collect()
+    val covs = curve.map(_.getLong(1))
+    covs.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    // greedy invariant: after the k-th pick every point sits within the
+    // k-th radius of the selected set
+    assert(covs(1) == n)
+    assert(covs(2) == n)
+  }
+
   test("knnGraph: every node's neighbor list is its exhaustive top-k within the label") {
     val k = 3
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", k,
