@@ -1015,7 +1015,9 @@ object DevProbe {
     println(f"[embfam $n] candidate pairs=$pairs (${pairs.toDouble / n}%.1f per row)")
     println(s"[embfam $n] dropped near-dups=$dropped (planted=${n / 100 - 1})")
     }
-    refined.unpersist()
+    // (no unpersist: localCheckpoint storage isn't released by
+    // Dataset.unpersist — the checkpointed blocks free with the probe
+    // JVM; the IVF phase below reads only `corpus`)
 
     // IVF fan-out: trained coarse quantizer, assignment skew, one probe
     val cents = timed("trainCentroids k=64") {

@@ -88,6 +88,22 @@ object SparkEntry {
 
   /** Order-independent exact sum of a float column: decimal accumulate,
     * double result. */
+  /** Shared engine side of the two ANN contract gates (the twin of
+    * [[annContractOracleSql]]): the exact brute-force top-k rows
+    * carrying the contract panel — the ANN probe returned exactly k
+    * rows AND recall@k ≥ 0.8 — so the approximation stays engine-side
+    * while its CONTRACT is hash-gated. */
+  private def annContractGate(brute: DataFrame, ann: DataFrame,
+      minHits: Int): DataFrame = {
+    val panel = brute
+      .join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+      .crossJoin(ann.agg(count(lit(1)).as("ann_k")))
+      .select(col("ann_k"), (col("__hits") >= minHits).as("recall_ok"))
+    brute.crossJoin(broadcast(panel))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   private def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(s"decimal(38,$scale)")).cast("double")
 
@@ -915,12 +931,7 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val brute = sim.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
       val ann = sim.lshTopK(emb, "vec_id", "embedding", q, 10)
-      val panel = brute.join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("__hits"))
-        .crossJoin(ann.agg(count(lit(1)).as("ann_k")))
-        .select(col("ann_k"), (col("__hits") >= 8).as("recall_ok"))
-      brute.crossJoin(broadcast(panel))
-        .orderBy(col("cos").desc, col("vec_id"))
+      annContractGate(brute, ann, minHits = 8)
     }),
 
     // X-dedup: embedding-cosine near-dup pairs — hyperplane-bucket
@@ -961,12 +972,7 @@ object SparkEntry {
         idx.query, 10, nprobe = 3)
       val brute = sim.bruteForceTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", idx.query, 10)
-      val panel = brute.join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("__hits"))
-        .crossJoin(ann.agg(count(lit(1)).as("ann_k")))
-        .select(col("ann_k"), (col("__hits") >= 8).as("recall_ok"))
-      brute.crossJoin(broadcast(panel))
-        .orderBy(col("cos").desc, col("vec_id"))
+      annContractGate(brute, ann, minHits = 8)
     }),
 
     // X-dedup: near-dup CLUSTERS — MinHash-LSH pairs (deterministic seeded
@@ -3127,14 +3133,16 @@ object SparkEntry {
     // as an unrolled CTE (no engine state crosses)
     "q_x_kcenter" -> ((s, dir) =>
       graft.operators.Selection.farthestFirst(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))),
 
     // X-mmr: maximal marginal relevance top-k (λ=0.7) against the
     // lowest-id vector as the query — relevance/diversity trade
     // selection, same k-pass scale shape and unrolled-CTE oracle
     "q_x_mmr" -> ((s, dir) =>
       graft.operators.Selection.mmr(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))),
 
     // X-kcentercover: the selection-quality eval closing the k-center
     // loop — per-threshold corpus coverage of the selected 8 centers

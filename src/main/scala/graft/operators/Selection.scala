@@ -91,6 +91,10 @@ object Selection {
       }
       val minD = if (dists.size == 1) dists.head else least(dists: _*)
       val r = argmaxRow(remaining, "__id", "__v", minD)
+      // an all-null aggregate row means the candidate pool ran dry —
+      // fail with the real cause, not an opaque NPE on getLong
+      require(!r.isNullAt(1),
+        s"corpus exhausted after ${selected.size} selections; need k=$k")
       selected :+= ((r.getLong(1), r.getSeq[Float](2),
         Some(r.getDouble(0))))
     }
@@ -226,6 +230,10 @@ object Selection {
         lit(lambda) * rel - lit(1.0 - lambda) * maxSim
       }
       val r = argmaxRow(remaining, "__id", "__v", score)
+      // candidates exclude the query row, so a corpus of exactly k
+      // rows runs dry — fail with the real cause, not an opaque NPE
+      require(!r.isNullAt(1),
+        s"candidate pool exhausted after ${selected.size} selections; need k=$k")
       selected :+= ((r.getLong(1), r.getSeq[Float](2), r.getDouble(0)))
     }
     import spark.implicits._

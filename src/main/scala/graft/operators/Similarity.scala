@@ -140,13 +140,22 @@ object Similarity {
       centroids: DataFrame, centroidId: String = "cid",
       centroidVec: String = "cvec"): DataFrame = {
     val cents = centroids
-      .select(col(centroidId).cast("int"), col(centroidVec))
+      .select(col(centroidId).cast("long"), col(centroidVec))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .map { r =>
+        // ids ride through an Int-typed literal panel: refuse ids the
+        // panel can't hold instead of wrapping them silently
+        require(!r.isNullAt(0), "centroid ids must be integral non-null")
+        val id = r.getLong(0)
+        require(id >= Int.MinValue && id <= Int.MaxValue,
+          s"centroid id $id outside Int range")
+        (id.toInt, r.getSeq[Float](1).toArray)
+      }
       .sortBy(_._1)
     val idx = VectorExprs.nearestCentroidCosine(col(vecCol), cents.map(_._2))
     // translate the dense argmax index back to the caller's cid values
-    // (identity for 0..k-1 codebooks, but the contract allows any ids)
+    // (identity for 0..k-1 codebooks; any INTEGRAL ids within Int
+    // range are allowed — anything wider fails the require above)
     corpus.withColumn(centroidId,
       element_at(typedLit(cents.map(_._1).toSeq), idx + 1))
   }
@@ -630,22 +639,8 @@ object Similarity {
   def mutualNearestPairs(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, maxBlock: Int = 4096, overflowWindow: Int = 16,
       dim: Int = 0): DataFrame = {
-    val d = if (dim > 0) dim else inferDim(df, vecCol)
-    val planes = subBucketPlanes(d)
-    val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
-      maxBlock, planes)
-    // candidates, DIRECTED (each unordered pair feeds both endpoints'
-    // top-1 searches)
-    val und = boundedBlockPairs(refined, overflowWindow, planes.last)
-    val scored = und
-      .select(col("__g"), col("id1").as("__ida"), col("id2").as("__idb"),
-        round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"))
-      .unionByName(und
-        .select(col("__g"), col("id2").as("__ida"), col("id1").as("__idb"),
-          round(VectorExprs.cosine(col("v2"), col("v1")), 6).as("cos")))
-    val w = Window.partitionBy(col("__g"), col("__ida"))
-      .orderBy(col("cos").desc, col("__idb"))
-    val top1 = scored.withColumn("__rn", row_number().over(w))
+    val top1 = rankedNeighbors(df, idCol, vecCol, groupCol, maxBlock,
+        overflowWindow, dim)
       .where(col("__rn") === 1)
       .select(col("__g"), col("__ida"), col("__idb"), col("cos"))
     top1.alias("x").join(top1.alias("y"),
@@ -673,6 +668,23 @@ object Similarity {
       groupCol: String, k: Int, maxBlock: Int = 4096,
       overflowWindow: Int = 16, dim: Int = 0): DataFrame = {
     require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
+    rankedNeighbors(df, idCol, vecCol, groupCol, maxBlock,
+        overflowWindow, dim)
+      .where(col("__rn") <= k)
+      .select(col("__g").as(groupCol), col("__ida").as("id"),
+        col("__rn").as("rank"), col("__idb").as("nbr"), col("cos"))
+  }
+
+  /** Shared candidate scoring for [[mutualNearestPairs]] and
+    * [[knnGraph]]: bounded-block candidates ([[refineOversizedBlocks]]
+    * + [[boundedBlockPairs]]), DIRECTED (each unordered pair feeds
+    * both endpoints' searches), round-6 cosine, ranked per (__g,
+    * __ida) by cos desc with ties to the lowest neighbor id. Returns
+    * (__g, __ida, __idb, cos, __rn) — ONE copy of the tie/rounding
+    * idiom so the two consumers cannot drift. */
+  private def rankedNeighbors(df: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, maxBlock: Int,
+      overflowWindow: Int, dim: Int): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val planes = subBucketPlanes(d)
     val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
@@ -687,9 +699,6 @@ object Similarity {
     val w = Window.partitionBy(col("__g"), col("__ida"))
       .orderBy(col("cos").desc, col("__idb"))
     scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .select(col("__g").as(groupCol), col("__ida").as("id"),
-        col("__rn").as("rank"), col("__idb").as("nbr"), col("cos"))
   }
 
   /** Pre-rounded NDCG discount ladder 1/log2(r+1) for ranks 1..k — the
