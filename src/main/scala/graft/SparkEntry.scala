@@ -3144,6 +3144,35 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .orderBy(col("rank"))),
 
+    // X-pipeline4: the ANNOTATION-BUDGET pipeline — near-dup dedup
+    // (mutual-NN at cos ≥ 0.99 over label blocks; 20 planted exact
+    // copies make the dedup real) with a keep-the-NEWEST survivorship
+    // policy (drop id1 of each pair, so the surviving seed shifts and
+    // the downstream selection provably differs from q_x_kcenter),
+    // then greedy k-center over the survivors. The oracle replays the
+    // ENTIRE chain — planted corpus, MNN pairs, drops, survivors,
+    // selection — with zero engine state.
+    "q_x_pipeline4" -> ((s, dir) => {
+      val sim = graft.operators.Similarity
+      val e = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val corpus = e.unionByName(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+          col("embedding")))
+      sim.requireBlocksWithin(corpus, "label", 4096, "q_x_pipeline4")
+      val drops = sim.mutualNearestPairs(corpus, "vec_id", "embedding",
+          "label", dim = 64)
+        .where(col("cos") >= 0.99)
+        .select(col("id1").as("vec_id")).distinct()
+      // materialize the (tiny) survivor set once: the k selection
+      // rounds each run an action, and re-deriving the MNN chain 8×
+      // would multiply the dedup cost by k
+      val survivors = corpus.join(drops, Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding").localCheckpoint()
+      graft.operators.Selection.farthestFirst(
+          survivors, "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))
+    }),
+
     // X-kcentercover: the selection-quality eval closing the k-center
     // loop — per-threshold corpus coverage of the selected 8 centers
     // (one map-side scan, 8 fused cosines, single 1-row aggregate);
@@ -7009,6 +7038,37 @@ object SparkEntry {
     "q_x_kcenter_cover" -> graft.operators.Selection.coverageOracleSql(
       "embeddings", "vec_id", "embedding", k = 8,
       thresholds = Seq(0.85, 0.95, 1.0, 1.05)),
+
+    // dedup → k-center pipeline: the full chain replayed — planted
+    // corpus, label-blocked MNN (the q_x_mutual_nn idiom), ≥0.99
+    // drops with keep-newest survivorship, then the selection CTEs
+    // over the survivor relation
+    "q_x_pipeline4" -> graft.operators.Selection.farthestFirstOracleSql(
+      "survivors", "vec_id", "embedding", k = 8, ctePrefix =
+        """base AS MATERIALIZED (
+          |  SELECT vec_id, label, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000, label, embedding FROM embeddings
+          |  WHERE vec_id < 20),
+          |sc AS (
+          |  SELECT a.label AS label, a.vec_id AS ida, b.vec_id AS idb,
+          |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+          |  FROM base a JOIN base b
+          |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+          |t1 AS (
+          |  SELECT label, ida, idb, cos FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY label, ida
+          |                                 ORDER BY cos DESC, idb) AS rn
+          |    FROM sc)
+          |  WHERE rn = 1),
+          |drops AS (
+          |  SELECT DISTINCT x.ida AS vec_id
+          |  FROM t1 x JOIN t1 y ON x.ida = y.idb AND x.idb = y.ida
+          |  WHERE x.ida < x.idb AND x.cos >= 0.99),
+          |survivors AS MATERIALIZED (
+          |  SELECT vec_id, embedding FROM base
+          |  WHERE vec_id NOT IN (SELECT vec_id FROM drops))""".stripMargin),
 
     // MNN over trained IVF blocks: dump-time twin from the memoized
     // centroids — same raw-cosine argmax assignment (fold order, ties

@@ -190,13 +190,18 @@ object Selection {
     ctes.toString
   }
 
+  /** `ctePrefix`, when non-empty, is a comma-joined CTE list emitted
+    * BEFORE the selection chain — so `table` may name one of those
+    * CTEs (the dedup→select pipeline twin builds its survivor
+    * relation this way). */
   def farthestFirstOracleSql(table: String, idCol: String,
-      vecCol: String, k: Int): String = {
+      vecCol: String, k: Int, ctePrefix: String = ""): String = {
     val sel = (1 to k).map { j =>
       val rad = if (j == 1) "CAST(NULL AS DOUBLE)" else "__d"
       s"SELECT $j AS rank, $idCol AS vec_id, $rad AS radius FROM c$j"
     }.mkString("\nUNION ALL ")
-    s"WITH ${ffCtes(table, idCol, vecCol, k)}\n$sel\nORDER BY rank"
+    val prefix = if (ctePrefix.isEmpty) "" else s"$ctePrefix,\n"
+    s"WITH $prefix${ffCtes(table, idCol, vecCol, k)}\n$sel\nORDER BY rank"
   }
 
   /** Maximal marginal relevance top-k: query = the vector at the
