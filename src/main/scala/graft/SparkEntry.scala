@@ -3144,6 +3144,27 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .orderBy(col("rank"))),
 
+    // X-mmrrerank: RETRIEVE-THEN-RERANK — brute-force top-50 by cosine
+    // to the vec-0 query, then MMR (λ=0.7) reranks the candidate set
+    // to a diverse top-8. The mmr contract composes cleanly: vec 0 is
+    // rank 1 of its own retrieval (cos 1.0) AND the lowest id, so the
+    // rerank's query IS the retrieval query and is excluded from the
+    // output. The candidate pull is one corpus scan + top-k; the
+    // rerank runs on the config-sized candidate set.
+    "q_x_mmr_rerank" -> ((s, dir) => {
+      val sim = graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // materialize the (50-row) candidate set once: each of the 8
+      // rerank rounds runs an action against it
+      val cands = sim.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+        .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+        .select("vec_id", "embedding").localCheckpoint()
+      graft.operators.Selection.mmr(cands, "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))
+    }),
+
     // X-pipeline4: the ANNOTATION-BUDGET pipeline — near-dup dedup
     // (mutual-NN at cos ≥ 0.99 over label blocks; 20 planted exact
     // copies make the dedup real) with a keep-the-NEWEST survivorship
@@ -7038,6 +7059,20 @@ object SparkEntry {
     "q_x_kcenter_cover" -> graft.operators.Selection.coverageOracleSql(
       "embeddings", "vec_id", "embedding", k = 8,
       thresholds = Seq(0.85, 0.95, 1.0, 1.05)),
+
+    // retrieve-then-rerank: candidate CTE = the same round-6 cosine
+    // top-50 (cos DESC, id tiebreak), then the mmr chain over it —
+    // the rerank query resolves to vec 0 (lowest candidate id)
+    "q_x_mmr_rerank" -> graft.operators.Selection.mmrOracleSql(
+      "cands", "vec_id", "embedding", k = 8, ctePrefix =
+        """cands AS MATERIALIZED (
+          |  SELECT e.vec_id, e.embedding
+          |  FROM embeddings e
+          |  ORDER BY ROUND(list_cosine_similarity(
+          |      CAST(e.embedding AS DOUBLE[]),
+          |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          |       WHERE vec_id = 0)), 6) DESC, e.vec_id
+          |  LIMIT 50)""".stripMargin),
 
     // dedup → k-center pipeline: the full chain replayed — planted
     // corpus, label-blocked MNN (the q_x_mutual_nn idiom), ≥0.99

@@ -248,9 +248,11 @@ object Selection {
 
   /** The independent unrolled-CTE twin of [[mmr]]. `lambda` and
     * `1 − lambda` are emitted as shortest-repr literals — the same
-    * doubles the engine's `lit(...)` parses. */
+    * doubles the engine's `lit(...)` parses. `ctePrefix` as in
+    * [[farthestFirstOracleSql]] (lets `table` name a prefixed CTE —
+    * the retrieve-then-rerank twin). */
   def mmrOracleSql(table: String, idCol: String, vecCol: String,
-      k: Int, lambda: Double = 0.7): String = {
+      k: Int, lambda: Double = 0.7, ctePrefix: String = ""): String = {
     val lam = lambda.toString
     val oneMinus = (1.0 - lambda).toString
     def cosTo(c: String) =
@@ -287,6 +289,7 @@ object Selection {
     val sel = (1 to k).map { j =>
       s"SELECT $j AS rank, $idCol AS vec_id, __s AS score FROM c$j"
     }.mkString("\nUNION ALL ")
-    s"WITH ${ctes.toString}\n$sel\nORDER BY rank"
+    val prefix = if (ctePrefix.isEmpty) "" else s"$ctePrefix,\n"
+    s"WITH $prefix${ctes.toString}\n$sel\nORDER BY rank"
   }
 }
