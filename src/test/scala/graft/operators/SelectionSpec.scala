@@ -86,6 +86,82 @@ class SelectionSpec extends SparkSpec {
     assert(covs(2) == n)
   }
 
+  // plain-Scala reference twins (the soundex-golden pattern: an
+  // INDEPENDENT implementation sharing only the arithmetic contract —
+  // left-fold float→double cosine accumulation, BigDecimal HALF_UP
+  // round-6, IEEE score arithmetic, lowest-id ties)
+  private def refCos(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i).toDouble
+      nx += a(i).toDouble * a(i).toDouble
+      ny += b(i).toDouble * b(i).toDouble
+    }
+    java.math.BigDecimal.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  private def refFarthestFirst(corpus: Seq[(Long, Seq[Float])],
+      k: Int): Seq[(Long, Option[Double])] = {
+    var sel = Vector(corpus.minBy(_._1))
+    var out = Vector[(Long, Option[Double])]((sel.head._1, None))
+    while (sel.size < k) {
+      val cand = corpus.filterNot(c => sel.exists(_._1 == c._1))
+        .map { case (id, v) =>
+          (id, sel.map(s => 1.0 - refCos(v, s._2)).min)
+        }
+      val (id, d) = cand.maxBy { case (id, d) => (d, -id) }
+      sel :+= corpus.find(_._1 == id).get
+      out :+= ((id, Some(d)))
+    }
+    out
+  }
+
+  private def refMmr(corpus: Seq[(Long, Seq[Float])], k: Int,
+      lambda: Double): Seq[(Long, Double)] = {
+    val q = corpus.minBy(_._1)
+    val cands = corpus.filterNot(_._1 == q._1)
+      .map { case (id, v) => (id, v, refCos(v, q._2)) }
+    var sel = Vector[(Long, Seq[Float], Double)]()
+    while (sel.size < k) {
+      val scored = cands.filterNot(c => sel.exists(_._1 == c._1))
+        .map { case (id, v, rel) =>
+          val s = if (sel.isEmpty) rel
+          else lambda * rel - (1.0 - lambda) * sel.map(x => refCos(v, x._2)).max
+          (id, v, s)
+        }
+      sel :+= scored.maxBy { case (id, _, s) => (s, -id) }
+    }
+    sel.map { case (id, _, s) => (id, s) }
+  }
+
+  test("farthestFirst matches an independent plain-Scala greedy on random corpora") {
+    val rnd = new scala.util.Random(7L)
+    (1 to 3).foreach { _ =>
+      val n = 10 + rnd.nextInt(20)
+      val corpus = (0 until n).map(i =>
+        ((i * 3 + 1).toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      val eng = Selection.farthestFirst(
+          corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(eng.toSeq == refFarthestFirst(corpus, 5))
+    }
+  }
+
+  test("mmr matches an independent plain-Scala recompute on random corpora") {
+    val rnd = new scala.util.Random(11L)
+    (1 to 3).foreach { _ =>
+      val n = 10 + rnd.nextInt(20)
+      val corpus = (0 until n).map(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      val eng = Selection.mmr(
+          corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(eng.toSeq == refMmr(corpus, 5, 0.7))
+    }
+  }
+
   test("knnGraph: every node's neighbor list is its exhaustive top-k within the label") {
     val k = 3
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", "label", k,
