@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, SkewJoin}
@@ -113,7 +113,8 @@ object DevProbe {
 
     if (args.headOption.contains("embfam")) {
       embFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L),
-        skipPairs = args.contains("nopairs"))
+        skipPairs = args.contains("nopairs"),
+        quantized = args.contains("sq"))
       spark.stop()
       return
     }
@@ -940,10 +941,10 @@ object DevProbe {
     * 2·overflowWindow), never n²). Then the IVF side: trained-centroid
     * assignment fan-out (max/mean rows per list) and one top-k probe. */
   private def embFamilyProbe(spark: SparkSession, n: Long,
-      skipPairs: Boolean = false): Unit = {
+      skipPairs: Boolean = false, quantized: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    import graft.operators.Similarity
+    import graft.operators.{Quantization, Similarity}
     def timed[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -952,13 +953,24 @@ object DevProbe {
     }
     val dim = 64
     val family = Array.tabulate(dim)(i => (math.sin(i + 1.0) * 2.0).toFloat)
-    val corpus = spark.range(n).map { i =>
+    val corpusF = spark.range(n).map { i =>
       if (i % 100 == 0) (i, family.toSeq)
       else {
         val r = new scala.util.Random(i)
         (i, Seq.fill(dim)(r.nextGaussian().toFloat))
       }
-    }.toDF("vec_id", "embedding").cache()
+    }.toDF("vec_id", "embedding")
+    // `sq`: int8-quantize BEFORE caching — the whole dedup chain then
+    // stores/shuffles array<tinyint> (~4× smaller; asFloatVec casts are
+    // ephemeral inside the plane dots). This is what fits the 100M
+    // pairs pass on this VM's shuffle disk: ~60 GB of float pair
+    // shuffle becomes ~18 GB of codes.
+    val corpus = (if (quantized)
+      corpusF.select(col("vec_id"),
+        Quantization.quantize(col("embedding"),
+          Quantization.symmetricScale(col("embedding"))).as("embedding"))
+    else corpusF).cache()
+    if (quantized) println(s"[embfam $n] QUANTIZED (int8 codes) chain")
     timed("generate+cache")(corpus.count())
 
     // hyperplane blocks sized for ~64-row buckets, then the cap
@@ -1004,9 +1016,10 @@ object DevProbe {
       println(s"[embfam $n] pairs pass SKIPPED (nopairs)")
     } else {
     val (pairs, dropped) = timed("pairs census + near-dup reduce (one pass)") {
+      def f(c: Column) = if (quantized) c.cast("array<float>") else c
       val r = Similarity.boundedBlockPairs(refined, overflowWindow = 16, planes.last)
         .withColumn("__cos",
-          graft.functions.VectorExprs.cosine(col("v1"), col("v2")))
+          graft.functions.VectorExprs.cosine(f(col("v1")), f(col("v2"))))
         .agg(count(lit(1)).as("pairs"),
           countDistinct(when(col("__cos") >= 0.99, col("id2"))).as("dropped"))
         .head()
@@ -1019,11 +1032,17 @@ object DevProbe {
     // Dataset.unpersist — the checkpointed blocks free with the probe
     // JVM; the IVF phase below reads only `corpus`)
 
-    // IVF fan-out: trained coarse quantizer, assignment skew, one probe
+    // IVF fan-out: trained coarse quantizer, assignment skew, one probe.
+    // The k-means/assignment expressions are float-typed; in sq mode the
+    // cached codes cast back map-side (cosine is scale-invariant, so the
+    // trained lists are the same geometry).
+    val corpusIvf = if (quantized)
+      corpus.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    else corpus
     val cents = timed("trainCentroids k=64") {
-      Similarity.trainCentroids(corpus, "embedding", k = 64).cache()
+      Similarity.trainCentroids(corpusIvf, "embedding", k = 64).cache()
     }
-    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+    val assigned = Similarity.ivfAssign(corpusIvf, "vec_id", "embedding", cents)
       .cache()
     timed("ivfAssign fan-out") {
       val f = assigned.groupBy("cid").count()

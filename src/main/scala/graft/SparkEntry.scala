@@ -952,6 +952,35 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X-dedup: the q_x_emb_neardups chain over INT8 scalar-quantized
+    // codes — every bucket-/id-keyed shuffle carries array<tinyint>
+    // (~4× smaller than floats; floats drop map-side before the first
+    // exchange), the 100 TB shuffle-bytes lever. Verification cosine
+    // runs on the codes, whose double dot/norm sums are EXACT integers
+    // (|q| <= 127), so engine and oracle agree bit-for-bit with no
+    // float-accumulation caveat. Same planted 20-copy family.
+    "q_x_sq_neardups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(planted)
+      graft.operators.Dedup.quantizedNearDups(corpus, "vec_id", "embedding",
+          threshold = 0.99, planes = 8, dim = 64)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // X-clean: C4-style corpus-level boilerplate removal — non-overlapping
+    // 3-token segments, a corpus census of distinct-doc frequency per
+    // segment, segments in >= 3 docs dropped, docs reassembled in order.
+    // Map-side segmenting (one row per SEGMENT, never per token), one
+    // segment-keyed census aggregate, one segment equi-join, one ordered
+    // doc-keyed reassembly — every stage keyed and linear.
+    "q_x_boilerplate" -> ((s, dir) =>
+      graft.operators.Boilerplate.removeRepeatedSegments(
+          t(s, dir, "documents"), "doc_id", "text", segTokens = 3, minDocs = 3)
+        .orderBy(col("doc_id"))),
+
     // X-sim: IVF ANN top-k against a PRE-BUILT index (kmeans quantizer +
     // cid-partitioned lists, built once offline — see [[ivfIndex]]): the
     // gated query measures the per-query probe only — broadcast-centroid
@@ -4491,6 +4520,55 @@ object SparkEntry {
         |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, cos FROM p WHERE cos >= 0.999
         |ORDER BY id1, id2""".stripMargin,
+
+    // quantized near-dups: the oracle re-quantizes with the q_x_quantized
+    // recipe (scale = max|x|/127, round half away from zero — the
+    // established cross-engine rounding parity) and checks ALL code pairs
+    // with exact integer-cosine — a hash match proves the code-space
+    // bucket join lost no qualifying pair AND that code arithmetic is
+    // bit-identical (integer sums are exact in double in both engines)
+    "q_x_sq_neardups" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x ->
+        |      CASE WHEN s > 0 THEN round(x / s) ELSE 0 END) AS codes
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+        |        FROM c)),
+        |p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    ROUND(list_cosine_similarity(a.codes, b.codes), 6) AS cos
+        |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM p WHERE cos >= 0.99
+        |ORDER BY id1, id2""".stripMargin,
+
+    // boilerplate: same tokenization (regexp \s+ split of trim — the
+    // q_x_feathash convention), same non-overlapping slice windows
+    // (both engines 1-based, end-clamped), same distinct-doc census,
+    // same ordered reassembly; all-boilerplate docs emit '' not NULL
+    "q_x_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |s AS (
+        |  SELECT doc_id, CAST(t.i AS INTEGER) AS seg_idx,
+        |    array_to_string(
+        |      toks[(CAST(t.i AS INTEGER)*3+1):(CAST(t.i AS INTEGER)*3+3)],
+        |      ' ') AS seg
+        |  FROM d, UNNEST(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS t(i)),
+        |c AS (SELECT seg, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY seg),
+        |j AS (SELECT s.doc_id, s.seg_idx, s.seg, c.ndocs
+        |      FROM s JOIN c USING (seg))
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+        |             FILTER (WHERE ndocs < 3), '') AS clean_text,
+        |  count(*) FILTER (WHERE ndocs < 3) AS n_kept,
+        |  count(*) FILTER (WHERE ndocs >= 3) AS n_dropped
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // md5-simhash twin: identical 60-bit vote formulation — 15 md5 hex
     // chars parse to the same BIGINT in both engines

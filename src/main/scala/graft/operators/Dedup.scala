@@ -711,6 +711,46 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** [[embeddingNearDups]] over int8 scalar-quantized codes
+    * ([[Quantization]]) instead of float vectors — the shuffle-bytes
+    * lever for a 100 TB embedding corpus. Cosine and hyperplane signs
+    * are invariant to the per-vector scale, so code-space geometry
+    * matches vector-space geometry up to rounding (exact copies keep
+    * identical codes and cos exactly 1.0); every id- or bucket-keyed
+    * exchange in the candidate chain then carries a ~4×-smaller
+    * `array<tinyint>` (floats are dropped map-side BEFORE the first
+    * shuffle), which is what let the 100M-row embfam rung's pair pass
+    * fit this machine's shuffle disk. Candidates verify with
+    * integer-exact cosine SUMS — tinyint codes widen to float
+    * losslessly and the double dot/norm-squared sums of |q| ≤ 127,
+    * dim ≤ 2^40 codes are exact integers, so cross-engine drift is
+    * confined to the final sqrt/divide (one ulp; the gate's round-6
+    * output absorbs it — no float-ACCUMULATION caveat at any dim).
+    *
+    * Output: (id1, id2, cos) with id1 < id2, cos computed on codes. */
+  def quantizedNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
+    val codes = df.select(col(idCol),
+      Quantization.quantize(col(vecCol),
+        Quantization.symmetricScale(col(vecCol))).as("__q"))
+    val bucketed = Similarity.hyperplaneBuckets(codes, "__q", planes, seed, d)
+    val a = bucketed.select(col("bucket"), col(idCol).as("id1"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id2"))
+    val candidates = a.join(b, "bucket")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    candidates
+      .join(codes.select(col(idCol).as("id1"), col("__q").as("q1")), "id1")
+      .join(codes.select(col(idCol).as("id2"), col("__q").as("q2")), "id2")
+      .select(col("id1"), col("id2"),
+        VectorExprs.cosine(col("q1").cast("array<float>"),
+          col("q2").cast("array<float>")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Dedup-aware train/val/test split: near-dup CLUSTER members always
     * land in the same fold, so evaluation rows never have a near-copy
     * in training — the content-derived twin of

@@ -20,6 +20,26 @@ import scala.util.Random
   */
 object Similarity {
 
+  /** The vector column as `array<float>` for plane-dot math — identity
+    * for a float vector (existing plans unchanged, bit for bit), an
+    * EPHEMERAL map-side cast for an integer code vector (int8 scalar
+    * quantization, [[graft.operators.Quantization]]). The cast lives
+    * only inside the dot expression: the stored / shuffled / checkpointed
+    * column keeps its ~4×-smaller integer type, which is the whole point
+    * of running the dedup chain on codes (cosine and hyperplane signs are
+    * per-vector-scale-invariant, so code-space geometry matches vector-
+    * space geometry up to rounding). */
+  private def asFloatVec(df: DataFrame, vecCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) => col(vecCol)
+      case ArrayType(ByteType | ShortType | IntegerType, _) =>
+        col(vecCol).cast("array<float>")
+      case t => throw new IllegalArgumentException(
+        s"$vecCol must be array<float> or an integer code array, got ${t.catalogString}")
+    }
+  }
+
   /** Exact cosine top-k of the corpus against one literal query vector.
     * The corpus is scanned once; ordering is (rounded cos desc, id asc) so
     * results are stable under float noise. */
@@ -66,8 +86,9 @@ object Similarity {
   def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int,
       seed: Long, dim: Int): DataFrame = {
     val ps = randomPlanes(dim, planes, seed)
+    val v = asFloatVec(df, vecCol)
     val bucket = ps.zipWithIndex.map { case (p, i) =>
-      when(VectorExprs.dot(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorExprs.dot(v, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("bucket", bucket)
   }
@@ -495,9 +516,10 @@ object Similarity {
       .join(maybeB(census.select(col("__cg"), bits.as("__bits"))),
         col("__g") <=> col("__cg"))
       .drop("__cg")
+    val vf = asFloatVec(rows, "__v") // ephemeral: __v itself stays int8 for code vectors
     val sub = planes.init.zipWithIndex.map { case (p, i) =>
       when(lit(i) < col("__bits") &&
-          round(VectorExprs.dot(col("__v"), typedLit(p)), 9) > 0,
+          round(VectorExprs.dot(vf, typedLit(p)), 9) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val withSub = withBits.withColumn("__sub", sub).drop("__bits")
@@ -541,7 +563,7 @@ object Similarity {
       .orderBy(col("__proj"), col("__id"))
     val ranked = refined.filter(col("__ovf"))
       .withColumn("__proj",
-        round(VectorExprs.dot(col("__v"), typedLit(projPlane)), 9))
+        round(VectorExprs.dot(asFloatVec(refined, "__v"), typedLit(projPlane)), 9))
       .withColumn("__rn", row_number().over(w))
     val probes = ranked.select(col("__g"), col("__sub"),
       col("__id").as("__idL"), col("__v").as("__vL"),

@@ -106,6 +106,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("quantizedNearDups: exact copies score cos ~1.0 on int8 codes") {
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    // NB: the perturbation must exceed the quantization step
+    // (max|v|/127 ≈ 0.008) or doc 3's codes come out identical to v's
+    val vNear = v.clone(); vNear(0) = vNear(0) + 0.15f
+    val vFar = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, vNear.toSeq), (4L, vFar.toSeq))
+      .toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val pairs = Dedup.quantizedNearDups(df, "id", "vec", threshold = 0.99, planes = 4)
+      .select(col("id1"), col("id2"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical vectors -> identical codes -> the integer dot/norm SUMS
+    // are exact in double; only the final sqrt/divide carries an ulp
+    // (S/(sqrt(S)*sqrt(S)) need not be exactly 1.0 in IEEE). The
+    // perturbed twin still clears 0.99 on codes but scores strictly
+    // below the exact copy; the far vector pairs with nobody
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < pairs((1L, 2L)))
+    assert(pairs.keySet.forall(p => p._1 != 4L && p._2 != 4L))
+  }
+
   test("connectedComponents closes chains the pair list leaves open") {
     // chain 1-2-3-4 (no direct 1-4 edge), disjoint pair 10-11, triangle 20-21-22
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
