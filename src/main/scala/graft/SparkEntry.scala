@@ -3010,6 +3010,35 @@ object SparkEntry {
       graft.operators.Profiling.ksTest(
         t(s, dir, "events"), "event_type", "value", "click", "purchase")),
 
+    // A-auc: threshold-free ranking quality — ROC AUC via the
+    // tie-averaged rank-sum identity; one distinct-score prefix-sum
+    // pass, doubled ranks keep the rank-sum decimal-exact
+    "q_a_auc" -> ((s, dir) =>
+      graft.operators.Profiling.rocAuc(
+        t(s, dir, "lineitem")
+          .withColumn("__lab", col("l_returnflag") === lit("R")),
+        "__lab", "l_extendedprice")),
+
+    // A-brier: Murphy calibration decomposition of a discrete
+    // forecast (the 11-value discount column read as a probability) —
+    // bin-keyed aggregate + broadcast total, round-9 decimal terms
+    "q_a_brier" -> ((s, dir) =>
+      graft.operators.Profiling.brierDecomposition(
+        t(s, dir, "lineitem")
+          .withColumn("__prob", col("l_discount") * lit(10.0))
+          .withColumn("__lab", col("l_returnflag") === lit("R")),
+        "__prob", "__lab")),
+
+    // A-conformal: split-conformal prediction-interval contract —
+    // group-mean model on the odd-orderkey half, exact ⌈(n+1)(1−α)⌉
+    // order statistic via the prefix-sum pass, coverage on the even
+    // half; α=0.1
+    "q_a_conformal" -> ((s, dir) =>
+      graft.operators.Profiling.conformalCoverage(
+        t(s, dir, "lineitem")
+          .withColumn("__split", col("l_orderkey") % 2 === 1),
+        "__split", "l_returnflag", "l_extendedprice", alpha = 0.1)),
+
     // X-silhouette: centroid-form clustering quality per label — k-row
     // broadcast centroid panel, one scoring pass, one label-keyed mean
     "q_x_silhouette" -> ((s, dir) =>
@@ -6927,6 +6956,108 @@ object SparkEntry {
         |  ROUND(MAX(ROUND(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) -
         |    CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)), 6) AS ks_d
         |FROM cum""".stripMargin,
+
+    // AUC: identical prefix-sum rank machinery; doubled rank-sum
+    // decimal-exact, closed form in fixed-order double
+    "q_a_auc" ->
+      """WITH c AS (
+        |  SELECT (l_returnflag = 'R') AS y, l_extendedprice AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |counts AS (
+        |  SELECT v, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS ca, count(*) AS ct
+        |  FROM c GROUP BY v),
+        |pre AS (
+        |  SELECT v, ca, ct,
+        |    COALESCE(SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM counts),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(ct) AS BIGINT) AS nt,
+        |    CAST(SUM(CAST(ca AS DECIMAL(38,0)) *
+        |      CAST(2 * p + ct + 1 AS DECIMAL(19,0))) AS DOUBLE) AS r1d
+        |  FROM pre)
+        |SELECT n1 AS n_pos, nt - n1 AS n_neg,
+        |  ROUND((r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) /
+        |    (2.0 * CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE)), 6) AS auc,
+        |  ROUND(2.0 * ((r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) /
+        |    (2.0 * CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE))) - 1.0, 6)
+        |    AS gini
+        |FROM a""".stripMargin,
+
+    // Brier: identical bin relation (the shared-double product key),
+    // round-9 decimal term sums, integer-sum rates divided in double
+    "q_a_brier" ->
+      """WITH c AS (
+        |  SELECT l_discount * 10.0 AS p,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        |bins AS (
+        |  SELECT p, count(*) AS n, SUM(y) AS s,
+        |    SUM(CAST(ROUND((p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE)),
+        |      9) AS DECIMAL(38,9))) AS b
+        |  FROM c GROUP BY p),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+        |    SUM(b) AS bt
+        |  FROM bins),
+        |terms AS (
+        |  SELECT MIN(t.nt) AS nt, MIN(CAST(t.bt AS DOUBLE)) AS bt,
+        |    MIN(CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE)) AS ybar,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) *
+        |      (p - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (p - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS rel,
+        |    CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) *
+        |      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+        |       CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE)) *
+        |      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+        |       CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS res
+        |  FROM bins, tot t)
+        |SELECT nt AS n, k AS n_bins,
+        |  ROUND(bt / CAST(nt AS DOUBLE), 6) AS brier,
+        |  ROUND(ybar * (1.0 - ybar), 6) AS uncertainty,
+        |  ROUND(rel / CAST(nt AS DOUBLE), 6) AS reliability,
+        |  ROUND(res / CAST(nt AS DOUBLE), 6) AS resolution
+        |FROM terms""".stripMargin,
+
+    // conformal: identical decimal-mean model, prefix-sum order
+    // statistic, and pure-comparison coverage
+    "q_a_conformal" ->
+      """WITH base AS (
+        |  SELECT (l_orderkey % 2 = 1) AS cal, l_returnflag AS g,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |model AS (
+        |  SELECT g, CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+        |    / count(*) AS pred
+        |  FROM base WHERE cal GROUP BY g),
+        |scored AS (
+        |  SELECT b.cal, ABS(b.v - m.pred) AS r
+        |  FROM base b JOIN model m ON b.g = m.g),
+        |calcounts AS (
+        |  SELECT r, count(*) AS ct FROM scored WHERE cal GROUP BY r),
+        |pre AS (
+        |  SELECT r, ct, COALESCE(SUM(ct) OVER (ORDER BY r ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM calcounts),
+        |n AS (SELECT CAST(SUM(ct) AS BIGINT) AS ncal FROM calcounts),
+        |kk AS (SELECT ncal,
+        |    LEAST(ncal, CAST(CEIL((ncal + 1) * 0.9) AS BIGINT)) AS k
+        |  FROM n),
+        |q AS (SELECT MIN(r) AS q FROM pre, kk WHERE p + ct >= kk.k),
+        |cov AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ntest,
+        |    SUM(CASE WHEN s.r <= q.q THEN 1 ELSE 0 END) AS cvd
+        |  FROM scored s, q WHERE NOT s.cal)
+        |SELECT kk.ncal AS n_cal, cov.ntest AS n_test, kk.k AS k_rank,
+        |  ROUND(q.q, 6) AS qhat,
+        |  ROUND(CAST(cov.cvd AS DOUBLE) / CAST(cov.ntest AS DOUBLE), 6)
+        |    AS coverage
+        |FROM kk, q, cov""".stripMargin,
 
     // silhouette: identical centroid panel (REAL[] quantization = the
     // float expression input), scoring, and label means

@@ -909,4 +909,143 @@ object Profiling {
   def benfordExpected: Seq[Double] =
     (1 to 9).map(d => BigDecimal(math.log10(1.0 + 1.0 / d))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** ROC AUC of a score against a boolean label via the tie-averaged
+    * rank-sum identity AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) — the
+    * probability a random positive outscores a random negative, the
+    * threshold-free companion to [[Profiling.mannWhitneyU]] (AUC is
+    * U/(n₁n₀); both ride the same machinery).
+    *
+    * Scale shape: one distinct-score count aggregate + the
+    * [[GlobalOrder.withPrefixSum]] pass + a 1-row reduce — no per-row
+    * rank join, no single-partition window. DOUBLED ranks keep the
+    * rank-sum an exact DECIMAL integer; only the closed form divides
+    * in fixed-order DOUBLE (round 6). Gini = 2·AUC − 1 derives from
+    * the unrounded AUC.
+    *
+    * Output: one row (n_pos, n_neg, auc, gini). */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val clean = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__y"),
+        col(scoreCol).as("__v"))
+    val counts = clean.groupBy(col("__v"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__ct"))
+    val pre = GlobalOrder.withPrefixSum(counts, Seq("__v"), "__ct", "__pre")
+    val agg = pre.agg(
+      sum(col("__ca")).as("__n1"), sum(col("__ct")).as("__nt"),
+      // doubled rank-sum of positives: Σ ca · (2·prefix + ct + 1) — exact
+      sum(col("__ca").cast("decimal(38,0)") *
+        (lit(2) * col("__pre") + col("__ct") + lit(1))
+          .cast("decimal(19,0)")).as("__r1d"))
+    val n1 = col("__n1").cast("double")
+    val n0 = (col("__nt") - col("__n1")).cast("double")
+    val auc = (col("__r1d").cast("double") - n1 * (n1 + lit(1.0))) /
+      (lit(2.0) * n1 * n0)
+    agg.select(col("__n1").cast("bigint").as("n_pos"),
+      (col("__nt") - col("__n1")).cast("bigint").as("n_neg"),
+      round(auc, 6).as("auc"),
+      round(lit(2.0) * auc - lit(1.0), 6).as("gini"))
+  }
+
+  /** Murphy decomposition of the Brier score over a discrete forecast
+    * column: brier = reliability − resolution + uncertainty (each
+    * reported independently — the identity holds analytically; the
+    * reported terms are the standard binned estimates). The
+    * calibration-quality profile of a probabilistic scorer: low
+    * reliability = well calibrated, high resolution = discriminative.
+    *
+    * Scale shape: one (prob)-keyed count/sum aggregate (bins =
+    * distinct forecast values, config-sized for any quantized scorer)
+    * + a broadcast 1-row total + a bin-sized reduce. Per-row and
+    * per-bin squared terms round to 9 into DECIMAL sums (the
+    * cross-engine order-independence rule); bin/base rates divide
+    * exact integer sums in DOUBLE; outputs round to 6.
+    *
+    * Output: one row (n, n_bins, brier, uncertainty, reliability,
+    * resolution). */
+  def brierDecomposition(df: DataFrame, probCol: String,
+      labelCol: String): DataFrame = {
+    val clean = df.where(col(probCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(probCol).cast("double").as("__p"),
+        col(labelCol).cast("boolean").cast("int").as("__y"))
+    val sq = (c: Column) => c * c
+    val bins = clean.groupBy(col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"),
+        sum(round(sq(col("__p") - col("__y").cast("double")), 9)
+          .cast("decimal(38,9)")).as("__b"))
+    val tot = bins.agg(sum(col("__n")).as("__tn"), sum(col("__s")).as("__ts"),
+      sum(col("__b")).as("__tb"))
+    val ybar = col("__ts").cast("double") / col("__tn").cast("double")
+    val ybin = col("__s").cast("double") / col("__n").cast("double")
+    bins.crossJoin(broadcast(tot))
+      .agg(first(col("__tn")).as("__nt"), count(lit(1)).as("__k"),
+        first(col("__tb")).as("__bt"), first(ybar).as("__ybar"),
+        sum(round(col("__n").cast("double") * sq(col("__p") - ybin), 9)
+          .cast("decimal(38,9)")).as("__rel"),
+        sum(round(col("__n").cast("double") * sq(ybin - ybar), 9)
+          .cast("decimal(38,9)")).as("__res"))
+      .select(col("__nt").cast("bigint").as("n"),
+        col("__k").cast("bigint").as("n_bins"),
+        round(col("__bt").cast("double") / col("__nt").cast("double"), 6)
+          .as("brier"),
+        round(col("__ybar") * (lit(1.0) - col("__ybar")), 6)
+          .as("uncertainty"),
+        round(col("__rel").cast("double") / col("__nt").cast("double"), 6)
+          .as("reliability"),
+        round(col("__res").cast("double") / col("__nt").cast("double"), 6)
+          .as("resolution"))
+  }
+
+  /** Split-conformal coverage check: learn a per-group mean predictor
+    * on a calibration split, take the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute calibration residual as the conformal radius q̂, and
+    * report the achieved coverage |y − ŷ| ≤ q̂ on the disjoint test
+    * split — the distribution-free prediction-interval contract
+    * (coverage ≥ 1−α in expectation for exchangeable data).
+    *
+    * Scale shape: the group-mean model is a group-keyed aggregate
+    * joined back broadcast (config-sized group panel); the exact
+    * order statistic rides the distinct-residual prefix-sum pass
+    * ([[GlobalOrder.withPrefixSum]] — no global sort, no
+    * single-partition window); coverage is one 1-row reduce.
+    * Residuals are fixed-order DOUBLE arithmetic on exact
+    * decimal-sum means (cross-engine bit-identical); the q̂
+    * selection and the coverage comparison are pure comparisons.
+    *
+    * Output: one row (n_cal, n_test, k_rank, qhat, coverage). */
+  def conformalCoverage(df: DataFrame, splitCol: String, groupCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val base = df.where(col(valueCol).isNotNull && col(splitCol).isNotNull)
+      .select(col(splitCol).cast("boolean").as("__cal"),
+        col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    // group-mean model fit on the calibration split only
+    val model = base.where(col("__cal"))
+      .groupBy(col("__g"))
+      .agg((sum(col("__v").cast("decimal(38,9)")).cast("double") /
+        count(lit(1))).as("__pred"))
+    val scored = base.join(broadcast(model), Seq("__g"))
+      .select(col("__cal"), abs(col("__v") - col("__pred")).as("__r"))
+    val calCounts = scored.where(col("__cal"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("__ct"))
+    val (pre, nCal) = GlobalOrder.withPrefixSumAndTotal(
+      calCounts, Seq("__r"), "__ct", "__pre")
+    require(nCal > 0, "empty calibration split")
+    // k-th smallest calibration residual, k = ceil((n+1)(1-alpha))
+    val k = math.min(nCal,
+      math.ceil((nCal + 1) * (1.0 - alpha)).toLong)
+    val qhat = pre.where(col("__pre") + col("__ct") >= k)
+      .agg(min(col("__r")).as("q")).select(col("q"))
+    val cov = scored.where(!col("__cal")).crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("__ntest"),
+        sum(when(col("__r") <= col("q"), 1L).otherwise(0L)).as("__cvd"),
+        first(col("q")).as("__q"))
+    cov.select(lit(nCal).as("n_cal"),
+      col("__ntest").cast("bigint").as("n_test"),
+      lit(k).as("k_rank"),
+      round(col("__q"), 6).as("qhat"),
+      round(col("__cvd").cast("double") /
+        col("__ntest").cast("double"), 6).as("coverage"))
+  }
 }

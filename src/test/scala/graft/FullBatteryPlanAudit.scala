@@ -59,7 +59,9 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_a_joincard",           // 1-row estimate × 1-row actual
     "q_x_kappa",              // 1-row totals × 1-row pe scalar
     "q_j_haversine",          // 5-row broadcast city panel
-    "q_x_vocab_coverage")     // 1-row token-total scalar (vocab idiom)
+    "q_x_vocab_coverage",     // 1-row token-total scalar (vocab idiom)
+    "q_a_brier",              // 1-row (N, Σy, Σbrier) total panel
+    "q_a_conformal")          // 1-row conformal-radius q̂ scalar
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -458,4 +458,55 @@ class ProfilingSpec extends SparkSpec {
       .head()
     assert(re.getAs[Double]("rho") == got.getAs[Double]("rho"))
   }
+
+  test("rocAuc: perfect, reversed, and tie-averaged hand case") {
+    import spark.implicits._
+    val perfect = Seq((true, 4.0), (true, 3.0), (false, 2.0), (false, 1.0))
+      .toDF("y", "v")
+    assert(Profiling.rocAuc(perfect, "y", "v").head()
+      .getAs[Double]("auc") == 1.0)
+    val reversed = Seq((false, 4.0), (false, 3.0), (true, 2.0), (true, 1.0))
+      .toDF("y", "v")
+    assert(Profiling.rocAuc(reversed, "y", "v").head()
+      .getAs[Double]("auc") == 0.0)
+    // pos {3, 2}, neg {2, 1}: wins 3, tie 0.5 → AUC = 3.5/4 = 0.875
+    val tied = Seq((true, 3.0), (true, 2.0), (false, 2.0), (false, 1.0))
+      .toDF("y", "v")
+    val r = Profiling.rocAuc(tied, "y", "v").head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("auc") == 0.875)
+    assert(r.getAs[Double]("gini") == 0.75)
+    // layout independence
+    val re = Profiling.rocAuc(tied.repartition(5), "y", "v").head()
+    assert(re.getAs[Double]("auc") == 0.875)
+  }
+
+  test("brierDecomposition: hand case satisfies Murphy identity") {
+    import spark.implicits._
+    val df = Seq((0.8, true), (0.8, false), (0.2, false), (0.2, false))
+      .toDF("p", "y")
+    val r = Profiling.brierDecomposition(df, "p", "y").head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Double]("brier") == 0.19)
+    assert(r.getAs[Double]("uncertainty") == 0.1875)
+    assert(r.getAs[Double]("reliability") == 0.065)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    // brier = rel − res + unc
+    assert(math.abs(0.065 - 0.0625 + 0.1875 - 0.19) < 1e-12)
+  }
+
+  test("conformalCoverage: exact order-statistic radius and coverage") {
+    import spark.implicits._
+    // calibration residuals |v−13| = [3,1,1,3]; α=0.5 → k=⌈5·0.5⌉=3
+    // → q̂ = 3rd smallest = 3; test residuals [1,4] → coverage 1/2
+    val df = Seq((true, "a", 10.0), (true, "a", 12.0), (true, "a", 14.0),
+      (true, "a", 16.0), (false, "a", 12.0), (false, "a", 17.0))
+      .toDF("cal", "g", "v")
+    val r = Profiling.conformalCoverage(df, "cal", "g", "v", alpha = 0.5)
+      .head()
+    assert(r.getAs[Long]("n_cal") == 4L && r.getAs[Long]("n_test") == 2L)
+    assert(r.getAs[Long]("k_rank") == 3L)
+    assert(r.getAs[Double]("qhat") == 3.0)
+    assert(r.getAs[Double]("coverage") == 0.5)
+  }
 }
