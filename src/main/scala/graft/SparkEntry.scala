@@ -2284,6 +2284,17 @@ object SparkEntry {
           t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
         .orderBy(col("from_type"), col("to_type"))),
 
+    // W-markov-attrib: Markov-chain removal-effect attribution — the
+    // data-scale pass is one user-keyed journey shuffle + a
+    // config-sized transition aggregate; the (|channels|+1)
+    // value-iteration solves run driver-side on the collected matrix
+    // with the PageRank round-12 decimal discipline
+    "q_w_markov_attrib" -> ((s, dir) =>
+      graft.operators.Funnel.markovRemovalEffects(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        channels = Seq("click", "error", "signup", "view"),
+        convType = "purchase", iters = 12)),
+
     // X-topterms: per-doc TF-IDF keyword extraction — (doc, term) tf +
     // vocab-sized df aggregates, 1-row corpus scalar, doc-partitioned
     // rank window
@@ -5729,6 +5740,13 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // markov attribution: generated unrolled value-iteration twin —
+    // identical journey truncation, transition probabilities, and
+    // per-round ROUND(,12) DECIMAL accumulation (PageRank discipline)
+    "q_w_markov_attrib" ->
+      graft.operators.Funnel.markovRemovalOracleSql(
+        Seq("click", "error", "signup", "view"), "purchase", 12),
 
     // top terms: identical tf/df aggregates, round-6 idf and score,
     // same (score desc, term asc) rank ties

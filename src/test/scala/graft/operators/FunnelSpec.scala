@@ -135,4 +135,42 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Double]("med_s") == 30.0) // interpolated between 20, 40
     assert(r.getAs[Double]("p90_s") == 38.0)
   }
+
+  test("markovTransitionCounts truncates at first conversion") {
+    import spark.implicits._
+    // u1: click → purchase → error → error (post-conversion tail ignored)
+    // u2: view → (no conversion)
+    val ev = Seq((1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),
+      (1L, 3L, 3L, "error"), (1L, 4L, 4L, "error"),
+      (2L, 1L, 5L, "view"))
+      .toDF("u", "ts", "eid", "t")
+    val got = Funnel.markovTransitionCounts(ev, "u", "ts", "eid", "t",
+        Seq("click", "view", "error"), "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("START", "click") -> 1L, ("click", "CONV") -> 1L,
+      ("START", "view") -> 1L, ("view", "NULL") -> 1L))
+  }
+
+  test("markovRemovalEffects: hand-solved two-channel chain") {
+    import spark.implicits._
+    // START→click→CONV and START→view→NULL, each probability 0.5/1.0:
+    // base P(conv) = 0.5; removing click kills all conversion (effect
+    // 1), removing view changes nothing (effect 0)
+    val ev = Seq((1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "view"))
+      .toDF("u", "ts", "eid", "t")
+    val rows = Funnel.markovRemovalEffects(ev, "u", "ts", "eid", "t",
+        Seq("click", "view"), "purchase", iters = 5)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("click", "view"))
+    val click = rows(0); val view = rows(1)
+    assert(click.getAs[Double]("conv_base") == 0.5)
+    assert(click.getAs[Double]("conv_without") == 0.0)
+    assert(click.getAs[Double]("removal_effect") == 1.0)
+    assert(click.getAs[Double]("share") == 1.0)
+    assert(view.getAs[Double]("conv_without") == 0.5)
+    assert(view.getAs[Double]("removal_effect") == 0.0)
+    assert(view.getAs[Double]("share") == 0.0)
+  }
 }
