@@ -3183,6 +3183,19 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // X-dbscan: block-scoped density clustering — bounded-block
+    // candidate pairs, one degree aggregate (core = neighborhood ≥
+    // minPts incl. self), min-label components over the core subgraph,
+    // min-core-neighbor border assignment; noise stays unclustered
+    "q_x_dbscan" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.requireBlocksWithin(
+        e, "label", 4096, "q_x_dbscan")
+      graft.operators.Clustering.dbscan(
+          e, "vec_id", "embedding", "label", minCos = 0.25, minPts = 3)
+        .orderBy(col("id"))
+    }),
+
     // X-knngraph: per-node top-3 cosine neighbors within label blocks —
     // the adjacency downstream graph curation consumes; bounded-block
     // contract as q_x_mutual_nn (exhaustive twin valid while nothing
@@ -7260,6 +7273,48 @@ object SparkEntry {
         |FROM t1 x JOIN t1 y ON x.ida = y.idb AND x.idb = y.ida
         |WHERE x.ida < x.idb
         |ORDER BY id1""".stripMargin,
+
+    // DBSCAN: exhaustive within-label neighbor relation (the
+    // requireBlocksWithin contract), identical core rule, recursive-CTE
+    // closure of the core subgraph, min-core-neighbor borders
+    "q_x_dbscan" ->
+      """WITH RECURSIVE nb AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nbr
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.25),
+        |deg AS (SELECT id, count(*) AS d FROM nb GROUP BY id),
+        |core AS (SELECT id FROM deg WHERE d + 1 >= 3),
+        |ce AS (
+        |  SELECT nb.id AS a, nb.nbr AS b FROM nb
+        |  WHERE nb.id IN (SELECT id FROM core)
+        |    AND nb.nbr IN (SELECT id FROM core)),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ce
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN ce s ON r.b = s.a
+        |  WHERE s.b <> r.a),
+        |ccl AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+        |        FROM reach GROUP BY a),
+        |corecl AS (
+        |  SELECT c.id, COALESCE(ccl.cluster, c.id) AS cluster
+        |  FROM core c LEFT JOIN ccl ON ccl.id = c.id),
+        |border AS (
+        |  SELECT nb.id, MIN(corecl.cluster) AS bcl
+        |  FROM nb JOIN corecl ON nb.nbr = corecl.id
+        |  WHERE nb.id NOT IN (SELECT id FROM core)
+        |  GROUP BY nb.id)
+        |SELECT e.vec_id AS id,
+        |  CASE WHEN corecl.id IS NOT NULL THEN 'core'
+        |       WHEN border.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CASE WHEN corecl.id IS NOT NULL THEN corecl.cluster
+        |       ELSE border.bcl END AS cluster
+        |FROM embeddings e
+        |LEFT JOIN corecl ON corecl.id = e.vec_id
+        |LEFT JOIN border ON border.id = e.vec_id
+        |ORDER BY id""".stripMargin,
 
     // kNN graph: exhaustive within-label top-3 window — same cosine
     // parity and tie rule as the engine's bounded-candidate rank

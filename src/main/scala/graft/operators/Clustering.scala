@@ -345,4 +345,72 @@ object Clustering {
         round(sum(col("__s").cast("decimal(38,6)")).cast("double") /
           count(lit(1)), 6).as("mean_silhouette"))
   }
+
+  /** Block-scoped DBSCAN over an embedding column, cosine-similarity
+    * neighborhoods: a point's ε-neighbors are its block-mates at
+    * cos ≥ `minCos`; a point is `core` when its neighborhood (itself
+    * included) reaches `minPts`; clusters are the connected components
+    * of the core–core adjacency (labeled by minimum core id); a
+    * non-core point with a core neighbor is `border` and joins its
+    * minimum core neighbor's cluster; everything else is `noise` —
+    * the density-based counterpart to [[kMeans]] (no k, finds noise).
+    *
+    * Scale shape: candidate pairs come from the bounded-block
+    * machinery ([[Similarity.refineOversizedBlocks]] +
+    * [[Similarity.boundedBlockPairs]]) — per-row candidates never
+    * exceed max(maxBlock, 2·overflowWindow), never block²; exact
+    * within blocks below `maxBlock` (a refined block can split an
+    * ε-neighborhood — the documented recall trade every blocked
+    * near-dup operator here makes). Degrees/roles are one keyed
+    * aggregate each; components run min-label propagation over the
+    * core subgraph only ([[Dedup.connectedComponents]]).
+    *
+    * Output: one row per input point — (`id`, `role`, `cluster`),
+    * cluster null for noise. */
+  def dbscan(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, minCos: Double, minPts: Int,
+      maxBlock: Int = 4096, overflowWindow: Int = 16, dim: Int = 0,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val d = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
+    val planes = Similarity.subBucketPlanes(d)
+    val refined = Similarity.refineOversizedBlocks(df, groupCol, idCol,
+      vecCol, maxBlock, planes)
+    val und = Similarity.boundedBlockPairs(refined, overflowWindow,
+      planes.last)
+    val nbrs = und.select(col("id1"), col("id2"),
+        round(graft.functions.VectorExprs.cosine(col("v1"), col("v2")), 6)
+          .as("__cos"))
+      .filter(col("__cos") >= lit(minCos))
+      .select(col("id1"), col("id2"))
+    val directed = nbrs.select(col("id1").as("id"), col("id2").as("nbr"))
+      .unionByName(nbrs.select(col("id2").as("id"), col("id1").as("nbr")))
+    val deg = directed.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    val withCore = df.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("__deg"), lit(0L)) + lit(1L) >= minPts).as("__core"))
+    val coreIds = withCore.where(col("__core")).select(col("id"))
+    val coreEdges = nbrs
+      .join(coreIds.select(col("id").as("id1")), Seq("id1"), "left_semi")
+      .join(coreIds.select(col("id").as("id2")), Seq("id2"), "left_semi")
+    val cc = Dedup.connectedComponents(coreEdges, checkpoint = checkpoint)
+    // isolated cores (no core neighbor) seed their own singleton cluster
+    val coreClusters = coreIds.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val borderAssign = directed
+      .join(coreClusters.select(col("id").as("nbr"), col("cluster")),
+        Seq("nbr"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("__bcl"))
+    withCore
+      .join(coreClusters.select(col("id"), col("cluster").as("__ccl")),
+        Seq("id"), "left")
+      .join(borderAssign, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__core"), lit("core"))
+          .when(col("__bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("__core"), col("__ccl")).otherwise(col("__bcl"))
+          .as("cluster"))
+  }
 }

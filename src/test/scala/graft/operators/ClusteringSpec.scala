@@ -118,4 +118,46 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("mean_silhouette"))
     assert(b.forall(_ < 0.3), s"got ${b.toSeq}")
   }
+
+  test("dbscan: hand-built core/border/noise geometry") {
+    // unit circle angles 0°, +8°, +16° (tight triple), −35° (fringe),
+    // 90° (isolated); minCos=0.78 (≈38.7°), minPts=3:
+    //  - 1,2,3 mutually ≥ cos16° = 0.961 → each deg+1 ≥ 3 → core,
+    //    one component labeled min id 1
+    //  - 4 sees only 1 (cos35° = 0.819; to 2/3: cos43°/cos51° < 0.78)
+    //    → deg+1 = 2 → border, joins cluster 1
+    //  - 5 orthogonal → noise, null cluster
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val pts = Seq((1L, "g", v(0)), (2L, "g", v(8)), (3L, "g", v(16)),
+      (4L, "g", v(-35)), (5L, "g", v(90)))
+      .toDF("vec_id", "x", "embedding")
+    val got = Clustering.dbscan(pts, "vec_id", "embedding", "x",
+        minCos = 0.78, minPts = 3, dim = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(1L) == ("core", 1L))
+    assert(got(2L) == ("core", 1L))
+    assert(got(3L) == ("core", 1L))
+    assert(got(4L) == ("border", 1L))
+    assert(got(5L) == ("noise", -1L))
+  }
+
+  test("dbscan: isolated core forms its own singleton cluster") {
+    // a tight pair at minPts=2: both core via each other, component
+    // label = min id; a lone far point stays noise
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val pts = Seq((7L, "g", v(0)), (9L, "g", v(5)), (11L, "g", v(120)))
+      .toDF("vec_id", "x", "embedding")
+    val got = Clustering.dbscan(pts, "vec_id", "embedding", "x",
+        minCos = 0.9, minPts = 2, dim = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(7L) == ("core", 7L))
+    assert(got(9L) == ("core", 7L))
+    assert(got(11L) == ("noise", -1L))
+  }
 }
