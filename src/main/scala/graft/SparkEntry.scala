@@ -2533,6 +2533,25 @@ object SparkEntry {
           "l_quantity")
         .orderBy(col("l_returnflag"))),
 
+    // A-ipw: observational ATE via per-stratum inverse-propensity
+    // weighting — the IPW sums collapse to stratum aggregates, so one
+    // stratum-keyed aggregate + a panel reduce; no per-row weights
+    "q_a_ipw" -> ((s, dir) =>
+      graft.operators.Experiment.ipwAte(
+        t(s, dir, "lineitem")
+          .withColumn("__treat", col("l_tax") > lit(0.04)),
+        "__treat", "l_extendedprice", "l_returnflag")),
+
+    // A-did: 2×2 difference-in-differences — one (group, period) cell
+    // aggregate, fixed-order IEEE on the four cell means
+    "q_a_did" -> ((s, dir) =>
+      graft.operators.Experiment.diffInDiffs(
+        t(s, dir, "events")
+          .withColumn("__treat", col("user_id") % 2 === 0)
+          .withColumn("__post", col("ts") >=
+            lit(1704067200000000000L + 15L * 86400L * 1000000000L)),
+        "__treat", "__post", "value")),
+
     // D-systematic: every-7th event along (ts, event_id) — global
     // positions via range partitioning + a partition-count pass, never
     // a single-partition sort
@@ -6188,6 +6207,85 @@ object SparkEntry {
         |  ROUND(1.0 - (txy - tx * ty / nn) * (txy - tx * ty / nn) /
         |    ((txx - tx * tx / nn) * (tyy - ty * ty / nn)), 6) AS var_ratio
         |FROM v CROSS JOIN p ORDER BY l_returnflag""".stripMargin,
+
+    // IPW: identical stratum aggregates, round-9 decimal IPW/ESS terms,
+    // fixed-order closed forms
+    "q_a_ipw" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS x, count(*) AS n,
+        |    SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CAST(CASE WHEN l_tax > 0.04 THEN ROUND(l_extendedprice, 6)
+        |      ELSE 0 END AS DECIMAL(38,6))) AS s1,
+        |    SUM(CAST(CASE WHEN NOT (l_tax > 0.04) THEN
+        |      ROUND(l_extendedprice, 6) ELSE 0 END AS DECIMAL(38,6))) AS s0
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_tax IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN n1 > 0 AND n1 < n THEN n ELSE 0 END)
+        |      AS BIGINT) AS nu,
+        |    CAST(SUM(CASE WHEN n1 > 0 AND n1 < n THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nex,
+        |    SUM(CAST(CASE WHEN n1 > 0 AND n1 < n THEN
+        |      ROUND(CAST(s1 AS DOUBLE) * CAST(n AS DOUBLE) /
+        |        CAST(n1 AS DOUBLE), 9) ELSE 0 END AS DECIMAL(38,9))) AS w1,
+        |    SUM(CAST(CASE WHEN n1 > 0 AND n1 < n THEN
+        |      ROUND(CAST(s0 AS DOUBLE) * CAST(n AS DOUBLE) /
+        |        CAST(n - n1 AS DOUBLE), 9) ELSE 0 END AS DECIMAL(38,9)))
+        |      AS w0,
+        |    CAST(SUM(CASE WHEN n1 > 0 AND n1 < n THEN n1 ELSE 0 END)
+        |      AS BIGINT) AS tn1,
+        |    SUM(CAST(CASE WHEN n1 > 0 AND n1 < n THEN s1 ELSE 0 END
+        |      AS DECIMAL(38,6))) AS ts1,
+        |    SUM(CAST(CASE WHEN n1 > 0 AND n1 < n THEN s0 ELSE 0 END
+        |      AS DECIMAL(38,6))) AS ts0,
+        |    SUM(CAST(CASE WHEN n1 > 0 AND n1 < n THEN
+        |      ROUND(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) /
+        |        CAST(n1 AS DOUBLE), 9) ELSE 0 END AS DECIMAL(38,9))) AS e1,
+        |    SUM(CAST(CASE WHEN n1 > 0 AND n1 < n THEN
+        |      ROUND(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) /
+        |        CAST(n - n1 AS DOUBLE), 9) ELSE 0 END AS DECIMAL(38,9)))
+        |      AS e0
+        |  FROM s)
+        |SELECT nu AS n_used, nex AS n_excluded_strata,
+        |  ROUND(CAST(ts1 AS DOUBLE) / CAST(tn1 AS DOUBLE) -
+        |    CAST(ts0 AS DOUBLE) / CAST(nu - tn1 AS DOUBLE), 6)
+        |    AS naive_diff,
+        |  ROUND((CAST(w1 AS DOUBLE) - CAST(w0 AS DOUBLE)) /
+        |    CAST(nu AS DOUBLE), 6) AS ate,
+        |  ROUND(CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE) /
+        |    CAST(e1 AS DOUBLE), 6) AS ess_treated,
+        |  ROUND(CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE) /
+        |    CAST(e0 AS DOUBLE), 6) AS ess_control
+        |FROM a""".stripMargin,
+
+    // DiD: identical 2×2 cell aggregate and fixed-order estimate
+    "q_a_did" ->
+      """WITH c AS (
+        |  SELECT (user_id % 2 = 0) AS t,
+        |    (epoch_ns(ts) >= 1705363200000000000) AS p,
+        |    count(*) AS n,
+        |    SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS s
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |    MAX(CASE WHEN NOT t AND NOT p THEN CAST(s AS DOUBLE) / n END)
+        |      AS cpre,
+        |    MAX(CASE WHEN NOT t AND p THEN CAST(s AS DOUBLE) / n END)
+        |      AS cpost,
+        |    MAX(CASE WHEN t AND NOT p THEN CAST(s AS DOUBLE) / n END)
+        |      AS tpre,
+        |    MAX(CASE WHEN t AND p THEN CAST(s AS DOUBLE) / n END) AS tpost
+        |  FROM c)
+        |SELECT nn AS n, ROUND(cpre, 6) AS mean_c_pre,
+        |  ROUND(cpost, 6) AS mean_c_post, ROUND(tpre, 6) AS mean_t_pre,
+        |  ROUND(tpost, 6) AS mean_t_post,
+        |  ROUND((tpost - tpre) - (cpost - cpre), 6) AS did
+        |FROM a""".stripMargin,
 
     // systematic sampling: the global row_number twin of the
     // range-partitioned distributed index

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Experimentation / A-B analysis operators beyond the plain test
@@ -68,5 +68,100 @@ object Experiment {
           6).as("mean_y_adj"),
         round(theta, 6).as("theta"),
         round(lit(1.0) - covXY * covXY / (varX * varY), 6).as("var_ratio"))
+  }
+
+  /** Inverse-propensity-weighted ATE over DISCRETE confounder strata —
+    * the observational-data effect estimate CUPED can't give (CUPED
+    * needs randomization; IPW corrects for measured confounding).
+    * With per-stratum propensities e(x) = n₁ₓ/nₓ the IPW sums collapse
+    * algebraically to stratum aggregates (Σ_{T=1,x} y/e = s₁ₓ·nₓ/n₁ₓ),
+    * so the whole estimator is one stratum-keyed aggregate + a
+    * stratum-panel reduce — no per-row weights ever materialize.
+    * Strata with a missing arm (positivity violation) are excluded
+    * and counted. Effective sample sizes are the (Σw)²/Σw²
+    * diagnostic, also in closed form from counts.
+    *
+    * Parity: outcome sums are round-6 decimal; per-stratum IPW terms
+    * are round-9 decimal; final forms divide in fixed-order DOUBLE,
+    * outputs round 6.
+    *
+    * Output: one row (n_used, n_excluded_strata, naive_diff, ate,
+    * ess_treated, ess_control). */
+  def ipwAte(df: DataFrame, treatCol: String, outcomeCol: String,
+      strataCol: String): DataFrame = {
+    val d6 = "decimal(38,6)"
+    val d9 = "decimal(38,9)"
+    val t = col(treatCol).cast("boolean")
+    val y = col(outcomeCol)
+    val strata = df.where(y.isNotNull && t.isNotNull)
+      .groupBy(col(strataCol).as("__x"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(t, 1L).otherwise(0L)).as("__n1"),
+        sum(when(t, round(y, 6)).otherwise(lit(0)).cast(d6)).as("__s1"),
+        sum(when(!t, round(y, 6)).otherwise(lit(0)).cast(d6)).as("__s0"))
+    val ok = col("__n1") > 0 && col("__n1") < col("__n")
+    val nD = col("__n").cast("double")
+    val n1D = col("__n1").cast("double")
+    val n0D = (col("__n") - col("__n1")).cast("double")
+    val agg = strata.agg(
+      sum(when(ok, col("__n")).otherwise(lit(0L))).as("__nu"),
+      sum(when(!ok, 1L).otherwise(0L)).as("__nex"),
+      // IPW arm totals: Σ_x s1·n/n1 and Σ_x s0·n/n0 (round-9 decimal)
+      sum(when(ok, round(col("__s1").cast("double") * nD / n1D, 9))
+        .otherwise(lit(0)).cast(d9)).as("__w1"),
+      sum(when(ok, round(col("__s0").cast("double") * nD / n0D, 9))
+        .otherwise(lit(0)).cast(d9)).as("__w0"),
+      // naive diff ingredients over the SAME used strata
+      sum(when(ok, col("__n1")).otherwise(lit(0L))).as("__tn1"),
+      sum(when(ok, col("__s1")).otherwise(lit(0)).cast(d6)).as("__ts1"),
+      sum(when(ok, col("__s0")).otherwise(lit(0)).cast(d6)).as("__ts0"),
+      // ESS denominators: Σ_x n²/n1 and Σ_x n²/n0 (round-9 decimal)
+      sum(when(ok, round(nD * nD / n1D, 9)).otherwise(lit(0)).cast(d9))
+        .as("__e1"),
+      sum(when(ok, round(nD * nD / n0D, 9)).otherwise(lit(0)).cast(d9))
+        .as("__e0"))
+    val nu = col("__nu").cast("double")
+    agg.select(col("__nu").cast("bigint").as("n_used"),
+      col("__nex").cast("bigint").as("n_excluded_strata"),
+      round(col("__ts1").cast("double") / col("__tn1").cast("double") -
+        col("__ts0").cast("double") /
+          (col("__nu") - col("__tn1")).cast("double"), 6).as("naive_diff"),
+      round((col("__w1").cast("double") - col("__w0").cast("double")) / nu,
+        6).as("ate"),
+      round(nu * nu / col("__e1").cast("double"), 6).as("ess_treated"),
+      round(nu * nu / col("__e0").cast("double"), 6).as("ess_control"))
+  }
+
+  /** Two-by-two difference-in-differences: the treated group's
+    * pre→post outcome change net of the control group's — the
+    * parallel-trends effect estimate for staggered rollouts. One
+    * (group, period) cell aggregate (decimal outcome sums, exact
+    * counts), one 4-cell reduce; the estimate is fixed-order IEEE on
+    * the four cell means, rounded 6.
+    *
+    * Output: one row (n, mean_c_pre, mean_c_post, mean_t_pre,
+    * mean_t_post, did). */
+  def diffInDiffs(df: DataFrame, treatCol: String, postCol: String,
+      outcomeCol: String): DataFrame = {
+    val d6 = "decimal(38,6)"
+    val t = col(treatCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    val y = col(outcomeCol)
+    val cells = df.where(y.isNotNull && t.isNotNull && p.isNotNull)
+      .groupBy(t.as("__t"), p.as("__p"))
+      .agg(count(lit(1)).as("__n"), sum(round(y, 6).cast(d6)).as("__s"))
+    def mean(tv: Boolean, pv: Boolean): Column =
+      max(when(col("__t") === tv && col("__p") === pv,
+        col("__s").cast("double") / col("__n").cast("double")))
+    val agg = cells.agg(sum(col("__n")).as("__nn"),
+      mean(false, false).as("__cpre"), mean(false, true).as("__cpost"),
+      mean(true, false).as("__tpre"), mean(true, true).as("__tpost"))
+    agg.select(col("__nn").cast("bigint").as("n"),
+      round(col("__cpre"), 6).as("mean_c_pre"),
+      round(col("__cpost"), 6).as("mean_c_post"),
+      round(col("__tpre"), 6).as("mean_t_pre"),
+      round(col("__tpost"), 6).as("mean_t_post"),
+      round((col("__tpost") - col("__tpre")) -
+        (col("__cpost") - col("__cpre")), 6).as("did"))
   }
 }

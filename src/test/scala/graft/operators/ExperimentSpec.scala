@@ -42,4 +42,42 @@ class ExperimentSpec extends SparkSpec {
     val adj = out.map(r => r.getAs[Double]("mean_y_adj") * r.getAs[Long]("n")).sum / n
     assert(math.abs(raw - adj) < 1e-5) // θ·Σ n_v·(x̄_v − x̄) = 0
   }
+
+  test("ipwAte: hand-solved confounded strata, positivity exclusion") {
+    import spark.implicits._
+    // stratum a: treated {10,12}, control {8} (e=2/3);
+    // stratum b: treated {4}, control {2,2,2} (e=1/4);
+    // stratified/IPW ATE = (3/7)·3 + (4/7)·2 = 17/7; naive = 26/3 − 3.5
+    // stratum c is all-treated → excluded (positivity)
+    val rows = Seq(
+      ("a", true, 10.0), ("a", true, 12.0), ("a", false, 8.0),
+      ("b", true, 4.0), ("b", false, 2.0), ("b", false, 2.0),
+      ("b", false, 2.0),
+      ("c", true, 99.0))
+      .toDF("x", "t", "y")
+    val r = Experiment.ipwAte(rows, "t", "y", "x").head()
+    assert(r.getAs[Long]("n_used") == 7L)
+    assert(r.getAs[Long]("n_excluded_strata") == 1L)
+    assert(r.getAs[Double]("ate") == 2.428571)        // 17/7
+    assert(r.getAs[Double]("naive_diff") == 5.166667) // confounded up
+    assert(r.getAs[Double]("ess_treated") == 2.390244)  // 49/20.5
+    assert(r.getAs[Double]("ess_control") == 3.418605)  // 49/(43/3)
+  }
+
+  test("diffInDiffs: hand-solved 2x2 cells") {
+    import spark.implicits._
+    val rows = Seq(
+      (false, false, 1.0), (false, false, 1.0),
+      (false, true, 2.0),
+      (true, false, 3.0),
+      (true, true, 7.0), (true, true, 7.0))
+      .toDF("t", "p", "y")
+    val r = Experiment.diffInDiffs(rows, "t", "p", "y").head()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("mean_c_pre") == 1.0)
+    assert(r.getAs[Double]("mean_c_post") == 2.0)
+    assert(r.getAs[Double]("mean_t_pre") == 3.0)
+    assert(r.getAs[Double]("mean_t_post") == 7.0)
+    assert(r.getAs[Double]("did") == 3.0)
+  }
 }
