@@ -3354,6 +3354,16 @@ object SparkEntry {
         "event_id", "ts", "value")
     }),
 
+    // T-backtest: rolling-origin CV of the three forecasting baselines
+    // (last value / seasonal-naive / expanding mean) over daily buckets
+    // — one bucket aggregate is the only data-scale pass; every window
+    // runs over the calendar-bounded period panel
+    "q_t_backtest" -> ((s, dir) =>
+      graft.operators.TimeSeries.rollingOriginBacktest(
+        t(s, dir, "events"), "ts", "value",
+        anchorNanos = 1704067200000000000L,
+        widthNanos = 86400L * 1000000000L, season = 7, k = 10)),
+
     // T-rollcorr: rolling correlation of value vs the JSON prop series
     // — six windowed sufficient statistics as differences of inclusive
     // running decimal sums (the rollingAnomaly O(1)/row rewrite; a
@@ -7517,6 +7527,48 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(ROUND(v - baseline, 6) AS DECIMAL(38,6)))
         |    AS DOUBLE) / count(*), 6) AS bias
         |FROM te JOIN p USING (dow, "hour")""".stripMargin,
+
+    // rolling-origin backtest: identical bucket aggregate, panel
+    // windows, and per-model round-9 decimal |error| sums
+    "q_t_backtest" ->
+      """WITH per AS (
+        |  SELECT (epoch_ns(ts) - 1704067200000000000) // 86400000000000
+        |      AS p,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_ns(ts) >= 1704067200000000000
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT p.p, p.y,
+        |    LAG(p.y) OVER (ORDER BY p.p) AS lastv,
+        |    CAST(SUM(CAST(p.y AS DECIMAL(28,6))) OVER (ORDER BY p.p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS DOUBLE) AS cs,
+        |    COUNT(*) OVER (ORDER BY p.p ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS cn,
+        |    s.y AS seas
+        |  FROM per p LEFT JOIN per s ON s.p = p.p - 7),
+        |mx AS (SELECT MAX(p) AS maxp FROM per),
+        |f AS (SELECT b.* FROM b, mx WHERE b.p > mx.maxp - 10)
+        |SELECT * FROM (
+        |  SELECT 'expanding_mean' AS model,
+        |    CAST(count(*) AS BIGINT) AS n_scored,
+        |    ROUND(CAST(SUM(CAST(ROUND(ABS(y - cs / CAST(cn AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS mae
+        |  FROM f WHERE cn > 0
+        |  UNION ALL
+        |  SELECT 'last_value', CAST(count(*) AS BIGINT),
+        |    ROUND(CAST(SUM(CAST(ROUND(ABS(y - lastv), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6)
+        |  FROM f WHERE lastv IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'seasonal_naive', CAST(count(*) AS BIGINT),
+        |    ROUND(CAST(SUM(CAST(ROUND(ABS(y - seas), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6)
+        |  FROM f WHERE seas IS NOT NULL)
+        |ORDER BY model""".stripMargin,
 
     // rolling correlation: the direct bounded frame IS safe in the
     // oracle (decimal frame sums are order-exact, so they equal the

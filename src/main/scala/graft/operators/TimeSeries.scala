@@ -550,4 +550,65 @@ object TimeSeries {
             .cast("double") /
           sum(col("__dur")).cast("double"), 6).as("twap"))
   }
+
+  /** Rolling-origin backtest of the three mandatory forecasting
+    * baselines — last observed value, seasonal naive (lag `season`
+    * periods), expanding mean of all history — each scored on the last
+    * `k` observed periods with strictly-earlier data only (the
+    * time-series cross-validation protocol; the single fit/score split
+    * [[seasonalForecastBacktest]] measures one fold, this measures the
+    * frontier a deployed forecaster actually walks).
+    *
+    * Period basis is OBSERVED periods: the series aggregates to
+    * `(ts − anchor) div width` buckets (decimal value sums — exact
+    * doubles), lag-1 means the previous observed period, and the
+    * seasonal base joins on exact period index p−season (a gap yields
+    * no forecast — the row is skipped for that model, counted in
+    * `n_scored`). `anchor` must lower-bound every timestamp (integer
+    * div vs floor at negatives — enforced).
+    *
+    * Scale shape: the data-scale pass is the one bucket aggregate; all
+    * windows/joins run over the calendar-bounded period panel (≤ span
+    * ÷ width rows — config-sized for any fixed retention), so the
+    * single-partition panel window is the q_t_mom shape, not a keyed
+    * data window.
+    *
+    * Output: one row per model — (`model`, `n_scored`, `mae`), MAE
+    * from round-9 decimal |error| sums divided in DOUBLE, round 6. */
+  def rollingOriginBacktest(df: DataFrame, tsCol: String, valCol: String,
+      anchorNanos: Long, widthNanos: Long, season: Int, k: Int): DataFrame = {
+    require(season >= 1 && k >= 1, s"need season, k >= 1: $season/$k")
+    val per = df
+      .where(col(valCol).isNotNull && col(tsCol).isNotNull &&
+        col(tsCol) >= lit(anchorNanos))
+      .groupBy(expr(s"CAST((`$tsCol` - ${anchorNanos}L) div " +
+        s"${widthNanos}L AS BIGINT)").as("__p"))
+      .agg(sum(round(col(valCol), 6).cast("decimal(38,6)")).as("__s"))
+      .select(col("__p"), col("__s").cast("double").as("__y"))
+    val w = Window.orderBy(col("__p"))
+    val hist = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val maxP = per.agg(max(col("__p")).as("__maxp"))
+    val base = per
+      .withColumn("__last", lag(col("__y"), 1).over(w))
+      .withColumn("__cs", sum(col("__y").cast("decimal(28,6)")).over(hist)
+        .cast("double"))
+      .withColumn("__cn", count(lit(1)).over(hist))
+      .join(per.select((col("__p") + season).as("__p"),
+        col("__y").as("__seas")), Seq("__p"), "left")
+      .crossJoin(broadcast(maxP))
+      .where(col("__p") > col("__maxp") - k)
+    def maeRow(model: String, pred: Column): DataFrame =
+      base.where(pred.isNotNull)
+        .agg(count(lit(1)).as("n_scored"),
+          round(sum(round(abs(col("__y") - pred), 9)
+              .cast("decimal(38,9)")).cast("double") / count(lit(1)), 6)
+            .as("mae"))
+        .select(lit(model).as("model"), col("n_scored"), col("mae"))
+    maeRow("expanding_mean", when(col("__cn") > 0,
+        col("__cs") / col("__cn").cast("double")))
+      .unionByName(maeRow("last_value", col("__last")))
+      .unionByName(maeRow("seasonal_naive", col("__seas")))
+      .orderBy(col("model"))
+  }
 }

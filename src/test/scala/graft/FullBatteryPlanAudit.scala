@@ -61,7 +61,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_j_haversine",          // 5-row broadcast city panel
     "q_x_vocab_coverage",     // 1-row token-total scalar (vocab idiom)
     "q_a_brier",              // 1-row (N, Σy, Σbrier) total panel
-    "q_a_conformal")          // 1-row conformal-radius q̂ scalar
+    "q_a_conformal",          // 1-row conformal-radius q̂ scalar
+    "q_t_backtest")           // 1-row max-period scalar
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -88,7 +89,8 @@ class FullBatteryPlanAudit extends SparkSpec {
   // keyed operator over data: the RRF fusion's top-k-limited result
   // lists; the skyline's bucket-count-sized cross-bucket minimum table
   private val boundedTopKWindowOk = Set("q_x_hybrid_rrf", "q_a_skyline",
-    "q_t_mom") // calendar-bounded month panel (≤ dozens of rows by domain)
+    "q_t_mom", // calendar-bounded month panel (≤ dozens of rows by domain)
+    "q_t_backtest") // calendar-bounded day-period panel
 
   test("every single-partition exchange feeds a grand-total aggregate") {
     // a SinglePartition exchange is the correct (and only) shape for a

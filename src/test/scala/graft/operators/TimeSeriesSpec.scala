@@ -303,4 +303,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("baseline")).toSeq == Seq(20.0, 20.0, 5.0))
     assert(out.map(_.getAs[Double]("residual")).toSeq == Seq(-10.0, 10.0, 0.0))
   }
+
+  test("rollingOriginBacktest: hand-solved trend series") {
+    import spark.implicits._
+    // y(p) = p+1 for p = 0..9; season=3, k=2 → score p ∈ {8, 9}:
+    // last_value errs 1,1 → 1.0; seasonal errs 3,3 → 3.0;
+    // expanding mean preds 4.5, 5.0 → errs 3.5+... → (4.5+5)/2 = 4.75
+    val rows = (0 to 9).map(p => (p.toLong, (p + 1).toDouble))
+      .toDF("ts", "value")
+    val got = TimeSeries.rollingOriginBacktest(rows, "ts", "value",
+        anchorNanos = 0L, widthNanos = 1L, season = 3, k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_scored"), r.getAs[Double]("mae")))).toMap
+    assert(got("last_value") == (2L, 1.0))
+    assert(got("seasonal_naive") == (2L, 3.0))
+    assert(got("expanding_mean") == (2L, 4.75))
+  }
+
+  test("rollingOriginBacktest: observed-period lag across gaps") {
+    import spark.implicits._
+    // periods 0,1,2,4 (gap at 3); k=1 scores p=4 only: last observed
+    // period is 2 (pred 3, err 2); seasonal s=2 needs p=2 (pred 3,
+    // err 2); expanding mean (1+2+3)/3 = 2 (err 3)
+    val rows = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (4L, 5.0))
+      .toDF("ts", "value")
+    val got = TimeSeries.rollingOriginBacktest(rows, "ts", "value",
+        anchorNanos = 0L, widthNanos = 1L, season = 2, k = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_scored"), r.getAs[Double]("mae")))).toMap
+    assert(got("last_value") == (1L, 2.0))
+    assert(got("seasonal_naive") == (1L, 2.0))
+    assert(got("expanding_mean") == (1L, 3.0))
+  }
 }
