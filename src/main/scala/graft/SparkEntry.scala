@@ -3086,6 +3086,15 @@ object SparkEntry {
       graft.operators.Pca.pcaGate(t(s, dir, "embeddings"), dir)
         .orderBy(col("vec_id"))),
 
+    // X-procrustes: embedding-version alignment — one dim² cross-moment
+    // aggregate + driver polar-factor solve (Jacobi on MᵀM), then one
+    // map-side residual pass scoring the shipped float rotation against
+    // a planted signed-permutation target (must recover: mean_cos 1.0,
+    // frob_rel 0.0)
+    "q_x_procrustes" -> ((s, dir) =>
+      graft.operators.Alignment.procrustesGate(t(s, dir, "embeddings"),
+        dir)),
+
     // X-pca: WHITENED projection — the same memoized fit, each
     // component scaled to unit variance by / sqrt(λ) with λ as an
     // in-plan literal both engines sqrt at execution (IEEE-exact)
@@ -7503,6 +7512,10 @@ object SparkEntry {
     // PCA projection: dump-time twin from the fitted components as
     // DOUBLE[] literals — same dot fold, same offset literal, round-6
     "q_x_pca" -> graft.operators.Pca.pcaOracleSql(),
+
+    // procrustes: dump-time memo twin — literal rotation rows, same
+    // planted pair, left-fold dots, round-6 cosine, round-9 residuals
+    "q_x_procrustes" -> graft.operators.Alignment.procrustesOracleSql(),
 
     // seasonal backtest: identical profile fit + scored join
     "q_t_forecast" ->
