@@ -3220,7 +3220,8 @@ object SparkEntry {
       graft.operators.Similarity.requireBlocksWithin(
         e, "label", 4096, "q_x_dbscan")
       graft.operators.Clustering.dbscan(
-          e, "vec_id", "embedding", "label", minCos = 0.25, minPts = 3)
+          e, "vec_id", "embedding", "label", minCos = 0.25, minPts = 3,
+          dim = 64)
         .orderBy(col("id"))
     }),
 

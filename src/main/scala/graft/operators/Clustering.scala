@@ -378,26 +378,31 @@ object Clustering {
       vecCol, maxBlock, planes)
     val und = Similarity.boundedBlockPairs(refined, overflowWindow,
       planes.last)
-    val nbrs = und.select(col("id1"), col("id2"),
+    // the scored pair list feeds degree counts, the core subgraph, AND
+    // border assignment — checkpoint it once (pairs are linear in the
+    // corpus under the bounded-block contract) so the blocking +
+    // cosine-scoring subtree runs exactly one time, not once per
+    // downstream consumer
+    val nbrs = checkpoint(und.select(col("id1"), col("id2"),
         round(graft.functions.VectorExprs.cosine(col("v1"), col("v2")), 6)
           .as("__cos"))
       .filter(col("__cos") >= lit(minCos))
-      .select(col("id1"), col("id2"))
+      .select(col("id1"), col("id2")))
     val directed = nbrs.select(col("id1").as("id"), col("id2").as("nbr"))
       .unionByName(nbrs.select(col("id2").as("id"), col("id1").as("nbr")))
     val deg = directed.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
-    val withCore = df.select(col(idCol).as("id"))
+    val withCore = checkpoint(df.select(col(idCol).as("id"))
       .join(deg, Seq("id"), "left")
       .select(col("id"),
-        (coalesce(col("__deg"), lit(0L)) + lit(1L) >= minPts).as("__core"))
+        (coalesce(col("__deg"), lit(0L)) + lit(1L) >= minPts).as("__core")))
     val coreIds = withCore.where(col("__core")).select(col("id"))
     val coreEdges = nbrs
       .join(coreIds.select(col("id").as("id1")), Seq("id1"), "left_semi")
       .join(coreIds.select(col("id").as("id2")), Seq("id2"), "left_semi")
     val cc = Dedup.connectedComponents(coreEdges, checkpoint = checkpoint)
     // isolated cores (no core neighbor) seed their own singleton cluster
-    val coreClusters = coreIds.join(cc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val coreClusters = checkpoint(coreIds.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
     val borderAssign = directed
       .join(coreClusters.select(col("id").as("nbr"), col("cluster")),
         Seq("nbr"))
