@@ -119,6 +119,20 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("dbscanfam")) {
+      dbscanFamilyProbe(spark,
+        args.lift(1).map(_.toLong).getOrElse(1000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("procrustes")) {
+      procrustesProbe(spark,
+        args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("embstage")) {
       embStageBisect(spark, args.lift(1).map(_.toLong).getOrElse(30000000L))
       spark.stop()
@@ -940,6 +954,90 @@ object DevProbe {
     * (must stay ~linear: pairs/row bounded by max(maxBlock,
     * 2·overflowWindow), never n²). Then the IVF side: trained-centroid
     * assignment fan-out (max/mean rows per list) and one top-k probe. */
+  /** Density-clustering rung (`runMain graft.DevProbe dbscanfam [n]`):
+    * the embfam corpus shape (1% planted exact-copy family among
+    * gaussians) blocked by hyperplane buckets, through the full
+    * [[graft.operators.Clustering.dbscan]] chain at maxBlock=256.
+    * Readouts: wall, role census, and whether the planted family
+    * lands as ONE core cluster (identical vectors share every
+    * bucket/sub-bucket, so the family must survive the blocking). */
+  private def dbscanFamilyProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{Clustering, Similarity}
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[dbscanfam $n] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val dim = 64
+    val family = Array.tabulate(dim)(i => (math.sin(i + 1.0) * 2.0).toFloat)
+    val corpus = spark.range(n).map { i =>
+      if (i % 100 == 0) (i, family.toSeq)
+      else {
+        val r = new scala.util.Random(i)
+        (i, Seq.fill(dim)(r.nextGaussian().toFloat))
+      }
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    timed("generate+checkpoint")(corpus.count())
+    val nPlanes = Similarity.planesFor(n, targetBucketSize = 64)
+    val blocked = Similarity.hyperplaneBuckets(corpus, "embedding",
+      nPlanes, seed = 42L, dim = dim)
+    val out = timed("dbscan (block-scoped, maxBlock=256)") {
+      Clustering.dbscan(blocked, "vec_id", "embedding", "bucket",
+        minCos = 0.95, minPts = 3, maxBlock = 256, dim = dim)
+        .localCheckpoint()
+    }
+    val roles = timed("role census") {
+      out.groupBy("role").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    println(s"[dbscanfam $n] roles: $roles")
+    val fam = timed("planted-family readout") {
+      out.where(col("id") % 100 === 0)
+        .groupBy(col("cluster")).count()
+        .orderBy(col("count").desc).limit(3).collect()
+        .map(r => (if (r.isNullAt(0)) "null" else r.getLong(0).toString,
+          r.getLong(1)))
+    }
+    println(s"[dbscanfam $n] planted family clusters (top): " +
+      fam.mkString(", ") + s" (planted=${(n + 99) / 100})")
+  }
+
+  /** Alignment rung (`runMain graft.DevProbe procrustes [n]`): the
+    * [[graft.operators.Alignment.fitProcrustes]] moment fit at
+    * 16 dims over n rows — ONE dim² decimal aggregate is the entire
+    * data-scale cost; readouts: wall, orthogonality defect, and max
+    * deviation from the planted signed-permutation. */
+  private def procrustesProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Alignment
+    val dim = 16
+    val t0 = System.nanoTime()
+    val corpus = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      val x = Seq.fill(dim)(r.nextGaussian().toFloat)
+      val y = (1 to dim).map(j =>
+        if (j % 2 == 1) x(dim - j) else -x(dim - j))
+      (i, x, y)
+    }.toDF("id", "x", "y").localCheckpoint()
+    corpus.count()
+    println(f"[procrustes $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val t1 = System.nanoTime()
+    val m = Alignment.fitProcrustes(corpus, "x", "y", dim)
+    println(f"[procrustes $n] moment fit + solve: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    // planted A[j][k] = s_j [k = dim - j - 1] (0-based), s_j = +/- alt
+    var maxDev = 0.0
+    for (j <- 0 until dim; k <- 0 until dim) {
+      val target = if (k == dim - j - 1) (if (j % 2 == 0) 1.0 else -1.0)
+        else 0.0
+      maxDev = math.max(maxDev, math.abs(m.rotation(j)(k) - target))
+    }
+    println(f"[procrustes $n] orthErr=${m.orthErr}%.2e maxDev=$maxDev%.2e n=${m.n}")
+  }
+
   private def embFamilyProbe(spark: SparkSession, n: Long,
       skipPairs: Boolean = false, quantized: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._

@@ -432,14 +432,23 @@ object Dedup {
     * (a MinHash pair list is not transitive: A~B and B~C does not emit
     * A~C, so cluster membership needs graph connectivity).
     *
-    * Min-label propagation: every node starts labeled with its own id;
-    * each round a node takes the minimum of its own and its neighbors'
-    * labels; stop when a round changes nothing. Rounds = graph diameter,
-    * and near-dup clusters are near-cliques (diameter ≤ ~3), so this
-    * settles in a handful of rounds — each one a bucket-keyed shuffle
-    * join, never anything O(n²). The symmetric edge list is cached once
-    * and labels are checkpointed per round through `checkpoint` to cut
-    * the iterative lineage. The default is `localCheckpoint` (fast,
+    * Min-label propagation WITH POINTER JUMPING (hash-to-min): every
+    * node starts labeled with its own id; each round a node takes the
+    * minimum of its own label, its neighbors' labels, and its LABEL'S
+    * label (the jump — labels are node ids, so following them halves
+    * the remaining distance each round). Rounds = O(log diameter), not
+    * O(diameter): near-dup near-cliques still settle in ~2 rounds, and
+    * the long sorted-neighborhood overflow CHAINS the bounded-block
+    * dedup path emits (an exact-copy family recalls as an id-ordered
+    * chain of diameter n/window) settle in ~log₂ n — the plain-hop
+    * variant silently hit `maxIter` there and returned PARTIAL labels
+    * (caught by the 1M `dbscanfam` probe: a 10k-member planted family
+    * fragmented at 24 hops). Non-convergence now throws.
+    *
+    * Each round is a bucket-keyed shuffle join + a labels-sized
+    * self-join, never anything O(n²). The symmetric edge list is cached
+    * once and labels are checkpointed per round through `checkpoint` to
+    * cut the iterative lineage. The default is `localCheckpoint` (fast,
     * executor-local — fine single-node); a multi-executor deployment
     * passes `IO.durableCheckpoint(_, dir)` so per-round state lands on
     * durable shared storage and survives executor loss.
@@ -447,7 +456,7 @@ object Dedup {
     * Returns one row per node: (`id`, `cluster`) with `cluster` = the
     * minimum id reachable from `id`.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 24,
+  def connectedComponents(edges: DataFrame, maxIter: Int = 48,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
@@ -458,29 +467,41 @@ object Dedup {
     var labels = checkpoint(sym.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("cluster")))
 
-    def hop(l: DataFrame): DataFrame = {
+    // one round: neighbor-min hop, then pointer jump through the
+    // hopped labels (label := min(label, label[label]))
+    def round(l: DataFrame): DataFrame = {
       val nbrMin = sym
         .join(l.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nbr"))
-      l.join(nbrMin, "id")
+      val hopped = l.join(nbrMin, "id")
         .select(col("id"), least(col("cluster"), col("nbr")).as("cluster"),
           (col("nbr") < col("cluster")).as("__chg"))
+      hopped.alias("a")
+        .join(hopped.select(col("id").as("__pid"),
+          col("cluster").as("__pc")).alias("b"),
+          col("a.cluster") === col("b.__pid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"), coalesce(col("b.__pc"), col("a.cluster")))
+            .as("cluster"),
+          (col("a.__chg") ||
+            (coalesce(col("b.__pc"), col("a.cluster")) < col("a.cluster")))
+            .as("__chg"))
     }
 
-    // two hops per materialization+convergence probe: per-round job
-    // overhead (checkpoint write + probe) is the dominant cost for the
-    // shallow diameters dup clusters have, so check half as often; the
-    // probe is an existence scan of the cached partitions, not a count
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = checkpoint(hop(hop(labels).drop("__chg")))
+      val next = checkpoint(round(labels))
       converged = next.filter(col("__chg")).isEmpty
       labels.unpersist()
       labels = next.drop("__chg")
-      iter += 2
+      iter += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "with pointer jumping this needs diameter > 2^maxIter; " +
+        "check the edge relation")
     sym.unpersist()
     labels
   }
