@@ -1016,6 +1016,16 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // X-dedupeval: LSH detection-quality harness — exact prefix-filter
+    // shingle-Jaccard ground truth vs the raw band-bucket candidate
+    // set; hash-dependent recall/precision stay engine-side, the
+    // output is the exact truth count + the error-contract booleans
+    "q_x_dedup_eval" -> ((s, dir) =>
+      graft.operators.Dedup.lshRecallEval(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8,
+        minRecall = 0.95, minPrecision = 0.05)),
+
     // X-clustersplit: dedup-AWARE train/val/test folds — near-dup
     // cluster members share a fold (no eval row has a near-copy in
     // train); folds are salted-hash cuts of the content-derived
@@ -4131,6 +4141,24 @@ object SparkEntry {
         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
         |SELECT a AS id, LEAST(a, MIN(b)) AS cluster
         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+
+    // dedup eval: the exact shingle-Jaccard edge census (the
+    // q_x_dup_clusters relation) + the contract booleans as literals
+    "q_x_dedup_eval" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |edges AS (
+        |  SELECT a.doc_id id1, b.doc_id id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok,
+        |  TRUE AS precision_ok
+        |FROM edges""".stripMargin,
 
     // Dedup-aware folds: the q_x_dup_clusters closure feeding the
     // q_d_group_split md5-threshold idiom on the CLUSTER id

@@ -170,6 +170,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Detection-quality eval of the MinHash-LSH CANDIDATE stage against
+    * exact ground truth — the "is my dedup recall actually what the
+    * banding math promises" harness a production pipeline runs before
+    * trusting an LSH parameterization. Ground truth is the exact
+    * prefix-filtered shingle-Jaccard join
+    * ([[SetSimJoin.jaccardShingleJoin]] — recall 1 by construction);
+    * detected is the raw band-bucket candidate set (BEFORE exact
+    * verification, so precision is the banding's real false-positive
+    * profile).
+    *
+    * Scale shape: both pair sets are bounded joins (prefix posting
+    * lists / band buckets), intersected with one pair-keyed semi-join;
+    * the three readouts are scalar counts. The hash-dependent recall
+    * and precision stay engine-side; the OUTPUT is the exact truth
+    * count plus the error-contract booleans (the q_a_hll / ANN
+    * within-bound pattern), so the gate is fully hash-oracled.
+    *
+    * Output: one row (n_truth, recall_ok, precision_ok). */
+  def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, minRecall: Double = 0.95,
+      minPrecision: Double = 0.05): DataFrame = {
+    val truth = SetSimJoin.jaccardShingleJoin(df, idCol, textCol,
+      shingleN, threshold).select(col("id1"), col("id2"))
+      .localCheckpoint()
+    val shingled = df.select(col(idCol),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sig = shingled.select(col(idCol),
+      minhashSignature(col("sh"), k).as("sig"))
+    val cand = lshCandidates(lshBands(sig, idCol, "sig", k, bands), idCol)
+      .localCheckpoint()
+    val nTruth = truth.count()
+    require(nTruth > 0, "no ground-truth pairs at this threshold — " +
+      "the recall contract is vacuous")
+    val nCand = cand.count()
+    val tp = truth.join(cand, Seq("id1", "id2"), "left_semi").count()
+    val recall = tp.toDouble / nTruth
+    val precision = if (nCand == 0) 0.0 else tp.toDouble / nCand
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nTruth, recall >= minRecall, precision >= minPrecision))
+      .toDF("n_truth", "recall_ok", "precision_ok")
+  }
+
   // ───────────────────────── SimHash ─────────────────────────
 
   /** Adds a 64-bit SimHash fingerprint column: per bit j, sum ±1 over the

@@ -37,12 +37,31 @@ object SetSimJoin {
     * no tokens cannot pair. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
     val toks = df
       .select(col(idCol).as("__id"),
         explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("__t"))
       .where(length(col("__t")) > 0)
+    pairsFromTokens(toks, threshold)
+  }
+
+  /** [[jaccardJoin]] in word-SHINGLE space (distinct n-gram shingles,
+    * [[Dedup.shingles]] semantics) — the exact ground truth for the
+    * MinHash-LSH near-dup path, which blocks on the same shingle sets:
+    * recall/precision of the LSH candidate stage are measured against
+    * THIS relation ([[Dedup.lshRecallEval]]). Same prefix-filter scale
+    * shape; recall of the exact join itself is 1 by construction. */
+  def jaccardShingleJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"),
+        explode(Dedup.shingles(col(textCol), shingleN)).as("__t"))
+    pairsFromTokens(toks, threshold)
+  }
+
+  private def pairsFromTokens(toks: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val dfs = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     // per-doc token array in global (df, token) rarity order — struct
     // sort is lexicographic by field, so no dense global rank is needed

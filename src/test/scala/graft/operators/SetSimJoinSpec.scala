@@ -77,4 +77,43 @@ class SetSimJoinSpec extends SparkSpec {
       ("books", "books") -> ((1L, 1.0)) // 3-4
     ))
   }
+
+  test("jaccardShingleJoin: exact trigram-shingle pairs") {
+    import spark.implicits._
+    // doc1/doc2 share 4 of their shingles; doc3 unrelated.
+    // doc1 shingles: {a b c, b c d, c d e} ; doc2: {a b c, b c d, c d e,
+    // d e f} → jaccard = 3/4 = 0.75
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("id", "text")
+    val at07 = SetSimJoin.jaccardShingleJoin(docs, "id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(at07.toSeq == Seq((1L, 2L, 0.75)))
+    val at08 = SetSimJoin.jaccardShingleJoin(docs, "id", "text", 3, 0.8)
+    assert(at08.isEmpty)
+  }
+
+  test("lshRecallEval: identical docs are found with full recall") {
+    import spark.implicits._
+    val long1 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val long2 = (41 to 70).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long1), (2L, long1), (3L, long2))
+      .toDF("id", "text")
+    val r = Dedup.lshRecallEval(docs, "id", "text",
+      minRecall = 1.0, minPrecision = 0.5).head()
+    assert(r.getAs[Long]("n_truth") == 1L)
+    assert(r.getAs[Boolean]("recall_ok"))
+    assert(r.getAs[Boolean]("precision_ok"))
+  }
+
+  test("lshRecallEval refuses a vacuous (empty-truth) contract") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (2L, (41 to 70).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshRecallEval(docs, "id", "text")
+    }
+    assert(e.getMessage.contains("vacuous"))
+  }
 }
