@@ -2785,6 +2785,12 @@ object SparkEntry {
         .select(col("event_id"), col("calibrated"))
         .orderBy(col("event_id"))),
 
+    // F-isotonic: PAV calibration repair of the discrete forecast (the
+    // q_a_brier panel) — one bin aggregate is the data-scale pass, the
+    // exact-integer PAV runs driver-side on the config-sized panel
+    "q_f_isotonic" -> ((s, dir) =>
+      graft.operators.Calibration.isotonicGate(t(s, dir, "lineitem"), dir)),
+
     // A-trimmed: 10% trimmed mean per group — exact per-group
     // percentile bounds joined back (AQE broadcasts the group panel),
     // decimal-exact mean of the surviving band
@@ -7545,6 +7551,10 @@ object SparkEntry {
     // procrustes: dump-time memo twin — literal rotation rows, same
     // planted pair, left-fold dots, round-6 cosine, round-9 residuals
     "q_x_procrustes" -> graft.operators.Alignment.procrustesOracleSql(),
+
+    // isotonic: bins + raw rates recomputed independently; the PAV
+    // fit joins in as dump-time memo literals (spec-gated solve)
+    "q_f_isotonic" -> graft.operators.Calibration.isotonicOracleSql(),
 
     // seasonal backtest: identical profile fit + scored join
     "q_t_forecast" ->
