@@ -641,6 +641,15 @@ object SparkEntry {
       graft.operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
+    // X-negatives: hard-negative mining for contrastive training —
+    // bounded broadcast anchor batch × one linear corpus scan
+    // (label-mismatch filtered map-side), per-anchor top-3 window
+    "q_x_hard_negatives" -> ((s, dir) =>
+      graft.operators.Similarity.hardNegatives(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          col("vec_id") < 10, k = 3)
+        .orderBy(col("qid"), col("rank"))),
+
     // X-text: winnowed 64-bit document fingerprint over the PLANTED
     // corpus — xxhash64 is engine-specific, so the oracle is the
     // independently-computed golden VALUES table
@@ -4122,6 +4131,23 @@ object SparkEntry {
         |       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // hard negatives: same anchor batch, cross-label scoring, and
+    // (cos desc, neg) tie rule
+    "q_x_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS qlab
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.qid, e.vec_id AS neg,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e JOIN q ON e.label <> q.qlab)
+        |SELECT qid, CAST(rn AS INTEGER) AS rank, neg, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, neg) AS rn
+        |  FROM s)
+        |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
 
     // Connected-components closure of the exact near-dup pair set (all
     // pairs at trigram jaccard >= 0.8; the Spark side reaches the same

@@ -787,4 +787,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** HARD-NEGATIVE mining for contrastive training: for each anchor
+    * (a bounded, broadcastable batch selected by `anchorPred`), the
+    * top-`k` most-similar corpus rows with a DIFFERENT label — the
+    * near-miss examples a contrastive/triplet objective learns most
+    * from (random negatives are trivially separable; the hard ones
+    * sit just across the decision boundary).
+    *
+    * Scale shape: the [[batchTopK]] / q_x_ndcg pattern — anchors
+    * broadcast against one linear corpus scan (the label-mismatch
+    * filter runs map-side inside it), then a per-anchor top-k window
+    * over the anchor-keyed scores. Anchor batches must stay bounded
+    * (they broadcast); mine a large anchor set in batches.
+    *
+    * Output: (`qid`, `rank`, `neg`, `cos`), rank 1..k, ties to the
+    * lowest negative id. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchorPred: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
+    val anchors = corpus.where(anchorPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        col(labelCol).as("__qlab"))
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .where(col(labelCol) =!= col("__qlab"))
+      .select(col("qid"), col(idCol).as("neg"),
+        round(VectorExprs.cosine(col(vecCol), col("__qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neg"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neg"), col("cos"))
+  }
 }

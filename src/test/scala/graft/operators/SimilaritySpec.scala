@@ -246,4 +246,21 @@ class SimilaritySpec extends SparkSpec {
       "label", dim = 2).select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(mnn == Set((1L, 2L), (10L, 11L)), s"MNN over a null block: $mnn")
   }
+
+  test("hardNegatives ranks cross-label rows by cosine, skips own label") {
+    import spark.implicits._
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // anchor 1 (label a, 0°); same-label 2 at 1° must NOT appear;
+    // label-b rows at 10°, 30°, 80° rank by angle
+    val rows = Seq((1L, "a", v(0)), (2L, "a", v(1)),
+      (10L, "b", v(10)), (11L, "b", v(30)), (12L, "b", v(80)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(rows, "vec_id", "embedding",
+        "label", col("vec_id") === 1, k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neg")))
+    assert(got.toSeq == Seq((1L, 1, 10L), (1L, 2, 11L)))
+  }
 }
