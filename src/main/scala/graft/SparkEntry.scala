@@ -7187,11 +7187,15 @@ object SparkEntry {
         |      CAST(2 * p + ct + 1 AS DECIMAL(19,0))) AS DOUBLE) AS r1d
         |  FROM pre)
         |SELECT n1 AS n_pos, nt - n1 AS n_neg,
-        |  ROUND((r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) /
-        |    (2.0 * CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE)), 6) AS auc,
-        |  ROUND(2.0 * ((r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) /
-        |    (2.0 * CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE))) - 1.0, 6)
-        |    AS gini
+        |  CASE WHEN n1 > 0 AND n1 < nt THEN
+        |    ROUND((r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) /
+        |      (2.0 * CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE)), 6)
+        |  END AS auc,
+        |  CASE WHEN n1 > 0 AND n1 < nt THEN
+        |    ROUND(2.0 * ((r1d - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE)
+        |      + 1.0)) /
+        |      (2.0 * CAST(n1 AS DOUBLE) * CAST(nt - n1 AS DOUBLE))) - 1.0, 6)
+        |  END AS gini
         |FROM a""".stripMargin,
 
     // Brier: identical bin relation (the shared-double product key),

@@ -271,6 +271,8 @@ object Funnel {
     // channel-sorted left-fold — mirrored verbatim by the oracle's
     // explicit + chain (SQL + parses left-associative)
     val denom = effects.map(_._3).foldLeft(0.0)(_ + _)
+    require(denom != 0.0, "every removal effect is zero — no channel " +
+      "influences conversion; shares are undefined")
     val spark = events.sparkSession
     import spark.implicits._
     effects.map { case (c, pc, r) =>

@@ -942,10 +942,12 @@ object Profiling {
     val n0 = (col("__nt") - col("__n1")).cast("double")
     val auc = (col("__r1d").cast("double") - n1 * (n1 + lit(1.0))) /
       (lit(2.0) * n1 * n0)
+    // single-class input: AUC undefined — null, not a NaN/÷0 artifact
+    val defined = col("__n1") > 0 && col("__n1") < col("__nt")
     agg.select(col("__n1").cast("bigint").as("n_pos"),
       (col("__nt") - col("__n1")).cast("bigint").as("n_neg"),
-      round(auc, 6).as("auc"),
-      round(lit(2.0) * auc - lit(1.0), 6).as("gini"))
+      when(defined, round(auc, 6)).as("auc"),
+      when(defined, round(lit(2.0) * auc - lit(1.0), 6)).as("gini"))
   }
 
   /** Murphy decomposition of the Brier score over a discrete forecast

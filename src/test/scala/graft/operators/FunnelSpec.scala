@@ -173,4 +173,23 @@ class FunnelSpec extends SparkSpec {
     assert(view.getAs[Double]("removal_effect") == 0.0)
     assert(view.getAs[Double]("share") == 0.0)
   }
+
+  test("markovRemovalEffects rejects an all-zero-effect model") {
+    import spark.implicits._
+    // the only journey converts without touching any declared channel
+    // beyond the untraversed 'view': START→click→CONV with channels
+    // (view) only would drop click... instead: conversion happens with
+    // no channel influence — every declared channel's removal leaves
+    // P(conv) unchanged, shares are 0/0
+    val ev = Seq((1L, 1L, 1L, "click"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "view"))
+      .toDF("u", "ts", "eid", "t")
+    // removing 'view' changes nothing (non-converting branch only):
+    // declare ONLY view as a channel → denom = 0 → loud error
+    val e = intercept[IllegalArgumentException] {
+      Funnel.markovRemovalEffects(ev, "u", "ts", "eid", "t",
+        Seq("view"), "purchase", iters = 5)
+    }
+    assert(e.getMessage.contains("removal effect"))
+  }
 }

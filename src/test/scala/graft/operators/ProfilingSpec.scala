@@ -479,6 +479,11 @@ class ProfilingSpec extends SparkSpec {
     // layout independence
     val re = Profiling.rocAuc(tied.repartition(5), "y", "v").head()
     assert(re.getAs[Double]("auc") == 0.875)
+    // single-class input: AUC/gini null, counts still reported
+    val mono = Seq((true, 1.0), (true, 2.0)).toDF("y", "v")
+    val m = Profiling.rocAuc(mono, "y", "v").head()
+    assert(m.getAs[Long]("n_pos") == 2L && m.getAs[Long]("n_neg") == 0L)
+    assert(m.isNullAt(m.fieldIndex("auc")) && m.isNullAt(m.fieldIndex("gini")))
   }
 
   test("brierDecomposition: hand case satisfies Murphy identity") {
