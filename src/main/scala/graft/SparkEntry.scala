@@ -3111,6 +3111,12 @@ object SparkEntry {
       graft.operators.Pca.pcaGate(t(s, dir, "embeddings"), dir)
         .orderBy(col("vec_id"))),
 
+    // X-outliers: whitened-subspace outlier mining — Mahalanobis
+    // distance in the kept PCA subspace as one map-side pass over the
+    // memoized model, top-k via TakeOrderedAndProject
+    "q_x_outliers" -> ((s, dir) =>
+      graft.operators.Pca.pcaOutlierGate(t(s, dir, "embeddings"), dir)),
+
     // X-procrustes: embedding-version alignment — one dim² cross-moment
     // aggregate + driver polar-factor solve (Jacobi on MᵀM), then one
     // map-side residual pass scoring the shipped float rotation against
@@ -7585,6 +7591,10 @@ object SparkEntry {
     // isotonic: bins + raw rates recomputed independently; the PAV
     // fit joins in as dump-time memo literals (spec-gated solve)
     "q_f_isotonic" -> graft.operators.Calibration.isotonicOracleSql(),
+
+    // outliers: whitened-projection twin as a subquery, same
+    // left-fold squared norm and top-k tie rule
+    "q_x_outliers" -> graft.operators.Pca.pcaOutlierOracleSql(),
 
     // seasonal backtest: identical profile fit + scored join
     "q_t_forecast" ->

@@ -198,6 +198,43 @@ object Pca {
     projectWhitened(emb, "vec_id", "embedding", model)
   }
 
+  /** The q_x_outliers gate body: whitened-subspace outlier mining —
+    * the per-row Mahalanobis distance IN THE KEPT SUBSPACE is the norm
+    * of the whitened projection, so the embedding-curation question
+    * "which rows are far from everything" is one map-side pass over
+    * the memoized model + a top-k (TakeOrderedAndProject, no global
+    * sort). Score = √(Σ pc_c²) on the round-6 whitened components
+    * (shared doubles — *, +, √ are IEEE-safe), round 6. */
+  def pcaOutlierGate(emb: DataFrame, dir: String, k: Int = 20,
+      dim: Int = 64): DataFrame = {
+    val model = gateCache.computeIfAbsent(dir,
+      _ => fit(emb, "embedding", dim, k = 2))
+    lastDir = Some(dir)
+    val p = projectWhitened(emb, "vec_id", "embedding", model)
+    val score = round(sqrt(model.components.indices
+      .map(i => col(s"pc${i + 1}") * col(s"pc${i + 1}"))
+      .reduce(_ + _)), 6)
+    p.select(col("vec_id"), score.as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Generated twin of [[pcaOutlierGate]]: the whitened-projection
+    * oracle as a subquery, the same left-fold squared norm. */
+  def pcaOutlierOracleSql(table: String = "embeddings",
+      k: Int = 20): String =
+    lastDir.flatMap(d => Option(gateCache.get(d))) match {
+      case None =>
+        "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) " +
+          "AS score WHERE FALSE"
+      case Some(model) =>
+        val norm = model.components.indices
+          .map(i => s"pc${i + 1} * pc${i + 1}").mkString(" + ")
+        s"""SELECT vec_id, ROUND(sqrt($norm), 6) AS score
+           |FROM (${pcaOracleSql(table, whiten = true)})
+           |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+    }
+
   /** Generated twin of [[pcaGate]]: components inline as DOUBLE[]
     * literals, the same dot fold and offset literal, round-6. With
     * `whiten`, the twin of [[pcaWhitenGate]]: divide by sqrt(λ_c) with

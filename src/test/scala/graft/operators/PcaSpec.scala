@@ -93,4 +93,23 @@ class PcaSpec extends SparkSpec {
     assert(bad == 0, "pvec disagrees with the column projection")
     assert(packed.schema("pvec").dataType.simpleString == "array<float>")
   }
+
+  test("whitened outlier score surfaces a planted extreme point") {
+    import spark.implicits._
+    // tight 2D blob + one far point along the dominant axis: the
+    // planted extreme must carry the largest whitened norm
+    val rnd = new scala.util.Random(11)
+    val blob = (1 to 80).map(i => (i.toLong,
+      Seq((rnd.nextGaussian() * 0.1).toFloat,
+        (rnd.nextGaussian() * 0.1).toFloat)))
+    val rows = blob :+ (999L, Seq(3.0f, 0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, "embedding", 2, 2)
+    val p = Pca.projectWhitened(df, "vec_id", "embedding", model)
+    val score = org.apache.spark.sql.functions.sqrt(
+      col("pc1") * col("pc1") + col("pc2") * col("pc2"))
+    val top = p.select(col("vec_id"), score.as("s"))
+      .orderBy(col("s").desc).limit(1).head()
+    assert(top.getLong(0) == 999L, s"expected the planted outlier, got $top")
+  }
 }
