@@ -84,5 +84,26 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // The driver's per-round artifact keeps only the LAST 2000 chars of
+    // stdout and tries to parse a JSON line from them — the full line
+    // above (~15 KB at 270+ queries) never fits, so every BENCH_r*.json
+    // through round 7 carried `parsed: null` plus a mid-JSON tail blob.
+    // Emit a COMPACT line (bounded < ~1900 chars) as the very last stdout,
+    // after spark.stop() so no executor log write can interleave: totals,
+    // medians pointer, and the slowest queries that fit the budget. Full
+    // per-query detail lives in BENCH_LAST.json (which the judge reads).
+    def r3(v: Double): String = f"$v%.3f"
+    val totalMed = names.map(n => median(samples(n))).filter(_ >= 0).sum
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_median":${r3(totalMed)},"n_queries":${names.size},"full":"$outFile","sf":"$sfDir","queries":{"""
+    val budget = 1900 - head.length - 2
+    val sb = new StringBuilder
+    slowest.foreach { case (k, v) =>
+      val entry = (if (sb.nonEmpty) "," else "") + "\"" + k + "\":" + r3(v)
+      if (sb.length + entry.length <= budget) sb.append(entry)
+    }
+    System.out.println()
+    System.out.println(head + sb.toString + "}}")
+    System.out.flush()
   }
 }

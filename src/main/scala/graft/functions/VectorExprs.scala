@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 object VectorExprs {
 
-  /** cosine(a, b) ∈ [-1, 1]; null if either side is null or a norm is 0. */
+  /** cosine(a, b) ∈ [-1, 1]; null if either side is null or a norm is 0.
+    * THROWS on a length mismatch (as DuckDB's `list_cosine_similarity`
+    * does) — a ragged corpus must fail loudly, never prefix-truncate. */
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -50,6 +52,18 @@ object VectorExprs {
     ColumnBridge.column(NearestCentroidCosine(ColumnBridge.expression(v), cents))
 }
 
+/** Shared loud-failure contract for the vector expressions: a length
+  * mismatch is a data bug (ragged corpus, wrong model dim), never
+  * something to silently prefix-truncate — DuckDB's `list_cosine_similarity`
+  * errors on mismatch and these expressions now mirror that. Public (not
+  * package-private) because generated codegen classes call it. */
+object VectorExprContract {
+  def mismatch(op: String, n1: Int, n2: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$op: vector length mismatch ($n1 vs $n2) — inputs must share one dimension; " +
+        "pad/re-embed the ragged rows or filter them out explicitly")
+}
+
 abstract class FloatVectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -79,7 +93,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw VectorExprContract.mismatch(prettyName, n, y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xv = x.getFloat(i).toDouble
@@ -96,7 +111,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.VectorExprContract.mismatch("$prettyName", $n, $b.numElements());
+         |}
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $a.getFloat($i);
@@ -119,11 +137,14 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
   * ties to the lowest index. Distances accumulate left-to-right over the
   * dimensions (`0.0 + t_0 + t_1 + …`), matching a SQL `list_reduce`
   * fold — the property that keeps the clustering loop oracle-exact.
-  * Dimensions beyond `min(v.length, centroid.length)` are ignored; the
-  * caller guarantees equal lengths. */
+  * All centroids must share one dimension (checked at construction) and
+  * every input vector must match it (checked per row, throwing — see
+  * [[VectorExprContract]]). */
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression {
   require(cents.nonEmpty, "nearest_centroid needs at least one centroid")
+  require(cents.forall(_.length == cents(0).length),
+    s"nearest_centroid: centroids must share one dimension, got ${cents.map(_.length).distinct.mkString(",")}")
   override def prettyName: String = "nearest_centroid"
   override def dataType: DataType = IntegerType
 
@@ -138,11 +159,13 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val n = cents(0).length
+    if (x.numElements() != n)
+      throw VectorExprContract.mismatch(prettyName, x.numElements(), n)
     var best = 0; var bestD = Double.PositiveInfinity
     var cid = 0
     while (cid < cents.length) {
       val cv = cents(cid)
-      val n = math.min(x.numElements(), cv.length)
       var d = 0.0; var i = 0
       while (i < n) {
         val t = x.getDouble(i) - cv(i)
@@ -162,10 +185,13 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       val n = ctx.freshName("n"); val cv = ctx.freshName("cv")
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       s"""
+         |int $n = $m[0].length;
+         |if ($a.numElements() != $n) {
+         |  throw graft.functions.VectorExprContract.mismatch("$prettyName", $a.numElements(), $n);
+         |}
          |int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
          |for (int $cid = 0; $cid < $m.length; $cid++) {
          |  double[] $cv = $m[$cid];
-         |  int $n = java.lang.Math.min($a.numElements(), $cv.length);
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $t = $a.getDouble($i) - $cv[$i];
@@ -189,6 +215,8 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
 case class NearestCentroidCosine(child: Expression, cents: Array[Array[Float]])
     extends UnaryExpression {
   require(cents.nonEmpty, "nearest_centroid_cosine needs at least one centroid")
+  require(cents.forall(_.length == cents(0).length),
+    s"nearest_centroid_cosine: centroids must share one dimension, got ${cents.map(_.length).distinct.mkString(",")}")
   override def prettyName: String = "nearest_centroid_cosine"
   override def dataType: DataType = IntegerType
 
@@ -206,12 +234,13 @@ case class NearestCentroidCosine(child: Expression, cents: Array[Array[Float]])
     var nx = 0.0
     var i = 0
     val nv = x.numElements()
+    val n = cents(0).length
+    if (nv != n) throw VectorExprContract.mismatch(prettyName, nv, n)
     while (i < nv) { val xv = x.getFloat(i).toDouble; nx += xv * xv; i += 1 }
     var best = Double.NegativeInfinity; var bestCid = 0
     var cid = 0
     while (cid < cents.length) {
       val cv = cents(cid)
-      val n = math.min(nv, cv.length)
       var dot = 0.0; var ny = 0.0
       i = 0
       while (i < n) {
@@ -239,6 +268,10 @@ case class NearestCentroidCosine(child: Expression, cents: Array[Array[Float]])
       val best = ctx.freshName("best"); val bestCid = ctx.freshName("bestCid")
       s"""
          |int $nv = $a.numElements();
+         |int $n = $m[0].length;
+         |if ($nv != $n) {
+         |  throw graft.functions.VectorExprContract.mismatch("$prettyName", $nv, $n);
+         |}
          |double $nx = 0.0;
          |for (int $i = 0; $i < $nv; $i++) {
          |  double $xv = (double) $a.getFloat($i);
@@ -247,7 +280,6 @@ case class NearestCentroidCosine(child: Expression, cents: Array[Array[Float]])
          |double $best = Double.NEGATIVE_INFINITY; int $bestCid = 0;
          |for (int $cid = 0; $cid < $m.length; $cid++) {
          |  float[] $cv = $m[$cid];
-         |  int $n = java.lang.Math.min($nv, $cv.length);
          |  double $dot = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $xw = (double) $a.getFloat($i);
@@ -274,7 +306,8 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw VectorExprContract.mismatch(prettyName, n, y.numElements())
     var dot = 0.0; var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     java.lang.Double.valueOf(dot)
@@ -285,7 +318,10 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.VectorExprContract.mismatch("$prettyName", $n, $b.numElements());
+         |}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));

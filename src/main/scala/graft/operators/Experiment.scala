@@ -154,9 +154,18 @@ object Experiment {
       max(when(col("__t") === tv && col("__p") === pv,
         col("__s").cast("double") / col("__n").cast("double")))
     val agg = cells.agg(sum(col("__n")).as("__nn"),
+      count(lit(1)).as("__cells"),
       mean(false, false).as("__cpre"), mean(false, true).as("__cpost"),
       mean(true, false).as("__tpre"), mean(true, true).as("__tpost"))
-    agg.select(col("__nn").cast("bigint").as("n"),
+    // an empty (group, period) cell would propagate null through the
+    // estimate silently — fail loudly like the other degenerate edges
+    // (markovRemovalEffects, zero-effect attribution). The guard rides
+    // INSIDE the returned plan (assert_true is null on success, so the
+    // coalesce(+0) is a no-op) — no second pass over the input.
+    val guard = coalesce(assert_true(col("__cells") === 4,
+      lit("diffInDiffs: need all 4 (treat, post) cells non-empty"))
+      .cast("bigint"), lit(0L))
+    agg.select((col("__nn") + guard).cast("bigint").as("n"),
       round(col("__cpre"), 6).as("mean_c_pre"),
       round(col("__cpost"), 6).as("mean_c_post"),
       round(col("__tpre"), 6).as("mean_t_pre"),

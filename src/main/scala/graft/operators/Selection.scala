@@ -38,6 +38,15 @@ import graft.functions.VectorExprs
   * greedy selection; each pass is whole-stage-codegen'd map work
   * (j≤k fused cosine expressions) feeding a single partial-aggregated
   * 1-row max — shuffle bytes per round are O(#partitions), not O(n).
+  *
+  * INPUT CONTRACT: no zero-norm (or null) vectors. A zero-norm row
+  * has no cosine to anything — engine-side `least()` skips the null
+  * term while the DuckDB twin's `1.0 − NULL` lands wherever that
+  * engine's NULL ordering puts it, so the bit-identical-selection
+  * claim holds only over vectors with a defined cosine. Callers with
+  * dirty corpora must pre-filter (`VectorExprs.cosine(v, v).isNotNull`
+  * is the canonical predicate); the gate fixtures are generated
+  * non-zero by construction.
   */
 object Selection {
 

@@ -156,7 +156,13 @@ object Similarity {
     * `row_number() OVER (ORDER BY cos DESC, cid) = 1` (strict-greater
     * scan in ascending cid order, CosineSimilarity's left folds).
     * Null embeddings assign a null cid (the window form assigned the
-    * lowest cid — an unexercised degenerate; fixtures are non-null). */
+    * lowest cid — an unexercised degenerate; fixtures are non-null).
+    *
+    * Centroid-id contract: ids must be integral, non-null, and within
+    * Int range — they ride through an Int-typed literal panel and the
+    * output `cid` column is IntegerType regardless of the input id
+    * type. Non-integral (e.g. string) or wider ids fail loudly below;
+    * callers needing them should remap to a dense 0..k−1 codebook. */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidId: String = "cid",
       centroidVec: String = "cvec"): DataFrame = {
@@ -248,8 +254,11 @@ object Similarity {
     * census action, gate-body-only (never on a production path). */
   def requireBlocksWithin(df: DataFrame, groupCol: String, maxBlock: Int,
       what: String): Unit = {
-    val top = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head().getLong(0)
+    // max over an EMPTY relation is null — an empty fixture passes
+    // trivially (no block can exceed the cap) instead of NPE-ing here
+    val head = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val top = if (head.isNullAt(0)) 0L else head.getLong(0)
     require(top <= maxBlock,
       s"$what: largest '$groupCol' block ($top rows) exceeds maxBlock=" +
         s"$maxBlock — the engine would refine but the exhaustive oracle " +

@@ -227,6 +227,59 @@ class SimilaritySpec extends SparkSpec {
     assert(df.head().isNullAt(0), "zero-norm cosine must be null")
   }
 
+  test("ragged vector lengths THROW — no silent prefix truncation") {
+    // the pre-round-8 expressions clamped to min(len) (CosineSimilarity)
+    // or mixed a full-length ‖x‖ with truncated dot/‖c‖ (the argmax) —
+    // plausible-but-wrong on a ragged corpus, and divergent from
+    // DuckDB's list_cosine_similarity (which errors). Contract now:
+    // loud IllegalArgumentException, same in codegen AND interpreted.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, DoubleType}
+    import graft.functions.{CosineSimilarity, DotProduct, NearestCentroid, NearestCentroidCosine}
+    val a2 = typedLit(Seq(1.0f, 2.0f)); val a3 = typedLit(Seq(1.0f, 2.0f, 3.0f))
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    // codegen path (DataFrame select over non-null literals)
+    for (expr <- Seq(VectorExprs.cosine(a2, a3), VectorExprs.dot(a3, a2))) {
+      val e = intercept[Throwable] { spark.range(1).select(expr.as("v")).head() }
+      assert(rootMsg(e).contains("length mismatch"), rootMsg(e))
+    }
+    val cc = VectorExprs.nearestCentroidCosine(a3,
+      Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+    val e1 = intercept[Throwable] { spark.range(1).select(cc.as("v")).head() }
+    assert(rootMsg(e1).contains("length mismatch"), rootMsg(e1))
+    // interpreted path (direct eval, no codegen anywhere)
+    val l2 = Literal.create(Seq(1.0f, 2.0f), ArrayType(FloatType, false))
+    val l3 = Literal.create(Seq(1.0f, 2.0f, 3.0f), ArrayType(FloatType, false))
+    val d3 = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType, false))
+    assert(intercept[IllegalArgumentException] {
+      CosineSimilarity(l2, l3).eval(InternalRow.empty)
+    }.getMessage.contains("length mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      DotProduct(l3, l2).eval(InternalRow.empty)
+    }.getMessage.contains("length mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      NearestCentroidCosine(l3, Array(Array(1.0f, 0.0f))).eval(InternalRow.empty)
+    }.getMessage.contains("length mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      NearestCentroid(d3, Array(Array(1.0, 0.0))).eval(InternalRow.empty)
+    }.getMessage.contains("length mismatch"))
+    // ragged CENTROID panels are rejected at construction
+    assert(intercept[IllegalArgumentException] {
+      NearestCentroidCosine(l2, Array(Array(1.0f, 0.0f), Array(1.0f)))
+    }.getMessage.contains("share one dimension"))
+    // equal-length inputs still work through both paths
+    assert(math.abs(spark.range(1)
+      .select(VectorExprs.cosine(a2, a2).as("v")).head().getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(CosineSimilarity(l3, l3).eval(InternalRow.empty)
+      .asInstanceOf[Double] - 1.0) < 1e-9)
+  }
+
   test("null blocks pair among themselves (null-safe block key)") {
     // the refineOversizedBlocks contract says a null block is one more
     // block — boundedBlockPairs must honor it through a NULL-SAFE join
