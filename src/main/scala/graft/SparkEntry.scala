@@ -2800,6 +2800,12 @@ object SparkEntry {
     "q_f_isotonic" -> ((s, dir) =>
       graft.operators.Calibration.isotonicGate(t(s, dir, "lineitem"), dir)),
 
+    // F-calibrate: APPLY side of the isotonic fit — per-row map-side
+    // step-function lookup (literal threshold/rate arrays, no join) of
+    // a score the fit never saw, then a (score, score_iso) census
+    "q_f_calibrate" -> ((s, dir) =>
+      graft.operators.Calibration.calibrateGate(t(s, dir, "lineitem"), dir)),
+
     // A-trimmed: 10% trimmed mean per group — exact per-group
     // percentile bounds joined back (AQE broadcasts the group panel),
     // decimal-exact mean of the surviving band
@@ -7591,6 +7597,10 @@ object SparkEntry {
     // isotonic: bins + raw rates recomputed independently; the PAV
     // fit joins in as dump-time memo literals (spec-gated solve)
     "q_f_isotonic" -> graft.operators.Calibration.isotonicOracleSql(),
+
+    // calibrate-apply: fitted map as memo VALUES; the step lookup is
+    // recomputed independently as a correlated last-threshold subquery
+    "q_f_calibrate" -> graft.operators.Calibration.calibrateOracleSql(),
 
     // outliers: whitened-projection twin as a subquery, same
     // left-fold squared norm and top-k tie rule

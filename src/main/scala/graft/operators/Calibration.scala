@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Isotonic (monotone non-decreasing) calibration of a discrete
@@ -46,6 +46,26 @@ object Calibration {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq.fill(b)(r)
     }
+  }
+
+  /** APPLY side of the fit — the step a serving pipeline actually
+    * ships: map `score` through the fitted monotone (threshold → rate)
+    * map as a pure MAP-SIDE expression. The ≤1024-bin fit rides as two
+    * literal arrays; the lookup is "rate of the LAST threshold ≤ score"
+    * (the isotonic step function), realized as a codegen'd HOF count of
+    * thresholds ≤ score + element_at — no join, no shuffle, no UDF.
+    * Scores below the first threshold clamp to the first rate (standard
+    * isotonic extrapolation clamps both ends; above-range scores take
+    * the last rate by the same rule). Comparisons are on shared doubles,
+    * so a DuckDB twin reproduces the lookup bit-for-bit. */
+  def calibrateColumn(score: Column, fit: Seq[(Double, Double)]): Column = {
+    require(fit.nonEmpty && fit.size <= 1024,
+      s"config-sized fitted map required, got ${fit.size} bins")
+    val ths = fit.map(_._1)
+    require(ths == ths.sorted && ths.distinct == ths,
+      "fit thresholds must be strictly ascending")
+    val idx = size(filter(typedLit(ths), t => t <= score))
+    element_at(typedLit(fit.map(_._2)), greatest(idx, lit(1)))
   }
 
   // ───────── q_f_isotonic gate + generated oracle (memo) ─────────
@@ -113,5 +133,68 @@ object Calibration {
            |  i.rate_iso
            |FROM bins b JOIN iso i ON b.p = i.p
            |ORDER BY b.p""".stripMargin
+    }
+
+  /** The q_f_calibrate gate body: fit on the discount panel (same memo
+    * as [[isotonicGate]]), then APPLY per-row to a score the fit never
+    * saw — `l_tax·10 + 0.05` lands strictly BETWEEN the discount-grid
+    * thresholds, so every row exercises the step-function floor lookup,
+    * not an exact-hit join. Per-row apply first (the serving shape),
+    * then a (score, score_iso) census for a bounded gate output. The
+    * score arithmetic is IEEE ops on shared doubles (decimal→double
+    * cast + literal multiply/add), bit-identical across engines. */
+  def calibrateGate(lineitem: DataFrame, dir: String): DataFrame = {
+    val memo = gateCache.computeIfAbsent(dir, _ => {
+      val rows = lineitem
+        .where(col("l_discount").isNotNull && col("l_returnflag").isNotNull)
+        .groupBy((col("l_discount") * lit(10.0)).as("__p"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("__s"))
+        .collect()
+      require(rows.length <= 1024, "bin panel must be config-sized")
+      val bins = rows.toSeq
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      IsoMemo(bins, pavFit(bins))
+    })
+    lastDir = Some(dir)
+    val fit = memo.bins.map(_._1).zip(memo.fitted)
+    lineitem.where(col("l_tax").isNotNull)
+      .select((col("l_tax").cast("double") * lit(10.0) + lit(0.05))
+        .as("score"))
+      .withColumn("score_iso", calibrateColumn(col("score"), fit))
+      .groupBy(col("score"), col("score_iso"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("score"))
+  }
+
+  /** Generated twin of [[calibrateGate]]: scores and the census
+    * recomputed from parquet; the fitted map inlined as VALUES from the
+    * memo; the step lookup recomputed INDEPENDENTLY as a correlated
+    * "last threshold ≤ score" subquery (no HOF semantics shared with
+    * the engine). */
+  def calibrateOracleSql(table: String = "lineitem"): String =
+    lastDir.flatMap(d => Option(gateCache.get(d))) match {
+      case None =>
+        "SELECT CAST(NULL AS DOUBLE) AS score, CAST(NULL AS DOUBLE) AS score_iso, " +
+          "CAST(NULL AS BIGINT) AS n WHERE FALSE"
+      case Some(memo) =>
+        val vals = memo.bins.zip(memo.fitted)
+          .map { case ((p, _, _), iso) => s"($p, $iso)" }
+          .mkString(", ")
+        s"""WITH iso AS (SELECT * FROM (VALUES $vals) v(p, rate_iso)),
+           |c AS (
+           |  SELECT CAST(l_tax AS DOUBLE) * 10.0 + 0.05 AS score
+           |  FROM $table WHERE l_tax IS NOT NULL),
+           |s AS (
+           |  SELECT score, CAST(count(*) AS BIGINT) AS n
+           |  FROM c GROUP BY score)
+           |SELECT s.score,
+           |  COALESCE(
+           |    (SELECT i.rate_iso FROM iso i WHERE i.p <= s.score
+           |     ORDER BY i.p DESC LIMIT 1),
+           |    (SELECT i.rate_iso FROM iso i ORDER BY i.p LIMIT 1)) AS score_iso,
+           |  s.n
+           |FROM s ORDER BY s.score""".stripMargin
     }
 }

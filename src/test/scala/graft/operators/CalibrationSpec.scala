@@ -49,3 +49,48 @@ class CalibrationSpec extends AnyFunSuite {
       Calibration.pavFit(Seq((0.0, 0L, 0L))))
   }
 }
+
+/** APPLY side: the step-function lookup over a fitted map, as a Spark
+  * expression (codegen'd HOF — needs a session). */
+class CalibrateApplySpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val fit = Seq((0.1, 0.2), (0.3, 0.25), (0.7, 0.6))
+
+  test("calibrateColumn is the isotonic step function with clamped ends") {
+    val scores = Seq(0.05, 0.1, 0.2, 0.3, 0.69, 0.7, 0.95)
+    val out = scores.toDF("s")
+      .select(col("s"), Calibration.calibrateColumn(col("s"), fit).as("c"))
+      .orderBy("s").as[(Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0.05, 0.2),  // below first threshold clamps to the first rate
+      (0.1, 0.2), (0.2, 0.2),
+      (0.3, 0.25), (0.69, 0.25),
+      (0.7, 0.6), (0.95, 0.6))) // above last clamps to the last rate
+  }
+
+  test("calibrateColumn output is monotone in the score (random maps)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val bins = (0 until 8).map(i =>
+        (i.toDouble, 1L + rnd.nextInt(9).toLong,
+          rnd.nextInt(10).toLong)).map { case (p, n, s) => (p, n, math.min(s, n)) }
+      val f = bins.map(_._1).zip(Calibration.pavFit(bins))
+      val scores = (0 until 40).map(_ => rnd.nextDouble() * 9 - 1)
+      val out = scores.toDF("s")
+        .select(col("s"), Calibration.calibrateColumn(col("s"), f).as("c"))
+        .orderBy("s").as[(Double, Double)].collect()
+      out.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._2 <= w(1)._2, s"not monotone: ${out.toSeq}")
+      }
+    }
+  }
+
+  test("calibrateColumn validates the fitted map") {
+    intercept[IllegalArgumentException](
+      Calibration.calibrateColumn(col("s"), Nil))
+    intercept[IllegalArgumentException](
+      Calibration.calibrateColumn(col("s"), Seq((0.3, 0.1), (0.1, 0.2))))
+  }
+}
