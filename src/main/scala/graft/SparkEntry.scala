@@ -3132,6 +3132,14 @@ object SparkEntry {
       graft.operators.Alignment.procrustesGate(t(s, dir, "embeddings"),
         dir)),
 
+    // X-pipeline5: serve-while-backfilling capstone — old-space queries
+    // align through the fitted rotation, then hit the NEW-space IVF
+    // index (fused map-side assign both sides, one block-keyed top-1
+    // join); per-centroid census of self-retrieval + mean cosine
+    "q_x_pipeline5" -> ((s, dir) =>
+      graft.operators.Alignment.alignedServeGate(t(s, dir, "embeddings"),
+        dir)),
+
     // X-pca: WHITENED projection — the same memoized fit, each
     // component scaled to unit variance by / sqrt(λ) with λ as an
     // in-plan literal both engines sqrt at execution (IEEE-exact)
@@ -7593,6 +7601,11 @@ object SparkEntry {
     // procrustes: dump-time memo twin — literal rotation rows, same
     // planted pair, left-fold dots, round-6 cosine, round-9 residuals
     "q_x_procrustes" -> graft.operators.Alignment.procrustesOracleSql(),
+
+    // pipeline5: rotation + codebook as memo literals; the oracle
+    // realigns, re-assigns both sides (crossJoin+window argmax twin),
+    // and recomputes the top-1 census independently
+    "q_x_pipeline5" -> graft.operators.Alignment.alignedServeOracleSql(),
 
     // isotonic: bins + raw rates recomputed independently; the PAV
     // fit joins in as dump-time memo literals (spec-gated solve)

@@ -32,7 +32,12 @@ object FlightModel {
   final case class TrainResult(
       predictions: Option[DataFrame],
       model: Option[DecisionTreeRegressionModel],
-      release: () => Unit = () => ())
+      release: () => Unit = () => (),
+      // the split itself, exposed so quality tracking (MLQuality) can
+      // fit the LR baseline / CV grid on the SAME data the tree saw;
+      // both run through the cached feature table until release()
+      train: Option[DataFrame] = None,
+      validation: Option[DataFrame] = None)
 
   /** M7 + M12: the reference's defensive train flow
     * (`helper_methods.py:281-343`):
@@ -67,10 +72,11 @@ object FlightModel {
         val meanDelay = Option(transformed.agg(avg(col(TargetCol))).first().get(0))
           .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0)
         val preds = validation.withColumn("prediction", lit(meanDelay))
-        TrainResult(Some(preds), None, release)
+        TrainResult(Some(preds), None, release, None, Some(validation))
       } else {
         val model = decisionTree(seed = seed).fit(fitData)
-        TrainResult(Some(model.transform(validation)), Some(model), release)
+        TrainResult(Some(model.transform(validation)), Some(model), release,
+          Some(train), Some(validation))
       }
     } catch { case e: Throwable => release(); throw e }
   }

@@ -139,6 +139,158 @@ object Alignment {
           .as("orth_err"))
   }
 
+  // ── q_x_pipeline5: serve-while-backfilling across embedding versions ──
+  //
+  // The composition the file header promises: the NEW-version corpus
+  // already has an IVF index (trained centroids); OLD-version vectors
+  // align through the fitted rotation and then QUERY that index — so
+  // a cache/index built on the new space keeps serving old-space
+  // queries while re-embedding backfills. Engine-trained state
+  // (rotation + k-means codebook) memoizes per dir; the oracle
+  // regenerates the entire chain (align → assign both sides →
+  // within-block top-1 → per-block census) from literals at dump time.
+
+  private val p5Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (ProcrustesModel, Array[(Int, Array[Float])])]()
+  @volatile private var p5LastDir: Option[String] = None
+
+  /** The q_x_pipeline5 gate body. Data-scale passes: the one
+    * cross-moment aggregate inside the (memoized) fit, one map-side
+    * align+assign scan per side (fused [[graft.functions.VectorExprs
+    * .nearestCentroidCosine]] argmax — zero exchanges), and ONE
+    * block-keyed join for the top-1 retrieval (blocks guarded by
+    * [[Similarity.requireBlocksWithin]]; at scale the index side would
+    * be bucketed by cid). Output: per-centroid census — queries
+    * landing in the block, how many retrieved their OWN new-space
+    * twin as top-1 (the serve-correctness number; all of them, for an
+    * exactly-recoverable planted transform), and the round-6 decimal
+    * mean retrieval cosine. */
+  def alignedServeGate(emb: DataFrame, dir: String, kIvf: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val paired = withPair(emb)
+    val (model, cents) = p5Cache.computeIfAbsent(dir, _ => {
+      val m = gateCache.computeIfAbsent(dir,
+        _ => fitProcrustes(paired, "__xs", "__ys", GateDim))
+      val newCorpus = paired.select(col("vec_id"),
+        col("__ys").cast("array<float>").as("nvec"))
+      val c = Similarity.trainCentroids(newCorpus, "nvec", kIvf).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      (m, c)
+    })
+    p5LastDir = Some(dir)
+    val cdf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    // old-space queries, aligned into the new space through R (float
+    // quantization matches the REAL cast in the twin exactly)
+    val comps = model.rotation.map(rw =>
+      graft.functions.VectorExprs.dot(col("__xs"), typedLit(rw)))
+    val queries = paired.select(col("vec_id"),
+      array(comps: _*).cast("array<float>").as("avec"))
+    val index = paired.select(col("vec_id"),
+      col("__ys").cast("array<float>").as("nvec"))
+    val q = Similarity.ivfAssign(queries, "vec_id", "avec", cdf)
+    val ix = Similarity.ivfAssign(index, "vec_id", "nvec", cdf)
+    Similarity.requireBlocksWithin(ix, "cid", 4096, "q_x_pipeline5")
+    val joined = q.select(col("cid"), col("vec_id").as("qid"), col("avec"))
+      .join(ix.select(col("cid"), col("vec_id").as("nid"), col("nvec")), "cid")
+      .withColumn("__cos", round(
+        graft.functions.VectorExprs.cosine(col("avec"), col("nvec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__cos").desc, col("nid"))
+    joined.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_q"),
+        sum(when(col("qid") === col("nid"), 1L).otherwise(0L)).as("n_self"),
+        round(sum(col("__cos").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_cos"))
+      .orderBy(col("cid"))
+  }
+
+  /** Generated twin of [[alignedServeGate]]: pair + rotation folds as
+    * in [[procrustesOracleSql]], the crossJoin+window argmax
+    * assignment of BOTH sides against the centroid literals (the
+    * [[Similarity.pcaIvfMnnOracleSql]] pattern), within-block top-1,
+    * per-cid census. */
+  def alignedServeOracleSql(table: String = "embeddings"): String =
+    p5LastDir.flatMap(d => Option(p5Cache.get(d))) match {
+      case None =>
+        "SELECT CAST(NULL AS INTEGER) AS cid, CAST(NULL AS BIGINT) AS n_q, " +
+          "CAST(NULL AS BIGINT) AS n_self, CAST(NULL AS DOUBLE) AS mean_cos " +
+          "WHERE FALSE"
+      case Some((model, cents)) =>
+        val dim = model.dim
+        val rx = model.rotation.zipWithIndex.map { case (w, j) =>
+          val lits = w.map(_.toDouble.toString).mkString(", ")
+          s"""list_reduce(list_transform(range(1, ${dim + 1}),
+             |      i -> CAST(xs[i] AS DOUBLE) * ([$lits])[i]),
+             |      (a, b) -> a + b) AS rx${j + 1}""".stripMargin
+        }.mkString(",\n    ")
+        val rxArr = (1 to dim).map(j => s"rx$j").mkString(", ")
+        val ceRows = cents.map { case (cid, v) =>
+          s"($cid, [${v.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+        }.mkString(",\n    ")
+        def fold(x: String, y: String) =
+          s"""list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)),
+             |        (a, b) -> a + b)""".stripMargin
+        def cfold(x: String) =
+          s"""list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> CAST($x[i] AS DOUBLE) * c.cv[i]),
+             |        (a, b) -> a + b)""".stripMargin
+        val cnorm =
+          s"""sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> c.cv[i] * c.cv[i]), (a, b) -> a + b))""".stripMargin
+        s"""WITH pair AS (
+           |  SELECT vec_id, embedding[1:$dim] AS xs,
+           |    list_transform(range(1, ${dim + 1}), j ->
+           |      CASE WHEN j % 2 = 1 THEN embedding[1:$dim][${dim + 1} - j]
+           |           ELSE -embedding[1:$dim][${dim + 1} - j] END) AS ys
+           |  FROM $table),
+           |pr AS (
+           |  SELECT vec_id, CAST(ys AS REAL[]) AS nv, av FROM (
+           |    SELECT vec_id, ys, CAST([$rxArr] AS REAL[]) AS av FROM (
+           |      SELECT vec_id, ys,
+           |    $rx
+           |      FROM pair))),
+           |ce AS (SELECT * FROM (VALUES
+           |    $ceRows) t(cid, cv)),
+           |qa AS (
+           |  SELECT vec_id, cid, av FROM (
+           |    SELECT e.vec_id, c.cid, e.av,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cfold("e.av")} / (sqrt(${fold("e.av", "e.av")}) * $cnorm)
+           |        DESC, c.cid) AS rn
+           |    FROM pr e CROSS JOIN ce c)
+           |  WHERE rn = 1),
+           |na AS (
+           |  SELECT vec_id, cid, nv FROM (
+           |    SELECT e.vec_id, c.cid, e.nv,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${cfold("e.nv")} / (sqrt(${fold("e.nv", "e.nv")}) * $cnorm)
+           |        DESC, c.cid) AS rn
+           |    FROM pr e CROSS JOIN ce c)
+           |  WHERE rn = 1),
+           |s AS (
+           |  SELECT q.cid, q.vec_id AS qid, n.vec_id AS nid,
+           |    ROUND(${fold("q.av", "n.nv")}
+           |      / (sqrt(${fold("q.av", "q.av")})
+           |       * sqrt(${fold("n.nv", "n.nv")})), 6) AS cos
+           |  FROM qa q JOIN na n ON q.cid = n.cid),
+           |t1 AS (
+           |  SELECT cid, qid, nid, cos FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, nid) AS rn FROM s)
+           |  WHERE rn = 1)
+           |SELECT cid, CAST(count(*) AS BIGINT) AS n_q,
+           |  CAST(SUM(CASE WHEN qid = nid THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_self,
+           |  ROUND(CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE)
+           |    / count(*), 6) AS mean_cos
+           |FROM t1 GROUP BY cid ORDER BY cid""".stripMargin
+    }
+
   /** Generated twin of [[procrustesGate]]: the same planted pair in
     * SQL, the rotation rows inlined as DOUBLE literals from the memo
     * (dump-time, the q_x_pq pattern), the same left-fold dots,
