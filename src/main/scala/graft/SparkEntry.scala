@@ -1013,6 +1013,25 @@ object SparkEntry {
       annContractGate(brute, ann, minHits = 8)
     }),
 
+    // X-sim: IVF recall-vs-cost curve — recall@10 and candidate rows
+    // scanned at nprobe ∈ {1,2,4,8}, the panel a deployment tunes nprobe
+    // with. The quantizer is a DETERMINISTIC literal panel (8 corpus
+    // vectors), so unlike the trained-quantizer gates the recall VALUES
+    // themselves are DuckDB-recomputable end to end (round-6 argmax
+    // assignment, probe order, per-nprobe top-k) — a fully hash-oracled
+    // recall curve, not an error contract.
+    "q_x_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centIds = Seq(3L, 63L, 123L, 183L, 243L, 303L, 363L, 423L)
+      val cents = emb.filter(col("vec_id").isin(centIds: _*))
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toArray).toSeq
+      val query = emb.filter(col("vec_id") === 1L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.Similarity.ivfRecallCurve(
+        emb, "vec_id", "embedding", cents, query, k = 10, Seq(1, 2, 4, 8))
+    }),
+
     // X-dedup: near-dup CLUSTERS — MinHash-LSH pairs (deterministic seeded
     // hashes; every fixture near-dup pair sits at jaccard >= 0.9, where the
     // 16-band/r=4 detection probability is 1 - 4e-8, so the candidate set
@@ -7992,6 +8011,53 @@ object SparkEntry {
     // hash-gated (the q_a_hll within_bound pattern).
     "q_x_lsh_topk" -> annContractOracleSql,
     "q_x_ivf_topk" -> annContractOracleSql,
+
+    // IVF recall-vs-cost curve: FULLY recomputed — the deterministic
+    // 8-vector quantizer panel lets DuckDB replay round-6 argmax
+    // assignment (ties → low cid), probe order, per-nprobe top-10 and
+    // recall@10 exactly; the recall values hash, not just their floor
+    "q_x_ivf_recall" ->
+      """WITH cents AS MATERIALIZED (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id IN (3,63,123,183,243,303,363,423)
+        |), qv AS MATERIALIZED (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 1
+        |), assigned AS MATERIALIZED (
+        |  SELECT id, qcos, cid FROM (
+        |    SELECT e.vec_id AS id,
+        |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q), 6) AS qcos,
+        |      c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+        |                 c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c CROSS JOIN qv q
+        |  ) WHERE rn = 1
+        |), probeorder AS MATERIALIZED (
+        |  SELECT c.cid, ROW_NUMBER() OVER (
+        |    ORDER BY ROUND(list_cosine_similarity(c.cvec, q.q), 6) DESC, c.cid) AS proberank
+        |  FROM cents c CROSS JOIN qv q
+        |), brute AS MATERIALIZED (
+        |  SELECT id FROM assigned ORDER BY qcos DESC, id LIMIT 10
+        |), nps AS (SELECT * FROM (VALUES (1),(2),(4),(8)) v(nprobe)),
+        |topk AS MATERIALIZED (
+        |  SELECT np.nprobe, a.id,
+        |    ROW_NUMBER() OVER (PARTITION BY np.nprobe ORDER BY a.qcos DESC, a.id) AS rn
+        |  FROM nps np
+        |  JOIN probeorder p ON p.proberank <= np.nprobe
+        |  JOIN assigned a ON a.cid = p.cid
+        |), hitsq AS (
+        |  SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS hits FROM topk t
+        |  WHERE t.rn <= 10 AND t.id IN (SELECT id FROM brute) GROUP BY t.nprobe
+        |), costq AS (
+        |  SELECT np.nprobe, CAST(COUNT(*) AS BIGINT) AS cand_n FROM nps np
+        |  JOIN probeorder p ON p.proberank <= np.nprobe
+        |  JOIN assigned a ON a.cid = p.cid GROUP BY np.nprobe
+        |)
+        |SELECT np.nprobe, costq.cand_n, COALESCE(hitsq.hits, 0) AS hits,
+        |  CAST(COALESCE(hitsq.hits, 0) AS DOUBLE) / 10.0 AS recall
+        |FROM nps np JOIN costq USING (nprobe) LEFT JOIN hitsq USING (nprobe)
+        |ORDER BY np.nprobe""".stripMargin,
 
     // Dedup threshold sweep: all-pairs within label blocks (the gate
     // guards that nothing refines), same round-6 cosine, thresholds as

@@ -828,4 +828,99 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neg"), col("cos"))
   }
+
+  /** IVF recall/cost curve: for each `nprobe`, recall@k of the IVF probe
+    * against the exact top-k plus the number of candidate rows the probe
+    * scans — the accuracy-vs-cost panel an ANN deployment tunes `nprobe`
+    * with (cf. the reference's evaluator loops,
+    * `/root/reference/src/main/helper_methods.py:159` — grid points scored
+    * against a fixed truth).
+    *
+    * Unlike [[ivfTopK]] (trained quantizer → error-contract gate), the
+    * quantizer here is any DETERMINISTIC literal centroid panel, so the
+    * whole curve — round-6 assignment argmax, probe order, per-nprobe
+    * top-k, recall — is exactly reproducible by an independent engine:
+    * the recall VALUES hash-gate, not just their floor.
+    *
+    * Scale shape: one map-side pass computes the round-6 query cosine and
+    * the assignment argmax over the ≤64-entry literal panel (array_max +
+    * array_position — no join, ties to the lowest cid); per-list top-k
+    * reduces via a salted two-phase window (a hot list never serializes
+    * into one task); everything downstream is arithmetic over the
+    * ≤ k·|centroids| survivor panel (checkpointed once — it feeds the
+    * exact baseline and every nprobe rung). The corpus is scanned twice
+    * (top-k pass + list-size census), both linear, nothing corpus-sized
+    * materializes. The nprobe fan-out is an explode over a literal
+    * ladder — no nested-loop join anywhere. */
+  def ivfRecallCurve(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], query: Array[Float], k: Int,
+      nprobes: Seq[Int]): DataFrame = {
+    require(centroids.nonEmpty && centroids.size <= 64,
+      s"need 1 <= |centroids| <= 64 (a broadcastable literal panel), got ${centroids.size}")
+    require(centroids.forall(_.length == centroids.head.length),
+      "all centroids must share one dimension")
+    require(nprobes.nonEmpty && nprobes == nprobes.sorted.distinct &&
+      nprobes.head >= 1 && nprobes.last <= centroids.size,
+      s"nprobes must be sorted distinct within [1, ${centroids.size}], got $nprobes")
+    require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecF = asFloatVec(corpus, vecCol)
+    val q = typedLit(query)
+    // per-row map-side: round-6 cosine to the query and to every centroid;
+    // argmax = first occurrence of the max (lowest cid wins round-6 ties)
+    val cosArr = array(centroids.map(c =>
+      round(VectorExprs.cosine(vecF, typedLit(c)), 6)): _*)
+    val assigned = corpus.select(
+      col(idCol).as("id"),
+      round(VectorExprs.cosine(vecF, q), 6).as("qcos"),
+      (array_position(cosArr, array_max(cosArr)) - 1).cast("int").as("cid"))
+    // probe order: centroids ranked by round-6 query cosine (ties → low
+    // cid) — one |centroids|-row panel; its single-partition window is
+    // config-sized by construction
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "cvec")
+    val probeOrder = cents.select(col("cid"),
+        round(VectorExprs.cosine(col("cvec").cast("array<float>"), q), 6).as("__pc"))
+      .withColumn("proberank", row_number().over(
+        Window.orderBy(col("__pc").desc, col("cid"))))
+      .select(col("cid"), col("proberank"))
+    // salted two-phase per-list top-k: any nprobe's top-k is a subset of
+    // the union of the per-list top-k panels
+    val w1 = Window.partitionBy(col("cid"), col("__s"))
+      .orderBy(col("qcos").desc, col("id"))
+    val w2 = Window.partitionBy(col("cid")).orderBy(col("qcos").desc, col("id"))
+    val panel = assigned
+      .withColumn("__s", pmod(xxhash64(col("id")), lit(16)))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= k)
+      .join(broadcast(probeOrder), Seq("cid"))
+      .select(col("id"), col("qcos"), col("proberank"))
+      .localCheckpoint()
+    val bruteIds = panel.withColumn("__r", row_number().over(
+        Window.orderBy(col("qcos").desc, col("id"))))
+      .filter(col("__r") <= k).select(col("id"))
+    // fan each survivor to every requested nprobe that probes its list
+    val npLit = typedLit(nprobes)
+    val hits = panel.withColumn("nprobe",
+        explode(filter(npLit, np => np >= col("proberank"))))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("nprobe"))
+        .orderBy(col("qcos").desc, col("id"))))
+      .filter(col("__r") <= k)
+      .join(broadcast(bruteIds), Seq("id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    // candidate-scan cost: total probed-list sizes per nprobe (the second
+    // linear corpus pass — a plain keyed census)
+    val cost = assigned.groupBy(col("cid")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(probeOrder), Seq("cid"))
+      .withColumn("nprobe", explode(filter(npLit, np => np >= col("proberank"))))
+      .groupBy(col("nprobe")).agg(sum(col("__n")).as("cand_n"))
+    nprobes.toDF("nprobe")
+      .join(broadcast(cost), Seq("nprobe"))
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("nprobe"), col("cand_n"), col("hits"),
+        (col("hits") / lit(k.toDouble)).as("recall"))
+      .orderBy(col("nprobe"))
+  }
 }

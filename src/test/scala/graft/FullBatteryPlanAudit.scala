@@ -91,7 +91,10 @@ class FullBatteryPlanAudit extends SparkSpec {
   // lists; the skyline's bucket-count-sized cross-bucket minimum table
   private val boundedTopKWindowOk = Set("q_x_hybrid_rrf", "q_a_skyline",
     "q_t_mom", // calendar-bounded month panel (≤ dozens of rows by domain)
-    "q_t_backtest") // calendar-bounded day-period panel
+    "q_t_backtest", // calendar-bounded day-period panel
+    // probe-order rank over the 8-row literal centroid panel + global
+    // top-k over the ≤ k·|centroids| checkpointed survivor panel
+    "q_x_ivf_recall")
 
   test("every single-partition exchange feeds a grand-total aggregate") {
     // a SinglePartition exchange is the correct (and only) shape for a

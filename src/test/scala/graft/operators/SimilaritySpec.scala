@@ -316,4 +316,28 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Long]("neg")))
     assert(got.toSeq == Seq((1L, 1, 10L), (1L, 2, 11L)))
   }
+
+  test("ivfRecallCurve: recall monotone in nprobe, exact at full probe") {
+    val cents = emb.filter(col("vec_id").isin(3L, 63L, 123L, 183L, 243L, 303L, 363L, 423L))
+      .orderBy(col("vec_id")).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+    val q = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Seq[Float]].head().toArray
+    val curve = Similarity.ivfRecallCurve(emb, "vec_id", "embedding",
+        cents, q, k = 10, Seq(1, 2, 4, 8))
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("cand_n"),
+        r.getAs[Long]("hits"), r.getAs[Double]("recall")))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // candidate cost strictly grows with nprobe; at nprobe = |lists| the
+    // probe scans the whole corpus
+    assert(curve.map(_._2).toSeq == curve.map(_._2).sorted.toSeq)
+    assert(curve.last._2 == emb.count())
+    // recall never decreases (probed lists nest) and the full probe IS
+    // the exact scan: recall exactly 1
+    assert(curve.map(_._3).toSeq == curve.map(_._3).sorted.toSeq)
+    assert(curve.last._3 == 10L && curve.last._4 == 1.0)
+    // the query vector itself sits in a probed-first list: hits >= 1
+    assert(curve.head._3 >= 1L)
+  }
 }
