@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, SkewJoin}
@@ -121,7 +121,8 @@ object DevProbe {
 
     if (args.headOption.contains("dbscanfam")) {
       dbscanFamilyProbe(spark,
-        args.lift(1).map(_.toLong).getOrElse(1000000L))
+        args.lift(1).map(_.toLong).getOrElse(1000000L),
+        durable = args.contains("durable"))
       spark.stop()
       return
     }
@@ -960,11 +961,26 @@ object DevProbe {
     * [[graft.operators.Clustering.dbscan]] chain at maxBlock=256.
     * Readouts: wall, role census, and whether the planted family
     * lands as ONE core cluster (identical vectors share every
-    * bucket/sub-bucket, so the family must survive the blocking). */
-  private def dbscanFamilyProbe(spark: SparkSession, n: Long): Unit = {
+    * bucket/sub-bucket, so the family must survive the blocking).
+    *
+    * `durable`: route every iterative-lineage cut through
+    * [[graft.sources.IO.durableCheckpoint]] (reliable `df.checkpoint`
+    * to a checkpoint dir) instead of `localCheckpoint` — the
+    * multi-executor deployment mode `Dedup.connectedComponents`
+    * documents; this run is the evidence that the CC/dbscan chain
+    * converges identically and at what wall-cost through the durable
+    * path. */
+  private def dbscanFamilyProbe(spark: SparkSession, n: Long,
+      durable: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.operators.{Clustering, Similarity}
+    val ckpt: DataFrame => DataFrame =
+      if (durable) {
+        val dir = s"/tmp/graft_ckpt_${System.nanoTime()}"
+        println(s"[dbscanfam $n] DURABLE checkpoint dir: $dir")
+        graft.sources.IO.durableCheckpoint(_, dir)
+      } else _.localCheckpoint()
     def timed[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -985,9 +1001,9 @@ object DevProbe {
     val blocked = Similarity.hyperplaneBuckets(corpus, "embedding",
       nPlanes, seed = 42L, dim = dim)
     val out = timed("dbscan (block-scoped, maxBlock=256)") {
-      Clustering.dbscan(blocked, "vec_id", "embedding", "bucket",
-        minCos = 0.95, minPts = 3, maxBlock = 256, dim = dim)
-        .localCheckpoint()
+      ckpt(Clustering.dbscan(blocked, "vec_id", "embedding", "bucket",
+        minCos = 0.95, minPts = 3, maxBlock = 256, dim = dim,
+        checkpoint = ckpt))
     }
     val roles = timed("role census") {
       out.groupBy("role").count().collect()
@@ -1065,8 +1081,7 @@ object DevProbe {
     // shuffle becomes ~18 GB of codes.
     val corpus = (if (quantized)
       corpusF.select(col("vec_id"),
-        Quantization.quantize(col("embedding"),
-          Quantization.symmetricScale(col("embedding"))).as("embedding"))
+        Quantization.quantizeFused(col("embedding")).as("embedding"))
     else corpusF).cache()
     if (quantized) println(s"[embfam $n] QUANTIZED (int8 codes) chain")
     timed("generate+cache")(corpus.count())

@@ -2043,9 +2043,12 @@ object SparkEntry {
 
     // X-quantize: per-vector symmetric int8 embedding quantization — 4×
     // storage shrink for a 100 TB vector corpus, pure map-side array
-    // math (codegen'd transform/aggregate, no UDF, no shuffle). The gate
-    // pins every code via the integer code-sum plus the double
-    // reconstruction error.
+    // math (no UDF, no shuffle). The gate pins every code via the
+    // integer code-sum plus the double reconstruction error. NOTE: this
+    // gate deliberately exercises the HOF (transform/aggregate) twin —
+    // those are CodegenFallback (interpreted) in Spark, fine at fixture
+    // scale; data-sized paths use Quantization.quantizeFused, whose
+    // byte parity with this twin is spec-gated (QuantizeFusedSpec).
     "q_x_quantized" -> ((s, dir) => {
       val qz = graft.operators.Quantization
       t(s, dir, "embeddings").filter(col("vec_id") < 200)
@@ -2255,6 +2258,63 @@ object SparkEntry {
         .select((col("pos") + 1).cast("int").as("rank"),
           col("hit.item").as("item"), col("hit.est").as("n"))
         .orderBy(col("rank"))),
+
+    // A-kmv: per-slice distinct-cardinality via the KMV bounded sketch
+    // (k smallest distinct md5-60bit hashes; ≤k longs per group per
+    // partition reach the exchange — the 100 TB shape where the customer
+    // domain is billions and exact distinct IS the shuffle). k=48 <
+    // per-priority distinct customers at every SF, so the estimator
+    // branch (not the exact-below-k branch) is what hashes. The sketch is
+    // a pure function of the distinct hash set, and the estimate is IEEE
+    // */ over exactly-representable doubles → DuckDB recomputes the k
+    // smallest per slice with a window and lands bit-identical. The exact
+    // count rides along as the accuracy context.
+    "q_a_kmv_slices" -> ((s, dir) => {
+      val sk = graft.operators.SetSketch
+      val k = 48
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(sk.kmvSketch(sk.hash60(col("o_custkey")), k).as("__sk"),
+          countDistinct(col("o_custkey")).cast("bigint").as("exact_distinct"))
+        .select(col("priority"),
+          size(col("__sk")).cast("int").as("n_sketch"),
+          // guarded: ANSI element_at throws past the end on a below-k group
+          when(size(col("__sk")) === k, element_at(col("__sk"), k))
+            .as("kth_hash"),
+          sk.estimateDistinct(col("__sk"), k).as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy(col("priority"))
+    }),
+
+    // A-kmv-overlap: the question HLL can't answer — how many customers
+    // do two slices SHARE? Union of KMV sketches is exactly the sketch
+    // of the union (closure), and shared membership inside the union
+    // sketch estimates Jaccard, hence |A∩B|. Everything after the two
+    // 1-row aggregates is map-side array math over k-element arrays; the
+    // exact intersection (one distinct-key semi-join at fixture scale)
+    // rides along as the accuracy context.
+    "q_a_kmv_overlap" -> ((s, dir) => {
+      val sk = graft.operators.SetSketch
+      val k = 48
+      val o = t(s, dir, "orders")
+      def side(p: String, out: String) =
+        o.filter(col("o_orderpriority") === p)
+          .agg(sk.kmvSketch(sk.hash60(col("o_custkey")), k).as(out))
+      def keys(p: String) =
+        o.filter(col("o_orderpriority") === p).select(col("o_custkey")).distinct()
+      val exact = keys("1-URGENT").join(keys("2-HIGH"), "o_custkey")
+        .agg(count(lit(1)).cast("bigint").as("exact_intersect"))
+      side("1-URGENT", "ska").crossJoin(side("2-HIGH", "skb")).crossJoin(exact)
+        .select(
+          sk.estimateDistinct(col("ska"), k).as("est_a"),
+          sk.estimateDistinct(col("skb"), k).as("est_b"),
+          sk.estimateDistinct(sk.unionSketch(col("ska"), col("skb"), k), k)
+            .as("est_union"),
+          sk.jaccardEstimate(col("ska"), col("skb"), k).as("jaccard_est"),
+          sk.intersectionEstimate(col("ska"), col("skb"), k)
+            .as("est_intersect"),
+          col("exact_intersect"))
+    }),
 
     // X-repetition: the Gopher §A1.1 within-document repetition battery
     // (dup-line fraction/chars, top-{2,3,4}-gram char fraction, dup-
@@ -5729,6 +5789,77 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
         |  FROM events GROUP BY 1)
         |WHERE rn <= 5 ORDER BY rank""".stripMargin,
+
+    // KMV slices: the k smallest distinct md5-60bit hashes per priority
+    // recomputed with a window; estimator arithmetic is IEEE */ over
+    // exactly-representable doubles (47·2^60 and h < 2^60 are exact), so
+    // the estimate hashes bit-identical with NO rounding
+    "q_a_kmv_slices" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority AS priority,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |r AS (SELECT priority, h,
+        |        row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT priority, CAST(count(*) AS INTEGER) AS n_sketch,
+        |              CAST(max(h) AS BIGINT) AS kth0
+        |       FROM r WHERE rn <= 48 GROUP BY priority),
+        |ex AS (SELECT o_orderpriority AS priority,
+        |              CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        |       FROM orders GROUP BY 1)
+        |SELECT sk.priority, sk.n_sketch,
+        |       CASE WHEN sk.n_sketch = 48 THEN sk.kth0 END AS kth_hash,
+        |       CASE WHEN sk.n_sketch < 48 THEN CAST(sk.n_sketch AS DOUBLE)
+        |            ELSE 47.0 * 1152921504606846976.0 / CAST(sk.kth0 AS DOUBLE)
+        |       END AS est_distinct,
+        |       ex.exact_distinct
+        |FROM sk JOIN ex USING (priority) ORDER BY priority""".stripMargin,
+
+    // KMV overlap: union sketch = k smallest of the two k-lists (exact
+    // closure), Jaccard = shared membership inside it, intersection =
+    // J · D(union); same integer operands, same IEEE ops, no rounding
+    "q_a_kmv_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |hb AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |                      FROM ha) WHERE rn <= 48),
+        |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |                      FROM hb) WHERE rn <= 48),
+        |ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |                      FROM (SELECT h FROM ka UNION SELECT h FROM kb))
+        |       WHERE rn <= 48),
+        |s AS (SELECT
+        |  (SELECT count(*) FROM ka) AS na, (SELECT max(h) FROM ka) AS kka,
+        |  (SELECT count(*) FROM kb) AS nb, (SELECT max(h) FROM kb) AS kkb,
+        |  (SELECT count(*) FROM ku) AS nu, (SELECT max(h) FROM ku) AS kku,
+        |  (SELECT count(*) FROM ku
+        |   WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS shared),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM
+        |  (SELECT DISTINCT o_custkey FROM orders
+        |   WHERE o_orderpriority = '1-URGENT') a
+        |  JOIN (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE o_orderpriority = '2-HIGH') b USING (o_custkey))
+        |SELECT
+        |  CASE WHEN na < 48 THEN CAST(na AS DOUBLE)
+        |       ELSE 47.0 * 1152921504606846976.0 / CAST(kka AS DOUBLE) END AS est_a,
+        |  CASE WHEN nb < 48 THEN CAST(nb AS DOUBLE)
+        |       ELSE 47.0 * 1152921504606846976.0 / CAST(kkb AS DOUBLE) END AS est_b,
+        |  CASE WHEN nu < 48 THEN CAST(nu AS DOUBLE)
+        |       ELSE 47.0 * 1152921504606846976.0 / CAST(kku AS DOUBLE) END AS est_union,
+        |  CAST(shared AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard_est,
+        |  (CAST(shared AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |    (CASE WHEN nu < 48 THEN CAST(nu AS DOUBLE)
+        |          ELSE 47.0 * 1152921504606846976.0 / CAST(kku AS DOUBLE) END)
+        |    AS est_intersect,
+        |  exact_intersect
+        |FROM s, ex""".stripMargin,
 
     // Gopher repetition battery: identical 8-token line derivation,
     // identical tagged gram expansion; all counts/char totals integer,

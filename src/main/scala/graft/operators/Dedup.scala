@@ -798,8 +798,7 @@ object Dedup {
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
     val codes = df.select(col(idCol),
-      Quantization.quantize(col(vecCol),
-        Quantization.symmetricScale(col(vecCol))).as("__q"))
+      Quantization.quantizeFused(col(vecCol)).as("__q"))
     val bucketed = Similarity.hyperplaneBuckets(codes, "__q", planes, seed, d)
     val a = bucketed.select(col("bucket"), col(idCol).as("id1"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id2"))

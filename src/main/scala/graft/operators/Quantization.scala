@@ -34,6 +34,17 @@ object Quantization {
       x => when(scale > 0, round(x / scale).cast("int")).otherwise(lit(0))
         .cast("tinyint"))
 
+  /** Fused `quantize(vec, symmetricScale(vec))` as ONE codegen'd
+    * Catalyst expression ([[graft.functions.QuantizeSymmetric]]) —
+    * byte-identical output (spec-gated parity), but the HOF pair is
+    * CodegenFallback in Spark and drops the whole projection to
+    * interpreted per-element dispatch (~30× at the 50M probe rung; the
+    * jstack was all `Divide.eval`/`RoundBase.eval`). Use THIS form on
+    * anything data-sized; keep the HOF pair for à-la-carte scales and
+    * as the parity oracle. */
+  def quantizeFused(vec: Column): Column =
+    graft.functions.VectorExprs.quantizeSymmetric(vec)
+
   /** Dequantized (lossy) reconstruction of int8 codes. */
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, q => q.cast("double") * scale)

@@ -63,7 +63,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_a_brier",              // 1-row (N, Σy, Σbrier) total panel
     "q_a_conformal",          // 1-row conformal-radius q̂ scalar
     "q_t_backtest",           // 1-row max-period scalar
-    "q_x_hard_negatives")     // bounded broadcast anchor batch (ndcg shape)
+    "q_x_hard_negatives",     // bounded broadcast anchor batch (ndcg shape)
+    "q_a_kmv_overlap")        // 1-row sketch agg × 1-row sketch agg × 1-row exact
 
   test("no query in the battery plans a cartesian product") {
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
