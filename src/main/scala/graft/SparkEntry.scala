@@ -2316,6 +2316,41 @@ object SparkEntry {
           col("exact_intersect"))
     }),
 
+    // A-dp: Laplace-mechanism noisy count release — per-group
+    // count + Lap(1/ε) with SEEDED noise (md5-52bit uniform → inverse
+    // CDF), so reruns publish the same number and the oracle recomputes
+    // it bit-for-bit (u and its affine terms are exact binary fractions;
+    // only ln is libm and the round-6 output absorbs the ulp — the
+    // haversine discipline). One keyed aggregate + map-side scalar math.
+    "q_a_dp_counts" -> ((s, dir) =>
+      graft.operators.Privacy.dpNoisyCounts(
+          t(s, dir, "orders"), "o_orderpriority", eps = 0.5, salt = "dp-r8")
+        .orderBy(col("o_orderpriority"))),
+
+    // S-compaction: small-file compaction planning — files sort
+    // (bytes DESC, path) per table partition and land in bin
+    // floor(prefix/target): the deterministic one-pass first-fit-
+    // decreasing analogue, one window over the METADATA-sized file
+    // relation partitioned by the table partition (same parallelism the
+    // rewrite job has). Fixture: a file-stats relation derived from
+    // documents (source = partition, n_chars = bytes). Pure integer
+    // prefix sums → oracle-exact.
+    "q_s_compaction" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .select(col("source"),
+          concat(lit("part-"), lpad(col("doc_id").cast("string"), 6, "0"))
+            .as("path"),
+          col("n_chars").cast("long").as("bytes"))
+      graft.sources.Layout.compactionPlan(files, "source", "path", "bytes",
+          targetBytes = 4000L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).cast("bigint").as("n_files"),
+          sum(col("bytes")).cast("bigint").as("bin_bytes"),
+          max(col("oversized").cast("int")).cast("int").as("has_oversized"),
+          min(col("path")).as("first_path"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // X-repetition: the Gopher §A1.1 within-document repetition battery
     // (dup-line fraction/chars, top-{2,3,4}-gram char fraction, dup-
     // 5-gram char fraction) — the quality gates run BEFORE dedup. The
@@ -5860,6 +5895,46 @@ object SparkEntry {
         |    AS est_intersect,
         |  exact_intersect
         |FROM s, ex""".stripMargin,
+
+    // DP noisy counts: identical seeded uniform (md5-13-hex / 2^52),
+    // identical affine terms (exact binary fractions), ln ulp absorbed
+    // by ROUND(,6); b = sensitivity/eps = 2.0 inlined
+    "q_a_dp_counts" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    ('0x' || substr(md5(o_orderpriority || ':dp-r8'), 1, 13))::BIGINT
+        |      / 4503599627370496.0 AS u
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  ROUND(n + (-2.0) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) *
+        |    ln(GREATEST(1.0 - 2.0 * abs(u - 0.5), 2.220446049250313e-16)), 6)
+        |    AS n_noisy,
+        |  CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
+
+    // compaction plan: identical (bytes DESC, path) order, identical
+    // prefix sums (pure integers), identical floor(prefix/target)
+    // double division; bin census re-aggregated the same way
+    "q_s_compaction" ->
+      """WITH files AS (
+        |  SELECT source,
+        |    'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS path,
+        |    CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |planned AS (
+        |  SELECT source, path, bytes,
+        |    CAST(floor((sum(bytes) OVER (PARTITION BY source
+        |      ORDER BY bytes DESC, path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+        |      / 4000.0) AS BIGINT) AS bin,
+        |    bytes >= 4000 AS oversized
+        |  FROM files)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  CAST(max(CASE WHEN oversized THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS has_oversized,
+        |  min(path) AS first_path
+        |FROM planned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     // Gopher repetition battery: identical 8-token line derivation,
     // identical tagged gram expansion; all counts/char totals integer,

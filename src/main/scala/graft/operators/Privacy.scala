@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Re-identification risk audits — the privacy gate a dataset passes
@@ -34,5 +34,56 @@ object Privacy {
         (col("n") >= k).as("k_ok"),
         (col("n_sensitive") >= l).as("l_ok")): _*)
       .where(!col("k_ok") || !col("l_ok"))
+  }
+
+  // ───────────────────── differential-privacy release ─────────────────────
+
+  /** Laplace-mechanism noisy group counts — the release shape a privacy
+    * team actually ships: per-group `count + Lap(sensitivity/ε)` with the
+    * EXACT count never leaving the job.
+    *
+    * Noise is SEEDED, not sampled: per group,
+    * `u = md5₅₂(group ‖ salt) / 2^52 ∈ [0,1)` and the Laplace
+    * inverse-CDF `x = −b · sgn(u−½) · ln(1 − 2|u−½|)` with
+    * `b = sensitivity/ε`. Determinism is what makes the release
+    * reproducible (reruns/backfills publish the SAME number — a fresh
+    * draw per run would let an observer average the noise away) and
+    * what lets the DuckDB oracle recompute it bit-for-bit. The salt
+    * plays the key role: it must stay secret and never be reused across
+    * releases of the same statistic, exactly like a DP seed.
+    *
+    * Scale shape: one keyed aggregate; the noise is map-side scalar math
+    * over the group relation. Cross-engine parity: u, u−½, 1−2|u−½| are
+    * all exact binary fractions; only `ln` is libm (±1 ulp) and the
+    * round-6 output absorbs it (the q_j_haversine discipline).
+    *
+    * Output: groupCol, `n_noisy` (round-6 double, can be negative —
+    * consumers clamp, the mechanism must not), `epsilon`. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, eps: Double,
+      salt: String, sensitivity: Double = 1.0): DataFrame = {
+    require(eps > 0, s"epsilon must be positive, got $eps")
+    require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
+    require(salt.nonEmpty, "salt (the release seed) must be non-empty")
+    val b = sensitivity / eps
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(col("__n") + laplaceNoise(col(groupCol), salt, b), 6)
+          .as("n_noisy"),
+        lit(eps).as("epsilon"))
+  }
+
+  /** Seeded Laplace(b) noise keyed on `key ‖ salt` (see
+    * [[dpNoisyCounts]]). u = 0 exactly (P = 2^−52 per group) would send
+    * ln to −∞; it is nudged one ulp in, matching the oracle's GREATEST
+    * guard. */
+  private[operators] def laplaceNoise(key: Column, salt: String,
+      b: Double): Column = {
+    val u = conv(substring(md5(concat_ws(":", key.cast("string"), lit(salt))),
+      1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    val t = greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)),
+      lit(2.220446049250313e-16))
+    val sgn = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
+    lit(-b) * sgn * log(t)
   }
 }

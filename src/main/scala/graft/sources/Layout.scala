@@ -90,4 +90,45 @@ object Layout {
     (if (maxRecordsPerFile > 0)
       w.option("maxRecordsPerFile", maxRecordsPerFile) else w).parquet(path)
   }
+
+  /** Small-file compaction PLAN: assign each file to an output group of
+    * ~`targetBytes` — the table-maintenance pass a 100 TB lakehouse runs
+    * continuously (streaming ingest leaves KB-scale files; every scan
+    * then pays a task per file and the NameNode/manifest pays an entry).
+    *
+    * Packing rule, per table partition: files sort by (bytes DESC, path)
+    * and land in bin `floor(prefix_bytes / targetBytes)` where
+    * `prefix_bytes` is the cumulative size of all EARLIER files in that
+    * order — the deterministic one-pass analogue of first-fit-decreasing.
+    * Each bin totals < `targetBytes` + its own largest member (≤ 2×
+    * target when no single file exceeds target); a file ≥ target gets a
+    * bin of its own automatically (its cumulative jump clears every
+    * later prefix past its bin) and is flagged `oversized` so the
+    * executor can skip rewriting it.
+    *
+    * Scale shape: the input is the FILE-STATS relation (metadata-sized —
+    * one row per file, never data rows), and the only operation is one
+    * prefix-sum window PARTITIONED BY the table partition — the same
+    * per-partition parallelism the rewrite job itself has. Pure integer
+    * arithmetic → cross-engine oracle-exact.
+    *
+    * Output: input columns + `bin` (long, dense within partition from 0)
+    * + `oversized` (boolean). */
+  def compactionPlan(files: DataFrame, partCol: String, pathCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val reserved = Seq("__prefix", "bin", "oversized")
+    val clash = files.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"compactionPlan reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol))
+      .orderBy(col(bytesCol).desc, col(pathCol))
+    files
+      .withColumn("__prefix",
+        coalesce(sum(col(bytesCol)).over(w) - col(bytesCol), lit(0L)))
+      .withColumn("bin", floor(col("__prefix") / lit(targetBytes)))
+      .withColumn("oversized", col(bytesCol) >= targetBytes)
+      .drop("__prefix")
+  }
 }

@@ -33,4 +33,44 @@ class PrivacySpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(0) &&
       out.head.getLong(1) == 1L)
   }
+
+  // ─────────────── DP noisy-count release ───────────────
+
+  test("dp release is deterministic per (group, salt) and salt-sensitive") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000)
+      .selectExpr("CAST(id % 7 AS STRING) AS g")
+    def release(salt: String) =
+      Privacy.dpNoisyCounts(df, "g", eps = 0.5, salt = salt)
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val a = release("s1"); val b = release("s1"); val c = release("s2")
+    assert(a.toSeq == b.toSeq)          // rerun publishes the SAME numbers
+    assert(a.toSeq != c.toSeq)          // a new salt is a new mechanism draw
+    assert(a.forall { case (_, v) => math.abs(v - 1000.0 / 7) < 80 })
+  }
+
+  test("seeded noise is Laplace(b)-shaped: median |x| near b·ln2, mean near 0") {
+    import org.apache.spark.sql.functions._
+    val b = 2.0
+    val noise = spark.range(0, 10000).toDF("g")
+      .select(Privacy.laplaceNoise(col("g"), "spec", b).as("x"))
+      .collect().map(_.getDouble(0))
+    val mean = noise.sum / noise.length
+    val medAbs = noise.map(math.abs).sorted.apply(noise.length / 2)
+    assert(math.abs(mean) < 0.15, s"mean $mean")
+    assert(math.abs(medAbs - b * math.log(2.0)) < 0.15, s"medianAbs $medAbs")
+  }
+
+  test("dp release rejects invalid epsilon / sensitivity / empty salt") {
+    val df = Seq("a").toDF("g")
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(df, "g", eps = 0.0, salt = "x")
+    }
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(df, "g", eps = 1.0, salt = "x", sensitivity = 0.0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisyCounts(df, "g", eps = 1.0, salt = "")
+    }
+  }
 }

@@ -75,4 +75,54 @@ class LayoutSpec extends SparkSpec {
       Layout.writeZordered(df, "/tmp/never", Seq("x"), partitions = 2)
     }
   }
+
+  // ─────────────── compaction planning ───────────────
+
+  test("compactionPlan packs small files toward target and isolates oversized") {
+    import org.apache.spark.sql.functions._
+    // partition p: one 5000-byte monster + eight 900-byte smalls, target 2000
+    val files = (Seq(("p", "big", 5000L)) ++
+      (0 until 8).map(i => ("p", f"s$i%02d", 900L))).toDF("part", "path", "bytes")
+    val plan = Layout.compactionPlan(files, "part", "path", "bytes", 2000L)
+      .orderBy(col("bin"), col("path")).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+    // the oversized file is flagged and alone in its bin
+    val byBin = plan.groupBy(_._2)
+    val bigBin = plan.find(_._1 == "big").get._2
+    assert(plan.find(_._1 == "big").get._3)
+    assert(byBin(bigBin).length == 1)
+    // every small-file bin totals < target + one small (2900)
+    val sizes = Map(("big", 5000L)) ++ (0 until 8).map(i => (f"s$i%02d", 900L))
+    byBin.foreach { case (bin, members) =>
+      if (bin != bigBin) {
+        val tot = members.map(m => sizes(m._1)).sum
+        assert(tot <= 2900, s"bin $bin overfull: $tot")
+        assert(members.forall(!_._3))
+      }
+    }
+    // deterministic: all 9 files planned, bins dense from 0 per partition
+    assert(plan.length == 9)
+  }
+
+  test("compactionPlan is per-partition: identical files in two partitions get identical bins") {
+    import org.apache.spark.sql.functions._
+    val files = (for (p <- Seq("a", "b"); i <- 0 until 6)
+      yield (p, f"f$i", 700L + i * 10)).toDF("part", "path", "bytes")
+    val plan = Layout.compactionPlan(files, "part", "path", "bytes", 1500L)
+      .select("part", "path", "bin").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val a = plan.filter(_._1 == "a").map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    val b = plan.filter(_._1 == "b").map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("compactionPlan rejects reserved columns and non-positive targets") {
+    val df = Seq(("p", "f", 1L, 0L)).toDF("part", "path", "bytes", "bin")
+    assertThrows[IllegalArgumentException] {
+      Layout.compactionPlan(df, "part", "path", "bytes", 100L)
+    }
+    assertThrows[IllegalArgumentException] {
+      Layout.compactionPlan(df.drop("bin"), "part", "path", "bytes", 0L)
+    }
+  }
 }
