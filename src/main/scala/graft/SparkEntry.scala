@@ -2685,6 +2685,23 @@ object SparkEntry {
             lit(1704067200000000000L + 15L * 86400L * 1000000000L)),
         "__treat", "__post", "value")),
 
+    // A-msprt: always-valid sequential A/B test (mixture SPRT) — the
+    // peeking-safe per-period readout. ONE (period, arm) aggregate over
+    // data; cumulative sums + the running ln Λ envelope are windows over
+    // the calendar-bounded day panel. Per-term round-6 decimal sums,
+    // double divisions, shared τ²/α literals; ln's ulp absorbed by the
+    // round-6 outputs.
+    "q_a_msprt" -> ((s, dir) =>
+      graft.operators.Experiment.msprt(
+        t(s, dir, "events")
+          .where(col("ts").isNotNull) // a null period would order differently per engine
+          .withColumn("__treat", col("user_id") % 2 === 0)
+          .withColumn("__day",
+            floor((col("ts") - lit(1704067200000000000L)) /
+              lit(86400000000000.0)).cast("long")),
+        "__treat", "__day", "value", tauSq = 1.0, alpha = 0.05)
+      .orderBy(col("period"))),
+
     // D-systematic: every-7th event along (ts, event_id) — global
     // positions via range partitioning + a partition-count pass, never
     // a single-partition sort
@@ -6611,6 +6628,64 @@ object SparkEntry {
         |  ROUND(tpost, 6) AS mean_t_post,
         |  ROUND((tpost - tpre) - (cpost - cpre), 6) AS did
         |FROM a""".stripMargin,
+
+    // mSPRT: identical (period, arm) decimal cells, identical ROWS
+    // cumulative windows, identical double formula structure; ln ulp
+    // absorbed by ROUND(,6); tau^2 = 1.0, alpha = 0.05 inlined
+    "q_a_msprt" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor((epoch_ns(ts) - 1704067200000000000)
+        |      / 86400000000000.0) AS BIGINT) AS period,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS nt0,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS nc0,
+        |    SUM(CAST(CASE WHEN user_id % 2 = 0 THEN ROUND(value, 6)
+        |      ELSE 0 END AS DECIMAL(38,6))) AS st0,
+        |    SUM(CAST(CASE WHEN user_id % 2 <> 0 THEN ROUND(value, 6)
+        |      ELSE 0 END AS DECIMAL(38,6))) AS sc0,
+        |    SUM(CAST(CASE WHEN user_id % 2 = 0
+        |      THEN ROUND(value, 6) * ROUND(value, 6)
+        |      ELSE 0 END AS DECIMAL(38,6))) AS qt0,
+        |    SUM(CAST(CASE WHEN user_id % 2 <> 0
+        |      THEN ROUND(value, 6) * ROUND(value, 6)
+        |      ELSE 0 END AS DECIMAL(38,6))) AS qc0
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT period,
+        |    SUM(nt0) OVER w AS nt, SUM(nc0) OVER w AS nc,
+        |    CAST(SUM(st0) OVER w AS DOUBLE) AS st,
+        |    CAST(SUM(sc0) OVER w AS DOUBLE) AS sc,
+        |    CAST(SUM(qt0) OVER w AS DOUBLE) AS qt,
+        |    CAST(SUM(qc0) OVER w AS DOUBLE) AS qc
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT period, nt, nc,
+        |    CASE WHEN nt >= 1 AND nc >= 1 THEN
+        |      st / CAST(nt AS DOUBLE) - sc / CAST(nc AS DOUBLE) END AS dd,
+        |    (qt - st * st / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0)
+        |      / CAST(nt AS DOUBLE) +
+        |    (qc - sc * sc / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0)
+        |      / CAST(nc AS DOUBLE) AS vn
+        |  FROM cum),
+        |ll AS (
+        |  SELECT period, nt, nc, dd,
+        |    CASE WHEN nt >= 2 AND nc >= 2 AND vn > 0 THEN
+        |      0.5 * ln(vn / (vn + 1.0)) +
+        |        dd * dd * 1.0 / (2.0 * vn * (vn + 1.0))
+        |    END AS lnlam
+        |  FROM scored)
+        |SELECT period, CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+        |  ROUND(dd, 6) AS delta, ROUND(lnlam, 6) AS ln_lambda,
+        |  ROUND(MAX(lnlam) OVER w2, 6) AS ln_lambda_max,
+        |  COALESCE(MAX(lnlam) OVER w2 >= -ln(0.05), false) AS reject
+        |FROM ll
+        |WINDOW w2 AS (ORDER BY period
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY period""".stripMargin,
 
     // systematic sampling: the global row_number twin of the
     // range-partitioned distributed index

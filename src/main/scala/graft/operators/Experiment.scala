@@ -173,4 +173,87 @@ object Experiment {
       round((col("__tpost") - col("__tpre")) -
         (col("__cpost") - col("__cpre")), 6).as("did"))
   }
+
+  /** Always-valid sequential test (mixture SPRT) — the "peeking-safe"
+    * A/B readout an experimentation platform publishes per period
+    * instead of a fixed-horizon t-test (continuous monitoring with a
+    * classical p-value inflates false positives; the mSPRT's rejection
+    * rule is valid at EVERY look simultaneously — Johari et al.,
+    * "Peeking at A/B Tests", KDD'17).
+    *
+    * Per cumulative period n with treatment/control means and sample
+    * variances, `Vn = s²_t/n_t + s²_c/n_c` and the H0: Δ=0 vs a
+    * N(0, τ²) effect mixture gives
+    *
+    *   ln Λ_n = ½·ln(Vn/(Vn+τ²)) + Δ̄n²·τ² / (2·Vn·(Vn+τ²)),
+    *
+    * reject when the RUNNING MAX of ln Λ crosses ln(1/α) (the running
+    * max is the always-valid envelope: p_n = min_m 1/Λ_m).
+    *
+    * Scale shape: ONE (variant, period) keyed aggregate is the only
+    * pass over data; cumulative sums and the running max are windows
+    * over the calendar-bounded period PANEL (≤ dozens of rows — the
+    * q_t_backtest shape), not over rows. Periods with fewer than 2
+    * observations in either arm (or zero variance) yield null ln Λ and
+    * never reject.
+    *
+    * Cross-engine parity: per-term round-6 metric into DECIMAL sums;
+    * means/variances divide in DOUBLE; τ², α are shared literals; only
+    * `ln` is libm and the round-6 outputs absorb its ulp.
+    *
+    * Output per period (ordered): `period`, `n_t`, `n_c`, `delta`,
+    * `ln_lambda`, `ln_lambda_max`, `reject`. */
+  def msprt(df: DataFrame, treatCol: String, periodCol: String,
+      metricCol: String, tauSq: Double, alpha: Double): DataFrame = {
+    require(tauSq > 0, s"tauSq must be positive, got $tauSq")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val d6 = "decimal(38,6)"
+    val tr = col(treatCol).cast("boolean")
+    val y = col(metricCol)
+    // one keyed aggregate over data: per (period, arm) count / Σy / Σy²
+    val cells = df.where(y.isNotNull && tr.isNotNull)
+      .groupBy(col(periodCol).as("period"))
+      .agg(
+        sum(when(tr, 1L).otherwise(0L)).as("__nt"),
+        sum(when(!tr, 1L).otherwise(0L)).as("__nc"),
+        sum(when(tr, round(y, 6)).otherwise(lit(0)).cast(d6)).as("__st"),
+        sum(when(!tr, round(y, 6)).otherwise(lit(0)).cast(d6)).as("__sc"),
+        sum(when(tr, round(y, 6) * round(y, 6)).otherwise(lit(0)).cast(d6))
+          .as("__qt"),
+        sum(when(!tr, round(y, 6) * round(y, 6)).otherwise(lit(0)).cast(d6))
+          .as("__qc"))
+    // cumulative panel windows (bounded by the calendar, not the data)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = cells.select(col("period"),
+      sum(col("__nt")).over(w).as("nt"),
+      sum(col("__nc")).over(w).as("nc"),
+      sum(col("__st")).over(w).cast("double").as("st"),
+      sum(col("__sc")).over(w).cast("double").as("sc"),
+      sum(col("__qt")).over(w).cast("double").as("qt"),
+      sum(col("__qc")).over(w).cast("double").as("qc"))
+    val nt = col("nt").cast("double"); val nc = col("nc").cast("double")
+    val vart = (col("qt") - col("st") * col("st") / nt) / (nt - lit(1.0))
+    val varc = (col("qc") - col("sc") * col("sc") / nc) / (nc - lit(1.0))
+    // guarded: an empty arm must yield null delta, not an ANSI
+    // divide-by-zero (the whole formula chain rides inside when-guards
+    // so no division ever evaluates on a degenerate cumulative row)
+    val dd = when(col("nt") >= 1 && col("nc") >= 1,
+      col("st") / nt - col("sc") / nc)
+    val vn = vart / nt + varc / nc
+    val lnLam = when(col("nt") >= 2 && col("nc") >= 2 && vn > 0,
+      lit(0.5) * log(vn / (vn + lit(tauSq))) +
+        dd * dd * lit(tauSq) / (lit(2.0) * vn * (vn + lit(tauSq))))
+    val scored = cum.select(col("period"), col("nt").as("n_t"),
+      col("nc").as("n_c"), round(dd, 6).as("delta"), lnLam.as("__ll"))
+    val wMax = org.apache.spark.sql.expressions.Window
+      .orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored.select(col("period"), col("n_t"), col("n_c"), col("delta"),
+      round(col("__ll"), 6).as("ln_lambda"),
+      round(max(col("__ll")).over(wMax), 6).as("ln_lambda_max"),
+      coalesce(max(col("__ll")).over(wMax) >= -log(lit(alpha)), lit(false))
+        .as("reject"))
+  }
 }

@@ -93,6 +93,7 @@ class FullBatteryPlanAudit extends SparkSpec {
   private val boundedTopKWindowOk = Set("q_x_hybrid_rrf", "q_a_skyline",
     "q_t_mom", // calendar-bounded month panel (≤ dozens of rows by domain)
     "q_t_backtest", // calendar-bounded day-period panel
+    "q_a_msprt", // cumulative mSPRT envelope over the calendar-bounded day panel
     // probe-order rank over the 8-row literal centroid panel + global
     // top-k over the ≤ k·|centroids| checkpointed survivor panel
     "q_x_ivf_recall")

@@ -80,4 +80,52 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_t_post") == 7.0)
     assert(r.getAs[Double]("did") == 3.0)
   }
+
+  // ─────────────── mSPRT always-valid sequential test ───────────────
+
+  test("msprt: null effect stays accepted, planted effect eventually rejects") {
+    import org.apache.spark.sql.functions._
+    // 40 periods × 200 obs/arm; deterministic pseudo-noise from the id
+    def corpus(uplift: Double) = spark.range(0, 16000).selectExpr(
+        "id % 40 AS period", "(id DIV 40) % 2 = 0 AS treat",
+        // hash-derived noise in [0, 1)
+        "(abs(hash(id)) % 1000) / 1000.0 AS u")
+      .selectExpr("period", "treat",
+        s"u + CASE WHEN treat THEN $uplift ELSE 0.0 END AS y")
+    val nullRun = Experiment.msprt(corpus(0.0), "treat", "period", "y",
+      tauSq = 1.0, alpha = 0.05).orderBy("period").collect()
+    assert(nullRun.forall(!_.getAs[Boolean]("reject")),
+      "null effect must never reject at alpha=0.05 on this draw")
+    val effectRun = Experiment.msprt(corpus(0.5), "treat", "period", "y",
+      tauSq = 1.0, alpha = 0.05).orderBy("period").collect()
+    assert(effectRun.last.getAs[Boolean]("reject"),
+      "a 0.5 uplift over U(0,1) noise must reject by period 40")
+    // the envelope is monotone and the rejection is absorbing
+    val maxes = effectRun.map(_.getAs[Double]("ln_lambda_max"))
+    assert(maxes.sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+    val firstReject = effectRun.indexWhere(_.getAs[Boolean]("reject"))
+    assert(effectRun.drop(firstReject).forall(_.getAs[Boolean]("reject")))
+  }
+
+  test("msprt: degenerate periods (arm below 2 obs) yield null ln_lambda, no reject") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (0L, true, 1.0), (0L, false, 2.0), // 1 obs/arm at period 0
+      (1L, true, 1.5), (1L, false, 2.5)) // cumulative: 2/arm at period 1
+      .toDF("period", "treat", "y")
+    val out = Experiment.msprt(df, "treat", "period", "y", 1.0, 0.05)
+      .orderBy("period").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("ln_lambda")))
+    assert(!out(0).getAs[Boolean]("reject"))
+  }
+
+  test("msprt rejects invalid tau/alpha") {
+    val df = Seq((0L, true, 1.0)).toDF("period", "treat", "y")
+    assertThrows[IllegalArgumentException] {
+      Experiment.msprt(df, "treat", "period", "y", 0.0, 0.05)
+    }
+    assertThrows[IllegalArgumentException] {
+      Experiment.msprt(df, "treat", "period", "y", 1.0, 1.5)
+    }
+  }
 }
