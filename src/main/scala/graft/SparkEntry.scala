@@ -740,6 +740,19 @@ object SparkEntry {
         "vec_id", "codes", model, qv, 10)
     }),
 
+    // X-opq: OPTIMIZED product quantization (Ge et al., CVPR'13, one
+    // non-parametric alternation) — rotate the space (orthogonal
+    // Procrustes against the raw-PQ reconstruction) so the same m×k
+    // code budget cuts more error. Composition of three already-gated
+    // pieces: the oracled k-means loop, the dim² Procrustes moment fit,
+    // the fused nearest-centroid encode. Output: mean squared
+    // reconstruction error under raw PQ vs OPQ (the training objective)
+    // — the oracle independently re-encodes every vector against BOTH
+    // inlined codebooks and re-derives both distortions.
+    "q_x_opq" -> ((s, dir) =>
+      graft.operators.ProductQuantization.opqGate(
+        t(s, dir, "embeddings"), dir)),
+
     // X-mix: temperature-reweighted source mixing (the LLM-pretraining
     // data-mix): per-source rates ∝ sqrt(n_s)/n_s computed in-plan
     // (sqrt is IEEE-exact → bit-identical cross-engine), keep decision
@@ -4914,6 +4927,11 @@ object SparkEntry {
     // and re-ranks with the same literal lookup chain
     "q_x_pq" ->
       graft.operators.ProductQuantization.gateOracleSql(10),
+
+    // OPQ: rotation + both codebooks inlined from the dump-time memo;
+    // identical assignment tie rules and left-assoc distortion folds
+    "q_x_opq" ->
+      graft.operators.ProductQuantization.opqOracleSql(),
 
     // temperature mix: identical in-plan rate computation (round-6
     // sqrt shares into a DECIMAL sum, same left-assoc division chain)

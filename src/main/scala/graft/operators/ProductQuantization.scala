@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExprs
@@ -142,6 +142,205 @@ object ProductQuantization {
         adcOracleSql("embeddings", "vec_id", "embedding", model, q, topK)
       case None =>
         "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS adist WHERE FALSE"
+    }
+
+  // ───────────── OPQ: optimized product quantization ─────────────
+
+  /** OPQ model: an orthogonal rotation applied BEFORE product
+    * quantization (Ge et al., CVPR'13 — non-parametric OPQ, one
+    * alternation): PQ's independence assumption wastes code budget
+    * when energy/correlation straddles subspace boundaries; rotating
+    * the space first lets the same m×k codes cut more error. Training
+    * alternates (here: one round) between codes and rotation —
+    * R = polar(X̂ Xᵀ), EXACTLY the orthogonal-Procrustes solve already
+    * in-tree ([[Alignment.fitProcrustes]] with dst = the PQ
+    * reconstruction), then PQ retrains in the rotated space. All
+    * data-scale passes are the already-audited shapes: per-subspace
+    * k-means aggregates, ONE dim² cross-moment aggregate, map-side
+    * fused encodes. */
+  final case class OpqModel(dim: Int, rotation: Array[Array[Float]],
+      raw: PQModel, opq: PQModel, orthErr: Double)
+
+  /** codes expression — the [[encode]] projection as a reusable column
+    * (m fused nearest-centroid argmins over slices; map-side). */
+  private def codesExpr(vec: Column, model: PQModel): Column = {
+    val sub = model.subDim
+    array((0 until model.m).map(j =>
+      VectorExprs.nearestCentroid(
+        slice(vec.cast("array<double>"), j * sub + 1, sub),
+        model.codebooks(j))): _*)
+  }
+
+  /** Per-row squared reconstruction error ‖v − cb[codes]‖²: per
+    * subspace a left-assoc fold of (v_i − c_i)², subspace folds summed
+    * left-assoc — the exact association the generated oracle mirrors. */
+  private def reconD2(vec: Column, codes: Column, model: PQModel): Column = {
+    val sub = model.subDim
+    (0 until model.m).map { j =>
+      val cb = typedLit(model.codebooks(j).map(_.toSeq).toSeq)
+      val cvec = element_at(cb, codes.getItem(j) + 1)
+      (0 until sub).map { i =>
+        val t = vec.getItem(j * sub + i).cast("double") - element_at(cvec, i + 1)
+        t * t
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, OpqModel]()
+  @volatile private var opqLastDir: Option[String] = None
+
+  /** Trains OPQ by alternating (non-parametric OPQ): codes given the
+    * rotation (per-subspace k-means in the rotated space), then the
+    * rotation given the codes (Procrustes fit of the ORIGINAL vectors
+    * against the current reconstruction — a fresh total rotation each
+    * round, never composed). The final PQ retrains in the final
+    * rotation's space so model pieces are mutually consistent. Model
+    * state is driver-tiny; training costs (alternations+1)·m·iters
+    * k-means aggregates + alternations dim² cross-moment aggregates. */
+  def trainOpq(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int,
+      alternations: Int = 2): OpqModel = {
+    require(alternations >= 1, s"need >= 1 alternation, got $alternations")
+    val raw = train(corpus, idCol, vecCol, dim, m, k, iters)
+    val sub = raw.subDim
+    def reconOf(vc: Column, codes: Column, pq: PQModel): Column =
+      array((0 until dim).map { d =>
+        val j = d / sub
+        val cb = typedLit(pq.codebooks(j).map(_.toSeq).toSeq)
+        element_at(element_at(cb, codes.getItem(j) + 1), d % sub + 1)
+      }: _*)
+    def rotatedCol(rot: Array[Array[Float]]): Column =
+      array(rot.map(w =>
+        VectorExprs.dot(col(vecCol).cast("array<float>"), typedLit(w))): _*)
+    var rot: Alignment.ProcrustesModel = null
+    var pq: PQModel = raw
+    var it = 0
+    while (it < alternations) {
+      val xr = if (rot == null) col(vecCol) else rotatedCol(rot.rotation)
+      val framed = corpus.withColumn("__xr", xr)
+      val cur = if (it == 0) raw
+        else train(framed, idCol, "__xr", dim, m, k, iters)
+      val withRecon = framed
+        .withColumn("__codes", codesExpr(col("__xr"), cur))
+        .withColumn("__recon", reconOf(col("__xr"), col("__codes"), cur))
+      rot = Alignment.fitProcrustes(withRecon, vecCol, "__recon", dim)
+      it += 1
+    }
+    val rotated = corpus.withColumn("__xr", rotatedCol(rot.rotation))
+    val opq = train(rotated, idCol, "__xr", dim, m, k, iters)
+    OpqModel(dim, rot.rotation, raw, opq, rot.orthErr)
+  }
+
+  /** The q_x_opq gate body: train (memoized per dir) on the first
+    * `dim` embedding dims, then ONE scoring pass computing mean squared
+    * reconstruction error under raw PQ vs OPQ (round-9 per-row decimal
+    * sums, mean in double, round-6 outputs). The oracle re-encodes
+    * every vector against BOTH inlined codebooks and re-derives both
+    * distortions independently. */
+  def opqGate(emb: DataFrame, dir: String, dim: Int = 16,
+      m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $dim)").as("__xs"))
+    val model = opqCache.computeIfAbsent(dir,
+      _ => trainOpq(base, "vec_id", "__xs", dim, m, k, iters))
+    opqLastDir = Some(dir)
+    val comps = model.rotation.map(w =>
+      VectorExprs.dot(col("__xs"), typedLit(w)))
+    val scored = base
+      .withColumn("__cr", codesExpr(col("__xs"), model.raw))
+      .withColumn("__xr", array(comps: _*))
+      .withColumn("__co", codesExpr(col("__xr"), model.opq))
+    val d9 = "decimal(38,9)"
+    scored
+      .agg(count(lit(1)).as("__n"),
+        sum(round(reconD2(col("__xs"), col("__cr"), model.raw), 9).cast(d9))
+          .as("__dr"),
+        sum(round(reconD2(col("__xr"), col("__co"), model.opq), 9).cast(d9))
+          .as("__do"))
+      .select(col("__n").cast("bigint").as("n"),
+        round(col("__dr").cast("double") / col("__n").cast("double"), 6)
+          .as("distortion_raw"),
+        round(col("__do").cast("double") / col("__n").cast("double"), 6)
+          .as("distortion_opq"),
+        lit(BigDecimal(model.orthErr)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("orth_err"))
+  }
+
+  /** Generated twin of [[opqGate]]: rotation + BOTH codebooks inline
+    * as literals; identical per-subspace assignment tie rule, identical
+    * left-assoc distortion folds, round-9 decimal sums, round-6 means. */
+  def opqOracleSql(table: String = "embeddings", dim: Int = 16): String =
+    opqLastDir.flatMap(d => Option(opqCache.get(d))) match {
+      case None =>
+        "SELECT CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS distortion_raw, " +
+          "CAST(NULL AS DOUBLE) AS distortion_opq, CAST(NULL AS DOUBLE) AS orth_err WHERE FALSE"
+      case Some(model) =>
+        val sub = model.raw.subDim
+        val m = model.raw.m
+        def cbCtes(tag: String, pq: PQModel) = (0 until m).map { j =>
+          val rows = pq.codebooks(j).zipWithIndex.map { case (c, cid) =>
+            s"($cid, [${c.mkString(", ")}]::DOUBLE[])"
+          }.mkString(", ")
+          s"cb$tag$j AS (SELECT * FROM (VALUES $rows) AS t(cid, cv))"
+        }
+        def cdCtes(tag: String, src: String, vcol: String, cast: Boolean) =
+          (0 until m).map { j =>
+            val el = if (cast) s"CAST($src.$vcol[${j * sub} + i] AS DOUBLE)"
+              else s"$src.$vcol[${j * sub} + i]"
+            s"""cd$tag$j AS (
+               |  SELECT vid, cid AS code$tag$j, cv AS cv$tag$j FROM (
+               |    SELECT e.vid, c.cid, c.cv,
+               |      list_reduce(list_transform(range(1, ${sub + 1}),
+               |        i -> ($el - c.cv[i]) * ($el - c.cv[i])),
+               |        (a, b) -> a + b) AS d
+               |    FROM base e, cb$tag$j c)
+               |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) = 1)""".stripMargin
+          }
+        val rx = model.rotation.zipWithIndex.map { case (w, j) =>
+          val lits = w.map(_.toDouble.toString).mkString(", ")
+          s"""list_reduce(list_transform(range(1, ${dim + 1}),
+             |      i -> CAST(xs[i] AS DOUBLE) * ([$lits])[i]),
+             |      (a, b) -> a + b) AS rx${j + 1}""".stripMargin
+        }.mkString(",\n    ")
+        val rxArr = (1 to dim).map(j => s"rx$j").mkString(", ")
+        def d2(tag: String, vcol: String, cast: Boolean) =
+          (0 until m).map { j =>
+            val el = if (cast) s"CAST($vcol[${j * sub} + i] AS DOUBLE)"
+              else s"$vcol[${j * sub} + i]"
+            s"""list_reduce(list_transform(range(1, ${sub + 1}),
+               |      i -> ($el - cv$tag$j[i]) * ($el - cv$tag$j[i])),
+               |      (a, b) -> a + b)""".stripMargin
+          }.mkString("\n    + ")
+        val joinsR = (0 until m).map(j => s"JOIN cdr$j USING (vid)").mkString(" ")
+        val joinsO = (0 until m).map(j => s"JOIN cdo$j USING (vid)").mkString(" ")
+        s"""WITH emb0 AS (SELECT vec_id AS vid, embedding[1:$dim] AS xs FROM $table),
+           |base AS (
+           |  SELECT vid, xs, [$rxArr]::DOUBLE[] AS xr FROM (
+           |    SELECT vid, xs,
+           |    $rx
+           |    FROM emb0)),
+           |${cbCtes("r", model.raw).mkString(",\n")},
+           |${cbCtes("o", model.opq).mkString(",\n")},
+           |${cdCtes("r", "e", "xs", cast = true).mkString(",\n")},
+           |${cdCtes("o", "e", "xr", cast = false).mkString(",\n")},
+           |joined AS (
+           |  SELECT * FROM base $joinsR $joinsO),
+           |perrow AS (
+           |  SELECT vid,
+           |    ${d2("r", "xs", cast = true)} AS d2r,
+           |    ${d2("o", "xr", cast = false)} AS d2o
+           |  FROM joined)
+           |SELECT CAST(count(*) AS BIGINT) AS n,
+           |  ROUND(CAST(SUM(CAST(ROUND(d2r, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           |    / count(*), 6) AS distortion_raw,
+           |  ROUND(CAST(SUM(CAST(ROUND(d2o, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           |    / count(*), 6) AS distortion_opq,
+           |  CAST(${BigDecimal(model.orthErr)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble} AS DOUBLE)
+           |    AS orth_err
+           |FROM perrow""".stripMargin
     }
 
   /** Generated DuckDB twin of encode→ADC→top-k: codebooks and lookup

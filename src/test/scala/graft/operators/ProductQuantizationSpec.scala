@@ -66,4 +66,79 @@ class ProductQuantizationSpec extends SparkSpec {
       ProductQuantization.lookupTables(model, Array(1.0, 2.0))
     }
   }
+
+  // ─────────────── OPQ (rotation + PQ) ───────────────
+
+  test("opq rotation is orthogonal and cuts distortion on cross-subspace correlation") {
+    import org.apache.spark.sql.functions._
+    // dims (i, i+4) are strongly correlated ACROSS the subspace
+    // boundary (x[i+4] = x[i] + small noise): independent per-subspace
+    // codebooks pay for the shared signal twice, while a rotation can
+    // decorrelate the pairs so the same code budget cuts more error.
+    // (Independent dims would be the no-gain case — PQ is already
+    // near-optimal there; correlation is what OPQ exists for.)
+    val dim = 8
+    val corpus = spark.range(0, 800).map { i =>
+      val r = new scala.util.Random(i)
+      val z = Seq.fill(4)((r.nextGaussian() * 2.0).toFloat)
+      val echo = z.map(v => v + (r.nextGaussian() * 0.1).toFloat)
+      (i, z ++ echo)
+    }.toDF("vec_id", "v")
+    val model = ProductQuantization.trainOpq(corpus, "vec_id", "v",
+      dim, m = 2, k = 8, iters = 3, alternations = 4)
+    // shipped rotation is orthogonal up to float quantization
+    assert(model.orthErr < 1e-4, s"orthErr ${model.orthErr}")
+    val out = opqDistortions(corpus, model)
+    assert(out._2 < out._1,
+      s"OPQ must cut distortion on cross-subspace correlation: raw=${out._1} opq=${out._2}")
+  }
+
+  test("opq improves distortion on the embeddings fixture (the gate's claim)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = ProductQuantization.opqGate(emb, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Double]("distortion_opq") <
+      out.getAs[Double]("distortion_raw"))
+    assert(out.getAs[Double]("orth_err") < 1e-4)
+  }
+
+  test("opq training is deterministic (same model twice)") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(0, 300).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "v")
+    val a = ProductQuantization.trainOpq(corpus, "vec_id", "v", 8, 2, 8, 2)
+    val b = ProductQuantization.trainOpq(corpus, "vec_id", "v", 8, 2, 8, 2)
+    assert(a.rotation.map(_.toSeq).toSeq == b.rotation.map(_.toSeq).toSeq)
+    assert(a.opq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      b.opq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** (raw, opq) mean squared reconstruction error via the public pieces. */
+  private def opqDistortions(corpus: org.apache.spark.sql.DataFrame,
+      model: ProductQuantization.OpqModel): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExprs
+    def mse(df: org.apache.spark.sql.DataFrame, vcol: String,
+        pq: ProductQuantization.PQModel): Double = {
+      val enc = ProductQuantization.encode(df, "vec_id", vcol, pq)
+      val sub = pq.subDim
+      val joined = df.join(enc, "vec_id")
+      val d2 = (0 until pq.m).flatMap { j =>
+        val cb = typedLit(pq.codebooks(j).map(_.toSeq).toSeq)
+        (0 until sub).map { i =>
+          val t = col(vcol).getItem(j * sub + i).cast("double") -
+            element_at(element_at(cb, col("codes").getItem(j) + 1), i + 1)
+          t * t
+        }
+      }.reduce(_ + _)
+      joined.agg(avg(d2)).head().getDouble(0)
+    }
+    val raw = mse(corpus, "v", model.raw)
+    val comps = model.rotation.map(w =>
+      VectorExprs.dot(col("v").cast("array<float>"), typedLit(w)))
+    val rotated = corpus.withColumn("vr", array(comps: _*))
+    val opq = mse(rotated, "vr", model.opq)
+    (raw, opq)
+  }
 }
