@@ -134,6 +134,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("opq")) {
+      opqProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("embstage")) {
       embStageBisect(spark, args.lift(1).map(_.toLong).getOrElse(30000000L))
       spark.stop()
@@ -1026,6 +1032,58 @@ object DevProbe {
     * 16 dims over n rows — ONE dim² decimal aggregate is the entire
     * data-scale cost; readouts: wall, orthogonality defect, and max
     * deviation from the planted signed-permutation. */
+  /** OPQ rung (`runMain graft.DevProbe opq [n]`): the full
+    * [[graft.operators.ProductQuantization.trainOpq]] alternation at
+    * 16 dims × n rows (m=4, k=8, iters=2, alternations=2) over a
+    * corpus with planted cross-subspace correlation (the case OPQ
+    * exists for), then one distortion-scoring pass. Every data-scale
+    * stage is an already-audited shape — the readout is total wall per
+    * phase plus the raw→OPQ distortion drop at scale. */
+  private def opqProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.ProductQuantization
+    val dim = 16
+    val t0 = System.nanoTime()
+    val corpus = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      val z = Seq.fill(8)((r.nextGaussian() * 2.0).toFloat)
+      val echo = z.map(v => v + (r.nextGaussian() * 0.1).toFloat)
+      (i, z ++ echo)
+    }.toDF("vec_id", "v").localCheckpoint()
+    corpus.count()
+    println(f"[opq $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val t1 = System.nanoTime()
+    val model = ProductQuantization.trainOpq(corpus, "vec_id", "v",
+      dim, m = 4, k = 8, iters = 2, alternations = 2)
+    println(f"[opq $n] trainOpq (2 alternations): ${(System.nanoTime() - t1) / 1e9}%.1f s" +
+      f" orthErr=${model.orthErr}%.2e")
+    val t2 = System.nanoTime()
+    // gate-shaped scoring pass over the probe corpus
+    val comps = model.rotation.map(w =>
+      graft.functions.VectorExprs.dot(col("v"), typedLit(w)))
+    def d2(vc: Column, codes: Column, pq: ProductQuantization.PQModel) = {
+      val sub = pq.subDim
+      (0 until pq.m).flatMap { j =>
+        val cb = typedLit(pq.codebooks(j).map(_.toSeq).toSeq)
+        (0 until sub).map { i =>
+          val t = vc.getItem(j * sub + i).cast("double") -
+            element_at(element_at(cb, codes.getItem(j) + 1), i + 1)
+          t * t
+        }
+      }.reduce(_ + _)
+    }
+    val encoded = corpus
+      .withColumn("__xr", array(comps: _*))
+      .withColumn("__cr", ProductQuantization.encodeCodes(col("v"), model.raw))
+      .withColumn("__co", ProductQuantization.encodeCodes(col("__xr"), model.opq))
+    val out = encoded.agg(
+      avg(d2(col("v"), col("__cr"), model.raw)).as("raw"),
+      avg(d2(col("__xr"), col("__co"), model.opq)).as("opq")).head()
+    println(f"[opq $n] distortion pass: ${(System.nanoTime() - t2) / 1e9}%.1f s " +
+      f"raw=${out.getDouble(0)}%.5f opq=${out.getDouble(1)}%.5f")
+  }
+
   private def procrustesProbe(spark: SparkSession, n: Long): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
