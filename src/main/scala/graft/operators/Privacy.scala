@@ -76,7 +76,11 @@ object Privacy {
   /** Seeded Laplace(b) noise keyed on `key ‖ salt` (see
     * [[dpNoisyCounts]]). u = 0 exactly (P = 2^−52 per group) would send
     * ln to −∞; it is nudged one ulp in, matching the oracle's GREATEST
-    * guard. */
+    * guard. NULL-key contract: `concat_ws` skips nulls, so a null group
+    * draws its noise from the salt alone ("salt" — unambiguous, since
+    * every non-null key hashes "<key>:salt"); a SQL twin over a
+    * null-bearing group column must mirror with
+    * `COALESCE(key || ':' || salt, salt)`. */
   private[operators] def laplaceNoise(key: Column, salt: String,
       b: Double): Column = {
     val u = conv(substring(md5(concat_ws(":", key.cast("string"), lit(salt))),

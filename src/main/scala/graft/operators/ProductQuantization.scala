@@ -160,6 +160,11 @@ object ProductQuantization {
     * fused encodes. */
   final case class OpqModel(dim: Int, rotation: Array[Array[Float]],
       raw: PQModel, opq: PQModel, orthErr: Double)
+  // Input contract (shared with train/encode): non-null vectors of
+  // exactly `dim` elements — a null vector would null its distortion
+  // row while still counting toward the mean (and a SQL twin's
+  // assignment over a null vector ties arbitrarily); filter nulls out
+  // explicitly before OPQ, as the fused vector expressions require.
 
   /** codes expression — the [[encode]] projection as a reusable column
     * (m fused nearest-centroid argmins over slices; map-side). */
