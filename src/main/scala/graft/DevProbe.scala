@@ -146,6 +146,18 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("calibrate")) {
+      calibrateProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("kmvfam")) {
+      kmvFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("selfam")) {
       selectionProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
       spark.stop()
@@ -1082,6 +1094,75 @@ object DevProbe {
       avg(d2(col("__xr"), col("__co"), model.opq)).as("opq")).head()
     println(f"[opq $n] distortion pass: ${(System.nanoTime() - t2) / 1e9}%.1f s " +
       f"raw=${out.getDouble(0)}%.5f opq=${out.getDouble(1)}%.5f")
+  }
+
+  /** Isotonic-APPLY rung (`runMain graft.DevProbe calibrate [n]`): maps
+    * n scores through a 256-bin fitted step function, fused
+    * StepFloorLookup vs the CodegenFallback HOF twin — the round-9
+    * fused-vs-HOF evidence for the serving path (the quantizer rung's
+    * sibling: the HOF drops the WHOLE projection to interpreted eval,
+    * which a 9-bin sf0.1 gate can't see). */
+  private def calibrateProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Calibration
+    val bins = 256
+    val fit = (0 until bins).map(i => (i / bins.toDouble, (i / bins.toDouble) * 0.9))
+    val t0 = System.nanoTime()
+    val scores = spark.range(n)
+      .select((pmod(xxhash64(col("id")), lit(1000000L)) / lit(1000000.0)).as("s"))
+      .localCheckpoint()
+    scores.count()
+    println(f"[calibrate $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def drain(c: Column, label: String): Double = {
+      val t = System.nanoTime()
+      scores.select(c.as("c"))
+        .write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t) / 1e9
+      println(f"[calibrate $n] $label: $w%.1f s")
+      w
+    }
+    drain(Calibration.calibrateColumn(col("s"), fit), "fused warmup")
+    val fused = drain(Calibration.calibrateColumn(col("s"), fit), "fused (StepFloorLookup)")
+    val hof = drain(Calibration.calibrateColumnHof(col("s"), fit), "hof (filter+element_at)")
+    println(f"[calibrate $n] hof/fused ratio: ${hof / fused}%.1f x")
+  }
+
+  /** KMV-sketch rung (`runMain graft.DevProbe kmvfam [n]`): n rows over
+    * 64 groups with ~n/6 distinct values per group — the
+    * high-cardinality slice census. Times the bounded-shuffle KmvAgg at
+    * k ∈ {256, 1024} against exact count(DISTINCT) and reports estimate
+    * relative error — the scale evidence for the round-8 aggregate
+    * family (its O(log k) TreeSet update is the whole 100 TB claim). */
+  private def kmvFamilyProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SetSketch
+    val t0 = System.nanoTime()
+    // ~n/6 distinct hash values per group, uniform on [0, 2^60)
+    val df = spark.range(n).select(
+      (col("id") % 64).as("g"),
+      pmod(xxhash64((col("id") / 6).cast("long")), lit(1L << 60)).as("h"))
+      .localCheckpoint()
+    df.count()
+    println(f"[kmvfam $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val t1 = System.nanoTime()
+    val exact = df.groupBy(col("g"))
+      .agg(countDistinct(col("h")).as("exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(f"[kmvfam $n] exact countDistinct: ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      f"(mean group cardinality ${exact.values.sum / exact.size}%d)")
+    for (k <- Seq(256, 1024)) {
+      val t = System.nanoTime()
+      val est = df.groupBy(col("g"))
+        .agg(SetSketch.kmvSketch(col("h"), k).as("sk"))
+        .select(col("g"), SetSketch.estimateDistinct(col("sk"), k).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val wall = (System.nanoTime() - t) / 1e9
+      val relErrs = exact.map { case (g, ex) =>
+        math.abs(est(g) - ex) / ex.toDouble }
+      println(f"[kmvfam $n] kmv k=$k%d: $wall%.1f s " +
+        f"meanRelErr=${relErrs.sum / relErrs.size}%.4f maxRelErr=${relErrs.max}%.4f " +
+        f"(theory ~ 1/sqrt(k) = ${1.0 / math.sqrt(k)}%.4f)")
+    }
   }
 
   private def procrustesProbe(spark: SparkSession, n: Long): Unit = {

@@ -2278,10 +2278,11 @@ object SparkEntry {
     // domain is billions and exact distinct IS the shuffle). k=48 <
     // per-priority distinct customers at every SF, so the estimator
     // branch (not the exact-below-k branch) is what hashes. The sketch is
-    // a pure function of the distinct hash set, and the estimate is IEEE
-    // */ over exactly-representable doubles → DuckDB recomputes the k
-    // smallest per slice with a window and lands bit-identical. The exact
-    // count rides along as the accuracy context.
+    // a pure function of the distinct hash set, and both engines apply
+    // the same IEEE long→double cast to h (rounds identically above
+    // 2^53) and the same * / ops → DuckDB recomputes the k smallest per
+    // slice with a window and lands bit-identical. The exact count rides
+    // along as the accuracy context.
     "q_a_kmv_slices" -> ((s, dir) => {
       val sk = graft.operators.SetSketch
       val k = 48
@@ -5861,9 +5862,10 @@ object SparkEntry {
         |WHERE rn <= 5 ORDER BY rank""".stripMargin,
 
     // KMV slices: the k smallest distinct md5-60bit hashes per priority
-    // recomputed with a window; estimator arithmetic is IEEE */ over
-    // exactly-representable doubles (47·2^60 and h < 2^60 are exact), so
-    // the estimate hashes bit-identical with NO rounding
+    // recomputed with a window; 47·2^60 is an exact double and the
+    // long→double cast of h rounds IDENTICALLY in both engines (IEEE
+    // round-to-nearest), so the estimate hashes bit-identical with NO
+    // rounding
     "q_a_kmv_slices" ->
       """WITH h AS (
         |  SELECT DISTINCT o_orderpriority AS priority,
@@ -6684,10 +6686,11 @@ object SparkEntry {
         |  SELECT period, nt, nc,
         |    CASE WHEN nt >= 1 AND nc >= 1 THEN
         |      st / CAST(nt AS DOUBLE) - sc / CAST(nc AS DOUBLE) END AS dd,
-        |    (qt - st * st / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0)
-        |      / CAST(nt AS DOUBLE) +
-        |    (qc - sc * sc / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0)
-        |      / CAST(nc AS DOUBLE) AS vn
+        |    CASE WHEN nt >= 2 AND nc >= 2 THEN
+        |      (qt - st * st / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0)
+        |        / CAST(nt AS DOUBLE) +
+        |      (qc - sc * sc / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0)
+        |        / CAST(nc AS DOUBLE) END AS vn
         |  FROM cum),
         |ll AS (
         |  SELECT period, nt, nc, dd,
@@ -6699,7 +6702,8 @@ object SparkEntry {
         |SELECT period, CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
         |  ROUND(dd, 6) AS delta, ROUND(lnlam, 6) AS ln_lambda,
         |  ROUND(MAX(lnlam) OVER w2, 6) AS ln_lambda_max,
-        |  COALESCE(MAX(lnlam) OVER w2 >= -ln(0.05), false) AS reject
+        |  COALESCE(ROUND(MAX(lnlam) OVER w2, 6) >= ROUND(-ln(0.05), 6), false)
+        |    AS reject
         |FROM ll
         |WINDOW w2 AS (ORDER BY period
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

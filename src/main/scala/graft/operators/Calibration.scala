@@ -51,21 +51,46 @@ object Calibration {
   /** APPLY side of the fit — the step a serving pipeline actually
     * ships: map `score` through the fitted monotone (threshold → rate)
     * map as a pure MAP-SIDE expression. The ≤1024-bin fit rides as two
-    * literal arrays; the lookup is "rate of the LAST threshold ≤ score"
-    * (the isotonic step function), realized as a codegen'd HOF count of
-    * thresholds ≤ score + element_at — no join, no shuffle, no UDF.
-    * Scores below the first threshold clamp to the first rate (standard
-    * isotonic extrapolation clamps both ends; above-range scores take
-    * the last rate by the same rule). Comparisons are on shared doubles,
-    * so a DuckDB twin reproduces the lookup bit-for-bit. */
+    * codegen reference arrays; the lookup is "rate of the LAST
+    * threshold ≤ score" (the isotonic step function), realized as the
+    * fused [[graft.functions.StepFloorLookup]] binary search — no join,
+    * no shuffle, no UDF, and crucially NO higher-order function: the
+    * earlier `filter(ths, t -> t <= score)` form was CodegenFallback,
+    * dropping the whole serving projection to interpreted eval (the
+    * round-8 quantizer defect class; fused-vs-HOF ratio measured at the
+    * 10M `DevProbe calibrate` rung). Scores below the first threshold
+    * clamp to the first rate (standard isotonic extrapolation clamps
+    * both ends; above-range scores take the last rate by the same
+    * rule). Comparisons are on shared doubles, so a DuckDB twin
+    * reproduces the lookup bit-for-bit. */
   def calibrateColumn(score: Column, fit: Seq[(Double, Double)]): Column = {
+    requireFit(fit)
+    graft.functions.StepFloorLookup.column(score.cast("double"),
+      fit.map(_._1).toArray, fit.map(_._2).toArray)
+  }
+
+  /** The composable HOF twin of [[calibrateColumn]] — kept ONLY as the
+    * independent parity witness for the fused expression (CalibrationSpec
+    * asserts value equality over edge cases); never put this on a
+    * data-sized path: `filter` is CodegenFallback and drops the whole
+    * projection to interpreted eval. */
+  private[graft] def calibrateColumnHof(score: Column,
+      fit: Seq[(Double, Double)]): Column = {
+    requireFit(fit)
+    val idx = size(filter(typedLit(fit.map(_._1)), t => t <= score))
+    // the bare HOF would CLAMP a null score to the first rate (a null
+    // predicate keeps nothing → idx 0 → element 1); the contract is
+    // SQL-like null-in/null-out, so the twin states it explicitly
+    when(score.isNotNull,
+      element_at(typedLit(fit.map(_._2)), greatest(idx, lit(1))))
+  }
+
+  private def requireFit(fit: Seq[(Double, Double)]): Unit = {
     require(fit.nonEmpty && fit.size <= 1024,
       s"config-sized fitted map required, got ${fit.size} bins")
     val ths = fit.map(_._1)
     require(ths == ths.sorted && ths.distinct == ths,
       "fit thresholds must be strictly ascending")
-    val idx = size(filter(typedLit(ths), t => t <= score))
-    element_at(typedLit(fit.map(_._2)), greatest(idx, lit(1)))
   }
 
   // ───────── q_f_isotonic gate + generated oracle (memo) ─────────

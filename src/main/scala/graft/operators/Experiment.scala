@@ -250,10 +250,16 @@ object Experiment {
     val wMax = org.apache.spark.sql.expressions.Window
       .orderBy(col("period"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // reject compares ROUND-6 quantities on BOTH sides: the envelope and
+    // the threshold each pass through a libm ln, and a draw landing
+    // within an ulp of the boundary would flip the boolean cross-engine
+    // — the one output rounding cannot absorb after the fact (round-6
+    // ulp-absorption discipline, applied BEFORE the comparison here)
     scored.select(col("period"), col("n_t"), col("n_c"), col("delta"),
       round(col("__ll"), 6).as("ln_lambda"),
       round(max(col("__ll")).over(wMax), 6).as("ln_lambda_max"),
-      coalesce(max(col("__ll")).over(wMax) >= -log(lit(alpha)), lit(false))
+      coalesce(round(max(col("__ll")).over(wMax), 6) >=
+        round(-log(lit(alpha)), 6), lit(false))
         .as("reject"))
   }
 }

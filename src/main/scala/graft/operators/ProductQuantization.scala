@@ -221,7 +221,6 @@ object ProductQuantization {
       array(rot.map(w =>
         VectorExprs.dot(col(vecCol).cast("array<float>"), typedLit(w))): _*)
     var rot: Alignment.ProcrustesModel = null
-    var pq: PQModel = raw
     var it = 0
     while (it < alternations) {
       val xr = if (rot == null) col(vecCol) else rotatedCol(rot.rotation)

@@ -21,10 +21,14 @@ import graft.functions.Kmv
   * Determinism: sketches are pure functions of the distinct hash set
   * (no RNG), and [[hash60]] is the cross-engine md5-60bit hash
   * (fixed-width hex parses identically in Spark and DuckDB), so every
-  * estimate is a deterministic double derivable by the SQL oracle —
-  * estimator arithmetic is exclusively IEEE *, / over exactly-
-  * representable operands (h < 2^60 and (k−1)·2^60 for k ≤ 2^10 are both
-  * exact doubles), which hashes bit-identically cross-engine.
+  * estimate is a deterministic double derivable by the SQL oracle.
+  * Cross-engine bit-parity of the estimator: (k−1)·2^60 is exact in a
+  * double for k ≤ 2^10, and the long→double cast of h (which DOES round
+  * for h > 2^53 — 60-bit hashes are not exactly representable) is the
+  * same IEEE round-to-nearest-even conversion in both engines, so the
+  * subsequent * and / see identical operands. Parity rests on the
+  * shared conversion rule, NOT on operand exactness — keep that in mind
+  * before widening the hash or k.
   */
 object SetSketch {
 

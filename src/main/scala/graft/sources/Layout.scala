@@ -112,7 +112,11 @@ object Layout {
     * per-partition parallelism the rewrite job itself has. Pure integer
     * arithmetic → cross-engine oracle-exact.
     *
-    * Output: input columns + `bin` (long, dense within partition from 0)
+    * Output: input columns + `bin` (long, starting at 0 and MONOTONE in
+    * the packing order within a partition, but possibly SPARSE: a file
+    * spanning several targets — e.g. a 5 GB file at a 1 GB target —
+    * jumps the prefix past intermediate bin indices, which then never
+    * occur; consumers must group by bin value, not index bins densely)
     * + `oversized` (boolean). */
   def compactionPlan(files: DataFrame, partCol: String, pathCol: String,
       bytesCol: String, targetBytes: Long): DataFrame = {

@@ -50,8 +50,9 @@ class CalibrationSpec extends AnyFunSuite {
   }
 }
 
-/** APPLY side: the step-function lookup over a fitted map, as a Spark
-  * expression (codegen'd HOF — needs a session). */
+/** APPLY side: the step-function lookup over a fitted map, as the fused
+  * [[graft.functions.StepFloorLookup]] expression (parity with the HOF
+  * twin is gated separately in StepLookupFusedSpec). */
 class CalibrateApplySpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
