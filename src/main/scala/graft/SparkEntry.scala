@@ -753,6 +753,17 @@ object SparkEntry {
       graft.operators.ProductQuantization.opqGate(
         t(s, dir, "embeddings"), dir)),
 
+    // X-opq-serve: the OPQ SERVE shape an ANN user actually runs —
+    // rotate the query (driver, model-sized), rotate+encode the corpus
+    // map-side (fused argmins over rotated slices), ADC top-k against
+    // the OPQ codebooks via the rotated query's literal lookup tables
+    // (TakeOrderedAndProject bounded heap; zero pre-top-k shuffles).
+    // Same per-dir trained model as q_x_opq (shared memo); the oracle
+    // re-derives rotation → assignment → ADC fold end to end.
+    "q_x_opq_serve" -> ((s, dir) =>
+      graft.operators.ProductQuantization.opqServeGate(
+        t(s, dir, "embeddings"), dir)),
+
     // X-mix: temperature-reweighted source mixing (the LLM-pretraining
     // data-mix): per-source rates ∝ sqrt(n_s)/n_s computed in-plan
     // (sqrt is IEEE-exact → bit-identical cross-engine), keep decision
@@ -1920,9 +1931,11 @@ object SparkEntry {
 
     // X-jl: Johnson-Lindenstrauss random projection 64 → 8 dims — the
     // distance-preserving shrink before ANN/clustering and an 8× vector
-    // storage cut; the md5-derived ±1 matrix is a plan literal (never
-    // shuffled), each row projects map-side through codegen'd HOFs (no
-    // shuffle at all), decimal-accumulated so the gate hashes exactly.
+    // storage cut; the md5-derived ±1 matrix rides as a codegen
+    // reference object (never shuffled), each row projects map-side
+    // through ONE fused JlProject pass inside whole-stage codegen (the
+    // HOF form was CodegenFallback — kept only as the spec twin),
+    // decimal-accumulated so the gate hashes exactly.
     "q_x_jl_project" -> ((s, dir) =>
       graft.operators.Projection.randomProject(
           t(s, dir, "embeddings").where(col("vec_id") % 7 === 0)
@@ -2339,6 +2352,18 @@ object SparkEntry {
     "q_a_dp_counts" -> ((s, dir) =>
       graft.operators.Privacy.dpNoisyCounts(
           t(s, dir, "orders"), "o_orderpriority", eps = 0.5, salt = "dp-r8")
+        .orderBy(col("o_orderpriority"))),
+
+    // A-dp-sums: Laplace noisy sum/mean release with CLAMPED sensitivity
+    // — values clamp to [0, 300000] (the clamp DEFINES the sum's
+    // sensitivity; without it the ε claim is false on one outlier), ε
+    // split across the sum and count draws (independent salts), mean =
+    // post-processing of the two ROUND-6 releases (shared-double IEEE
+    // division → exact parity). One keyed aggregate + map-side noise.
+    "q_a_dp_sums" -> ((s, dir) =>
+      graft.operators.Privacy.dpNoisySums(
+          t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          lo = 0.0, hi = 300000.0, eps = 1.0, salt = "dp9")
         .orderBy(col("o_orderpriority"))),
 
     // S-compaction: small-file compaction planning — files sort
@@ -4934,6 +4959,13 @@ object SparkEntry {
     "q_x_opq" ->
       graft.operators.ProductQuantization.opqOracleSql(),
 
+    // OPQ serve: rotation, OPQ codebooks and the ROTATED query's ADC
+    // lookup tables inlined from the dump-time memo; the twin re-rotates
+    // every corpus vector, re-assigns with the shared (d, cid) tie rule
+    // and re-ranks with the same literal lookup chain
+    "q_x_opq_serve" ->
+      graft.operators.ProductQuantization.opqServeOracleSql(),
+
     // temperature mix: identical in-plan rate computation (round-6
     // sqrt shares into a DECIMAL sum, same left-assoc division chain)
     // and the same md5-uniform keep rule
@@ -5948,6 +5980,42 @@ object SparkEntry {
         |    AS n_noisy,
         |  CAST(0.5 AS DOUBLE) AS epsilon
         |FROM g ORDER BY o_orderpriority""".stripMargin,
+
+    // DP noisy sums/means: identical clamp (CASE, not LEAST — decimal
+    // LEAST degrades in DuckDB), round-6 decimal sum, identical seeded
+    // uniforms per (group, statistic) salt, b_sum = 300000/(1/2) =
+    // 600000, b_cnt = 2; mean divides the two ROUND-6 releases (shared
+    // doubles) and rounds at the edge
+    "q_a_dp_sums" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0.0
+        |         WHEN CAST(o_totalprice AS DOUBLE) > 300000.0 THEN 300000.0
+        |         ELSE CAST(o_totalprice AS DOUBLE) END AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |    ('0x' || substr(md5(o_orderpriority || ':dp9:n'), 1, 13))::BIGINT
+        |      / 4503599627370496.0 AS un,
+        |    ('0x' || substr(md5(o_orderpriority || ':dp9:s'), 1, 13))::BIGINT
+        |      / 4503599627370496.0 AS us
+        |  FROM c GROUP BY 1),
+        |rel AS (
+        |  SELECT o_orderpriority, n,
+        |    ROUND(n + (-2.0) * (CASE WHEN un >= 0.5 THEN 1.0 ELSE -1.0 END) *
+        |      ln(GREATEST(1.0 - 2.0 * abs(un - 0.5), 2.220446049250313e-16)),
+        |      6) AS n_noisy,
+        |    ROUND(s + (-600000.0) * (CASE WHEN us >= 0.5 THEN 1.0 ELSE -1.0 END) *
+        |      ln(GREATEST(1.0 - 2.0 * abs(us - 0.5), 2.220446049250313e-16)),
+        |      6) AS sum_noisy
+        |  FROM g)
+        |SELECT o_orderpriority, n, n_noisy, sum_noisy,
+        |  ROUND(sum_noisy /
+        |    (CASE WHEN n_noisy < 1.0 THEN 1.0 ELSE n_noisy END), 6)
+        |    AS mean_noisy,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM rel ORDER BY o_orderpriority""".stripMargin,
 
     // compaction plan: identical (bytes DESC, path) order, identical
     // prefix sums (pure integers), identical floor(prefix/target)

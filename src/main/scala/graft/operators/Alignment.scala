@@ -94,11 +94,14 @@ object Alignment {
   private def withPair(emb: DataFrame): DataFrame =
     emb
       .withColumn("__xs", expr(s"slice(embedding, 1, $GateDim)"))
-      .withColumn("__ys", expr(
-        s"""transform(sequence(1, $GateDim), j ->
-           |  CASE WHEN j % 2 = 1 THEN element_at(__xs, ${GateDim + 1} - j)
-           |       ELSE -element_at(__xs, ${GateDim + 1} - j) END)"""
-          .stripMargin))
+      // GateDim is a compile-time constant, so the signed reversal
+      // unrolls to a literal array of element_at terms — no
+      // transform(sequence(...)) HOF (CodegenFallback) on this
+      // data-sized fixture projection
+      .withColumn("__ys", array((1 to GateDim).map { j =>
+        val src = element_at(col("__xs"), GateDim + 1 - j)
+        if (j % 2 == 1) src else negate(src)
+      }: _*))
 
   /** The q_x_procrustes gate body: fit (memoized per dir) on the
     * planted pair, then ONE residual pass scoring the shipped

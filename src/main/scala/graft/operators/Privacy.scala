@@ -73,6 +73,68 @@ object Privacy {
         lit(eps).as("epsilon"))
   }
 
+  /** Laplace-mechanism noisy sums and means with CLAMPED sensitivity —
+    * the release shape for numeric statistics (counts alone rarely
+    * satisfy a release request). Per group over non-null values:
+    *
+    *   - values clamp to `[lo, hi]` FIRST (clamping bounds each row's
+    *     contribution, which is what defines the sum's sensitivity —
+    *     without it a single outlier row makes the mechanism's ε claim
+    *     false);
+    *   - `sum_noisy` = Σ clamped + Lap(max(|lo|,|hi|) / (ε/2));
+    *   - `n_noisy`   = n + Lap(1 / (ε/2));
+    *   - `mean_noisy` = sum_noisy / max(n_noisy, 1) — pure
+    *     POST-PROCESSING of the two released numbers (costs no extra ε;
+    *     the max(·,1) floor keeps a small-group release finite).
+    *
+    * The ε budget splits evenly across the two queries (sum + count) by
+    * sequential composition. Noise is SEEDED per (group, statistic) —
+    * the salt decorrelates the two draws (`salt:s` / `salt:n`) so the
+    * released pair doesn't share noise, and reruns publish identical
+    * numbers (see [[dpNoisyCounts]]).
+    *
+    * Scale shape: ONE keyed aggregate (count + round-6 decimal sum of
+    * clamped values); noise and the mean are map-side scalar math over
+    * the group relation. Cross-engine parity: clamping via CASE-style
+    * comparisons on shared doubles, decimal sum cast to double, noisy
+    * sum/count ROUND-6 FIRST and the mean divides the two rounded
+    * releases (shared-double IEEE), rounded 6 at the edge.
+    *
+    * Output: groupCol, `n`, `n_noisy`, `sum_noisy`, `mean_noisy`
+    * (noisy values round-6 double, can be negative — consumers clamp,
+    * the mechanism must not), `epsilon`. The exact `n` column is for
+    * the GATE's accuracy context only — a real release must drop it. */
+  def dpNoisySums(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, eps: Double, salt: String): DataFrame = {
+    require(eps > 0, s"epsilon must be positive, got $eps")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(salt.nonEmpty, "salt (the release seed) must be non-empty")
+    val bSum = math.max(math.abs(lo), math.abs(hi)) / (eps / 2.0)
+    val bCnt = 1.0 / (eps / 2.0)
+    val v = col(valueCol).cast("double")
+    // clamp with when-chains, not least/greatest: DuckDB's LEAST over
+    // mixed decimal/double degrades non-correctly-rounded (round-5 trap)
+    val clamped = when(v < lit(lo), lit(lo))
+      .when(v > lit(hi), lit(hi)).otherwise(v)
+    val g = col(groupCol)
+    df.where(v.isNotNull)
+      .groupBy(g)
+      .agg(count(lit(1)).as("__n"),
+        sum(round(clamped, 6).cast("decimal(38,6)")).as("__s"))
+      .select(g,
+        col("__n").cast("bigint").as("n"),
+        round(col("__n") + laplaceNoise(g, s"$salt:n", bCnt), 6)
+          .as("n_noisy"),
+        round(col("__s").cast("double") + laplaceNoise(g, s"$salt:s", bSum), 6)
+          .as("sum_noisy"),
+        lit(eps).as("epsilon"))
+      .withColumn("mean_noisy",
+        round(col("sum_noisy") /
+          when(col("n_noisy") < 1.0, lit(1.0)).otherwise(col("n_noisy")), 6))
+      .select(g, col("n"), col("n_noisy"), col("sum_noisy"),
+        col("mean_noisy"), col("epsilon"))
+  }
+
   /** Seeded Laplace(b) noise keyed on `key ‖ salt` (see
     * [[dpNoisyCounts]]). u = 0 exactly (P = 2^−52 per group) would send
     * ln to −∞; it is nudged one ulp in, matching the oracle's GREATEST

@@ -193,9 +193,46 @@ object ProductQuantization {
     }.reduce(_ + _)
   }
 
+  /** Driver-side query rotation into OPQ space: rq[j] = Σ_i R[j][i]·q[i],
+    * accumulating float→double left-to-right exactly like
+    * [[VectorExprs.dot]] (the corpus-side rotation) — one rotated query
+    * per lookup, model-sized work. */
+  def rotateQuery(rotation: Array[Array[Float]], q: Array[Float]): Array[Double] = {
+    require(rotation.nonEmpty && rotation(0).length == q.length,
+      s"query dim ${q.length} != rotation dim ${rotation.headOption.map(_.length).getOrElse(0)}")
+    rotation.map { w =>
+      var d = 0.0; var i = 0
+      while (i < w.length) { d += q(i).toDouble * w(i).toDouble; i += 1 }
+      d
+    }
+  }
+
+  /** The OPQ SERVE path — what an ANN user actually runs against an
+    * OPQ index: rotate the query (driver, model-sized), rotate + encode
+    * the corpus map-side (m fused argmins over the rotated slices), then
+    * ADC top-k against the OPQ codebooks with the ROTATED query's lookup
+    * tables. Zero shuffles before the TakeOrderedAndProject bounded heap;
+    * in a real deployment the encode is done once offline and only the
+    * ADC scan runs per query (the [[adcTopK]] shape). */
+  def opqServeTopK(df: DataFrame, idCol: String, vecCol: String,
+      model: OpqModel, query: Array[Float], topK: Int): DataFrame = {
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    val comps = model.rotation.map(w =>
+      VectorExprs.dot(col(vecCol).cast("array<float>"), typedLit(w)))
+    val encoded = df.select(col(idCol),
+      codesExpr(array(comps: _*), model.opq).as("__codes"))
+    adcTopK(encoded, idCol, "__codes", model.opq,
+      rotateQuery(model.rotation, query), topK)
+  }
+
   private val opqCache =
     new java.util.concurrent.ConcurrentHashMap[String, OpqModel]()
   @volatile private var opqLastDir: Option[String] = None
+  // per-dir (model, ROTATED query) for the serve gate's oracle generator
+  private val opqServeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (OpqModel, Array[Double])]()
+  @volatile private var opqServeLastDir: Option[String] = None
 
   /** Trains OPQ by alternating (non-parametric OPQ): codes given the
     * rotation (per-subspace k-means in the rotated space), then the
@@ -274,6 +311,92 @@ object ProductQuantization {
           .as("orth_err"))
   }
 
+  /** The q_x_opq_serve gate body: the [[opqServeTopK]] chain against
+    * the SAME per-dir trained model as q_x_opq (shared memo — whichever
+    * gate runs first trains), probing the first-`dim` slice of a fixture
+    * query vector the codebooks were trained over. The oracle re-derives
+    * the WHOLE serve chain independently: corpus rotation from the
+    * inlined rotation literals, per-subspace assignment with the shared
+    * (d, cid) tie rule, and the ADC fold from the inlined lookup tables
+    * of the rotated query. */
+  def opqServeGate(emb: DataFrame, dir: String, dim: Int = 16,
+      m: Int = 4, k: Int = 8, iters: Int = 2, topK: Int = 10): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $dim)").as("__xs"))
+    val model = opqCache.computeIfAbsent(dir,
+      _ => trainOpq(base, "vec_id", "__xs", dim, m, k, iters))
+    opqLastDir = Some(dir)
+    val q = emb.filter(col("vec_id") === 5L)
+      .select(expr(s"slice(embedding, 1, $dim)"))
+      .head().getSeq[Float](0).toArray
+    opqServeCache.put(dir, (model, rotateQuery(model.rotation, q)))
+    opqServeLastDir = Some(dir)
+    opqServeTopK(base, "vec_id", "__xs", model, q, topK)
+  }
+
+  /** Generated twin of [[opqServeGate]] (see there). */
+  def opqServeOracleSql(table: String = "embeddings", dim: Int = 16,
+      topK: Int = 10): String =
+    opqServeLastDir.flatMap(d => Option(opqServeCache.get(d))) match {
+      case None =>
+        "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS adist WHERE FALSE"
+      case Some((model, rq)) =>
+        val pq = model.opq
+        val sub = pq.subDim
+        val m = pq.m
+        val tables = lookupTables(pq, rq)
+        val (rx, rxArr) = rotationExprs(model, dim)
+        val cbCtes = (0 until m).map { j =>
+          val rows = pq.codebooks(j).zipWithIndex.map { case (c, cid) =>
+            s"($cid, [${c.mkString(", ")}]::DOUBLE[])"
+          }.mkString(", ")
+          s"cb$j AS (SELECT * FROM (VALUES $rows) AS t(cid, cv))"
+        }
+        val cdCtes = (0 until m).map { j =>
+          s"""cd$j AS (
+             |  SELECT vid, cid AS code$j FROM (
+             |    SELECT e.vid, c.cid,
+             |      list_reduce(list_transform(range(1, ${sub + 1}),
+             |        i -> (e.xr[${j * sub} + i] - c.cv[i])
+             |           * (e.xr[${j * sub} + i] - c.cv[i])),
+             |        (a, b) -> a + b) AS d
+             |    FROM base e, cb$j c)
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) = 1)""".stripMargin
+        }
+        val joins = (1 until m).map(j => s"JOIN cd$j USING (vid)").mkString(" ")
+        val luts = (0 until m).map { j =>
+          val cases = tables(j).zipWithIndex
+            .map { case (t, c) => s"WHEN $c THEN CAST($t AS DOUBLE)" }.mkString(" ")
+          s"(CASE code$j $cases END)"
+        }.mkString("\n         + ")
+        s"""WITH emb0 AS (SELECT vec_id AS vid, embedding[1:$dim] AS xs FROM $table),
+           |base AS (
+           |  SELECT vid, [$rxArr]::DOUBLE[] AS xr FROM (
+           |    SELECT vid, xs,
+           |    $rx
+           |    FROM emb0)),
+           |${cbCtes.mkString(",\n")},
+           |${cdCtes.mkString(",\n")},
+           |codes AS (SELECT * FROM cd0 $joins)
+           |SELECT vid AS vec_id,
+           |       ROUND($luts, 6) AS adist
+           |FROM codes
+           |ORDER BY adist, vid LIMIT $topK""".stripMargin
+    }
+
+  /** Per-component rotation projections as DuckDB exprs: (the rx column
+    * defs, the array-assembly list) — shared by the OPQ gate twins. */
+  private def rotationExprs(model: OpqModel, dim: Int): (String, String) = {
+    val rx = model.rotation.zipWithIndex.map { case (w, j) =>
+      val lits = w.map(_.toDouble.toString).mkString(", ")
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST(xs[i] AS DOUBLE) * ([$lits])[i]),
+         |      (a, b) -> a + b) AS rx${j + 1}""".stripMargin
+    }.mkString(",\n    ")
+    val rxArr = (1 to dim).map(j => s"rx$j").mkString(", ")
+    (rx, rxArr)
+  }
+
   /** Generated twin of [[opqGate]]: rotation + BOTH codebooks inline
     * as literals; identical per-subspace assignment tie rule, identical
     * left-assoc distortion folds, round-9 decimal sums, round-6 means. */
@@ -304,13 +427,7 @@ object ProductQuantization {
                |    FROM base e, cb$tag$j c)
                |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) = 1)""".stripMargin
           }
-        val rx = model.rotation.zipWithIndex.map { case (w, j) =>
-          val lits = w.map(_.toDouble.toString).mkString(", ")
-          s"""list_reduce(list_transform(range(1, ${dim + 1}),
-             |      i -> CAST(xs[i] AS DOUBLE) * ([$lits])[i]),
-             |      (a, b) -> a + b) AS rx${j + 1}""".stripMargin
-        }.mkString(",\n    ")
-        val rxArr = (1 to dim).map(j => s"rx$j").mkString(", ")
+        val (rx, rxArr) = rotationExprs(model, dim)
         def d2(tag: String, vcol: String, cast: Boolean) =
           (0 until m).map { j =>
             val el = if (cast) s"CAST($vcol[${j * sub} + i] AS DOUBLE)"

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * run — reproducible like the sampling operators ([[Sampling]]'s
   * content-hash posture, applied to the projection).
   *
-  * Scale shape: the matrix is a plan literal (dim × outDim signs, a few
-  * KB — never shuffled, no driver-side vector math); each row projects
-  * map-side through codegen'd array HOFs (zip_with multiply + aggregate
-  * sum). No shuffle at all — the operator composes with whatever comes
-  * next.
+  * Scale shape: the matrix is a codegen reference object (dim × outDim
+  * signs, a few KB — never shuffled, no driver-side vector math); each
+  * row projects map-side through ONE fused expression pass
+  * ([[graft.functions.JlProject]] — the zip_with/aggregate HOF form was
+  * CodegenFallback, interpreted; it survives only as the parity
+  * witness). No shuffle at all — the operator composes with whatever
+  * comes next.
   *
   * Cross-engine reproducibility: float elements widen to double exactly,
   * a ±1 multiply is exact, terms accumulate as DECIMAL(38,9)
@@ -45,6 +47,19 @@ object Projection {
     require(!df.columns.contains(outCol),
       s"output column $outCol already exists — rename it in the input")
     val signs = signMatrix(dim, outDim, salt)
+    df.withColumn(outCol, graft.functions.JlProject.column(
+      col(vecCol).cast("array<double>"), signs, math.sqrt(outDim.toDouble)))
+  }
+
+  /** The composable HOF twin of [[randomProject]] — kept ONLY as the
+    * independent parity witness for the fused expression
+    * (JlProjectFusedSpec); never put this on a data-sized path:
+    * zip_with/aggregate are CodegenFallback and drop the whole
+    * projection to interpreted eval. */
+  private[graft] def randomProjectHof(df: DataFrame, vecCol: String,
+      dim: Int, outDim: Int, salt: String = "",
+      outCol: String = "proj"): DataFrame = {
+    val signs = signMatrix(dim, outDim, salt)
     val scale = math.sqrt(outDim.toDouble)
     val comps: Seq[Column] = (0 until outDim).map { j =>
       val sj = array((0 until dim).map(i => lit(signs(i)(j).toDouble)): _*)
@@ -58,7 +73,11 @@ object Projection {
           (acc, x) => (acc + x.cast("decimal(28,9)")).cast("decimal(28,9)"),
           acc => acc.cast("double")) / lit(scale), 6)
     }
-    df.withColumn(outCol, array(comps: _*))
+    // the bare array(comps) would wrap a NULL input vector's null
+    // components into a non-null all-null array; the contract is
+    // SQL-like null-in/null-out, so the twin states it explicitly
+    df.withColumn(outCol,
+      when(col(vecCol).isNotNull, array(comps: _*)))
   }
 
   /** Generated DuckDB twin of [[randomProject]] in long form

@@ -121,4 +121,69 @@ class FullBatteryPlanAudit extends SparkSpec {
     assert(bad.isEmpty,
       s"single-partition exchange under a keyed operator in: ${bad.mkString(", ")}")
   }
+
+  // ──────────────── higher-order-function fallback audit ────────────────
+  //
+  // Spark's array higher-order functions (transform/aggregate/filter/
+  // zip_with/exists/…) are CodegenFallback: ANY projection containing one
+  // drops to interpreted per-element expression dispatch — measured 15×
+  // (isotonic apply, 256-bin fit, DevProbe calibrate 10M) to 30× (int8
+  // quantizer, round-8 50M rung). The standing rule bans them from
+  // data-sized per-row paths; this audit is the rule's enforcement: a new
+  // query that plans a lambda must either fuse (native expression — see
+  // QuantizeSymmetric, StepFloorLookup, NearestCentroid*) or be added
+  // here WITH a justification for why its HOF row volume is acceptable.
+  //
+  // Whitelist taxonomy (audited round 9):
+  //  [panel]   HOF over a config-sized relation (literal ladders, k-row
+  //            panels, survivor panels) — row count bounded by
+  //            construction, interpreted eval is O(panel), fine forever.
+  //  [text]    HOF over per-document token arrays on the documents
+  //            relation — data-sized by row count, but each gate's
+  //            measured share is seconds at sf0.1 and the work is
+  //            string-dominated (interpreted dispatch is NOT the
+  //            bottleneck the way it is for tight numeric loops; the
+  //            numeric cases are what got fused). Revisit any [text]
+  //            entry that grows past ~3 s/10× SF in the round bench.
+  //  [parity]  HOF kept deliberately as the oracle/spec twin of a fused
+  //            expression, planned only at gate scale.
+  private val hofOk: Map[String, String] = Map(
+    // [text] token/segment pipelines over documents — string-dominated,
+    // seconds each at sf0.1 in BENCH_LAST.json (fuse the numeric cases
+    // first; revisit any of these that crosses ~3 s or a 10× SF)
+    "q_x_minhash_bands" -> "[text] shingle+band transform ladder",
+    "q_x_simhash_md5" -> "[text] simhash bit-vote zip_with ladder",
+    "q_x_repetition" -> "[text] Gopher line/gram transforms",
+    "q_x_rep_ratio" -> "[text] repetition-ratio gram transforms",
+    "q_x_boilerplate" -> "[text] segment transform + reassembly",
+    "q_x_bpe_encode" -> "[text] BPE merge-apply transform over words",
+    "q_x_chunks" -> "[text] fixed-window chunk transform",
+    "q_x_leakage" -> "[text] shingle transform (split-leakage census)",
+    "q_x_perplexity" -> "[text] token-ngram transform",
+    "q_x_pmi" -> "[text] bigram zip_with",
+    "q_x_setjoin" -> "[text] token-set struct transform",
+    "q_x_pipeline2" -> "[text] corpus-pipeline shingle transforms",
+    "q_f_hof" -> "[text] the HOF-surface gate itself (filter/exists/transform coverage)",
+    // [panel] config-sized relations
+    "q_a_kmv_overlap" -> "[panel] set algebra over two k=48 sketch arrays, 1-row relation",
+    "q_x_ivf_recall" -> "[panel] nprobe-ladder filter over the bounded survivor panel",
+    // [parity] fused-expression twins at gate scale only
+    "q_x_quantized" -> "[parity] gates the HOF quantize twin on a 200-row slice; data paths use quantizeFused")
+
+  test("higher-order functions appear only at whitelisted, justified sites") {
+    val planned = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString.contains("lambdafunction")
+    }
+    info(s"queries planning HOFs: ${planned.mkString(", ")}")
+    val offenders = planned.filterNot(hofOk.contains)
+    assert(offenders.isEmpty,
+      "unwhitelisted higher-order function (CodegenFallback — fuse it or " +
+        s"justify it in hofOk): ${offenders.mkString(", ")}")
+    // a stale whitelist line hides a future regression — prune entries
+    // whose query no longer plans any lambda
+    val stale = hofOk.keySet.filter(SparkEntry.queries.contains)
+      .diff(planned.toSet)
+    assert(stale.isEmpty, s"stale hofOk entries (no lambda planned): ${stale.mkString(", ")}")
+  }
 }

@@ -61,6 +61,76 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(medAbs - b * math.log(2.0)) < 0.15, s"medianAbs $medAbs")
   }
 
+  // ─────────────── DP noisy sums/means ───────────────
+
+  test("dp sums: clamping bounds an outlier's contribution (the ε claim)") {
+    import org.apache.spark.sql.functions._
+    // one group with a 1e9 outlier: clamped to hi=100, the released sum
+    // must sit near the clamped total (max |Laplace| at b=200 is
+    // 200·52·ln2 ≈ 7.2e3 under the seeded 52-bit uniform), nowhere near 1e9
+    val df = (Seq.fill(99)(50.0) :+ 1e9).map(("g1", _)).toDF("g", "v")
+    val out = Privacy.dpNoisySums(df, "g", "v", lo = 0.0, hi = 100.0,
+      eps = 1.0, salt = "clamp-spec").head()
+    val clampedTotal = 99 * 50.0 + 100.0
+    assert(math.abs(out.getAs[Double]("sum_noisy") - clampedTotal) < 1e4,
+      s"outlier leaked through the clamp: ${out.getAs[Double]("sum_noisy")}")
+  }
+
+  test("dp sums: deterministic rerun, independent sum/count draws, mean is post-processing") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 2000)
+      .selectExpr("CAST(id % 5 AS STRING) AS g", "CAST(id % 97 AS DOUBLE) AS v")
+    def release(salt: String) =
+      Privacy.dpNoisySums(df, "g", "v", lo = 0.0, hi = 100.0, eps = 1.0,
+        salt = salt).orderBy("g").collect()
+    val a = release("s1"); val b = release("s1"); val c = release("s2")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq != c.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      // the count release and the sum release use DIFFERENT seeded
+      // draws: count noise at b=2 stays within ±75, and the released
+      // count must not be exact (noise actually applied)
+      assert(math.abs(r.getAs[Double]("n_noisy") - n) < 75)
+      assert(r.getAs[Double]("n_noisy") != n)
+      // mean is pure post-processing of the two ROUND-6 releases
+      val want = BigDecimal(r.getAs[Double]("sum_noisy") /
+          math.max(r.getAs[Double]("n_noisy"), 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("mean_noisy") == want)
+    }
+  }
+
+  test("dp sums: small-group mean release floors its denominator at 1") {
+    import org.apache.spark.sql.functions._
+    // groups of size 1: n_noisy can land below 1 (or negative); the
+    // mean must divide by the floored denominator, never blow up
+    val df = (0 until 40).map(i => (s"g$i", 10.0)).toDF("g", "v")
+    val out = Privacy.dpNoisySums(df, "g", "v", 0.0, 10.0, 1.0, "floor-spec")
+      .collect()
+    assert(out.exists(_.getAs[Double]("n_noisy") < 1.0),
+      "fixture must exercise the floor branch")
+    out.foreach { r =>
+      val denom = math.max(r.getAs[Double]("n_noisy"), 1.0)
+      val want = BigDecimal(r.getAs[Double]("sum_noisy") / denom)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("mean_noisy") == want)
+    }
+  }
+
+  test("dp sums rejects invalid bounds / epsilon / empty salt") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisySums(df, "g", "v", 5.0, 5.0, 1.0, "x")
+    }
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisySums(df, "g", "v", 0.0, 5.0, 0.0, "x")
+    }
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisySums(df, "g", "v", 0.0, 5.0, 1.0, "")
+    }
+  }
+
   test("dp release rejects invalid epsilon / sensitivity / empty salt") {
     val df = Seq("a").toDF("g")
     assertThrows[IllegalArgumentException] {

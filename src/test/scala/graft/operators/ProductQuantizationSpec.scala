@@ -114,6 +114,72 @@ class ProductQuantizationSpec extends SparkSpec {
       b.opq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  // ─────────────── OPQ serve (rotate query → ADC) ───────────────
+
+  test("rotateQuery matches the engine's corpus-side rotation bit-for-bit") {
+    import graft.functions.VectorExprs
+    val corpus = spark.range(0, 200).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "v")
+    val model = ProductQuantization.trainOpq(corpus, "vec_id", "v", 8, 2, 8, 2)
+    val probe = corpus.filter(col("vec_id") === 7L)
+    val engineSide = probe.select(array(model.rotation.map(w =>
+        VectorExprs.dot(col("v").cast("array<float>"), typedLit(w))): _*))
+      .head().getSeq[Double](0)
+    val driverSide = ProductQuantization.rotateQuery(model.rotation,
+      probe.select(col("v")).head().getSeq[Float](0).toArray)
+    assert(engineSide == driverSide.toSeq,
+      "driver rotation must reproduce the fused dot accumulation exactly")
+  }
+
+  test("opqServeTopK puts a planted query copy in the minimal ADC cell") {
+    val corpus = spark.range(0, 400).map { i =>
+      val r = new scala.util.Random(i)
+      val z = Seq.fill(4)((r.nextGaussian() * 2.0).toFloat)
+      (i, z ++ z.map(v => v + (r.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "v")
+    val model = ProductQuantization.trainOpq(corpus, "vec_id", "v",
+      8, m = 2, k = 8, iters = 2)
+    val query = corpus.filter(col("vec_id") === 123L)
+      .select(col("v")).head().getSeq[Float](0).toArray
+    val top = ProductQuantization.opqServeTopK(corpus, "vec_id", "v",
+      model, query, topK = 400)
+      .as[(Long, Double)].collect()
+    val dPlanted = top.find(_._1 == 123L).get._2
+    assert(top.head._2 == dPlanted,
+      "the query's own vector must sit in the minimal ADC cell")
+    assert(top.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // layout invariance: repartitioned corpus serves the identical list
+    val again = ProductQuantization.opqServeTopK(corpus.repartition(7),
+      "vec_id", "v", model, query, topK = 400).as[(Long, Double)].collect()
+    assert(again.toSeq == top.toSeq)
+  }
+
+  test("opqServeTopK plans a bounded top-k heap, no pre-top-k exchange") {
+    val corpus = spark.range(0, 100).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "v")
+    val model = ProductQuantization.trainOpq(corpus, "vec_id", "v", 8, 2, 8, 1)
+    val plan = ProductQuantization.opqServeTopK(corpus, "vec_id", "v",
+      model, Array.fill(8)(0.1f), 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"serve scan must be map-side:\n$plan")
+  }
+
+  test("opqServeTopK rejects a query of the wrong dimension") {
+    val corpus = spark.range(0, 200).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "v")
+    val model = ProductQuantization.trainOpq(corpus, "vec_id", "v", 8, 2, 8, 1)
+    assertThrows[IllegalArgumentException] {
+      ProductQuantization.opqServeTopK(corpus, "vec_id", "v", model,
+        Array.fill(4)(0.1f), 10)
+    }
+  }
+
   /** (raw, opq) mean squared reconstruction error via the public pieces. */
   private def opqDistortions(corpus: org.apache.spark.sql.DataFrame,
       model: ProductQuantization.OpqModel): (Double, Double) = {
