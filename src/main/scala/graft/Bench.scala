@@ -102,8 +102,19 @@ object Bench {
       val entry = (if (sb.nonEmpty) "," else "") + "\"" + k + "\":" + r3(v)
       if (sb.length + entry.length <= budget) sb.append(entry)
     }
+    val compact = head + sb.toString + "}}"
     System.out.println()
-    System.out.println(head + sb.toString + "}}")
+    System.out.println(compact)
     System.out.flush()
+    // …and the same compact line as a stable SMALL file next to the full
+    // artifact, so the driver/judge never depend on a stdout parse at all
+    // (sbt's own `[success] Total time` banner prints after the last
+    // program line, which defeated the tail parse through round 8)
+    val summaryFile = sys.env.getOrElse("SPARK_GRAFT_SUMMARY", "BENCH_SUMMARY.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(summaryFile),
+      (compact + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $summaryFile: ${e.getMessage}")
+    }
   }
 }

@@ -1056,6 +1056,26 @@ object SparkEntry {
         emb, "vec_id", "embedding", cents, query, k = 10, Seq(1, 2, 4, 8))
     }),
 
+    // X-sim: the recall curve over a QUERY PANEL — mean recall@10 per
+    // nprobe over 8 queries (a single query's curve is one draw; tuning
+    // reads the panel mean). One query-independent map-side assignment
+    // pass + the broadcast-panel scoring crossJoin inside the same
+    // linear scan; salted per-(query, list) top-k; mean recall is an
+    // exact integer ratio — fully hash-oracled like the single curve.
+    "q_x_ivf_recall_panel" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centIds = Seq(3L, 63L, 123L, 183L, 243L, 303L, 363L, 423L)
+      val cents = emb.filter(col("vec_id").isin(centIds: _*))
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toArray).toSeq
+      val qIds = Seq(1L, 41L, 81L, 121L, 161L, 201L, 241L, 281L)
+      val queries = emb.filter(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.ivfRecallCurveBatch(
+        emb, "vec_id", "embedding", cents, queries, "vec_id", "embedding",
+        k = 10, Seq(1, 2, 4, 8))
+    }),
+
     // X-dedup: near-dup CLUSTERS — MinHash-LSH pairs (deterministic seeded
     // hashes; every fixture near-dup pair sits at jaccard >= 0.9, where the
     // 16-band/r=4 detection probability is 1 - 4e-8, so the candidate set
@@ -8427,6 +8447,63 @@ object SparkEntry {
         |)
         |SELECT np.nprobe, costq.cand_n, COALESCE(hitsq.hits, 0) AS hits,
         |  CAST(COALESCE(hitsq.hits, 0) AS DOUBLE) / 10.0 AS recall
+        |FROM nps np JOIN costq USING (nprobe) LEFT JOIN hitsq USING (nprobe)
+        |ORDER BY np.nprobe""".stripMargin,
+
+    // IVF recall panel: the multi-query twin — one query-independent
+    // assignment, per-query probe order and top-10 re-ranked PARTITION
+    // BY qid, mean recall as the exact hits/(8·10) ratio
+    "q_x_ivf_recall_panel" ->
+      """WITH cents AS MATERIALIZED (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id IN (3,63,123,183,243,303,363,423)
+        |), qs AS MATERIALIZED (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q
+        |  FROM embeddings WHERE vec_id IN (1,41,81,121,161,201,241,281)
+        |), assigned AS MATERIALIZED (
+        |  SELECT id, cid FROM (
+        |    SELECT e.vec_id AS id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+        |                 c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |), scored AS MATERIALIZED (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q), 6) AS qcos,
+        |    a.cid
+        |  FROM embeddings e JOIN assigned a ON a.id = e.vec_id
+        |  CROSS JOIN qs q
+        |), probeorder AS MATERIALIZED (
+        |  SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+        |    ORDER BY ROUND(list_cosine_similarity(c.cvec, q.q), 6) DESC, c.cid) AS proberank
+        |  FROM cents c CROSS JOIN qs q
+        |), brute AS MATERIALIZED (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY qcos DESC, id) AS rn FROM scored) WHERE rn <= 10
+        |), nps AS (SELECT * FROM (VALUES (1),(2),(4),(8)) v(nprobe)),
+        |topk AS MATERIALIZED (
+        |  SELECT np.nprobe, s.qid, s.id,
+        |    ROW_NUMBER() OVER (PARTITION BY np.nprobe, s.qid
+        |      ORDER BY s.qcos DESC, s.id) AS rn
+        |  FROM nps np
+        |  JOIN probeorder p ON p.proberank <= np.nprobe
+        |  JOIN scored s ON s.cid = p.cid AND s.qid = p.qid
+        |), hitsq AS (
+        |  SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS hits_total FROM topk t
+        |  WHERE t.rn <= 10
+        |    AND EXISTS (SELECT 1 FROM brute b WHERE b.qid = t.qid AND b.id = t.id)
+        |  GROUP BY t.nprobe
+        |), costq AS (
+        |  SELECT np.nprobe, CAST(COUNT(*) AS BIGINT) AS cand_total FROM nps np
+        |  JOIN probeorder p ON p.proberank <= np.nprobe
+        |  JOIN assigned a ON a.cid = p.cid GROUP BY np.nprobe
+        |)
+        |SELECT np.nprobe, CAST(8 AS BIGINT) AS n_queries, costq.cand_total,
+        |  COALESCE(hitsq.hits_total, 0) AS hits_total,
+        |  CAST(COALESCE(hitsq.hits_total, 0) AS DOUBLE) / 80.0 AS mean_recall
         |FROM nps np JOIN costq USING (nprobe) LEFT JOIN hitsq USING (nprobe)
         |ORDER BY np.nprobe""".stripMargin,
 

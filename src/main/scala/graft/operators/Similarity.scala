@@ -923,4 +923,104 @@ object Similarity {
         (col("hits") / lit(k.toDouble)).as("recall"))
       .orderBy(col("nprobe"))
   }
+
+  /** Multi-query [[ivfRecallCurve]]: MEAN recall@k and total candidate
+    * cost per `nprobe` over a bounded query PANEL — the representative
+    * tuning pass (a single query's curve is one draw; a deployment tunes
+    * nprobe on a panel and reads the mean). `queries` must be a bounded,
+    * broadcastable batch (the [[hardNegatives]] anchor contract).
+    *
+    * Scale shape: coarse assignment is ONE map-side pass over the corpus
+    * (query-independent); per-query scores come from the broadcast-query
+    * crossJoin inside the same linear scan (the [[batchTopK]] shape); the
+    * per-(query, list) top-k reduces via the salted two-phase window, so
+    * a hot list still never serializes into one task; everything after
+    * the checkpointed ≤ |queries|·k·|centroids| survivor panel is
+    * panel-sized. Mean recall = Σ_q hits_q / (|queries|·k), an exact
+    * integer ratio divided in double — hash-exact cross-engine like the
+    * single-query curve.
+    *
+    * Output per nprobe (ordered): `nprobe`, `n_queries`, `cand_total`
+    * (probed-list rows summed over the panel), `hits_total`,
+    * `mean_recall`. */
+  def ivfRecallCurveBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(centroids.nonEmpty && centroids.size <= 64,
+      s"need 1 <= |centroids| <= 64 (a broadcastable literal panel), got ${centroids.size}")
+    require(centroids.forall(_.length == centroids.head.length),
+      "all centroids must share one dimension")
+    require(nprobes.nonEmpty && nprobes == nprobes.sorted.distinct &&
+      nprobes.head >= 1 && nprobes.last <= centroids.size,
+      s"nprobes must be sorted distinct within [1, ${centroids.size}], got $nprobes")
+    require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecF = asFloatVec(corpus, vecCol)
+    val qs = queries.select(col(queryId).as("__qid"),
+      col(queryVec).cast("array<float>").as("__qv"))
+    // ONE query-independent assignment pass (round-6 argmax, low cid ties)
+    val cosArr = array(centroids.map(c =>
+      round(VectorExprs.cosine(vecF, typedLit(c)), 6)): _*)
+    val assigned = corpus.select(
+      col(idCol).as("id"), vecF.as("__v"),
+      (array_position(cosArr, array_max(cosArr)) - 1).cast("int").as("cid"))
+    val scored = assigned.crossJoin(broadcast(qs))
+      .select(col("__qid"), col("id"),
+        round(VectorExprs.cosine(col("__v"), col("__qv")), 6).as("qcos"),
+        col("cid"))
+    // per-(query, centroid) probe order — a |queries|·|centroids| panel
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "cvec")
+    val probeOrder = cents.crossJoin(broadcast(qs))
+      .select(col("__qid"), col("cid"),
+        round(VectorExprs.cosine(col("cvec").cast("array<float>"),
+          col("__qv")), 6).as("__pc"))
+      .withColumn("proberank", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("__pc").desc, col("cid"))))
+      .select(col("__qid"), col("cid"), col("proberank"))
+    // salted two-phase per-(query, list) top-k
+    val w1 = Window.partitionBy(col("__qid"), col("cid"), col("__s"))
+      .orderBy(col("qcos").desc, col("id"))
+    val w2 = Window.partitionBy(col("__qid"), col("cid"))
+      .orderBy(col("qcos").desc, col("id"))
+    val panel = scored
+      .withColumn("__s", pmod(xxhash64(col("id")), lit(16)))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= k)
+      .join(broadcast(probeOrder), Seq("__qid", "cid"))
+      .select(col("__qid"), col("id"), col("qcos"), col("proberank"))
+      .localCheckpoint()
+    val bruteIds = panel.withColumn("__r", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("qcos").desc, col("id"))))
+      .filter(col("__r") <= k).select(col("__qid"), col("id"))
+    val npLit = typedLit(nprobes)
+    val hits = panel.withColumn("nprobe",
+        explode(filter(npLit, np => np >= col("proberank"))))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("nprobe"), col("__qid"))
+          .orderBy(col("qcos").desc, col("id"))))
+      .filter(col("__r") <= k)
+      .join(broadcast(bruteIds), Seq("__qid", "id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits_total"))
+    // candidate-scan cost per nprobe, summed over the query panel
+    val cost = assigned.groupBy(col("cid")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(probeOrder), Seq("cid"))
+      .withColumn("nprobe", explode(filter(npLit, np => np >= col("proberank"))))
+      .groupBy(col("nprobe")).agg(sum(col("__n")).as("cand_total"))
+    // panel size as a 1-row scalar from the bounded probe-order relation
+    val nq = probeOrder.agg(
+      countDistinct(col("__qid")).cast("bigint").as("n_queries"))
+    nprobes.toDF("nprobe")
+      .join(broadcast(cost), Seq("nprobe"))
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .na.fill(0L, Seq("hits_total"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("n_queries"),
+        col("cand_total").cast("bigint").as("cand_total"),
+        col("hits_total").cast("bigint").as("hits_total"),
+        (col("hits_total") / (col("n_queries") * lit(k)).cast("double"))
+          .as("mean_recall"))
+      .orderBy(col("nprobe"))
+  }
 }

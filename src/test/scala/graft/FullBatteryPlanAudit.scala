@@ -55,6 +55,7 @@ class FullBatteryPlanAudit extends SparkSpec {
     // fused map-side argmax — no broadcast panel in those plans at all)
     "q_x_lsh_topk",           // 1-row ANN contract panel (hits × ann_k)
     "q_x_ivf_topk",           // 1-row ANN contract panel (hits × ann_k)
+    "q_x_ivf_recall_panel",   // 1-row n_queries scalar over the probe-order panel
     "q_x_ndcg",               // bounded broadcast query batch
     "q_a_joincard",           // 1-row estimate × 1-row actual
     "q_x_kappa",              // 1-row totals × 1-row pe scalar
@@ -167,6 +168,7 @@ class FullBatteryPlanAudit extends SparkSpec {
     // [panel] config-sized relations
     "q_a_kmv_overlap" -> "[panel] set algebra over two k=48 sketch arrays, 1-row relation",
     "q_x_ivf_recall" -> "[panel] nprobe-ladder filter over the bounded survivor panel",
+    "q_x_ivf_recall_panel" -> "[panel] nprobe-ladder filter over the bounded survivor panel",
     // [parity] fused-expression twins at gate scale only
     "q_x_quantized" -> "[parity] gates the HOF quantize twin on a 200-row slice; data paths use quantizeFused")
 

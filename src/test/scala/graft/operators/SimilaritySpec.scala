@@ -340,4 +340,57 @@ class SimilaritySpec extends SparkSpec {
     // the query vector itself sits in a probed-first list: hits >= 1
     assert(curve.head._3 >= 1L)
   }
+
+  test("ivfRecallCurveBatch: panel mean bounded by per-query curves, exact at full probe") {
+    val cents = emb.filter(col("vec_id").isin(3L, 63L, 123L, 183L, 243L, 303L, 363L, 423L))
+      .orderBy(col("vec_id")).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+    val qIds = Seq(1L, 41L, 81L, 121L)
+    val queries = emb.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val panel = Similarity.ivfRecallCurveBatch(emb, "vec_id", "embedding",
+        cents, queries, "vec_id", "embedding", k = 10, Seq(1, 4, 8))
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("cand_total"), r.getAs[Long]("hits_total"),
+        r.getAs[Double]("mean_recall")))
+    assert(panel.map(_._1).toSeq == Seq(1, 4, 8))
+    assert(panel.forall(_._2 == 4L))
+    // cost and recall monotone; full probe = exact scan for EVERY query
+    assert(panel.map(_._3).toSeq == panel.map(_._3).sorted.toSeq)
+    assert(panel.last._3 == emb.count() * 4)
+    assert(panel.map(_._4).toSeq == panel.map(_._4).sorted.toSeq)
+    assert(panel.last._4 == 40L && panel.last._5 == 1.0)
+    // the panel mean at each nprobe equals the mean of the single-query
+    // curves — the batch path changes the orchestration, not the math
+    val singles = qIds.map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select("embedding")
+        .as[Seq[Float]].head().toArray
+      Similarity.ivfRecallCurve(emb, "vec_id", "embedding", cents, q,
+          k = 10, Seq(1, 4, 8))
+        .orderBy(col("nprobe")).collect()
+        .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("hits"))).toMap
+    }
+    panel.foreach { case (np, _, _, hitsTotal, _) =>
+      assert(hitsTotal == singles.map(_(np)).sum,
+        s"panel hits at nprobe=$np must sum the single-query hits")
+    }
+  }
+
+  test("ivfRecallCurveBatch validates its panel contracts") {
+    val queries = emb.limit(2).select(col("vec_id"), col("embedding"))
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfRecallCurveBatch(emb, "vec_id", "embedding",
+        Seq.empty, queries, "vec_id", "embedding", 10, Seq(1))
+    }
+    val cents = Seq(Array.fill(64)(0.1f), Array.fill(64)(0.2f))
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfRecallCurveBatch(emb, "vec_id", "embedding",
+        cents, queries, "vec_id", "embedding", 10, Seq(2, 1))
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfRecallCurveBatch(emb, "vec_id", "embedding",
+        cents, queries, "vec_id", "embedding", 0, Seq(1))
+    }
+  }
 }
