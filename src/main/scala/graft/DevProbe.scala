@@ -140,6 +140,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("opqserve")) {
+      opqServeProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("embstage")) {
       embStageBisect(spark, args.lift(1).map(_.toLong).getOrElse(30000000L))
       spark.stop()
@@ -1094,6 +1100,16 @@ object DevProbe {
       avg(d2(col("__xr"), col("__co"), model.opq)).as("opq")).head()
     println(f"[opq $n] distortion pass: ${(System.nanoTime() - t2) / 1e9}%.1f s " +
       f"raw=${out.getDouble(0)}%.5f opq=${out.getDouble(1)}%.5f")
+    // the SERVE pass (q_x_opq_serve shape): rotate+encode+ADC top-10 in
+    // one map-side scan into a bounded heap — the per-query number an
+    // ANN deployment actually pays after training amortizes
+    val t3 = System.nanoTime()
+    val query = corpus.filter(col("vec_id") === 12345L)
+      .select(col("v")).head().getSeq[Float](0).toArray
+    val top = ProductQuantization.opqServeTopK(corpus, "vec_id", "v",
+      model, query, topK = 10).collect()
+    println(f"[opq $n] serve pass (rotate+encode+ADC top-10): " +
+      f"${(System.nanoTime() - t3) / 1e9}%.1f s top1=${top.head.getLong(0)}")
   }
 
   /** Isotonic-APPLY rung (`runMain graft.DevProbe calibrate [n]`): maps
@@ -1163,6 +1179,45 @@ object DevProbe {
         f"meanRelErr=${relErrs.sum / relErrs.size}%.4f maxRelErr=${relErrs.max}%.4f " +
         f"(theory ~ 1/sqrt(k) = ${1.0 / math.sqrt(k)}%.4f)")
     }
+  }
+
+  /** OPQ SERVE cost rung (`runMain graft.DevProbe opqserve [n]`): times
+    * the q_x_opq_serve shape — rotate+encode+ADC top-10 in one map-side
+    * scan — at n rows, against a SYNTHETIC model (signed-permutation
+    * rotation, grid codebooks): serve wall depends on model SIZES, not
+    * trained values, so this prices the per-query scan without the
+    * ~10-minute training the `opq` rung pays. */
+  private def opqServeProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.ProductQuantization
+    val dim = 16; val m = 4; val k = 8; val sub = dim / m
+    val t0 = System.nanoTime()
+    val corpus = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(dim)((r.nextGaussian() * 2.0).toFloat))
+    }.toDF("vec_id", "v").localCheckpoint()
+    corpus.count()
+    println(f"[opqserve $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val rotation = Array.tabulate(dim, dim)((j, i) =>
+      if (i == dim - j - 1) (if (j % 2 == 0) 1.0f else -1.0f) else 0.0f)
+    val books = Array.tabulate(m, k, sub)((_, c, i) =>
+      -3.5 + c + 0.1 * i) // spread grid — any deterministic values work
+    val model = ProductQuantization.OpqModel(dim, rotation,
+      ProductQuantization.PQModel(dim, m, books),
+      ProductQuantization.PQModel(dim, m, books), 0.0)
+    val query = corpus.filter(col("vec_id") === 12345L)
+      .select(col("v")).head().getSeq[Float](0).toArray
+    def serveOnce(label: String): Unit = {
+      val t = System.nanoTime()
+      val top = ProductQuantization.opqServeTopK(corpus, "vec_id", "v",
+        model, query, topK = 10).collect()
+      println(f"[opqserve $n] $label rotate+encode+ADC top-10: " +
+        f"${(System.nanoTime() - t) / 1e9}%.1f s top1=${top.head.getLong(0)}")
+    }
+    serveOnce("warmup")
+    serveOnce("serve")
+    serveOnce("serve")
   }
 
   private def procrustesProbe(spark: SparkSession, n: Long): Unit = {
