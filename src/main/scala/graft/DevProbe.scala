@@ -19,6 +19,18 @@ object DevProbe {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // activate the graft extensions (SQL function registration + the
+      // TopKWindowRewrite optimizer rule): grouped top-k windows over
+      // (score DESC [, tie]) become bounded-heap aggregates — k rows per
+      // group per partition reach the exchange instead of every row
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // ObjectHashAggregate falls back to SORT-based aggregation past 128
+      // in-memory keys per task — that re-sorts the full input and costs
+      // 2.4x at the 10M recall-panel rung. The typed aggregates this
+      // engine leans on (TopKAgg k-heaps, KMV k-sets) have BOUNDED
+      // buffers, so thousands of keys per task are a few MB; raise the
+      // threshold so the heap path stays hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // stages whose generated method exceeds the JVM's 8 KB JIT
       // bytecode cap must FALL BACK (non-WSCG) instead of running
@@ -160,6 +172,18 @@ object DevProbe {
 
     if (args.headOption.contains("kmvfam")) {
       kmvFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("jl")) {
+      jlProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("recallfam")) {
+      recallFamilyProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
       spark.stop()
       return
     }
@@ -1141,6 +1165,72 @@ object DevProbe {
     val fused = drain(Calibration.calibrateColumn(col("s"), fit), "fused (StepFloorLookup)")
     val hof = drain(Calibration.calibrateColumnHof(col("s"), fit), "hof (filter+element_at)")
     println(f"[calibrate $n] hof/fused ratio: ${hof / fused}%.1f x")
+  }
+
+  /** JL-projection rung (`runMain graft.DevProbe jl [n]`): projects n
+    * 16-dim vectors to 4 dims, fused JlProject vs the CodegenFallback
+    * zip_with/aggregate twin — the fused-vs-HOF evidence for the
+    * round-9 fusion (sibling of the calibrate rung). */
+  private def jlProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Projection
+    val t0 = System.nanoTime()
+    val df = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(16)(r.nextGaussian()))
+    }.toDF("id", "v").localCheckpoint()
+    df.count()
+    println(f"[jl $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def drain(out: org.apache.spark.sql.DataFrame, label: String): Double = {
+      val t = System.nanoTime()
+      out.select(col("proj"))
+        .write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t) / 1e9
+      println(f"[jl $n] $label: $w%.1f s")
+      w
+    }
+    drain(Projection.randomProject(df, "v", 16, 4, "probe"), "fused warmup")
+    val fused = drain(Projection.randomProject(df, "v", 16, 4, "probe"),
+      "fused (JlProject)")
+    val hof = drain(Projection.randomProjectHof(df, "v", 16, 4, "probe"),
+      "hof (zip_with+aggregate)")
+    println(f"[jl $n] hof/fused ratio: ${hof / fused}%.1f x")
+  }
+
+  /** Recall-panel rung (`runMain graft.DevProbe recallfam [n]`): the
+    * q_x_ivf_recall_panel shape at scale — 8 queries × 32 centroids ×
+    * n 16-dim vectors, nprobe ladder 1/2/4/8 — pricing the
+    * query-independent assignment pass + broadcast-panel scoring +
+    * salted per-(query, list) top-k. */
+  private def recallFamilyProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dim = 16
+    val t0 = System.nanoTime()
+    val corpus = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(dim)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "v").localCheckpoint()
+    corpus.count()
+    println(f"[recallfam $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val cents = (0 until 32).map { c =>
+      val r = new scala.util.Random(c + 1000)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val queries = corpus.filter(col("vec_id") % (n / 8) === 3)
+    val t1 = System.nanoTime()
+    val curve = Similarity.ivfRecallCurveBatch(corpus, "vec_id", "v",
+      cents, queries, "vec_id", "v", k = 10, Seq(1, 2, 4, 8))
+      .collect()
+    println(f"[recallfam $n] panel curve (8 queries, 32 lists): " +
+      f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+    curve.sortBy(_.getAs[Int]("nprobe")).foreach { r =>
+      println(f"[recallfam $n]   nprobe=${r.getAs[Int]("nprobe")}%d " +
+        f"cand=${r.getAs[Long]("cand_total")}%d " +
+        f"recall=${r.getAs[Double]("mean_recall")}%.3f")
+    }
   }
 
   /** KMV-sketch rung (`runMain graft.DevProbe kmvfam [n]`): n rows over

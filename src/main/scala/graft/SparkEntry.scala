@@ -2386,6 +2386,19 @@ object SparkEntry {
           lo = 0.0, hi = 300000.0, eps = 1.0, salt = "dp9")
         .orderBy(col("o_orderpriority"))),
 
+    // A-dp-quantile: exponential-mechanism noisy MEDIAN release — the
+    // rank-space mechanism (Laplace noise can't release quantiles; rank
+    // sensitivity is 1). 64-cell domain, utility −|below − q·n|,
+    // seeded Gumbel-max argmax (round-6 scores BEFORE the argmax — the
+    // msprt discrete-output discipline), release = cell midpoint. One
+    // (group, bin) keyed aggregate; panel math over group × 64 cells.
+    "q_a_dp_quantile" -> ((s, dir) =>
+      graft.operators.Privacy.dpNoisyQuantile(
+          t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          q = 0.5, lo = 0.0, hi = 600000.0, bins = 64, eps = 1.0,
+          salt = "dpq9")
+        .orderBy(col("o_orderpriority"))),
+
     // S-compaction: small-file compaction planning — files sort
     // (bytes DESC, path) per table partition and land in bin
     // floor(prefix/target): the deterministic one-pass first-fit-
@@ -6036,6 +6049,49 @@ object SparkEntry {
         |    AS mean_noisy,
         |  CAST(1.0 AS DOUBLE) AS epsilon
         |FROM rel ORDER BY o_orderpriority""".stripMargin,
+
+    // DP noisy quantile: identical clamp + 9375-wide binning, identical
+    // exact rank utilities, identical seeded Gumbel (double-ln ulp
+    // absorbed by the ROUND-6 score BEFORE the argmax), ties to the
+    // lowest bin; release midpoints are exact multiples of 9375/2
+    "q_a_dp_quantile" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS g,
+        |    LEAST(63, CAST(floor((CASE
+        |      WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0.0
+        |      WHEN CAST(o_totalprice AS DOUBLE) > 600000.0 THEN 600000.0
+        |      ELSE CAST(o_totalprice AS DOUBLE) END) / 9375.0) AS BIGINT)) AS b
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |cells AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM c GROUP BY g, b),
+        |tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY g),
+        |ladder AS (
+        |  SELECT t.g, t.n, CAST(r.range AS BIGINT) AS b
+        |  FROM tot t CROSS JOIN range(0, 64) r),
+        |panel AS (
+        |  SELECT l.g, l.n, l.b, COALESCE(cells.cnt, 0) AS cnt
+        |  FROM ladder l LEFT JOIN cells ON cells.g = l.g AND cells.b = l.b),
+        |ranked AS (
+        |  SELECT g, n, b,
+        |    COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM panel),
+        |sc AS (
+        |  SELECT g, n, b,
+        |    ROUND(1.0 * (-abs(CAST(below AS DOUBLE) - 0.5 * CAST(n AS DOUBLE)))
+        |        / 2.0
+        |      + (-ln(-ln(GREATEST(
+        |          ('0x' || substr(md5((g || '|' || CAST(b AS VARCHAR))
+        |            || ':dpq9'), 1, 13))::BIGINT / 4503599627370496.0,
+        |          2.220446049250313e-16)))), 6) AS score
+        |  FROM ranked)
+        |SELECT g AS o_orderpriority, n, CAST(0.5 AS DOUBLE) AS q,
+        |  b AS bin_released,
+        |  ROUND((b + 0.5) * 9375.0, 6) AS value_released,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |        ORDER BY score DESC, b) AS rn FROM sc)
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
     // compaction plan: identical (bytes DESC, path) order, identical
     // prefix sums (pure integers), identical floor(prefix/target)

@@ -135,6 +135,98 @@ object Privacy {
         col("mean_noisy"), col("epsilon"))
   }
 
+  /** Exponential-mechanism noisy QUANTILE release (McSherry–Talwar via
+    * Smith 2011) — the third release shape ([[dpNoisyCounts]] /
+    * [[dpNoisySums]] cover counts and moments; medians and percentiles
+    * need a mechanism whose sensitivity is in RANK space, where adding
+    * one row moves any rank count by at most 1):
+    *
+    *   - the clamped domain `[lo, hi)` splits into `bins` equal cells;
+    *   - cell utility u_b = −|below_b − q·n| (how far the cell's lower
+    *     edge sits from the target rank; Δu = 1);
+    *   - a cell is selected with P ∝ exp(ε·u_b/2), realized
+    *     DETERMINISTICALLY by the Gumbel-max trick over seeded uniforms
+    *     (argmax of ε·u_b/2 + Gumbel(u), u = md5₅₂(group‖salt‖bin)) —
+    *     reruns release the same cell, and a SQL twin replays the
+    *     argmax;
+    *   - the release is the selected cell's midpoint.
+    *
+    * Scale shape: ONE (group, bin) keyed aggregate over data; the
+    * group × bins panel (config-sized — bins ≤ 1024) carries the
+    * cumulative ranks, scores and argmax. Parity: counts and q·n-vs-rank
+    * differences are exact (q rides as a shared literal; err doubles are
+    * integer-valued or exact halves), the Gumbel double-ln is libm and
+    * the ROUND-6 score absorbs its ulp BEFORE the argmax comparison (the
+    * msprt reject discipline — a discrete selection can't absorb
+    * rounding after the fact); ties break to the LOWEST bin.
+    *
+    * Output: groupCol, `n`, `q`, `bin_released`, `value_released` (cell
+    * midpoint, round-6), `epsilon`. The exact `n` column is gate context
+    * — a real release pairs this with a noisy count instead. */
+  def dpNoisyQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      q: Double, lo: Double, hi: Double, bins: Int, eps: Double,
+      salt: String): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1), got $q")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    require(bins >= 2 && bins <= 1024,
+      s"bins must be config-sized in [2, 1024], got $bins")
+    require(eps > 0, s"epsilon must be positive, got $eps")
+    require(salt.nonEmpty, "salt (the release seed) must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / bins
+    val v = col(valueCol).cast("double")
+    val clamped = when(v < lit(lo), lit(lo))
+      .when(v > lit(hi), lit(hi)).otherwise(v)
+    // bin = floor((v − lo)/width) clamped into [0, bins−1] (v = hi tops out)
+    val binIdx = least(lit(bins - 1L),
+      floor((clamped - lit(lo)) / lit(width)).cast("long"))
+    val g = col(groupCol)
+    val cells = df.where(v.isNotNull)
+      .groupBy(g.as("__g"), binIdx.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    // full group × bin panel (empty cells score too) — a literal ladder
+    // exploded against the per-group total, then left-joined counts
+    val totals = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val ladder = totals.select(col("__g"), col("__n"),
+      explode(typedLit((0L until bins.toLong).toSeq)).as("__b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val scoredPanel = ladder
+      .join(cells, Seq("__g", "__b"), "left").na.fill(0L, Seq("__c"))
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__u",
+        -abs(col("__below").cast("double") - lit(q) * col("__n").cast("double")))
+      .withColumn("__score", round(
+        lit(eps) * col("__u") / lit(2.0) +
+          gumbelNoise(concat_ws("|", col("__g").cast("string"),
+            col("__b").cast("string")), salt), 6))
+    val sel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
+      .orderBy(col("__score").desc, col("__b"))
+    scoredPanel
+      .withColumn("__rn", row_number().over(sel))
+      .where(col("__rn") === 1)
+      .select(col("__g").as(groupCol),
+        col("__n").cast("bigint").as("n"),
+        lit(q).as("q"),
+        col("__b").cast("bigint").as("bin_released"),
+        round(lit(lo) + (col("__b") + lit(0.5)) * lit(width), 6)
+          .as("value_released"),
+        lit(eps).as("epsilon"))
+  }
+
+  /** Seeded standard-Gumbel noise keyed on `key ‖ salt`: u as in
+    * [[laplaceNoise]], g = −ln(−ln(u)) with the same u→0 ulp nudge (and
+    * u is always < 1, so the inner ln is strictly negative). */
+  private[operators] def gumbelNoise(key: Column, salt: String): Column = {
+    val u = conv(substring(md5(concat_ws(":", key.cast("string"), lit(salt))),
+      1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    val t = greatest(u, lit(2.220446049250313e-16))
+    -log(-log(t))
+  }
+
   /** Seeded Laplace(b) noise keyed on `key ‖ salt` (see
     * [[dpNoisyCounts]]). u = 0 exactly (P = 2^−52 per group) would send
     * ln to −∞; it is nudged one ulp in, matching the oracle's GREATEST

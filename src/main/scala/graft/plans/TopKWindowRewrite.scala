@@ -21,11 +21,15 @@ import graft.functions.TopKAgg
   *  - the single window expression is `row_number()` with the default
   *    running row frame, and the filter is a plain bound on it
   *    (`<= k`, `< k+1`, `= 1`);
-  *  - 1–2 sort keys, all `DESC NULLS LAST` (the `desc` default);
-  *  - the primary key is a numeric type that embeds losslessly in double
+  *  - 1–2 sort keys; the primary `DESC NULLS LAST` (the `desc` default)
+  *    and a numeric type that embeds losslessly in double
   *    (byte/short/int/float/double — NOT long, which would collide above
-  *    2^53), the tiebreaker an integral type; null primaries rank lowest,
-  *    matching NULLS LAST;
+  *    2^53); null primaries rank lowest, matching NULLS LAST;
+  *  - the tiebreaker a NON-NULLABLE integral type, descending OR
+  *    ascending — `(score DESC, id ASC)` is the dominant idiom in
+  *    practice, and an ascending tie is realized by feeding the heap
+  *    the tie's bitwise NOT: `~x` reverses the total order on longs
+  *    with NO overflow edge (negation would wrap at Long.MinValue);
   *  - grouping keys are plain attributes, and k is small enough that a
   *    per-group heap is obviously right (k ≤ 1024).
   *
@@ -61,9 +65,11 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
 
   private def eligible(part: Seq[Expression], order: Seq[SortOrder]): Boolean =
     order.nonEmpty && order.size <= 2 &&
-      order.forall(so => so.direction == Descending &&
-        so.nullOrdering == NullsLast) &&
+      order.head.direction == Descending &&
+      order.head.nullOrdering == NullsLast &&
       ordTypes.contains(order.head.child.dataType) &&
+      // tie: either direction (ASC realizes via bitwise NOT below); it is
+      // non-nullable, so its null ordering can never matter
       order.drop(1).forall(so => tieTypes.contains(so.child.dataType) &&
         !so.child.nullable) &&
       part.forall(_.isInstanceOf[Attribute])
@@ -94,7 +100,13 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     val cAttrs = child.output
     val ord = Cast(order.head.child, DoubleType)
     val tie = order.drop(1).headOption
-      .map(so => Cast(so.child, LongType): Expression)
+      .map { so =>
+        val asLong: Expression = Cast(so.child, LongType)
+        // heap order is (ord, tie) lexicographic DESC; an ascending tie
+        // feeds the heap its bitwise NOT — x < y ⟺ ~x > ~y on all longs,
+        // with none of negation's Long.MinValue wrap
+        if (so.direction == Ascending) BitwiseNot(asLong) else asLong
+      }
       .getOrElse(Literal(0L))
     val payload = CreateStruct(cAttrs)
     val aggAlias = Alias(

@@ -118,6 +118,59 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  // ─────────────── DP noisy quantile (exponential mechanism) ───────────────
+
+  test("dp quantile: high-epsilon release lands at the true median cell") {
+    import org.apache.spark.sql.functions._
+    // 10k values uniform on [0, 100): true median 50; at eps=50 the
+    // utility term dominates every Gumbel draw (score gap between the
+    // best and second-best cell is eps/2 = 25 per unit rank error,
+    // Gumbel spread is O(1)) — the mechanism must pick the median cell
+    val df = spark.range(0, 10000)
+      .selectExpr("'g' AS g", "CAST((id * 37) % 100 AS DOUBLE) AS v")
+    val out = Privacy.dpNoisyQuantile(df, "g", "v", q = 0.5,
+      lo = 0.0, hi = 100.0, bins = 50, eps = 50.0, salt = "acc").head()
+    val released = out.getAs[Double]("value_released")
+    assert(math.abs(released - 50.0) <= 2.0,
+      s"high-eps median release drifted: $released")
+    assert(out.getAs[Long]("n") == 10000L)
+  }
+
+  test("dp quantile: deterministic rerun, salt-sensitive, q respected") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 5000)
+      .selectExpr("CAST(id % 3 AS STRING) AS g",
+        "CAST((id * 13) % 200 AS DOUBLE) AS v")
+    def release(salt: String, q: Double) =
+      Privacy.dpNoisyQuantile(df, "g", "v", q, 0.0, 200.0, 64, 20.0, salt)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getAs[Double]("value_released")))
+    val a = release("s1", 0.5); val b = release("s1", 0.5)
+    assert(a.toSeq == b.toSeq)
+    // at high eps the q=0.9 release must sit well above the q=0.1 one
+    val lo = release("s1", 0.1); val hi = release("s1", 0.9)
+    lo.zip(hi).foreach { case ((g1, vLo), (g2, vHi)) =>
+      assert(g1 == g2 && vHi > vLo + 100.0,
+        s"group $g1: q=0.9 release $vHi vs q=0.1 $vLo")
+    }
+  }
+
+  test("dp quantile rejects invalid q / bins / bounds / salt") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisyQuantile(df, "g", "v", 0.0, 0.0, 1.0, 8, 1.0, "x")
+    }
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisyQuantile(df, "g", "v", 0.5, 0.0, 1.0, 1, 1.0, "x")
+    }
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisyQuantile(df, "g", "v", 0.5, 1.0, 1.0, 8, 1.0, "x")
+    }
+    assertThrows[IllegalArgumentException] {
+      Privacy.dpNoisyQuantile(df, "g", "v", 0.5, 0.0, 1.0, 8, 1.0, "")
+    }
+  }
+
   test("dp sums rejects invalid bounds / epsilon / empty salt") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     assertThrows[IllegalArgumentException] {
