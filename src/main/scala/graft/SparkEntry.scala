@@ -1395,6 +1395,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // X-text: token-exact sequence packing WITH document splitting (the
+    // GPT-pretraining shape; q_x_packed is the whole-doc bin variant):
+    // one shard-partitioned prefix-sum window, then a map-side explode
+    // of each doc over its covered 500-token sequences — every sequence
+    // but each shard's last is exactly full. Pure integer arithmetic.
+    "q_x_packed_spans" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(16L)).as("shard"),
+          ta.wsTokenCount(col("text")).cast("bigint").as("n_tokens"))
+      ta.packSpans(tk, "shard", "doc_id", "n_tokens", 500L)
+        .select(col("doc_id"), col("shard"), col("seq_id"),
+          col("tok_start"), col("tok_end"))
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // X-dedup: benchmark decontamination — docs sharing >= 3 distinct
     // trigram shingles with the held-out "benchmark" slice (doc_id >= 490);
     // benchmark shingles broadcast, corpus probes map-side
@@ -4689,6 +4706,30 @@ object SparkEntry {
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |       / 500.0) AS BIGINT) AS bin
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    // split-packing spans: identical prefix sums, integer div/greatest/
+    // least on BIGINTs, DuckDB range() covering [st//L, (fin-1)//L]
+    "q_x_packed_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+        |      AS BIGINT) AS st
+        |  FROM tk WHERE n > 0),
+        |x AS (SELECT doc_id, shard, n, st, st + n AS fin FROM p),
+        |e AS (
+        |  SELECT doc_id, shard, st, fin,
+        |    unnest(range(st // 500, (fin - 1) // 500 + 1)) AS seq_id
+        |  FROM x)
+        |SELECT doc_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(st, seq_id * 500) - st AS BIGINT) AS tok_start,
+        |  CAST(LEAST(fin, (seq_id + 1) * 500) - st AS BIGINT) AS tok_end
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
 
     // unicode cleanup: identical regexes (Java∩RE2 dialect), DuckDB's
     // nfc_normalize for the NFC step, messy input built with chr()

@@ -317,6 +317,48 @@ object TextAnalysis {
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / target))
   }
 
+  /** Token-EXACT sequence packing with document SPLITTING — the
+    * GPT-style packing an LLM pretraining pipeline actually runs:
+    * documents fill fixed-length training sequences contiguously and a
+    * document crossing a boundary SPLITS across sequences, so every
+    * sequence but each stream's last is exactly `seqLen` tokens (100%
+    * packing efficiency). [[packBins]] is the whole-document variant
+    * (no splits, bins overshoot); this one emits per-(doc, sequence)
+    * SPANS — `seq_id` plus the doc-relative token half-open interval
+    * `[tok_start, tok_end)` — which the tokenizer stage consumes to
+    * materialize sequences.
+    *
+    * Scale shape: ONE prefix-sum window per `groupCol` stream (the same
+    * shard-grained-key contract as packBins — cardinality must grow
+    * with the corpus) followed by a map-side explode over each doc's
+    * covered-sequence range (≤ n_tokens/seqLen + 1 rows per doc). Pure
+    * integer arithmetic → cross-engine oracle-exact. Zero- and
+    * null-token rows are dropped (they occupy no span). */
+  def packSpans(rows: DataFrame, groupCol: String, orderCol: String,
+      tokenCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val reserved = Seq("__start", "__fin", "seq_id", "tok_start", "tok_end")
+    val clash = rows.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"packSpans reserves column name(s) ${clash.mkString(", ")} — rename them in the input")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.where(col(tokenCol).isNotNull && col(tokenCol) > 0)
+      // window offsets materialize as columns BEFORE the explode — a
+      // window expression cannot sit under a Generate
+      .withColumn("__start",
+        sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("__fin", col("__start") + col(tokenCol))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div ${seqLen}L"),
+        expr(s"(__fin - 1) div ${seqLen}L"))))
+      .withColumn("tok_start",
+        greatest(col("__start"), col("seq_id") * seqLen) - col("__start"))
+      .withColumn("tok_end",
+        least(col("__fin"), (col("seq_id") + lit(1L)) * seqLen) - col("__start"))
+      .drop("__start", "__fin")
+  }
+
   /** Shannon entropy (nats) of each document's codepoint distribution —
     * the cheap gibberish/boilerplate detector (natural text sits ~2.5-3.2
     * nats; base64 blobs, repeated padding, and single-char spam fall far

@@ -190,6 +190,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("packSpans: docs split across exactly-full sequences; spans cover every token") {
+    val df = Seq(
+      (1L, "g", 300L), (2L, "g", 300L), (3L, "g", 650L), (4L, "g", 50L),
+      (5L, "h", 499L), (6L, "h", 1L), (7L, "h", 1L),
+      (8L, "z", 0L) // zero-token doc occupies no span
+    ).toDF("doc_id", "grp", "n_tokens")
+    val spans = TextAnalysis.packSpans(df, "grp", "doc_id", "n_tokens", 500L)
+      .select("doc_id", "grp", "n_tokens", "seq_id", "tok_start", "tok_end")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq.sorted
+    // doc 1: [0,300) → seq 0 full span; doc 2: [300,600) splits 0/1;
+    // doc 3: [600,1250) spans seqs 1,2; doc 4: [1250,1300) seq 2
+    assert(spans.filter(_._2 == "g") == Seq(
+      (1L, "g", 300L, 0L, 0L, 300L),
+      (2L, "g", 300L, 0L, 0L, 200L), (2L, "g", 300L, 1L, 200L, 300L),
+      (3L, "g", 650L, 1L, 0L, 400L), (3L, "g", 650L, 2L, 400L, 650L),
+      (4L, "g", 50L, 2L, 0L, 50L)))
+    // h: 499+1 fill seq 0 exactly; doc 7 starts seq 1
+    assert(spans.filter(_._2 == "h") == Seq(
+      (5L, "h", 499L, 0L, 0L, 499L), (6L, "h", 1L, 0L, 0L, 1L),
+      (7L, "h", 1L, 1L, 0L, 1L)))
+    assert(!spans.exists(_._1 == 8L))
+    // token-conservation: per doc, Σ span lengths == n_tokens
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      assert(ss.map(s => s._6 - s._5).sum == ss.head._3)
+    }
+    // every sequence but each group's LAST is exactly full
+    val perSeq = spans.groupBy(s => (s._2, s._4))
+      .view.mapValues(_.map(s => s._6 - s._5).sum).toMap
+    perSeq.foreach { case ((g, seq), tot) =>
+      val last = perSeq.keys.filter(_._1 == g).map(_._2).max
+      if (seq < last) assert(tot == 500L, s"($g, $seq) not full: $tot")
+      else assert(tot <= 500L)
+    }
+  }
+
+  test("packSpans: layout-invariant and validates its contracts") {
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 200L).map(i => (i, i % 4, 1L + rnd.nextInt(700).toLong))
+      .toDF("doc_id", "grp", "n_tokens")
+    val a = TextAnalysis.packSpans(df, "grp", "doc_id", "n_tokens", 256L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = TextAnalysis.packSpans(df.repartition(7), "grp", "doc_id",
+      "n_tokens", 256L).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.packSpans(df, "grp", "doc_id", "n_tokens", 0L)
+    }
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.packSpans(df.withColumn("seq_id", lit(1)),
+        "grp", "doc_id", "n_tokens", 256L)
+    }
+  }
+
   test("cleanText: NFC-composes, strips controls, collapses whitespace") {
     val messy = "Cafe\u0301 \u0007 \t xy  nai\u0308ve "
     val out = Seq(messy).toDF("text")
