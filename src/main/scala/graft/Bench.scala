@@ -83,8 +83,14 @@ object Bench {
     val meds = names.map(n => "\"" + n + "\":" + median(samples(n)))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-REP totals: the sum of each full pass, in run order. A contended
+    // driver window shows up as a rep spread (r9: 1.49× median/min) —
+    // publishing the three pass totals lets a reader separate environment
+    // noise from a real regression from the committed artifact alone.
+    val repTotals = passes.map(_.values.filter(_ >= 0).sum)
+    val repsJson = repTotals.map(v => f"$v%.3f").mkString("[", ",", "]")
     val medPart = if (reps >= 3) s""","queries_median":$meds""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs$medPart,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repsJson,"queries":$qs$medPart,"sf":"$sfDir"}"""
     println(line)
     // the stdout line gets [info]-decorated under sbt, which defeats a
     // machine parse — also write the bare JSON to a file (SPARK_GRAFT_OUT
@@ -107,7 +113,7 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val totalMed = names.map(n => median(samples(n))).filter(_ >= 0).sum
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_median":${r3(totalMed)},"n_queries":${names.size},"full":"$outFile","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"rep_totals":$repsJson,"total_median":${r3(totalMed)},"n_queries":${names.size},"full":"$outFile","sf":"$sfDir","queries":{"""
     val budget = 1900 - head.length - 2
     val sb = new StringBuilder
     slowest.foreach { case (k, v) =>

@@ -158,6 +158,13 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("opqsample")) {
+      opqSampleProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L),
+        args.lift(2).map(_.toDouble).getOrElse(0.02))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("embstage")) {
       embStageBisect(spark, args.lift(1).map(_.toLong).getOrElse(30000000L))
       spark.stop()
@@ -1134,6 +1141,79 @@ object DevProbe {
       model, query, topK = 10).collect()
     println(f"[opq $n] serve pass (rotate+encode+ADC top-10): " +
       f"${(System.nanoTime() - t3) / 1e9}%.1f s top1=${top.head.getLong(0)}")
+  }
+
+  /** Sampled-rotation-fit rung (`runMain graft.DevProbe opqsample [n]
+    * [frac]`): prices the standard production trade for OPQ training —
+    * fit the rotation + codebooks on a seeded `frac` sample, ENCODE the
+    * full corpus — against the full-corpus fit (the repo's `opq` rung,
+    * 628.7 s at 10M in round 9, the slowest rung in the repo). Readout:
+    * both fit walls plus both models' OPQ distortion measured over the
+    * SAME full corpus — the distortion delta is what the wall reduction
+    * costs. Same planted-correlation corpus as [[opqProbe]]. */
+  private def opqSampleProbe(spark: SparkSession, n: Long, frac: Double): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.ProductQuantization
+    val dim = 16
+    val t0 = System.nanoTime()
+    val corpus = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      val z = Seq.fill(8)((r.nextGaussian() * 2.0).toFloat)
+      val echo = z.map(v => v + (r.nextGaussian() * 0.1).toFloat)
+      (i, z ++ echo)
+    }.toDF("vec_id", "v").localCheckpoint()
+    corpus.count()
+    println(f"[opqsample $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val t1 = System.nanoTime()
+    val full = ProductQuantization.trainOpq(corpus, "vec_id", "v",
+      dim, m = 4, k = 8, iters = 2, alternations = 2)
+    val wFull = (System.nanoTime() - t1) / 1e9
+    println(f"[opqsample $n] FULL fit: $wFull%.1f s orthErr=${full.orthErr}%.2e")
+
+    val t2 = System.nanoTime()
+    val sampleDf = corpus.sample(withReplacement = false, frac, seed = 42L)
+      .localCheckpoint()
+    val sRows = sampleDf.count()
+    val sampled = ProductQuantization.trainOpq(sampleDf, "vec_id", "v",
+      dim, m = 4, k = 8, iters = 2, alternations = 2)
+    val wSample = (System.nanoTime() - t2) / 1e9
+    println(f"[opqsample $n] SAMPLED fit (frac=$frac%.3f, $sRows rows): " +
+      f"$wSample%.1f s orthErr=${sampled.orthErr}%.2e " +
+      f"(${wFull / wSample}%.1fx faster)")
+
+    // one full-corpus scoring pass per model: rotate + encode + mean
+    // squared reconstruction error (the encode IS the production step a
+    // sampled fit still pays in full — only the FIT is sampled)
+    def d2(vc: Column, codes: Column, pq: ProductQuantization.PQModel) = {
+      val sub = pq.subDim
+      (0 until pq.m).flatMap { j =>
+        val cb = typedLit(pq.codebooks(j).map(_.toSeq).toSeq)
+        (0 until sub).map { i =>
+          val t = vc.getItem(j * sub + i).cast("double") -
+            element_at(element_at(cb, codes.getItem(j) + 1), i + 1)
+          t * t
+        }
+      }.reduce(_ + _)
+    }
+    def distortion(model: ProductQuantization.OpqModel, label: String): Double = {
+      val t = System.nanoTime()
+      val comps = model.rotation.map(w =>
+        graft.functions.VectorExprs.dot(col("v"), typedLit(w)))
+      val scored = corpus
+        .withColumn("__xr", array(comps: _*))
+        .withColumn("__co", ProductQuantization.encodeCodes(col("__xr"), model.opq))
+      val d = scored.agg(avg(d2(col("__xr"), col("__co"), model.opq))).head().getDouble(0)
+      println(f"[opqsample $n] $label full-corpus distortion: $d%.5f " +
+        f"(${(System.nanoTime() - t) / 1e9}%.1f s encode+score)")
+      d
+    }
+    val dFull = distortion(full, "full-fit")
+    val dSample = distortion(sampled, "sampled-fit")
+    println(f"[opqsample $n] distortion delta: " +
+      f"${(dSample - dFull) / dFull * 100.0}%.2f%% for a " +
+      f"${wFull / wSample}%.1fx fit-wall reduction")
   }
 
   /** Isotonic-APPLY rung (`runMain graft.DevProbe calibrate [n]`): maps

@@ -224,11 +224,18 @@ object SparkEntry {
     }),
 
     // J2: anti-join — keys on the left with no match on the right
-    // (rewrite of the reference's collect+isin, dataset_utils.py:12-17)
+    // (rewrite of the reference's collect+isin, dataset_utils.py:12-17).
+    // Every fixture custkey has an order, so 25 MISSING keys are planted
+    // (negative, derived from nation — deterministic, order-free) to make
+    // the gate non-vacuous: a broken anti-join can no longer hash-match
+    // on an empty output.
     "q_j2_anti" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val planted = t(s, dir, "nation")
+        .select((-col("n_nationkey").cast("bigint") - lit(1L)).as("c_custkey"))
       val o = t(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      c.union(planted)
+        .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"))
         .orderBy(col("c_custkey"))
     }),
@@ -388,6 +395,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // W-topk-long: grouped top-k whose primary is a LONG (ids-as-scores,
+    // timestamps, counters — the most common remaining top-k idiom).
+    // The coalesce proves non-nullability (parquet columns read as
+    // nullable), so TopKWindowRewrite plans the bounded-heap aggregate
+    // on RAW long keys — lossless above 2^53, where the double embedding
+    // collides; FullBatteryPlanAudit pins the heap plan.
+    "q_w_topk_long" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(coalesce(col("o_orderkey"), lit(Long.MinValue)).desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
     // W2 rewrite: per-row global max WITHOUT the reference's unpartitioned
     // window (dataset_utils.py:55-60) — scalar agg + broadcast cross join;
     // the fact side keeps its partitioning at any scale
@@ -476,9 +499,13 @@ object SparkEntry {
         .orderBy(col("n_name").desc)),
 
     // ─────────────────────── set ops (§2.7) ───────────────────────
-    // SO1: EXCEPT DISTINCT (dataset_utils.py:14)
+    // SO1: EXCEPT DISTINCT (dataset_utils.py:14). Same planted-key
+    // de-vacuation as q_j2_anti: every custkey appears in orders, so 25
+    // negative keys ride the left side to keep the output non-empty.
     "q_so1_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey").as("key"))
+        .union(t(s, dir, "nation")
+          .select((-col("n_nationkey").cast("bigint") - lit(1L)).as("key")))
         .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
         .orderBy(col("key"))),
 
@@ -2403,6 +2430,19 @@ object SparkEntry {
           lo = 0.0, hi = 300000.0, eps = 1.0, salt = "dp9")
         .orderBy(col("o_orderpriority"))),
 
+    // A-dp-user: USER-level DP sums — per-user contribution bounding
+    // BEFORE the keyed aggregate (first 3 orders per customer by
+    // orderkey — the deterministic cap is what DEFINES the release's
+    // sensitivity: Δsum = 3·300000, Δcount = 3; without it the ε claim
+    // is false for any heavy customer). One per-user window + the same
+    // single keyed aggregate and seeded Laplace release as q_a_dp_sums.
+    "q_a_dp_user" -> ((s, dir) =>
+      graft.operators.Privacy.dpUserSums(
+          t(s, dir, "orders"), userCol = "o_custkey", orderCol = "o_orderkey",
+          groupCol = "o_orderpriority", valueCol = "o_totalprice",
+          maxPerUser = 3, lo = 0.0, hi = 300000.0, eps = 1.0, salt = "dpu10")
+        .orderBy(col("o_orderpriority"))),
+
     // A-dp-quantile: exponential-mechanism noisy MEDIAN release — the
     // rank-space mechanism (Laplace noise can't release quantiles; rank
     // sensitivity is 1). 64-cell domain, utility −|below − q·n|,
@@ -2449,10 +2489,11 @@ object SparkEntry {
     // (doc, n, gram) count shuffle covers all four gram sizes.
     "q_x_repetition" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
-      val mltext = array_join(
-        transform(sequence(lit(0L), ((size(toks) - lit(1)) / lit(8)).cast("long")),
-          i => array_join(slice(toks, (i * lit(8L) + lit(1L)).cast("int"), lit(8)), " ")),
-        "\n")
+      // fused 8-token line derivation (ChunkJoin) — the HOF
+      // array_join(transform(sequence(...))) twin is spec-pinned in
+      // WordNGramsFusedSpec; this per-token loop plus the gram emission
+      // inside gopherSignals were the gate's interpreted hot paths
+      val mltext = graft.functions.ChunkJoin.column(toks, 8, " ", "\n")
       val d = tw(s, dir, "documents").select(col("doc_id"), mltext.as("mtext"))
       graft.operators.Repetition.gopherSignals(d, "doc_id", "mtext")
         .orderBy(col("doc_id"))
@@ -3919,8 +3960,13 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // planted negative keys (see the gate) keep the anti-join non-vacuous
     "q_j2_anti" ->
-      """SELECT c_custkey FROM customer c
+      """WITH cust AS (
+        |  SELECT c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(-n_nationkey - 1 AS BIGINT) FROM nation)
+        |SELECT c_custkey FROM cust c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
@@ -4043,6 +4089,15 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn <= 2 ORDER BY event_id""".stripMargin,
 
+    // long-primary top-k (COALESCE mirrors the Spark side's
+    // non-nullability proof; fixture keys are never null, so it is inert)
+    "q_w_topk_long" ->
+      """SELECT o_orderpriority, o_orderkey, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY COALESCE(o_orderkey, -9223372036854775808) DESC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
     "q_w2_global_max_share" ->
       """SELECT o_orderkey,
         |       o_totalprice / (SELECT MAX(o_totalprice) FROM orders) AS price_share
@@ -4121,7 +4176,10 @@ object SparkEntry {
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_name DESC",
 
     "q_so1_except" ->
-      """SELECT c_custkey AS key FROM customer
+      """SELECT key FROM (
+        |  SELECT c_custkey AS key FROM customer
+        |  UNION ALL
+        |  SELECT CAST(-n_nationkey - 1 AS BIGINT) FROM nation)
         |EXCEPT SELECT o_custkey AS key FROM orders
         |ORDER BY key""".stripMargin,
 
@@ -6045,7 +6103,8 @@ object SparkEntry {
     "q_a_dp_counts" ->
       """WITH g AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |    ('0x' || substr(md5(o_orderpriority || ':dp-r8'), 1, 13))::BIGINT
+        |    ('0x' || substr(md5(
+        |      COALESCE(o_orderpriority || ':dp-r8', 'dp-r8')), 1, 13))::BIGINT
         |      / 4503599627370496.0 AS u
         |  FROM orders GROUP BY 1)
         |SELECT o_orderpriority,
@@ -6070,9 +6129,11 @@ object SparkEntry {
         |g AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s,
-        |    ('0x' || substr(md5(o_orderpriority || ':dp9:n'), 1, 13))::BIGINT
+        |    ('0x' || substr(md5(
+        |      COALESCE(o_orderpriority || ':dp9:n', 'dp9:n')), 1, 13))::BIGINT
         |      / 4503599627370496.0 AS un,
-        |    ('0x' || substr(md5(o_orderpriority || ':dp9:s'), 1, 13))::BIGINT
+        |    ('0x' || substr(md5(
+        |      COALESCE(o_orderpriority || ':dp9:s', 'dp9:s')), 1, 13))::BIGINT
         |      / 4503599627370496.0 AS us
         |  FROM c GROUP BY 1),
         |rel AS (
@@ -6081,6 +6142,49 @@ object SparkEntry {
         |      ln(GREATEST(1.0 - 2.0 * abs(un - 0.5), 2.220446049250313e-16)),
         |      6) AS n_noisy,
         |    ROUND(s + (-600000.0) * (CASE WHEN us >= 0.5 THEN 1.0 ELSE -1.0 END) *
+        |      ln(GREATEST(1.0 - 2.0 * abs(us - 0.5), 2.220446049250313e-16)),
+        |      6) AS sum_noisy
+        |  FROM g)
+        |SELECT o_orderpriority, n, n_noisy, sum_noisy,
+        |  ROUND(sum_noisy /
+        |    (CASE WHEN n_noisy < 1.0 THEN 1.0 ELSE n_noisy END), 6)
+        |    AS mean_noisy,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM rel ORDER BY o_orderpriority""".stripMargin,
+
+    // user-level DP sums: identical per-user cap (row_number by orderkey,
+    // keep 3), then the dp_sums release with sensitivity ×3
+    // (b_sum = 3·300000/(1/2) = 1800000, b_cnt = 3/(1/2) = 6)
+    "q_a_dp_user" ->
+      """WITH capped AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS vv FROM (
+        |    SELECT o_orderpriority, o_totalprice,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |        AS urn
+        |    FROM orders WHERE CAST(o_totalprice AS DOUBLE) IS NOT NULL)
+        |  WHERE urn <= 3),
+        |c AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN vv < 0.0 THEN 0.0
+        |         WHEN vv > 300000.0 THEN 300000.0
+        |         ELSE vv END AS v
+        |  FROM capped),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |    ('0x' || substr(md5(
+        |      COALESCE(o_orderpriority || ':dpu10:n', 'dpu10:n')), 1, 13))::BIGINT
+        |      / 4503599627370496.0 AS un,
+        |    ('0x' || substr(md5(
+        |      COALESCE(o_orderpriority || ':dpu10:s', 'dpu10:s')), 1, 13))::BIGINT
+        |      / 4503599627370496.0 AS us
+        |  FROM c GROUP BY 1),
+        |rel AS (
+        |  SELECT o_orderpriority, n,
+        |    ROUND(n + (-6.0) * (CASE WHEN un >= 0.5 THEN 1.0 ELSE -1.0 END) *
+        |      ln(GREATEST(1.0 - 2.0 * abs(un - 0.5), 2.220446049250313e-16)),
+        |      6) AS n_noisy,
+        |    ROUND(s + (-1800000.0) * (CASE WHEN us >= 0.5 THEN 1.0 ELSE -1.0 END) *
         |      ln(GREATEST(1.0 - 2.0 * abs(us - 0.5), 2.220446049250313e-16)),
         |      6) AS sum_noisy
         |  FROM g)
@@ -6122,7 +6226,8 @@ object SparkEntry {
         |    ROUND(1.0 * (-abs(CAST(below AS DOUBLE) - 0.5 * CAST(n AS DOUBLE)))
         |        / 2.0
         |      + (-ln(-ln(GREATEST(
-        |          ('0x' || substr(md5((g || '|' || CAST(b AS VARCHAR))
+        |          ('0x' || substr(md5(COALESCE(g || '|', '')
+        |            || CAST(b AS VARCHAR)
         |            || ':dpq9'), 1, 13))::BIGINT / 4503599627370496.0,
         |          2.220446049250313e-16)))), 6) AS score
         |  FROM ranked)

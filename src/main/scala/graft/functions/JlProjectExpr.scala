@@ -95,6 +95,21 @@ case class JlProject(child: Expression, signs: Array[Array[Double]],
       c => s"graft.functions.JlProject.compute($c, $signsRef, $scale)")
   }
 
+  // case-class equality over Array params is REFERENCE equality, which
+  // defeats expression canonicalization / subexpression elimination
+  // (structurally identical instances never compare equal) — compare the
+  // matrix by value instead
+  override def equals(other: Any): Boolean = other match {
+    case j: JlProject => child == j.child && scale == j.scale &&
+      java.util.Arrays.deepEquals(
+        signs.asInstanceOf[Array[AnyRef]], j.signs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    java.lang.Double.valueOf(scale),
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      signs.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused word n-gram emission — ONE pass over a token array producing
+  * every (n, gram) occurrence for a battery of gram sizes, replacing the
+  * `flatten(array(transform(sequence(…)) per n))` higher-order chain in
+  * the Gopher repetition signals ([[graft.operators.Repetition]]).
+  * Array HOFs are CodegenFallback: any projection containing one drops
+  * to interpreted per-element expression dispatch (the round-8/9 defect
+  * class — 15-30× on numeric paths, and the repetition gate had grown
+  * past the HOF whitelist's own 3 s revisit threshold at sf0.1).
+  *
+  * Parity contract with the HOF twin (spec-gated in WordNGramsFusedSpec),
+  * element for element, in the same order (n ascending as given, then
+  * position ascending):
+  *   - gram = the n tokens joined by a single space, null tokens
+  *     SKIPPED (exactly `array_join(slice(toks, i, n), " ")`);
+  *   - a token array shorter than n contributes nothing for that n;
+  *   - a null token array is null.
+  *
+  * The loop lives in a static helper the generated code calls, so the
+  * string assembly never inlines into the generated method body. */
+object WordNGrams {
+  private val sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, ns: Array[Int]): ArrayData = {
+    val len = arr.numElements()
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) toks(i) = arr.getUTF8String(i)
+      i += 1
+    }
+    var total = 0
+    var j = 0
+    while (j < ns.length) {
+      val n = ns(j)
+      if (len >= n) total += len - n + 1
+      j += 1
+    }
+    val out = new Array[Any](total)
+    var pos = 0
+    j = 0
+    while (j < ns.length) {
+      val n = ns(j)
+      val window = new Array[UTF8String](n)
+      var start = 0
+      while (start + n <= len) {
+        var w = 0
+        while (w < n) { window(w) = toks(start + w); w += 1 }
+        // concatWs skips nulls — array_join semantics
+        val gram = UTF8String.concatWs(sep, window: _*)
+        out(pos) = InternalRow(n, gram)
+        pos += 1
+        start += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(tokens: Column, ns: Seq[Int]): Column =
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(tokens), ns))
+}
+
+case class WordNGrams(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"gram sizes must be >= 1, got $ns")
+
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("__n", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val nsArr: Array[Int] = ns.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[ArrayData], nsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("ns", nsArr, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordNGrams.compute($c, $nsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused fixed-width token re-chunking — tokens joined in `chunk`-sized
+  * lines (words joined by `wordSep`, lines by `lineSep`), replacing the
+  * `array_join(transform(sequence(…), i -> array_join(slice(…))), sep)`
+  * higher-order chain that derives line structure from a single-line
+  * token stream (the q_x_repetition gate's 8-token lines).
+  *
+  * Parity contract with the HOF twin (spec-gated), character for
+  * character:
+  *   - the line count is `((len − 1) / chunk)` under Spark's int→double
+  *     division truncated toward zero, plus one — an EMPTY token array
+  *     yields ONE empty line (""), exactly like
+  *     `sequence(0, cast((size-1)/chunk as long))`;
+  *   - null tokens are skipped inside a line (array_join semantics);
+  *   - a null token array is null. */
+object ChunkJoin {
+  def compute(arr: ArrayData, chunk: Int, wordSep: UTF8String,
+      lineSep: UTF8String): UTF8String = {
+    val len = arr.numElements()
+    val nLines = if (len == 0) 1 else (len - 1) / chunk + 1
+    val lines = new Array[UTF8String](nLines)
+    var li = 0
+    while (li < nLines) {
+      val start = li * chunk
+      val end = math.min(start + chunk, len)
+      val window = new Array[UTF8String](math.max(0, end - start))
+      var w = 0
+      while (start + w < end) {
+        if (!arr.isNullAt(start + w)) window(w) = arr.getUTF8String(start + w)
+        w += 1
+      }
+      lines(li) = UTF8String.concatWs(wordSep, window: _*)
+      li += 1
+    }
+    UTF8String.concatWs(lineSep, lines: _*)
+  }
+
+  def column(tokens: Column, chunk: Int, wordSep: String,
+      lineSep: String): Column =
+    ColumnBridge.column(ChunkJoin(ColumnBridge.expression(tokens), chunk,
+      wordSep, lineSep))
+}
+
+case class ChunkJoin(child: Expression, chunk: Int, wordSep: String,
+    lineSep: String) extends UnaryExpression {
+  require(chunk >= 1, s"chunk size must be >= 1, got $chunk")
+
+  override def prettyName: String = "chunk_join"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val wsU = UTF8String.fromString(wordSep)
+  @transient private lazy val lsU = UTF8String.fromString(lineSep)
+
+  override def nullSafeEval(input: Any): Any =
+    ChunkJoin.compute(input.asInstanceOf[ArrayData], chunk, wsU, lsU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wsRef = ctx.addReferenceObj("wordSep", wsU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val lsRef = ctx.addReferenceObj("lineSep", lsU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ChunkJoin.compute($c, $chunk, $wsRef, $lsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

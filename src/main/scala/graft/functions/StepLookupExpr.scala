@@ -85,6 +85,18 @@ case class StepFloorLookup(child: Expression, ths: Array[Double],
       c => s"graft.functions.StepFloorLookup.lookup($c, $thsRef, $ratesRef)")
   }
 
+  // value-based equality over the Array params (case-class equals is
+  // reference-based on arrays, defeating expression dedup — see JlProject)
+  override def equals(other: Any): Boolean = other match {
+    case s: StepFloorLookup => child == s.child &&
+      java.util.Arrays.equals(ths, s.ths) &&
+      java.util.Arrays.equals(rates, s.rates)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(java.util.Arrays.hashCode(ths)),
+    Integer.valueOf(java.util.Arrays.hashCode(rates)))
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

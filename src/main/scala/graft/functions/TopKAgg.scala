@@ -28,15 +28,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   */
 object TopKAgg {
 
+  /** Order key for nulls when `nullAsLowest` — STRICTLY below every
+    * real double's sortable key (the smallest real key is −Inf's
+    * 0x800FFF…), so `ORDER BY ord DESC NULLS LAST` is exact even when
+    * the data contains −Inf. For LONG ord mode Long.MinValue collides
+    * with a real Long.MinValue value — callers must guarantee a
+    * non-null long ord (the rewrite rule requires non-nullability). */
+  val NullKey: Long = Long.MinValue
+
+  /** Total-order-preserving long embedding of a double: signed long
+    * comparison of the keys matches Spark SQL's double ordering
+    * (NaN greatest, all NaNs equal — doubleToLongBits canonicalizes;
+    * −0.0 normalized to 0.0 first, as Spark's NormalizeFloatingNumbers
+    * does for sort keys). This is what lets ONE long-keyed heap serve
+    * both double and long primaries losslessly. */
+  def sortableKey(d: Double): Long = {
+    val n = if (d == 0.0) 0.0 else d // -0.0 sorts equal to 0.0
+    val b = java.lang.Double.doubleToLongBits(n)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+
   /** Bounded min-heap of (ord, tie, payload) keeping the k LARGEST
-    * entries by (ord, tie). Root = current minimum = eviction candidate. */
+    * entries by (ord, tie). Root = current minimum = eviction candidate.
+    * Ord keys are pre-embedded longs ([[sortableKey]] for doubles; raw
+    * values for long ords), so the heap itself is type-agnostic and a
+    * long primary never rounds through a double (exact above 2^53). */
   final class Buffer(val k: Int) {
-    val ords = new Array[Double](k)
+    val ords = new Array[Long](k)
     val ties = new Array[Long](k)
     val rows = new Array[UnsafeRow](k)
     var size = 0
 
-    private def less(o1: Double, t1: Long, o2: Double, t2: Long): Boolean =
+    private def less(o1: Long, t1: Long, o2: Long, t2: Long): Boolean =
       o1 < o2 || (o1 == o2 && t1 < t2)
 
     private def swap(a: Int, b: Int): Unit = {
@@ -65,7 +88,7 @@ object TopKAgg {
     }
 
     /** `row` must already be a defensive copy. */
-    def insert(o: Double, t: Long, row: => UnsafeRow): Unit =
+    def insert(o: Long, t: Long, row: => UnsafeRow): Unit =
       if (size < k) {
         ords(size) = o; ties(size) = t; rows(size) = row
         size += 1; siftUp(size - 1)
@@ -74,9 +97,13 @@ object TopKAgg {
         siftDown()
       }
 
-    /** Indices of the heap entries in (ord, tie) DESCENDING order. */
+    /** Indices of the heap entries in (ord, tie) DESCENDING order.
+      * Compared directly, NOT by negating the keys — −Long.MinValue
+      * wraps to itself, which would rank a MinValue tie (a null tie, or
+      * the bitwise-NOT of a MaxValue ascending tie) as the LARGEST. */
     def sortedIndices: Array[Int] =
-      (0 until size).toArray.sortBy(i => (-ords(i), -ties(i)))
+      (0 until size).toArray.sortWith((a, b) =>
+        ords(a) > ords(b) || (ords(a) == ords(b) && ties(a) > ties(b)))
   }
 }
 
@@ -110,13 +137,20 @@ case class TopKAgg(
   // through UnsafeRow uniformly
   @transient private lazy val wrap = UnsafeProjection.create(Array(payload.dataType))
 
+  // a LONG ord ranks by its own value (lossless above 2^53 — the double
+  // embedding would collide there); everything else embeds via sortableKey
+  @transient private lazy val ordIsLong =
+    ord.dataType == org.apache.spark.sql.types.LongType
+
   override def createAggregationBuffer(): TopKAgg.Buffer = new TopKAgg.Buffer(k)
 
   override def update(b: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
     val o = ord.eval(input)
     if (o != null || nullAsLowest) {
-      val ov = if (o == null) Double.NegativeInfinity
-        else o.asInstanceOf[Number].doubleValue()
+      val ov =
+        if (o == null) TopKAgg.NullKey
+        else if (ordIsLong) o.asInstanceOf[Number].longValue()
+        else TopKAgg.sortableKey(o.asInstanceOf[Number].doubleValue())
       val t = tie.eval(input)
       val tl = if (t == null) Long.MinValue else t.asInstanceOf[Number].longValue()
       b.insert(ov, tl, wrap(InternalRow(payload.eval(input))).copy())
@@ -147,7 +181,7 @@ case class TopKAgg(
     out.writeInt(b.k); out.writeInt(b.size)
     var i = 0
     while (i < b.size) {
-      out.writeDouble(b.ords(i)); out.writeLong(b.ties(i))
+      out.writeLong(b.ords(i)); out.writeLong(b.ties(i))
       val bytes = b.rows(i).getBytes
       out.writeInt(bytes.length); out.write(bytes)
       i += 1
@@ -162,7 +196,7 @@ case class TopKAgg(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val o = in.readDouble(); val t = in.readLong()
+      val o = in.readLong(); val t = in.readLong()
       val len = in.readInt()
       val rowBytes = new Array[Byte](len)
       in.readFully(rowBytes)

@@ -214,6 +214,18 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
        """.stripMargin
     })
 
+  // value-based equality over the centroid matrix (case-class equals is
+  // reference-based on arrays, defeating expression dedup — see JlProject)
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroid => child == n.child &&
+      java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], n.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      cents.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -305,6 +317,17 @@ case class NearestCentroidCosine(child: Expression, cents: Array[Array[Float]])
          |${ev.value} = $bestCid;
        """.stripMargin
     })
+
+  // value-based equality over the centroid matrix (see NearestCentroid)
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroidCosine => child == n.child &&
+      java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], n.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      cents.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -105,12 +105,65 @@ object Privacy {
     * the mechanism must not), `epsilon`. The exact `n` column is for
     * the GATE's accuracy context only — a real release must drop it. */
   def dpNoisySums(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, eps: Double, salt: String): DataFrame =
+    noisySumsRelease(df, groupCol, valueCol, lo, hi, eps, salt, sensMult = 1.0)
+
+  /** USER-level DP noisy sums/means — [[dpNoisySums]] is row-level (one
+    * row in or out moves the sum by one clamp); a real training-data
+    * release protects USERS, who contribute MANY rows. The standard
+    * recipe (Wilson et al. 2020, "Differentially Private SQL") bounds
+    * each user's contribution FIRST, and the cap is what DEFINES the
+    * release's sensitivity:
+    *
+    *   - keep at most `maxPerUser` rows per `userCol` — the FIRST rows
+    *     by `orderCol` (which must be unique per user: the cap must be
+    *     deterministic or the release isn't reproducible);
+    *   - after the cap, adding/removing one user changes at most
+    *     `maxPerUser` rows ANYWHERE in the group vector, so the L1
+    *     sensitivity of the summed release is
+    *     `maxPerUser · max(|lo|, |hi|)` and of the count release
+    *     `maxPerUser` — the Laplace scales multiply accordingly;
+    *   - everything downstream (clamp, ε split across sum+count, seeded
+    *     per-(group, statistic) noise, round-6 mean post-processing) is
+    *     exactly [[dpNoisySums]].
+    *
+    * Scale shape: ONE per-user row_number window (keyed by user — full
+    * parallelism across users; this is the idiom TopKWindowRewrite
+    * bounds when it applies) + the same single keyed aggregate. Without
+    * the cap the ε claim is FALSE for any user with many rows — the
+    * noise would have to scale with the heaviest user's row count. */
+  def dpUserSums(df: DataFrame, userCol: String, orderCol: String,
+      groupCol: String, valueCol: String, maxPerUser: Int,
       lo: Double, hi: Double, eps: Double, salt: String): DataFrame = {
+    require(maxPerUser >= 1, s"maxPerUser must be >= 1, got $maxPerUser")
+    // the coalesce proves the order key non-null, so the cap window is
+    // TopKWindowRewrite's ASC "first k" shape (bounded heap, k rows per
+    // user per partition at the exchange). Contract: orderCol is unique
+    // and non-null per row (a deterministic cap NEEDS that); a null
+    // orderCol row would rank last here instead of Spark's NULLS FIRST.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(coalesce(col(orderCol).cast("long"), lit(Long.MaxValue)))
+    val capped = df
+      .where(col(valueCol).cast("double").isNotNull)
+      .withColumn("__urn", row_number().over(w))
+      .where(col("__urn") <= maxPerUser)
+      .drop("__urn")
+    noisySumsRelease(capped, groupCol, valueCol, lo, hi, eps, salt,
+      sensMult = maxPerUser.toDouble)
+  }
+
+  /** Shared Laplace sum/count/mean release body; `sensMult` is the
+    * per-unit contribution bound (1 = row-level, `maxPerUser` =
+    * user-level after capping). */
+  private def noisySumsRelease(df: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double, eps: Double, salt: String,
+      sensMult: Double): DataFrame = {
     require(eps > 0, s"epsilon must be positive, got $eps")
     require(lo < hi, s"need lo < hi, got [$lo, $hi]")
     require(salt.nonEmpty, "salt (the release seed) must be non-empty")
-    val bSum = math.max(math.abs(lo), math.abs(hi)) / (eps / 2.0)
-    val bCnt = 1.0 / (eps / 2.0)
+    val bSum = sensMult * math.max(math.abs(lo), math.abs(hi)) / (eps / 2.0)
+    val bCnt = sensMult / (eps / 2.0)
     val v = col(valueCol).cast("double")
     // clamp with when-chains, not least/greatest: DuckDB's LEAST over
     // mixed decimal/double degrades non-correctly-rounded (round-5 trap)

@@ -74,16 +74,16 @@ object Repetition {
           .otherwise(lit(0.0)), 6).as("dup_line_char_frac"))
 
     // ── n-gram stats: ONE tagged explode for every n in the battery ──
+    // The (n, gram) emission is the fused WordNGrams expression, not a
+    // transform(sequence(...)) HOF chain: array HOFs are CodegenFallback
+    // (interpreted per-element dispatch — the StepFloorLookup defect
+    // class), and this is the per-token hot loop of the whole battery.
+    // Parity with the HOF formulation is spec-pinned in
+    // WordNGramsFusedSpec.
     val ns = (topNs :+ dupN).distinct.sorted
-    def gramsOf(n: Int): Column =
-      when(size(col("__toks")) >= n,
-        transform(sequence(lit(1), size(col("__toks")) - lit(n) + lit(1)),
-          i => struct(lit(n).as("__n"),
-            array_join(slice(col("__toks"), i, lit(n)), " ").as("gram"))))
-        .otherwise(array().cast("array<struct<__n:int,gram:string>>"))
     val gramCounts = base
       .select(col("__doc"), col("__chars"),
-        explode(flatten(array(ns.map(gramsOf): _*))).as("__g"))
+        explode(graft.functions.WordNGrams.column(col("__toks"), ns)).as("__g"))
       .groupBy(col("__doc"), col("__chars"),
         col("__g.__n").as("__n"), col("__g.gram").as("gram"))
       .agg(count(lit(1)).as("__c"))

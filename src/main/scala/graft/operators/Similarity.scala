@@ -959,6 +959,20 @@ object Similarity {
     val vecF = asFloatVec(corpus, vecCol)
     val qs = queries.select(col(queryId).as("__qid"),
       col(queryVec).cast("array<float>").as("__qv"))
+    // the panel is the broadcast side of a corpus crossJoin AND the
+    // denominator of mean_recall: enforce the bounded-batch contract and
+    // distinct non-null ids (a duplicate id would inflate hits_total /
+    // cand_total while countDistinct shrinks n_queries — a silently
+    // skewed mean). One driver action over the config-sized panel.
+    val qids = qs.select(col("__qid")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.get(0))
+    require(qids.nonEmpty && qids.length <= 256,
+      s"query panel must be a bounded broadcastable batch (1..256 rows), " +
+        s"got ${qids.length}")
+    require(!qids.contains(null), "query panel ids must be non-null")
+    require(qids.distinct.length == qids.length,
+      "query panel ids must be distinct — a duplicate id double-counts " +
+        "its hits while n_queries counts it once")
     // ONE query-independent assignment pass (round-6 argmax, low cid ties)
     val cosArr = array(centroids.map(c =>
       round(VectorExprs.cosine(vecF, typedLit(c)), 6)): _*)

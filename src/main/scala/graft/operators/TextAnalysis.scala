@@ -253,12 +253,15 @@ object TextAnalysis {
     */
   def topBigramFraction(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
+    // fused bigram emission (WordNGrams n=2) — the zip_with HOF twin is
+    // CodegenFallback; identical grams on null-free token streams (split
+    // never yields null tokens)
     val grams = docs
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams.column(col("__toks"), Seq(2)))
+          .as("__g"))
+      .select(col("doc_id"), col("__g.gram").as("gram"))
     grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_bigram_frac"),

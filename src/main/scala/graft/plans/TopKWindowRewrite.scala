@@ -21,10 +21,23 @@ import graft.functions.TopKAgg
   *  - the single window expression is `row_number()` with the default
   *    running row frame, and the filter is a plain bound on it
   *    (`<= k`, `< k+1`, `= 1`);
-  *  - 1–2 sort keys; the primary `DESC NULLS LAST` (the `desc` default)
-  *    and a numeric type that embeds losslessly in double
-  *    (byte/short/int/float/double — NOT long, which would collide above
-  *    2^53); null primaries rank lowest, matching NULLS LAST;
+  *  - 1–2 sort keys; the primary either
+  *      (a) `DESC NULLS LAST` (the `desc` default) over a type that
+  *          embeds losslessly in double (byte/short/int/float/double —
+  *          null primaries rank lowest, matching NULLS LAST),
+  *      (b) `DESC NULLS LAST` over a NON-NULLABLE long (the heap keys
+  *          longs directly, exact above 2^53 where the double embedding
+  *          collides; non-nullability is required because the heap's
+  *          null key is Long.MinValue, which a real long value could
+  *          collide with — `coalesce(x, lit)` is the standard proof), or
+  *      (c) `ASC` over a NON-NULLABLE integral type — the "FIRST k rows
+  *          per group" idiom (contribution capping, session heads,
+  *          earliest-event dedup): the primary feeds the heap as
+  *          `~cast(x as long)` (the same lossless bitwise-NOT reversal
+  *          the ascending TIE uses), so the k SMALLEST rank first; with
+  *          a non-nullable key the ASC-default NULLS FIRST ordering can
+  *          never matter. Float/double ASC primaries are excluded — no
+  *          expression-level reversal preserves NaN's position;
   *  - the tiebreaker a NON-NULLABLE integral type, descending OR
   *    ascending — `(score DESC, id ASC)` is the dominant idiom in
   *    practice, and an ascending tie is realized by feeding the heap
@@ -37,8 +50,8 @@ import graft.functions.TopKAgg
   * columns are re-aliased out of the payload struct under their original
   * exprIds), so downstream operators are untouched. Registered via
   * [[graft.functions.GraftExtensions]]; `row_number` idioms that don't
-  * match (ascending keys, long primaries, extra window functions) keep
-  * their window plans.
+  * match (float/double or nullable ascending primaries, NULLABLE long
+  * primaries, extra window functions) keep their window plans.
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
 
@@ -63,11 +76,24 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def primaryOk(so: SortOrder): Boolean = so.direction match {
+    case Descending =>
+      so.nullOrdering == NullsLast &&
+        (ordTypes.contains(so.child.dataType) ||
+          // long primaries rank losslessly on the long-keyed heap, but
+          // only when provably non-null (the heap's null sentinel is a
+          // real long)
+          (so.child.dataType == LongType && !so.child.nullable))
+    case Ascending =>
+      // "first k" idiom: lossless bitwise-NOT reversal exists only for
+      // integrals, and only a non-nullable key makes the ASC-default
+      // NULLS FIRST ordering irrelevant
+      tieTypes.contains(so.child.dataType) && !so.child.nullable
+  }
+
   private def eligible(part: Seq[Expression], order: Seq[SortOrder]): Boolean =
     order.nonEmpty && order.size <= 2 &&
-      order.head.direction == Descending &&
-      order.head.nullOrdering == NullsLast &&
-      ordTypes.contains(order.head.child.dataType) &&
+      primaryOk(order.head) &&
       // tie: either direction (ASC realizes via bitwise NOT below); it is
       // non-nullable, so its null ordering can never matter
       order.drop(1).forall(so => tieTypes.contains(so.child.dataType) &&
@@ -98,7 +124,15 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
       case other => other
     }
     val cAttrs = child.output
-    val ord = Cast(order.head.child, DoubleType)
+    // a long primary feeds the heap RAW (TopKAgg keys longs directly —
+    // exact above 2^53); an ASCENDING integral primary feeds its bitwise
+    // NOT (x < y ⟺ ~x > ~y on all longs — the "first k" reversal);
+    // everything else casts to double
+    val ord: Expression = order.head.direction match {
+      case Ascending => BitwiseNot(Cast(order.head.child, LongType))
+      case _ if order.head.child.dataType == LongType => order.head.child
+      case _ => Cast(order.head.child, DoubleType)
+    }
     val tie = order.drop(1).headOption
       .map { so =>
         val asLong: Expression = Cast(so.child, LongType)

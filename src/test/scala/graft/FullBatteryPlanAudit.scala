@@ -152,10 +152,12 @@ class FullBatteryPlanAudit extends SparkSpec {
     // [text] token/segment pipelines over documents — string-dominated,
     // seconds each at sf0.1 in BENCH_LAST.json (fuse the numeric cases
     // first; revisit any of these that crosses ~3 s or a 10× SF)
+    // q_x_repetition / q_x_rep_ratio: REMOVED round 10 — their gram/line
+    // loops are fused (WordNGrams / ChunkJoin) after q_x_repetition
+    // crossed this whitelist's own ~3 s revisit threshold (3.03 s in
+    // BENCH_r09); parity twins live in WordNGramsFusedSpec
     "q_x_minhash_bands" -> "[text] shingle+band transform ladder",
     "q_x_simhash_md5" -> "[text] simhash bit-vote zip_with ladder",
-    "q_x_repetition" -> "[text] Gopher line/gram transforms",
-    "q_x_rep_ratio" -> "[text] repetition-ratio gram transforms",
     "q_x_boilerplate" -> "[text] segment transform + reassembly",
     "q_x_bpe_encode" -> "[text] BPE merge-apply transform over words",
     "q_x_chunks" -> "[text] fixed-window chunk transform",
@@ -169,13 +171,40 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_a_kmv_overlap" -> "[panel] set algebra over two k=48 sketch arrays, 1-row relation",
     "q_x_ivf_recall" -> "[panel] nprobe-ladder filter over the bounded survivor panel",
     "q_x_ivf_recall_panel" -> "[panel] nprobe-ladder filter over the bounded survivor panel",
+    "q_x_silhouette" -> "[panel] k-row centroid float-cast before the broadcast",
+    // [postagg] HOF over per-entity COLLECTED arrays after the keyed
+    // aggregate — row volume = entities, array lengths bounded by the
+    // entity's own (filtered) events. Surfaced by the round-10 deep
+    // expression walk: the old plan-STRING match truncated these plans
+    // before the lambda (the exact blind spot the walk closes)
+    "q_w_funnel" -> "[postagg] per-user funnel-slot fold over collected step events",
+    "q_w_paths" -> "[postagg] per-user <=depth path join over collected steps",
     // [parity] fused-expression twins at gate scale only
     "q_x_quantized" -> "[parity] gates the HOF quantize twin on a 200-row slice; data paths use quantizeFused")
 
   test("higher-order functions appear only at whitelisted, justified sites") {
+    // walk the EXPRESSION TREES (plans + their subqueries), not the
+    // rendered plan string: Spark truncates plan strings
+    // (spark.sql.maxToStringFields / maxPlanStringLength), so a lambda
+    // past the truncation point would slip a substring match
+    import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // AdaptiveSparkPlanExec is a LEAF node (its inner plan is invisible
+    // to collect) — unwrap it explicitly or the walk sees nothing
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collectWithSubqueries { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case n => Seq(n)
+      }
+    def plansHof(plan: SparkPlan): Boolean =
+      allNodes(plan).exists(_.expressions.exists(
+        _.exists {
+          case _: HigherOrderFunction | _: LambdaFunction => true
+          case _ => false
+        }))
     val planned = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString.contains("lambdafunction")
+      plansHof(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
     }
     info(s"queries planning HOFs: ${planned.mkString(", ")}")
     val offenders = planned.filterNot(hofOk.contains)

@@ -32,6 +32,42 @@ class TrainAppSpec extends SparkSpec {
     assert(scored.columns.contains("prediction"))
   }
 
+  test("TrainApp.session builds the verified planner config (extensions active)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.{col, row_number}
+    // force the shared suite session into existence FIRST, then clear the
+    // active/default slots so TrainApp.session() genuinely exercises ITS
+    // OWN builder (a fresh SparkSession over the shared SparkContext —
+    // spark.sql.extensions is applied per-session at construction). A
+    // vacuous variant that getOrCreate-returns the suite session would
+    // pass even with the config lines deleted; this one fails.
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val app = TrainApp.session("config-parity-test")
+      assert(app ne prior, "expected a session built by TrainApp's own builder")
+      assert(app.conf.get("spark.sql.extensions") ==
+        "graft.functions.GraftExtensions")
+      assert(app.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "4096")
+      // a grouped top-k window planned IN THE APP SESSION rewrites to the
+      // bounded-heap aggregate — the plan users actually get
+      import app.implicits._
+      val df = Seq((1, 2.0, 10L), (1, 5.0, 11L), (2, 3.0, 12L))
+        .toDF("g", "score", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+      val plan = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1).queryExecution.optimizedPlan.toString
+      assert(plan.contains("top_k"),
+        s"app session did not plan the TopKAgg rewrite:\n$plan")
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
+
   test("save-model + ScoreApp: a later run scores from the persisted artifact") {
     val dir = Files.createTempDirectory("scoreapp").toFile.getAbsolutePath
     val flights = FlightsGenerator.flights(spark, 2500, seed = 7L)

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Parity witnesses for the fused text expressions ([[WordNGrams]],
+  * [[ChunkJoin]]) against the higher-order-function formulations they
+  * replaced in the repetition battery — the HOF twins survive HERE, at
+  * spec scale only (the StepFloorLookup pattern): the data paths plan
+  * the fused expressions inside whole-stage codegen. */
+class WordNGramsFusedSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the exact HOF formulation gopherSignals used through round 9
+  private def gramsHof(toks: Column, ns: Seq[Int]): Column =
+    flatten(array(ns.map { n =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n) + lit(1)),
+          i => struct(lit(n).as("__n"),
+            array_join(slice(toks, i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<__n:int,gram:string>>"))
+    }: _*))
+
+  // the exact HOF line derivation the q_x_repetition gate used
+  private def chunkHof(toks: Column, chunk: Int): Column =
+    array_join(
+      transform(sequence(lit(0L), ((size(toks) - lit(1)) / lit(chunk)).cast("long")),
+        i => array_join(
+          slice(toks, (i * lit(chunk.toLong) + lit(1L)).cast("int"), lit(chunk)), " ")),
+      "\n")
+
+  private val fixtures = Seq(
+    "the cat sat on the mat the cat sat again",
+    "a b c d e f g h i j k l m n o p q",      // > 2 chunks of 8
+    "one",                                      // single token
+    "x y",                                      // below most gram sizes
+    "  padded   whitespace  runs   here  ",
+    "")                                         // empty text
+    .toDF("text")
+    .select(split(trim(col("text")), "\\s+").as("toks"))
+
+  test("WordNGrams matches the transform(sequence) HOF, element for element") {
+    val ns = Seq(2, 3, 4, 5)
+    val rows = fixtures.select(
+      WordNGrams.column(col("toks"), ns).as("fused"),
+      gramsHof(col("toks"), ns).as("hof")).collect()
+    rows.foreach { r => assert(r.get(0) == r.get(1), r.toString) }
+  }
+
+  test("WordNGrams skips null tokens inside a gram (array_join semantics)") {
+    val withNulls = Seq(Seq[String]("a", null, "b", "c")).toDF("toks")
+      .select(col("toks").cast("array<string>").as("toks"))
+    val rows = withNulls.select(
+      WordNGrams.column(col("toks"), Seq(2)).as("fused"),
+      gramsHof(col("toks"), Seq(2)).as("hof")).collect()
+    rows.foreach { r => assert(r.get(0) == r.get(1), r.toString) }
+    // and the skipped-null gram is the joined survivors, no doubled space
+    val grams = withNulls
+      .select(explode(WordNGrams.column(col("toks"), Seq(2))).as("g"))
+      .select(col("g.gram")).as[String].collect().toSeq
+    assert(grams == Seq("a", "b", "b c"))
+  }
+
+  test("WordNGrams of a null array is null; too-short arrays emit nothing") {
+    val df = Seq((Some(Seq("a", "b")), 1), (None, 2)).toDF("toks", "id")
+    val out = df.select(col("id"),
+      WordNGrams.column(col("toks"), Seq(3)).as("g")).collect()
+    assert(out.find(_.getInt(0) == 1).get.getSeq[Any](1).isEmpty)
+    assert(out.find(_.getInt(0) == 2).get.isNullAt(1))
+  }
+
+  test("ChunkJoin matches the array_join(transform(sequence)) HOF exactly") {
+    val rows = fixtures.select(
+      ChunkJoin.column(col("toks"), 8, " ", "\n").as("fused"),
+      chunkHof(col("toks"), 8).as("hof")).collect()
+    rows.foreach { r => assert(r.getString(0) == r.getString(1), r.toString) }
+  }
+
+  test("ChunkJoin of an empty array is one empty line; null array is null") {
+    val df = Seq((Some(Seq.empty[String]), 1), (None, 2)).toDF("toks", "id")
+    val out = df.select(col("id"),
+      ChunkJoin.column(col("toks"), 8, " ", "\n").as("s")).collect()
+    assert(out.find(_.getInt(0) == 1).get.getString(1) == "")
+    assert(out.find(_.getInt(0) == 2).get.isNullAt(1))
+  }
+
+  test("the fused expressions stay inside whole-stage codegen (no lambdas)") {
+    import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction}
+    // repartition blocks ConvertToLocalRelation from folding the literal
+    // fixture away — the projection must actually plan
+    val df = fixtures.repartition(2).select(
+      WordNGrams.column(col("toks"), Seq(2, 3)).as("g"),
+      ChunkJoin.column(col("toks"), 8, " ", "\n").as("s"))
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan
+    val hasHof = plan.collectWithSubqueries { case n => n }
+      .exists(_.expressions.exists(_.exists {
+        case _: HigherOrderFunction | _: LambdaFunction => true
+        case _ => false
+      }))
+    assert(!hasHof)
+    // the `*(n)` prefix is the WholeStageCodegen marker in the rendered
+    // plan — a CodegenFallback expression would strip it from the Project
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan.toString).isDefined,
+      plan.toString)
+  }
+}

@@ -118,6 +118,51 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  // ─────────────── user-level DP (contribution bounding) ───────────────
+
+  test("dp user sums: the per-user cap bounds a heavy user (the user-level ε claim)") {
+    import spark.implicits._
+    // one user with 500 rows of 100 + nine 1-row users of 10: uncapped
+    // sum 50,090; capped (3/user) sum 3·100 + 9·10 = 390. At eps=10 the
+    // Laplace scale is b_sum = 3·100/5 = 60 (max |x| = 60·52·ln2 ≈ 2.2e3)
+    // — the release must sit near the CAPPED total, nowhere near 50k
+    val rows = (0 until 500).map(i => ("u0", i, "g1", 100.0)) ++
+      (1 to 9).map(u => (s"u$u", 1000 + u, "g1", 10.0))
+    val out = Privacy.dpUserSums(rows.toDF("user", "ord", "g", "v"),
+      "user", "ord", "g", "v", maxPerUser = 3,
+      lo = 0.0, hi = 100.0, eps = 10.0, salt = "u-spec").head()
+    assert(out.getAs[Long]("n") == 12L,
+      s"cap must keep 3 rows of u0 + 9 singles, got n=${out.getAs[Long]("n")}")
+    assert(math.abs(out.getAs[Double]("sum_noisy") - 390.0) < 2500,
+      s"heavy user leaked past the cap: ${out.getAs[Double]("sum_noisy")}")
+  }
+
+  test("dp user sums: the cap keeps the FIRST rows by orderCol, deterministically") {
+    import spark.implicits._
+    // u0's first 3 rows by ord are 5.0; later rows are 2000.0 — a cap
+    // that picked any other rows would release a sum thousands off
+    val rows = (0 until 3).map(i => ("u0", i, "g", 5.0)) ++
+      (3 until 40).map(i => ("u0", i, "g", 2000.0))
+    val df = rows.toDF("user", "ord", "g", "v")
+    def release() = Privacy.dpUserSums(df, "user", "ord", "g", "v",
+      maxPerUser = 3, lo = 0.0, hi = 2000.0, eps = 1000.0, salt = "first3")
+      .head()
+    val out = release()
+    // b_sum = 3·2000/500 = 12 → max |noise| ≈ 12·52·ln2 ≈ 433
+    assert(math.abs(out.getAs[Double]("sum_noisy") - 15.0) < 500,
+      s"cap did not keep the first-by-ord rows: ${out.getAs[Double]("sum_noisy")}")
+    assert(release().toSeq == out.toSeq) // rerun publishes the same number
+  }
+
+  test("dp user sums rejects an invalid cap") {
+    import spark.implicits._
+    val df = Seq(("u", 1, "g", 1.0)).toDF("user", "ord", "g", "v")
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserSums(df, "user", "ord", "g", "v", maxPerUser = 0,
+        0.0, 1.0, 1.0, "s")
+    }
+  }
+
   // ─────────────── DP noisy quantile (exponential mechanism) ───────────────
 
   test("dp quantile: high-epsilon release lands at the true median cell") {

@@ -51,6 +51,29 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(got == windowTruth(small.withColumn("rn", row_number().over(w)), 70))
   }
 
+  test("null primary ranks strictly below -Infinity (exact NULLS LAST)") {
+    // the heap's null key sits BELOW -Inf's sortable embedding — a null
+    // must never tie with a real -Inf (DESC NULLS LAST puts -Inf first)
+    val rows = Seq((Some(Double.NegativeInfinity), 1L), (None, 2L),
+      (Some(1.0), 3L)).toDF("v", "id").withColumn("g", lit("x")).repartition(2)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val df = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(planOf(df).contains("top_k"))
+    assert(df.orderBy("rn").select("id").as[Long].collect().toSeq == Seq(3L, 1L))
+  }
+
+  test("NaN ranks greatest and -0.0 ties 0.0, matching Spark's double order") {
+    val rows = Seq((Double.NaN, 1L), (Double.PositiveInfinity, 2L), (5.0, 3L),
+      (-0.0, 4L), (0.0, 5L)).toDF("v", "id")
+      .withColumn("g", lit("x")).repartition(2)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val df = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    assert(planOf(df).contains("top_k"))
+    // NaN > +Inf > 5.0 > {−0.0, 0.0} tied → id ASC breaks: 4 before 5
+    assert(df.orderBy("rn").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("rewrites the dominant (score DESC, id ASC) tie idiom via bitwise-not") {
     val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
     val df = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
@@ -78,13 +101,75 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(got == Seq(42L, Long.MinValue, Long.MinValue + 1, -1L))
   }
 
+  test("rewrites a non-nullable LONG primary, exact above 2^53") {
+    // ids-as-scores / timestamps / counters: the most common top-k
+    // primary. 2^53 and 2^53+1 collide in a double embedding — the
+    // long-keyed heap must separate them.
+    val big = 1L << 53
+    val rows = Seq((big + 1, "a", 1), (big, "a", 2), (big - 1, "a", 3),
+      (7L, "b", 4), (9L, "b", 5)).toDF("score", "g", "id").repartition(3)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    // parquet-style nullable long would NOT fire; coalesce proves non-null
+    val nn = rows.withColumn("score", coalesce(col("score"), lit(Long.MinValue)))
+    val df = nn.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val plan = planOf(df)
+    assert(plan.contains("top_k") && !plan.contains("Window"),
+      s"non-nullable long primary did not rewrite:\n$plan")
+    val got = df.orderBy("g", "rn").select("score", "g", "rn")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((big + 1, "a", 1), (big, "a", 2), (9L, "b", 1), (7L, "b", 2)))
+  }
+
+  test("long primary at the Long extremes (raw keys, no double round-trip)") {
+    val rows = Seq((Long.MaxValue, 1), (Long.MaxValue - 1, 2),
+      (Long.MinValue, 3), (Long.MinValue + 1, 4), (0L, 5))
+      .toDF("score", "id").withColumn("g", lit("x")).repartition(3)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val df = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(planOf(df).contains("top_k"))
+    val got = df.orderBy("rn").select("score").as[Long].collect().toSeq
+    assert(got == Seq(Long.MaxValue, Long.MaxValue - 1, 0L))
+  }
+
+  test("rewrites the FIRST-k idiom: ASC non-nullable integral primary") {
+    // "first k rows per user" (contribution capping, session heads) —
+    // the primary feeds the heap as ~x, so the k SMALLEST rank first
+    val w = Window.partitionBy("g").orderBy(col("id").asc)
+    val df = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val plan = planOf(df)
+    assert(plan.contains("top_k") && !plan.contains("Window"),
+      s"ASC integral primary did not rewrite:\n$plan")
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == windowTruth(data.withColumn("rn", row_number().over(w)), 3))
+  }
+
+  test("ASC primary is exact at the Long extremes") {
+    val rows = Seq((Long.MinValue, 1), (Long.MinValue + 1, 2), (-1L, 3),
+      (0L, 4), (Long.MaxValue - 1, 5), (Long.MaxValue, 6))
+      .toDF("score", "id").withColumn("g", lit("x")).repartition(3)
+    val w = Window.partitionBy("g").orderBy(col("score").asc, col("id").asc)
+    val df = rows.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(planOf(df).contains("top_k"))
+    assert(df.orderBy("rn").select("score").as[Long].collect().toSeq ==
+      Seq(Long.MinValue, Long.MinValue + 1, -1L))
+  }
+
   test("does not fire on shapes it cannot prove equivalent") {
-    // ascending PRIMARY order
+    // ascending DOUBLE primary (no lossless reversal preserves NaN)
     val wAsc = Window.partitionBy("g").orderBy(col("v").asc)
     val asc = data.withColumn("rn", row_number().over(wAsc)).filter(col("rn") <= 3)
     assert(planOf(asc).contains("Window"))
-    // long primary (double embedding would lose precision)
-    val wLong = Window.partitionBy("g").orderBy(col("id").desc)
+    // ascending NULLABLE integral primary (NULLS FIRST would matter)
+    val wAscN = Window.partitionBy("g")
+      .orderBy(when(col("id") % 97 === 0, lit(null))
+        .otherwise(col("id")).cast("long").asc)
+    val ascN = data.withColumn("rn", row_number().over(wAscN)).filter(col("rn") <= 3)
+    assert(planOf(ascN).contains("Window"))
+    // NULLABLE long primary (the heap's null sentinel is a real long —
+    // Long.MinValue data could collide with a null's rank)
+    val wLong = Window.partitionBy("g")
+      .orderBy(when(col("id") % 97 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").desc)
     val lng = data.withColumn("rn", row_number().over(wLong)).filter(col("rn") <= 3)
     assert(planOf(lng).contains("Window"))
     // rank() instead of row_number()
