@@ -165,6 +165,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("gramfam")) {
+      gramFamProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("embstage")) {
       embStageBisect(spark, args.lift(1).map(_.toLong).getOrElse(30000000L))
       spark.stop()
@@ -1141,6 +1147,58 @@ object DevProbe {
       model, query, topK = 10).collect()
     println(f"[opq $n] serve pass (rotate+encode+ADC top-10): " +
       f"${(System.nanoTime() - t3) / 1e9}%.1f s top1=${top.head.getLong(0)}")
+  }
+
+  /** Gram-fusion rung (`runMain graft.DevProbe gramfam [n]`): the
+    * Gopher repetition battery over n total tokens (n/64 docs × 64
+    * synthetic tokens, ~12% repeated so dup stats are non-trivial) —
+    * the fused [[graft.functions.WordNGrams]] emission vs the
+    * transform(sequence) HOF chain it replaced (CodegenFallback:
+    * interpreted per-element dispatch). Both run the SAME downstream
+    * count/window/aggregate; only the (n, gram) emission differs, so
+    * the delta isolates the fusion. */
+  private def gramFamProbe(spark: SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nDocs = math.max(1L, n / 64)
+    val docs = spark.range(nDocs).map { i =>
+      val r = new scala.util.Random(i)
+      val toks = (0 until 64).map { _ =>
+        if (r.nextDouble() < 0.12) "dup" + r.nextInt(3)
+        else "w" + r.nextInt(50000)
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint()
+    docs.count()
+    val ns = Seq(2, 3, 4, 5)
+    val toks = split(trim(col("text")), "\\s+")
+    def downstream(grams: org.apache.spark.sql.DataFrame): Long =
+      grams
+        .groupBy(col("doc_id"), col("__g.__n").as("__n"), col("__g.gram").as("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dups"))
+        .agg(sum(col("dups"))).head().getLong(0)
+    def timed(label: String)(body: => Long): Unit = {
+      val t = System.nanoTime()
+      val out = body
+      println(f"[gramfam $n] $label: ${(System.nanoTime() - t) / 1e9}%.1f s (dup-gram occurrences $out)")
+    }
+    val base = docs.select(col("doc_id"), toks.as("__toks"))
+    timed("fused WordNGrams") {
+      downstream(base.select(col("doc_id"),
+        explode(graft.functions.WordNGrams.column(col("__toks"), ns)).as("__g")))
+    }
+    def gramsHof(c: Column, n2: Int): Column =
+      when(size(c) >= n2,
+        transform(sequence(lit(1), size(c) - lit(n2) + lit(1)),
+          i => struct(lit(n2).as("__n"),
+            array_join(slice(c, i, lit(n2)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<__n:int,gram:string>>"))
+    timed("HOF transform chain") {
+      downstream(base.select(col("doc_id"),
+        explode(flatten(array(ns.map(gramsHof(col("__toks"), _)): _*))).as("__g")))
+    }
   }
 
   /** Sampled-rotation-fit rung (`runMain graft.DevProbe opqsample [n]
