@@ -144,6 +144,135 @@ object ChunkJoin {
       wordSep, lineSep))
 }
 
+/** Fused non-overlapping chunk SEGMENTS — `ceil(len/chunk)` strings of
+  * `chunk` tokens joined by `sep` (the boilerplate-census segment
+  * construction: one output element per segment, never per token),
+  * replacing the `transform(sequence(0, ceil(n/c)−1), i ->
+  * array_join(slice(…)))` HOF chain. Same parity rules as [[ChunkJoin]]
+  * (null tokens skipped inside a segment; null array is null); an EMPTY
+  * token array yields an EMPTY segment array (the HOF form was only ever
+  * planned behind a non-empty-text filter). */
+object ChunkSegments {
+  def compute(arr: ArrayData, chunk: Int, sep: UTF8String): ArrayData = {
+    val len = arr.numElements()
+    val nSegs = if (len == 0) 0 else (len - 1) / chunk + 1
+    val out = new Array[Any](nSegs)
+    var li = 0
+    while (li < nSegs) {
+      val start = li * chunk
+      val end = math.min(start + chunk, len)
+      val window = new Array[UTF8String](end - start)
+      var w = 0
+      while (start + w < end) {
+        if (!arr.isNullAt(start + w)) window(w) = arr.getUTF8String(start + w)
+        w += 1
+      }
+      out(li) = UTF8String.concatWs(sep, window: _*)
+      li += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(tokens: Column, chunk: Int, sep: String): Column =
+    ColumnBridge.column(ChunkSegments(ColumnBridge.expression(tokens),
+      chunk, sep))
+}
+
+case class ChunkSegments(child: Expression, chunk: Int, sep: String)
+    extends UnaryExpression {
+  require(chunk >= 1, s"chunk size must be >= 1, got $chunk")
+
+  override def prettyName: String = "chunk_segments"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val sepU = UTF8String.fromString(sep)
+
+  override def nullSafeEval(input: Any): Any =
+    ChunkSegments.compute(input.asInstanceOf[ArrayData], chunk, sepU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sepU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ChunkSegments.compute($c, $chunk, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused string-field join over an `array<struct>` — extracts one
+  * string field from each struct and joins with `sep`, replacing the
+  * `array_join(transform(arr, s -> s.getField(f)), sep)` HOF pair on
+  * post-aggregate reassembly paths (ordered-concat of
+  * `sort_array(collect_list(struct(idx, seg)))`). Null structs and
+  * null field values are SKIPPED (array_join semantics); a null array
+  * is null. */
+object StructFieldJoin {
+  def compute(arr: ArrayData, ordinal: Int, nFields: Int,
+      sep: UTF8String): UTF8String = {
+    val n = arr.numElements()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, nFields)
+        if (!row.isNullAt(ordinal)) parts(i) = row.getUTF8String(ordinal)
+      }
+      i += 1
+    }
+    UTF8String.concatWs(sep, parts: _*)
+  }
+
+  def column(arr: Column, fieldName: String, sep: String): Column =
+    ColumnBridge.column(StructFieldJoin(ColumnBridge.expression(arr),
+      fieldName, sep))
+}
+
+case class StructFieldJoin(child: Expression, fieldName: String, sep: String)
+    extends UnaryExpression {
+
+  override def prettyName: String = "struct_field_join"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fields.exists(f => f.name == fieldName &&
+          f.dataType == StringType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct> with a string field " +
+        s"'$fieldName', got ${other.catalogString}")
+  }
+
+  @transient private lazy val structType =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+  @transient private lazy val ordinal = structType.fieldIndex(fieldName)
+  @transient private lazy val sepU = UTF8String.fromString(sep)
+
+  override def nullSafeEval(input: Any): Any =
+    StructFieldJoin.compute(input.asInstanceOf[ArrayData], ordinal,
+      structType.size, sepU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sepU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StructFieldJoin.compute($c, $ordinal, ${structType.size}, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class ChunkJoin(child: Expression, chunk: Int, wordSep: String,
     lineSep: String) extends UnaryExpression {
   require(chunk >= 1, s"chunk size must be >= 1, got $chunk")

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * reassembled in original order.
   *
   * Scale shape (100 TB-safe): segment construction is pure map-side
-  * expression math (`transform`/`slice` over the token array — one
-  * output row per segment, never per token); the census is one
+  * expression math (the fused [[graft.functions.ChunkSegments]] — one
+  * output row per segment, never per token, WholeStageCodegen); the census is one
   * segment-keyed aggregate with map-side partial distinct; membership is
   * a segment-keyed equi-join; reassembly is one doc-keyed aggregate
   * whose ordered concat uses `sort_array(collect_list(struct(idx, seg)))`
@@ -37,13 +37,15 @@ object Boilerplate {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = split(trim(col(textCol)), "\\s+")
-    val nSegs = ceil(size(toks).cast("double") / lit(segTokens.toDouble))
-      .cast("int")
+    // segment construction and reassembly are FUSED expressions
+    // (ChunkSegments / StructFieldJoin) — the transform(sequence(...))
+    // and array_join(transform(...)) HOF chains they replace are
+    // CodegenFallback, and segment construction is the per-token hot
+    // loop of the whole pass (parity spec: WordNGramsFusedSpec)
     val segs = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), nSegs - lit(1)),
-          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))))
+        posexplode(graft.functions.ChunkSegments.column(toks, segTokens, " ")))
       .withColumnRenamed("pos", "__idx")
       .withColumnRenamed("col", "__seg")
     val census = segs.groupBy("__seg")
@@ -51,10 +53,10 @@ object Boilerplate {
     segs.join(census, "__seg")
       .groupBy(col(idCol))
       .agg(
-        array_join(transform(
+        graft.functions.StructFieldJoin.column(
           sort_array(collect_list(when(col("__ndocs") < minDocs,
             struct(col("__idx"), col("__seg"))))),
-          s => s.getField("__seg")), " ").as("clean_text"),
+          "__seg", " ").as("clean_text"),
         count(when(col("__ndocs") < minDocs, lit(1))).as("n_kept"),
         count(when(col("__ndocs") >= minDocs, lit(1))).as("n_dropped"))
   }

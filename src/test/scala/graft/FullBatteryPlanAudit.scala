@@ -156,9 +156,11 @@ class FullBatteryPlanAudit extends SparkSpec {
     // loops are fused (WordNGrams / ChunkJoin) after q_x_repetition
     // crossed this whitelist's own ~3 s revisit threshold (3.03 s in
     // BENCH_r09); parity twins live in WordNGramsFusedSpec
+    // q_x_boilerplate: REMOVED round 10 — segment construction and
+    // reassembly fused (ChunkSegments / StructFieldJoin) after it
+    // crossed the ~3 s revisit threshold (3.53 s this round's bench)
     "q_x_minhash_bands" -> "[text] shingle+band transform ladder",
     "q_x_simhash_md5" -> "[text] simhash bit-vote zip_with ladder",
-    "q_x_boilerplate" -> "[text] segment transform + reassembly",
     "q_x_bpe_encode" -> "[text] BPE merge-apply transform over words",
     "q_x_chunks" -> "[text] fixed-window chunk transform",
     "q_x_leakage" -> "[text] shingle transform (split-leakage census)",

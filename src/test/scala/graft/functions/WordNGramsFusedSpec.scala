@@ -85,6 +85,51 @@ class WordNGramsFusedSpec extends SparkSpec {
     assert(out.find(_.getInt(0) == 2).get.isNullAt(1))
   }
 
+  test("ChunkSegments matches the transform(sequence) segment HOF exactly") {
+    // the exact HOF formulation Boilerplate used through round 10
+    val seg = 3
+    def segHof(toks: Column): Column = {
+      val nSegs = ceil(size(toks).cast("double") / lit(seg.toDouble)).cast("int")
+      transform(sequence(lit(0), nSegs - lit(1)),
+        i => array_join(slice(toks, i * seg + 1, lit(seg)), " "))
+    }
+    // non-empty fixtures only: the HOF's sequence(0, -1) edge on empty
+    // arrays was never planned (Boilerplate filters empty text first)
+    val rows = fixtures.filter(size(col("toks")) > 0).select(
+      ChunkSegments.column(col("toks"), seg, " ").as("fused"),
+      segHof(col("toks")).as("hof")).collect()
+    rows.foreach { r => assert(r.get(0) == r.get(1), r.toString) }
+  }
+
+  test("ChunkSegments: empty array yields no segments; null array is null") {
+    val df = Seq((Some(Seq.empty[String]), 1), (None, 2)).toDF("toks", "id")
+    val out = df.select(col("id"),
+      ChunkSegments.column(col("toks"), 3, " ").as("s")).collect()
+    assert(out.find(_.getInt(0) == 1).get.getSeq[Any](1).isEmpty)
+    assert(out.find(_.getInt(0) == 2).get.isNullAt(1))
+  }
+
+  test("StructFieldJoin matches array_join(transform(getField)) incl. null skips") {
+    val df = Seq(1).toDF("x").select(
+      array(
+        struct(lit(2).as("i"), lit("b").as("s")),
+        struct(lit(1).as("i"), lit("a").as("s")),
+        struct(lit(3).as("i"), lit(null).cast("string").as("s"))).as("arr"))
+    val sorted = df.select(sort_array(col("arr")).as("arr"))
+    val rows = sorted.select(
+      StructFieldJoin.column(col("arr"), "s", " ").as("fused"),
+      array_join(transform(col("arr"), e => e.getField("s")), " ").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), r.toString)
+      assert(r.getString(0) == "a b") // null field skipped, order by i
+    }
+    // a missing / non-string field is an analysis error, not a crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(StructFieldJoin.column(col("arr"), "nope", " ")).collect()
+    }
+  }
+
   test("the fused expressions stay inside whole-stage codegen (no lambdas)") {
     import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction}
     // repartition blocks ConvertToLocalRelation from folding the literal
