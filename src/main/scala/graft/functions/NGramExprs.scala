@@ -273,6 +273,67 @@ case class StructFieldJoin(child: Expression, fieldName: String, sep: String)
     copy(child = c)
 }
 
+/** Fused string-field EXTRACTION over an `array<struct>` — the array
+  * form of [[StructFieldJoin]], replacing
+  * `transform(arr, s -> s.getField(f))` (CodegenFallback) on the
+  * sorted-struct → payload-array idiom (prefix-filter set joins,
+  * rarity-ordered token sets). Null structs and null field values
+  * become NULL ELEMENTS (transform semantics — not skipped); a null
+  * array is null. */
+object StructFieldExtract {
+  def compute(arr: ArrayData, ordinal: Int, nFields: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, nFields)
+        if (!row.isNullAt(ordinal)) out(i) = row.getUTF8String(ordinal)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(arr: Column, fieldName: String): Column =
+    ColumnBridge.column(StructFieldExtract(ColumnBridge.expression(arr),
+      fieldName))
+}
+
+case class StructFieldExtract(child: Expression, fieldName: String)
+    extends UnaryExpression {
+
+  override def prettyName: String = "struct_field_extract"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fields.exists(f => f.name == fieldName &&
+          f.dataType == StringType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct> with a string field " +
+        s"'$fieldName', got ${other.catalogString}")
+  }
+
+  @transient private lazy val structType =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+  @transient private lazy val ordinal = structType.fieldIndex(fieldName)
+
+  override def nullSafeEval(input: Any): Any =
+    StructFieldExtract.compute(input.asInstanceOf[ArrayData], ordinal,
+      structType.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StructFieldExtract.compute($c, $ordinal, ${structType.size})")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class ChunkJoin(child: Expression, chunk: Int, wordSep: String,
     lineSep: String) extends UnaryExpression {
   require(chunk >= 1, s"chunk size must be >= 1, got $chunk")

@@ -68,9 +68,16 @@ object SetSimJoin {
     // (a rank would be a full-vocabulary window: a single-partition sort)
     val sets = toks.join(dfs, "__t")
       .groupBy(col("__id"))
-      .agg(array_sort(collect_list(struct(col("__df"), col("__t")))).as("__sd"))
+      // sort_array, NOT array_sort: array_sort's default comparator is a
+      // LambdaFunction (a higher-order function even unparameterized);
+      // sort_array is the plain ascending sort — identical order on this
+      // null-free struct array
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__sd"))
       .select(col("__id"),
-        transform(col("__sd"), s => s.getField("__t")).as("__set"),
+        // fused field extraction — the transform(getField) HOF twin is
+        // CodegenFallback (parity spec: WordNGramsFusedSpec)
+        graft.functions.StructFieldExtract.column(col("__sd"), "__t")
+          .as("__set"),
         size(col("__sd")).as("__n"))
     val pref = sets
       .withColumn("__p",

@@ -162,11 +162,12 @@ class FullBatteryPlanAudit extends SparkSpec {
     "q_x_minhash_bands" -> "[text] shingle+band transform ladder",
     "q_x_simhash_md5" -> "[text] simhash bit-vote zip_with ladder",
     "q_x_bpe_encode" -> "[text] BPE merge-apply transform over words",
+    // q_x_setjoin / q_x_leakage: REMOVED round 10 — their one remaining
+    // lambda (the sorted-struct token extraction in SetSimJoin) is the
+    // fused StructFieldExtract now
     "q_x_chunks" -> "[text] fixed-window chunk transform",
-    "q_x_leakage" -> "[text] shingle transform (split-leakage census)",
     "q_x_perplexity" -> "[text] token-ngram transform",
     "q_x_pmi" -> "[text] bigram zip_with",
-    "q_x_setjoin" -> "[text] token-set struct transform",
     "q_x_pipeline2" -> "[text] corpus-pipeline shingle transforms",
     "q_f_hof" -> "[text] the HOF-surface gate itself (filter/exists/transform coverage)",
     // [panel] config-sized relations

@@ -130,6 +130,21 @@ class WordNGramsFusedSpec extends SparkSpec {
     }
   }
 
+  test("StructFieldExtract matches transform(getField) incl. null elements") {
+    val df = Seq(1).toDF("x").select(
+      array(
+        struct(lit(2).as("i"), lit("b").as("s")),
+        struct(lit(1).as("i"), lit("a").as("s")),
+        struct(lit(3).as("i"), lit(null).cast("string").as("s"))).as("arr"))
+    val rows = df.select(
+      StructFieldExtract.column(col("arr"), "s").as("fused"),
+      transform(col("arr"), e => e.getField("s")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), r.toString)
+      assert(r.getSeq[Any](0) == Seq("b", "a", null)) // null KEPT, not skipped
+    }
+  }
+
   test("the fused expressions stay inside whole-stage codegen (no lambdas)") {
     import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction}
     // repartition blocks ConvertToLocalRelation from folding the literal
