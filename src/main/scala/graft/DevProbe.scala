@@ -160,7 +160,8 @@ object DevProbe {
 
     if (args.headOption.contains("opqsample")) {
       opqSampleProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L),
-        args.lift(2).map(_.toDouble).getOrElse(0.02))
+        args.lift(2).map(_.split(",").toSeq.map(_.toDouble))
+          .getOrElse(Seq(0.02)))
       spark.stop()
       return
     }
@@ -1202,14 +1203,16 @@ object DevProbe {
   }
 
   /** Sampled-rotation-fit rung (`runMain graft.DevProbe opqsample [n]
-    * [frac]`): prices the standard production trade for OPQ training —
-    * fit the rotation + codebooks on a seeded `frac` sample, ENCODE the
-    * full corpus — against the full-corpus fit (the repo's `opq` rung,
-    * 628.7 s at 10M in round 9, the slowest rung in the repo). Readout:
-    * both fit walls plus both models' OPQ distortion measured over the
-    * SAME full corpus — the distortion delta is what the wall reduction
-    * costs. Same planted-correlation corpus as [[opqProbe]]. */
-  private def opqSampleProbe(spark: SparkSession, n: Long, frac: Double): Unit = {
+    * [frac1,frac2,…]`): prices the standard production trade for OPQ
+    * training — fit the rotation + codebooks on a seeded sample, ENCODE
+    * the full corpus — against ONE full-corpus fit (the repo's `opq`
+    * rung, 628.7 s at 10M in round 9, the slowest rung in the repo).
+    * Readout per fraction: fit wall + that model's OPQ distortion over
+    * the SAME full corpus — the distortion-delta curve is what each
+    * wall reduction costs. Same planted-correlation corpus as
+    * [[opqProbe]]. */
+  private def opqSampleProbe(spark: SparkSession, n: Long,
+      fracs: Seq[Double]): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.operators.ProductQuantization
@@ -1223,23 +1226,6 @@ object DevProbe {
     }.toDF("vec_id", "v").localCheckpoint()
     corpus.count()
     println(f"[opqsample $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-
-    val t1 = System.nanoTime()
-    val full = ProductQuantization.trainOpq(corpus, "vec_id", "v",
-      dim, m = 4, k = 8, iters = 2, alternations = 2)
-    val wFull = (System.nanoTime() - t1) / 1e9
-    println(f"[opqsample $n] FULL fit: $wFull%.1f s orthErr=${full.orthErr}%.2e")
-
-    val t2 = System.nanoTime()
-    val sampleDf = corpus.sample(withReplacement = false, frac, seed = 42L)
-      .localCheckpoint()
-    val sRows = sampleDf.count()
-    val sampled = ProductQuantization.trainOpq(sampleDf, "vec_id", "v",
-      dim, m = 4, k = 8, iters = 2, alternations = 2)
-    val wSample = (System.nanoTime() - t2) / 1e9
-    println(f"[opqsample $n] SAMPLED fit (frac=$frac%.3f, $sRows rows): " +
-      f"$wSample%.1f s orthErr=${sampled.orthErr}%.2e " +
-      f"(${wFull / wSample}%.1fx faster)")
 
     // one full-corpus scoring pass per model: rotate + encode + mean
     // squared reconstruction error (the encode IS the production step a
@@ -1267,11 +1253,31 @@ object DevProbe {
         f"(${(System.nanoTime() - t) / 1e9}%.1f s encode+score)")
       d
     }
+
+    val t1 = System.nanoTime()
+    val full = ProductQuantization.trainOpq(corpus, "vec_id", "v",
+      dim, m = 4, k = 8, iters = 2, alternations = 2)
+    val wFull = (System.nanoTime() - t1) / 1e9
+    println(f"[opqsample $n] FULL fit: $wFull%.1f s orthErr=${full.orthErr}%.2e")
     val dFull = distortion(full, "full-fit")
-    val dSample = distortion(sampled, "sampled-fit")
-    println(f"[opqsample $n] distortion delta: " +
-      f"${(dSample - dFull) / dFull * 100.0}%.2f%% for a " +
-      f"${wFull / wSample}%.1fx fit-wall reduction")
+
+    // price the whole curve against ONE full fit
+    fracs.foreach { frac =>
+      val t2 = System.nanoTime()
+      val sampleDf = corpus.sample(withReplacement = false, frac, seed = 42L)
+        .localCheckpoint()
+      val sRows = sampleDf.count()
+      val sampled = ProductQuantization.trainOpq(sampleDf, "vec_id", "v",
+        dim, m = 4, k = 8, iters = 2, alternations = 2)
+      val wSample = (System.nanoTime() - t2) / 1e9
+      println(f"[opqsample $n] SAMPLED fit (frac=$frac%.3f, $sRows rows): " +
+        f"$wSample%.1f s orthErr=${sampled.orthErr}%.2e " +
+        f"(${wFull / wSample}%.1fx faster)")
+      val dSample = distortion(sampled, f"sampled-fit frac=$frac%.3f")
+      println(f"[opqsample $n] frac=$frac%.3f distortion delta: " +
+        f"${(dSample - dFull) / dFull * 100.0}%.2f%% for a " +
+        f"${wFull / wSample}%.1fx fit-wall reduction")
+    }
   }
 
   /** Isotonic-APPLY rung (`runMain graft.DevProbe calibrate [n]`): maps

@@ -400,7 +400,8 @@ object SparkEntry {
     // The coalesce proves non-nullability (parquet columns read as
     // nullable), so TopKWindowRewrite plans the bounded-heap aggregate
     // on RAW long keys — lossless above 2^53, where the double embedding
-    // collides; FullBatteryPlanAudit pins the heap plan.
+    // collides; FullBatteryPlanAudit's heap-plan test pins the rewrite
+    // actually firing here.
     "q_w_topk_long" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(coalesce(col("o_orderkey"), lit(Long.MinValue)).desc)

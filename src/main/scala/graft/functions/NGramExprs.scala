@@ -117,24 +117,16 @@ case class WordNGrams(child: Expression, ns: Seq[Int])
   *   - null tokens are skipped inside a line (array_join semantics);
   *   - a null token array is null. */
 object ChunkJoin {
+  /** Delegates to [[ChunkSegments.compute]] — one chunk loop to
+    * maintain, not two. The empty-array edge is preserved: zero
+    * segments concatWs to "" exactly like the HOF's one empty line. */
   def compute(arr: ArrayData, chunk: Int, wordSep: UTF8String,
       lineSep: UTF8String): UTF8String = {
-    val len = arr.numElements()
-    val nLines = if (len == 0) 1 else (len - 1) / chunk + 1
-    val lines = new Array[UTF8String](nLines)
-    var li = 0
-    while (li < nLines) {
-      val start = li * chunk
-      val end = math.min(start + chunk, len)
-      val window = new Array[UTF8String](math.max(0, end - start))
-      var w = 0
-      while (start + w < end) {
-        if (!arr.isNullAt(start + w)) window(w) = arr.getUTF8String(start + w)
-        w += 1
-      }
-      lines(li) = UTF8String.concatWs(wordSep, window: _*)
-      li += 1
-    }
+    val segs = ChunkSegments.compute(arr, chunk, wordSep)
+    val n = segs.numElements()
+    val lines = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { lines(i) = segs.getUTF8String(i); i += 1 }
     UTF8String.concatWs(lineSep, lines: _*)
   }
 
@@ -216,16 +208,17 @@ case class ChunkSegments(child: Expression, chunk: Int, sep: String)
   * null field values are SKIPPED (array_join semantics); a null array
   * is null. */
 object StructFieldJoin {
+  /** Delegates to [[StructFieldExtract.compute]] — concatWs SKIPS the
+    * null elements Extract keeps, which is exactly the
+    * array_join-over-transform null contract. One extraction loop. */
   def compute(arr: ArrayData, ordinal: Int, nFields: Int,
       sep: UTF8String): UTF8String = {
-    val n = arr.numElements()
+    val extracted = StructFieldExtract.compute(arr, ordinal, nFields)
+    val n = extracted.numElements()
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val row = arr.getStruct(i, nFields)
-        if (!row.isNullAt(ordinal)) parts(i) = row.getUTF8String(ordinal)
-      }
+      if (!extracted.isNullAt(i)) parts(i) = extracted.getUTF8String(i)
       i += 1
     }
     UTF8String.concatWs(sep, parts: _*)

@@ -146,6 +146,17 @@ case class TopKAgg(
 
   override def update(b: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
     val o = ord.eval(input)
+    // long-ord mode keys the heap on the RAW value, so the null sentinel
+    // (Long.MinValue) is a real long — an ACTUAL null under nullAsLowest
+    // would silently tie with real MinValue values. The rewrite rule
+    // proves non-nullability before building this; a direct caller who
+    // didn't gets a clear error at the first null, not a wrong ranking.
+    // (A constructor require would false-positive: plan transformations
+    // rebuild this expression with conservatively-nullable children.)
+    if (o == null && nullAsLowest && ordIsLong)
+      throw new IllegalStateException(
+        "top_k with a LONG ord and nullAsLowest met a NULL ord value — " +
+          "the null sentinel is a real long; wrap the ord in coalesce")
     if (o != null || nullAsLowest) {
       val ov =
         if (o == null) TopKAgg.NullKey

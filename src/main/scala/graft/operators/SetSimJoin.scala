@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * filtering exploits.
   *
   * Scale shape: a token-df aggregate (vocabulary-sized exchange with
-  * map-side combine), one per-doc sort of its own tokens (array_sort
-  * inside the row — no global sort anywhere), a candidate equi-join
+  * map-side combine), one per-doc sort of its own tokens (sort_array
+  * inside the row — no global sort anywhere; NOT array_sort, whose
+  * default comparator is a LambdaFunction), a candidate equi-join
   * keyed on PREFIX tokens only (posting lists bounded by the rarity
   * order), a length filter (`t·|a| <= |b| <= |a|/t`) before dedup, and
   * exact verification only on surviving candidate ids. Nothing is

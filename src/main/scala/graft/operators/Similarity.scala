@@ -963,12 +963,14 @@ object Similarity {
     // denominator of mean_recall: enforce the bounded-batch contract and
     // distinct non-null ids (a duplicate id would inflate hits_total /
     // cand_total while countDistinct shrinks n_queries — a silently
-    // skewed mean). One driver action over the config-sized panel.
-    val qids = qs.select(col("__qid")).collect().map(r =>
+    // skewed mean). The bound check collects AT MOST 257 rows — the
+    // guard itself must not OOM the driver on exactly the unbounded
+    // panel it exists to reject.
+    val qids = qs.select(col("__qid")).limit(257).collect().map(r =>
       if (r.isNullAt(0)) null else r.get(0))
     require(qids.nonEmpty && qids.length <= 256,
       s"query panel must be a bounded broadcastable batch (1..256 rows), " +
-        s"got ${qids.length}")
+        s"got ${if (qids.length > 256) "more" else qids.length.toString}")
     require(!qids.contains(null), "query panel ids must be non-null")
     require(qids.distinct.length == qids.length,
       "query panel ids must be distinct — a duplicate id double-counts " +

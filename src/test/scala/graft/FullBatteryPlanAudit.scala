@@ -99,6 +99,19 @@ class FullBatteryPlanAudit extends SparkSpec {
     // top-k over the ≤ k·|centroids| checkpointed survivor panel
     "q_x_ivf_recall")
 
+  test("the long-primary and dp-user cap windows plan the bounded heap") {
+    // the exact injected-but-never-active class: both gates' results
+    // match the oracle under EITHER plan, so only a plan pin catches a
+    // silent fallback to the full-shuffle window (e.g. a Spark upgrade
+    // changing coalesce nullability inference)
+    Seq("q_w_topk_long", "q_a_dp_user").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("top_k") && !plan.contains("Window"),
+        s"$name lost the TopKAgg heap rewrite:\n$plan")
+    }
+  }
+
   test("every single-partition exchange feeds a grand-total aggregate") {
     // a SinglePartition exchange is the correct (and only) shape for a
     // grand-total aggregate's final stage — it moves partial buffers, a
