@@ -113,11 +113,19 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val totalMed = names.map(n => median(samples(n))).filter(_ >= 0).sum
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"rep_totals":$repsJson,"total_median":${r3(totalMed)},"n_queries":${names.size},"full":"$outFile","sf":"$sfDir","queries":{"""
+    // per-query entries are [MIN, MEDIAN] pairs: in a contended driver
+    // window (r10: 3.64x rep-total spread) a per-query min over 3 reps
+    // is not a trustworthy cross-round comparator on its own — the
+    // median is the noise-robust number, and carrying BOTH in the
+    // committed artifact lets a reader separate window noise (min
+    // stable, median inflated) from a real regression (both moved)
+    // for the slowest queries without re-running anything
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"rep_totals":$repsJson,"total_median":${r3(totalMed)},"n_queries":${names.size},"q_format":"[min,median]","full":"$outFile","sf":"$sfDir","queries":{"""
     val budget = 1900 - head.length - 2
     val sb = new StringBuilder
     slowest.foreach { case (k, v) =>
-      val entry = (if (sb.nonEmpty) "," else "") + "\"" + k + "\":" + r3(v)
+      val entry = (if (sb.nonEmpty) "," else "") + "\"" + k + "\":[" +
+        r3(v) + "," + r3(median(samples(k))) + "]"
       if (sb.length + entry.length <= budget) sb.append(entry)
     }
     val compact = head + sb.toString + "}}"

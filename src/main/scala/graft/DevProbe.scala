@@ -166,6 +166,13 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("opqpolicy")) {
+      opqPolicyProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L),
+        args.lift(2).map(_.toDouble).getOrElse(0.05))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("gramfam")) {
       gramFamProbe(spark, args.lift(1).map(_.toLong).getOrElse(10000000L))
       spark.stop()
@@ -1278,6 +1285,52 @@ object DevProbe {
         f"${(dSample - dFull) / dFull * 100.0}%.2f%% for a " +
         f"${wFull / wSample}%.1fx fit-wall reduction")
     }
+  }
+
+  /** Keep-better-policy rung (`runMain graft.DevProbe opqpolicy [n]
+    * [frac]`): drives the PRODUCTIZED [[ProductQuantization.trainOpqSampled]]
+    * end-to-end on the planted-correlation fixture — the `opqsample`
+    * rung priced the raw curve (fit wall vs distortion delta, round
+    * 10); this rung confirms the shipped API delivers it: sampled fit
+    * wall vs full fit wall, both full-corpus distortions, and the
+    * policy's pick (which can NEVER be worse than `previous` — the
+    * guard the non-monotone sample curve made necessary). */
+  private def opqPolicyProbe(spark: SparkSession, n: Long, frac: Double): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.ProductQuantization
+    val dim = 16
+    val t0 = System.nanoTime()
+    val corpus = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      val z = Seq.fill(8)((r.nextGaussian() * 2.0).toFloat)
+      val echo = z.map(v => v + (r.nextGaussian() * 0.1).toFloat)
+      (i, z ++ echo)
+    }.toDF("vec_id", "v").localCheckpoint()
+    corpus.count()
+    println(f"[opqpolicy $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val t1 = System.nanoTime()
+    val full = ProductQuantization.trainOpq(corpus, "vec_id", "v",
+      dim, m = 4, k = 8, iters = 2, alternations = 2)
+    val wFull = (System.nanoTime() - t1) / 1e9
+    println(f"[opqpolicy $n] FULL fit ('previous' model): $wFull%.1f s")
+
+    val t2 = System.nanoTime()
+    val choice = ProductQuantization.trainOpqSampled(corpus, "vec_id", "v",
+      dim, m = 4, k = 8, iters = 2, alternations = 2,
+      frac = frac, seed = 42L, previous = Some(full))
+    val wPolicy = (System.nanoTime() - t2) / 1e9
+    println(f"[opqpolicy $n] trainOpqSampled(frac=$frac%.3f, " +
+      f"${choice.sampleRows} rows): $wPolicy%.1f s total " +
+      f"(fit+2 scoring passes) — ${wFull / wPolicy}%.1fx vs full fit")
+    println(f"[opqpolicy $n] distortions: sampled=${choice.sampledDistortion}%.5f " +
+      f"previous=${choice.previousDistortion.get}%.5f " +
+      f"published=${choice.distortion}%.5f keptSampled=${choice.keptSampled}")
+    val delta = (choice.sampledDistortion - choice.previousDistortion.get) /
+      choice.previousDistortion.get * 100.0
+    println(f"[opqpolicy $n] sampled-vs-previous delta: $delta%+.2f%% " +
+      "(policy publishes the min — never worse than previous)")
   }
 
   /** Isotonic-APPLY rung (`runMain graft.DevProbe calibrate [n]`): maps

@@ -412,6 +412,42 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
+    // W-topk-rank: the ties-aware grouped top-k idiom — rank() <= k,
+    // where ties at the k-th boundary ALL survive (the output legally
+    // exceeds k rows per group: ~390 rank-1 rows per returnflag here).
+    // NOT heap-expressible; TopKWindowRewrite plans the threshold
+    // aggregate RankTopKAgg (buffer O(k + group output), no full-group
+    // sort anywhere); FullBatteryPlanAudit pins the rewrite firing.
+    // Unlike row_number top-k, the output SET is fully deterministic —
+    // no arbitrary tie-pick — so the oracle needs no tiebreaker column.
+    "q_w_topk_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc)
+      t(s, dir, "lineitem")
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("rk"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // W-topk-dense: dense_rank() <= k — all rows of the k largest
+    // DISTINCT key values per group (no rank skipping). Bucketed price
+    // (floor/10000) gives a small int key domain so several rows share
+    // each kept bucket; same threshold-aggregate plan as q_w_topk_rank.
+    "q_w_topk_dense" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_bucket").desc)
+      t(s, dir, "orders")
+        .withColumn("price_bucket",
+          floor(col("o_totalprice") / 10000).cast("int"))
+        .withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= 2)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("price_bucket"), col("dr"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // W2 rewrite: per-row global max WITHOUT the reference's unpartitioned
     // window (dataset_utils.py:55-60) — scalar agg + broadcast cross join;
     // the fact side keeps its partitioning at any scale
@@ -4098,6 +4134,25 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |           ORDER BY COALESCE(o_orderkey, -9223372036854775808) DESC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    // ties-aware top-k: every boundary tie survives, so the result SET
+    // is deterministic without any tiebreaker column
+    "q_w_topk_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, rk FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |         CAST(RANK() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_quantity DESC) AS INT) AS rk
+        |  FROM lineitem) WHERE rk <= 2
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_w_topk_dense" ->
+      """SELECT o_orderpriority, o_orderkey, price_bucket, dr FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(FLOOR(o_totalprice / 10000) AS INT) AS price_bucket,
+        |         CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY CAST(FLOOR(o_totalprice / 10000) AS INT) DESC) AS INT) AS dr
+        |  FROM orders) WHERE dr <= 2
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_w2_global_max_share" ->
       """SELECT o_orderkey,

@@ -248,7 +248,12 @@ case class StructFieldJoin(child: Expression, fieldName: String, sep: String)
   @transient private lazy val structType =
     child.dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[StructType]
-  @transient private lazy val ordinal = structType.fieldIndex(fieldName)
+  // indexWhere with the SAME predicate the type check used — fieldIndex
+  // returns the FIRST field with the name, which on a struct with
+  // duplicate field names could be a non-string occurrence the check
+  // never looked at (checked-field / read-field mismatch)
+  @transient private lazy val ordinal = structType.fields.indexWhere(f =>
+    f.name == fieldName && f.dataType == StringType)
   @transient private lazy val sepU = UTF8String.fromString(sep)
 
   override def nullSafeEval(input: Any): Any =
@@ -313,7 +318,12 @@ case class StructFieldExtract(child: Expression, fieldName: String)
   @transient private lazy val structType =
     child.dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[StructType]
-  @transient private lazy val ordinal = structType.fieldIndex(fieldName)
+  // indexWhere with the SAME predicate the type check used — fieldIndex
+  // returns the FIRST field with the name, which on a struct with
+  // duplicate field names could be a non-string occurrence the check
+  // never looked at (checked-field / read-field mismatch)
+  @transient private lazy val ordinal = structType.fields.indexWhere(f =>
+    f.name == fieldName && f.dataType == StringType)
 
   override def nullSafeEval(input: Any): Any =
     StructFieldExtract.compute(input.asInstanceOf[ArrayData], ordinal,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Re-identification risk audits — the privacy gate a dataset passes
   * before release or training: k-anonymity (every quasi-identifier
@@ -116,8 +117,10 @@ object Privacy {
     * release's sensitivity:
     *
     *   - keep at most `maxPerUser` rows per `userCol` — the FIRST rows
-    *     by `orderCol` (which must be unique per user: the cap must be
-    *     deterministic or the release isn't reproducible);
+    *     by `orderCol`, which must be an INTEGRAL, UNIQUE, NON-NULL key
+    *     per user (the cap must be deterministic or the release isn't
+    *     reproducible) — all three ENFORCED, not just documented: type
+    *     at build time, ties/nulls by a keyed validation aggregate;
     *   - after the cap, adding/removing one user changes at most
     *     `maxPerUser` rows ANYWHERE in the group vector, so the L1
     *     sensitivity of the summed release is
@@ -136,16 +139,42 @@ object Privacy {
       groupCol: String, valueCol: String, maxPerUser: Int,
       lo: Double, hi: Double, eps: Double, salt: String): DataFrame = {
     require(maxPerUser >= 1, s"maxPerUser must be >= 1, got $maxPerUser")
-    // the coalesce proves the order key non-null, so the cap window is
+    // the cap is deterministic ONLY under an integral, unique, non-null
+    // order key: a string/double/decimal key would cast(long) to null or
+    // truncate (collapsing distinct keys onto one sentinel), and a tied
+    // or null key lets reruns/task retries keep DIFFERENT rows — the DP
+    // sensitivity bound still holds, but the documented
+    // reproducible-release contract is silently voided. Fail loudly on
+    // all three: the type at build time, ties/nulls with one keyed
+    // validation aggregate over the cap's input (checking PRE-cap
+    // catches ties AT the cap boundary, where exactly one of the tied
+    // pair would survive and a post-cap distinctness check passes).
+    val odt = df.schema(orderCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(odt),
+      s"orderCol '$orderCol' must be an integral type — got " +
+        s"${odt.catalogString}, whose cast to long is lossy, making the " +
+        "per-user cap (and thus the DP release) nondeterministic")
+    val inRows = df.where(col(valueCol).cast("double").isNotNull)
+    val badKey = inRows
+      .groupBy(col(userCol).as("__u"), col(orderCol).as("__o"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1 || col("__o").isNull)
+      .limit(1).collect()
+    require(badKey.isEmpty, {
+      val r = badKey.head
+      val what = if (r.isNullAt(1)) "a NULL order key" else s"a tied order key (${r.get(1)})"
+      s"orderCol '$orderCol' must be unique and non-null per ($userCol) — " +
+        s"found $what for user ${r.get(0)}: the per-user cap (and thus the " +
+        "DP release) would be nondeterministic across reruns/retries"
+    })
+    // the coalesce proves the order key non-null to the optimizer
+    // (validation above proves it to us), so the cap window is
     // TopKWindowRewrite's ASC "first k" shape (bounded heap, k rows per
-    // user per partition at the exchange). Contract: orderCol is unique
-    // and non-null per row (a deterministic cap NEEDS that); a null
-    // orderCol row would rank last here instead of Spark's NULLS FIRST.
+    // user per partition at the exchange)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol))
       .orderBy(coalesce(col(orderCol).cast("long"), lit(Long.MaxValue)))
-    val capped = df
-      .where(col(valueCol).cast("double").isNotNull)
+    val capped = inRows
       .withColumn("__urn", row_number().over(w))
       .where(col("__urn") <= maxPerUser)
       .drop("__urn")

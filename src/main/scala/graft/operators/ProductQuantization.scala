@@ -275,6 +275,69 @@ object ProductQuantization {
     OpqModel(dim, rot.rotation, raw, opq, rot.orthErr)
   }
 
+  /** Full-corpus mean squared OPQ reconstruction distortion of `model`:
+    * rotate + encode map-side, ONE global aggregate — the production
+    * scoring step a sampled fit still pays in full (and the number the
+    * keep-better policy compares). `vecCol` must hold non-null
+    * `model.dim`-element vectors (the shared OPQ input contract). */
+  def scoreOpqDistortion(corpus: DataFrame, vecCol: String,
+      model: OpqModel): Double = {
+    val comps = model.rotation.map(w =>
+      VectorExprs.dot(col(vecCol).cast("array<float>"), typedLit(w)))
+    corpus
+      .withColumn("__xr", array(comps: _*))
+      .withColumn("__co", codesExpr(col("__xr"), model.opq))
+      .agg(avg(reconD2(col("__xr"), col("__co"), model.opq)))
+      .head().getDouble(0)
+  }
+
+  /** Outcome of the sampled-fit keep-better policy: the chosen model,
+    * its full-corpus distortion, both candidates' distortions, and
+    * which one won. */
+  final case class OpqChoice(model: OpqModel, distortion: Double,
+      sampledDistortion: Double, previousDistortion: Option[Double],
+      keptSampled: Boolean, sampleRows: Long)
+
+  /** The production OPQ refresh recipe the `opqsample` probe priced
+    * (SURVEY §8.13): fit rotation + codebooks on a SEEDED sample
+    * (~25× the fit wall at ≤1% distortion cost at 5%), score the
+    * candidate's distortion on the FULL corpus (one cheap pass), and
+    * keep the better of sampled-vs-`previous` — because the sampled
+    * k-means sits in a different local minimum per corpus (the probe's
+    * curve was non-monotone), the guard is what makes the cheap fit
+    * SAFE: a refresh can never publish a model worse than the one it
+    * replaces, as measured on the corpus it will actually serve.
+    *
+    * Scale shape: the fit runs every trainOpq aggregate on `frac` of
+    * the rows (the sample is localCheckpoint'ed once — the iterative
+    * k-means must not re-sample per job); scoring is one map-side
+    * rotate+encode pass per candidate. Returns the choice with both
+    * scores so callers can log the margin. */
+  def trainOpqSampled(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int, alternations: Int = 2,
+      frac: Double = 0.05, seed: Long = 42L,
+      previous: Option[OpqModel] = None): OpqChoice = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    previous.foreach(p => require(p.dim == dim,
+      s"previous model dim ${p.dim} != $dim"))
+    val sampleDf = corpus.sample(withReplacement = false, frac, seed)
+      .localCheckpoint()
+    val sampleRows = sampleDf.count()
+    require(sampleRows > 0, s"seeded sample at frac=$frac drew 0 rows")
+    val cand = trainOpq(sampleDf, idCol, vecCol, dim, m, k, iters, alternations)
+    val dCand = scoreOpqDistortion(corpus, vecCol, cand)
+    previous match {
+      case Some(p) =>
+        val dPrev = scoreOpqDistortion(corpus, vecCol, p)
+        if (dPrev < dCand)
+          OpqChoice(p, dPrev, dCand, Some(dPrev), keptSampled = false, sampleRows)
+        else
+          OpqChoice(cand, dCand, dCand, Some(dPrev), keptSampled = true, sampleRows)
+      case None =>
+        OpqChoice(cand, dCand, dCand, None, keptSampled = true, sampleRows)
+    }
+  }
+
   /** The q_x_opq gate body: train (memoized per dir) on the first
     * `dim` embedding dims, then ONE scoring pass computing mean squared
     * reconstruction error under raw PQ vs OPQ (round-9 per-row decimal

@@ -957,17 +957,20 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecF = asFloatVec(corpus, vecCol)
-    val qs = queries.select(col(queryId).as("__qid"),
+    val qsSrc = queries.select(col(queryId).as("__qid"),
       col(queryVec).cast("array<float>").as("__qv"))
     // the panel is the broadcast side of a corpus crossJoin AND the
     // denominator of mean_recall: enforce the bounded-batch contract and
     // distinct non-null ids (a duplicate id would inflate hits_total /
     // cand_total while countDistinct shrinks n_queries — a silently
-    // skewed mean). The bound check collects AT MOST 257 rows — the
-    // guard itself must not OOM the driver on exactly the unbounded
-    // panel it exists to reject.
-    val qids = qs.select(col("__qid")).limit(257).collect().map(r =>
-      if (r.isNullAt(0)) null else r.get(0))
+    // skewed mean). The bound check collects AT MOST 257 FULL rows — the
+    // guard must not OOM the driver on exactly the unbounded panel it
+    // exists to reject — and the collected rows ARE the broadcast side
+    // below (a local relation), so a panel derived from a non-trivial
+    // computation executes ONCE, not once for the guard and again for
+    // each crossJoin.
+    val qRows = qsSrc.limit(257).collect()
+    val qids = qRows.map(r => if (r.isNullAt(0)) null else r.get(0))
     require(qids.nonEmpty && qids.length <= 256,
       s"query panel must be a bounded broadcastable batch (1..256 rows), " +
         s"got ${if (qids.length > 256) "more" else qids.length.toString}")
@@ -975,6 +978,8 @@ object Similarity {
     require(qids.distinct.length == qids.length,
       "query panel ids must be distinct — a duplicate id double-counts " +
         "its hits while n_queries counts it once")
+    val qs = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qsSrc.schema)
     // ONE query-independent assignment pass (round-6 argmax, low cid ties)
     val cosArr = array(centroids.map(c =>
       round(VectorExprs.cosine(vecF, typedLit(c)), 6)): _*)

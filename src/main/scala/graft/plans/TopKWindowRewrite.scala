@@ -5,13 +5,21 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
-import graft.functions.TopKAgg
+import graft.functions.{RankTopKAgg, TopKAgg}
 
-/** Optimizer rule: rewrite the grouped-top-k window idiom
+/** Optimizer rule: rewrite the grouped-top-k window idioms
   *
   *   filter(row_number() over (partition by g order by ord [, tie] desc) <= k)
+  *   filter(rank()       over (...same...) <= k)
+  *   filter(dense_rank() over (...same...) <= k)
   *
-  * into the bounded-heap [[graft.functions.TopKAgg]] aggregate + posexplode.
+  * into the bounded-heap [[graft.functions.TopKAgg]] aggregate + posexplode
+  * (row_number), or the ties-aware threshold aggregate
+  * [[graft.functions.RankTopKAgg]] + explode (rank/dense_rank — NOT
+  * heap-equivalent: ties at the k-th boundary legitimately emit more
+  * than k rows per group, and the rank value skips on ties, so the
+  * aggregate computes ranks itself and the rewrite restores the rank
+  * attribute from the emitted struct, never from explode position).
   * The window formulation sorts every input partition and (even with
   * Spark's own WindowGroupLimit pruning) re-sorts groups after the
   * exchange; the aggregate form keeps k-element heaps, combines them
@@ -112,18 +120,33 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
           rewrite(child, part, order, k, rnAttr)
         case _ => f
       }
+    // rank()/dense_rank() <= k — the ties-aware siblings. NOT
+    // heap-equivalent to row_number: ties at the k-th boundary emit MORE
+    // than k rows per group, so the aggregate is the threshold-tracking
+    // RankTopKAgg (buffer O(k + group output)). The frame is
+    // unconstrained here because rank-family values depend only on the
+    // ORDER key, never the frame (RankLike pins its own frame anyway).
+    // Extra eligibility beyond row_number: the key embedding must
+    // preserve EQUALITY (ties), not just order — every embedding the
+    // rule uses is injective, and null/NaN/−0.0 peer-grouping matches
+    // Spark's window semantics (all map to one key each).
+    case f @ Filter(cond, Window(
+        Seq(alias @ Alias(WindowExpression(rk @ (_: Rank | _: DenseRank),
+          WindowSpecDefinition(part, order, _)), _)),
+        _, _, child, _)) =>
+      val rkAttr = alias.toAttribute
+      boundK(cond, rkAttr) match {
+        case Some(k) if k > 0 && k <= MaxK && eligible(part, order) =>
+          rewriteRank(child, part, order, k, rkAttr,
+            dense = rk.isInstanceOf[DenseRank])
+        case _ => f
+      }
   }
 
-  private def rewrite(rawChild: LogicalPlan, part: Seq[Expression],
-      order: Seq[SortOrder], k: Int, rnAttr: Attribute): LogicalPlan = {
-    // InferWindowGroupLimit may already have inserted its rank-pruning
-    // node (+ sort) below the window; the heap aggregate subsumes it, so
-    // drop it when its limit keeps at least our k rows
-    val child = rawChild match {
-      case WindowGroupLimit(_, _, _: RowNumber, limit, c) if limit >= k => c
-      case other => other
-    }
-    val cAttrs = child.output
+  /** Shared (ord, tie) long-embedding for the heap/threshold aggregates.
+    * Injective on every admitted type+direction, so it preserves both
+    * ORDER (row_number) and EQUALITY (rank ties). */
+  private def embedKeys(order: Seq[SortOrder]): (Expression, Expression) = {
     // a long primary feeds the heap RAW (TopKAgg keys longs directly —
     // exact above 2^53); an ASCENDING integral primary feeds its bitwise
     // NOT (x < y ⟺ ~x > ~y on all longs — the "first k" reversal);
@@ -142,6 +165,20 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
         if (so.direction == Ascending) BitwiseNot(asLong) else asLong
       }
       .getOrElse(Literal(0L))
+    (ord, tie)
+  }
+
+  private def rewrite(rawChild: LogicalPlan, part: Seq[Expression],
+      order: Seq[SortOrder], k: Int, rnAttr: Attribute): LogicalPlan = {
+    // InferWindowGroupLimit may already have inserted its rank-pruning
+    // node (+ sort) below the window; the heap aggregate subsumes it, so
+    // drop it when its limit keeps at least our k rows
+    val child = rawChild match {
+      case WindowGroupLimit(_, _, _: RowNumber, limit, c) if limit >= k => c
+      case other => other
+    }
+    val cAttrs = child.output
+    val (ord, tie) = embedKeys(order)
     val payload = CreateStruct(cAttrs)
     val aggAlias = Alias(
       TopKAgg(ord, tie, payload, k, nullAsLowest = true)
@@ -162,5 +199,50 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     }
     val rn = Alias(Add(posAttr, Literal(1)), rnAttr.name)(exprId = rnAttr.exprId)
     Project(restored :+ rn, gen)
+  }
+
+  /** rank()/dense_rank() <= k → [[RankTopKAgg]] + explode. The aggregate
+    * emits `array<struct<p: row-struct, r: rank>>`, so the rank VALUE
+    * (which skips on ties for `rank`) is computed inside the aggregate,
+    * not reconstructed from the explode position — a position+1 would be
+    * wrong for every row after the first tie. */
+  private def rewriteRank(rawChild: LogicalPlan, part: Seq[Expression],
+      order: Seq[SortOrder], k: Int, rkAttr: Attribute,
+      dense: Boolean): LogicalPlan = {
+    // Spark's own rank-mode WindowGroupLimit keeps boundary ties, so it
+    // prunes nothing the threshold aggregate wouldn't; drop it when its
+    // limit keeps at least our k ranks
+    val child = rawChild match {
+      case WindowGroupLimit(_, _, _: Rank, limit, c)
+        if !dense && limit >= k => c
+      case WindowGroupLimit(_, _, _: DenseRank, limit, c)
+        if dense && limit >= k => c
+      case other => other
+    }
+    val cAttrs = child.output
+    val (ord, tie) = embedKeys(order)
+    val payload = CreateStruct(cAttrs)
+    val aggAlias = Alias(
+      RankTopKAgg(ord, tie, payload, k, dense, nullAsLowest = true)
+        .toAggregateExpression(), "__ranktopk")()
+    val grouping = part.map(_.asInstanceOf[Attribute])
+    val aggregate = Aggregate(grouping, grouping :+ aggAlias, child)
+    val itemType = StructType(Seq(
+      StructField("p", payload.dataType, nullable = false),
+      StructField("r", IntegerType, nullable = false)))
+    val itemAttr = AttributeReference("__item", itemType, nullable = false)()
+    val gen = Generate(Explode(aggAlias.toAttribute),
+      unrequiredChildIndex = Seq(grouping.size), outer = false,
+      qualifier = None, generatorOutput = Seq(itemAttr), aggregate)
+    val payloadField = GetStructField(itemAttr, 0, Some("p"))
+    val restored: Seq[NamedExpression] = cAttrs.zipWithIndex.map {
+      case (a, i) =>
+        if (grouping.exists(_.semanticEquals(a))) a
+        else Alias(GetStructField(payloadField, i, Some(a.name)), a.name)(
+          exprId = a.exprId)
+    }
+    val rk = Alias(GetStructField(itemAttr, 1, Some("r")), rkAttr.name)(
+      exprId = rkAttr.exprId)
+    Project(restored :+ rk, gen)
   }
 }

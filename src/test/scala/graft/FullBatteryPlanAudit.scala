@@ -103,12 +103,26 @@ class FullBatteryPlanAudit extends SparkSpec {
     // the exact injected-but-never-active class: both gates' results
     // match the oracle under EITHER plan, so only a plan pin catches a
     // silent fallback to the full-shuffle window (e.g. a Spark upgrade
-    // changing coalesce nullability inference)
-    Seq("q_w_topk_long", "q_a_dp_user").foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("top_k") && !plan.contains("Window"),
-        s"$name lost the TopKAgg heap rewrite:\n$plan")
+    // changing coalesce nullability inference). Walk the plan TREE
+    // (subqueries included, AdaptiveSparkPlanExec unwrapped) rather than
+    // matching the rendered string — plan-string truncation
+    // (spark.sql.maxPlanStringLength) could hide a Window node past the
+    // cutoff, the same blind spot the HOF audit below closes
+    import org.apache.spark.sql.execution.window.WindowExec
+    val pins: Seq[(String, String)] = Seq(
+      "q_w_topk_long" -> "TopKAgg", "q_a_dp_user" -> "TopKAgg",
+      // the ties-aware rank idioms plan the threshold aggregate
+      "q_w_topk_rank" -> "RankTopKAgg", "q_w_topk_dense" -> "RankTopKAgg")
+    pins.foreach { case (name, agg) =>
+      val nodes = PlanWalk.allNodes(
+        SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        s"$name lost the heap rewrite: a WindowExec survives in the plan")
+      assert(nodes.exists(_.expressions.exists(_.exists {
+        case _: graft.functions.TopKAgg => agg == "TopKAgg"
+        case _: graft.functions.RankTopKAgg => agg == "RankTopKAgg"
+        case _ => false
+      })), s"$name plans no $agg aggregate")
     }
   }
 
@@ -205,16 +219,8 @@ class FullBatteryPlanAudit extends SparkSpec {
     // past the truncation point would slip a substring match
     import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction}
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    // AdaptiveSparkPlanExec is a LEAF node (its inner plan is invisible
-    // to collect) — unwrap it explicitly or the walk sees nothing
-    def allNodes(p: SparkPlan): Seq[SparkPlan] =
-      p.collectWithSubqueries { case n => n }.flatMap {
-        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
-        case n => Seq(n)
-      }
     def plansHof(plan: SparkPlan): Boolean =
-      allNodes(plan).exists(_.expressions.exists(
+      PlanWalk.allNodes(plan).exists(_.expressions.exists(
         _.exists {
           case _: HigherOrderFunction | _: LambdaFunction => true
           case _ => false
@@ -233,4 +239,17 @@ class FullBatteryPlanAudit extends SparkSpec {
       .diff(planned.toSet)
     assert(stale.isEmpty, s"stale hofOk entries (no lambda planned): ${stale.mkString(", ")}")
   }
+}
+
+/** Shared physical-plan traversal for the audits: collect every node
+  * including subquery plans, unwrapping AdaptiveSparkPlanExec —
+  * a LEAF node whose inner plan `collect` cannot see. */
+object PlanWalk {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
 }

@@ -163,6 +163,57 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("dp user sums fails loudly on a TIED order key (nondeterministic cap)") {
+    import spark.implicits._
+    // u0 has 4 rows but ord=2 twice — reruns/task retries could keep
+    // either tied row, so the release would not be reproducible. The
+    // check runs PRE-cap: with maxPerUser=2 only ONE of the tied pair
+    // would survive the cap, so a post-cap distinctness check passes —
+    // this is exactly the boundary-tie case the validation must catch.
+    val df = Seq(("u0", 1, "g", 1.0), ("u0", 2, "g", 2.0),
+      ("u0", 2, "g", 3.0), ("u0", 4, "g", 4.0)).toDF("user", "ord", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpUserSums(df, "user", "ord", "g", "v", maxPerUser = 2,
+        0.0, 10.0, 1.0, "s")
+    }
+    assert(e.getMessage.contains("tied order key"))
+  }
+
+  test("dp user sums fails loudly on a NULL order key") {
+    import spark.implicits._
+    val df = Seq(("u0", Some(1), "g", 1.0), ("u0", None, "g", 2.0))
+      .toDF("user", "ord", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpUserSums(df, "user", "ord", "g", "v", maxPerUser = 2,
+        0.0, 10.0, 1.0, "s")
+    }
+    assert(e.getMessage.contains("NULL order key"))
+  }
+
+  test("dp user sums fails fast on a non-integral order key type") {
+    import spark.implicits._
+    // a string (or double/decimal) key casts to long lossily — distinct
+    // keys can collapse or null out, silently voiding the deterministic
+    // cap; the API must reject the TYPE before touching any data
+    val df = Seq(("u0", "2021-01-01", "g", 1.0)).toDF("user", "ord", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpUserSums(df, "user", "ord", "g", "v", maxPerUser = 2,
+        0.0, 10.0, 1.0, "s")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("dp user sums: a unique non-null integral key still releases (contract intact)") {
+    import spark.implicits._
+    val df = Seq(("u0", 1, "g", 1.0), ("u0", 2, "g", 2.0),
+      ("u1", 1, "g", 3.0)).toDF("user", "ord", "g", "v")
+    // ord unique PER USER (not globally) is the contract — u0 and u1
+    // sharing ord=1 must NOT trip the (user, ord) keyed check
+    val out = Privacy.dpUserSums(df, "user", "ord", "g", "v",
+      maxPerUser = 2, 0.0, 10.0, 1000.0, "s").head()
+    assert(out.getAs[Long]("n") == 3L)
+  }
+
   // ─────────────── DP noisy quantile (exponential mechanism) ───────────────
 
   test("dp quantile: high-epsilon release lands at the true median cell") {

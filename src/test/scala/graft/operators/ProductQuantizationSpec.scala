@@ -181,6 +181,70 @@ class ProductQuantizationSpec extends SparkSpec {
   }
 
   /** (raw, opq) mean squared reconstruction error via the public pieces. */
+
+  test("trainOpqSampled: keep-better policy never publishes a worse model") {
+    import org.apache.spark.sql.functions._
+    // planted cross-subspace correlation (the case OPQ exists for)
+    val corpus = spark.range(0, 1200).map { i =>
+      val r = new scala.util.Random(i)
+      val z = Seq.fill(4)((r.nextGaussian() * 2.0).toFloat)
+      val echo = z.map(v => v + (r.nextGaussian() * 0.1).toFloat)
+      (i, z ++ echo)
+    }.toDF("vec_id", "v").localCheckpoint()
+    val full = ProductQuantization.trainOpq(corpus, "vec_id", "v",
+      8, m = 2, k = 8, iters = 2, alternations = 2)
+    val choice = ProductQuantization.trainOpqSampled(corpus, "vec_id", "v",
+      8, m = 2, k = 8, iters = 2, alternations = 2,
+      frac = 0.3, seed = 42L, previous = Some(full))
+    // the POLICY pin: the published model's full-corpus distortion is
+    // <= BOTH candidates' (it is the argmin, re-scored independently)
+    val dPub = ProductQuantization.scoreOpqDistortion(corpus, "v", choice.model)
+    assert(math.abs(dPub - choice.distortion) < 1e-9,
+      s"reported ${choice.distortion} != rescored $dPub")
+    assert(choice.distortion <= choice.sampledDistortion + 1e-12)
+    assert(choice.distortion <= choice.previousDistortion.get + 1e-12)
+    // bookkeeping consistent with the pick
+    if (choice.keptSampled)
+      assert(choice.distortion == choice.sampledDistortion)
+    else
+      assert(choice.distortion == choice.previousDistortion.get)
+    assert(choice.sampleRows > 0 && choice.sampleRows < 1200)
+  }
+
+  test("trainOpqSampled without a previous model returns the sampled fit") {
+    // full-rank planted-correlation corpus (a degenerate one makes the
+    // Procrustes cross-moment rank-deficient, which trainOpq rejects)
+    val corpus = spark.range(0, 600).map { i =>
+      val r = new scala.util.Random(i)
+      val z = Seq.fill(4)((r.nextGaussian() * 2.0).toFloat)
+      val echo = z.map(v => v + (r.nextGaussian() * 0.1).toFloat)
+      (i, z ++ echo)
+    }.toDF("vec_id", "v").localCheckpoint()
+    val choice = ProductQuantization.trainOpqSampled(corpus, "vec_id", "v",
+      8, m = 2, k = 8, iters = 2, alternations = 1, frac = 0.5, seed = 7L)
+    assert(choice.keptSampled && choice.previousDistortion.isEmpty)
+    assert(choice.distortion == choice.sampledDistortion)
+  }
+
+  test("trainOpqSampled rejects bad frac and a dim-mismatched previous") {
+    val corpus = spark.range(0, 50).map { i =>
+      (i, Seq.fill(8)(0.5f)) }.toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      ProductQuantization.trainOpqSampled(corpus, "vec_id", "v",
+        8, 2, 4, 1, frac = 0.0)
+    }
+    // hand-built dim-4 model — the dim check must fire before any job
+    val pq4 = ProductQuantization.PQModel(4, 2,
+      Array.fill(2)(Array(Array(0.0, 0.0))))
+    val wrongDim = ProductQuantization.OpqModel(4,
+      Array.tabulate(4, 4)((i, j) => if (i == j) 1.0f else 0.0f),
+      pq4, pq4, orthErr = 0.0)
+    intercept[IllegalArgumentException] {
+      ProductQuantization.trainOpqSampled(corpus, "vec_id", "v",
+        8, 2, 4, 1, frac = 0.5, previous = Some(wrongDim))
+    }
+  }
+
   private def opqDistortions(corpus: org.apache.spark.sql.DataFrame,
       model: ProductQuantization.OpqModel): (Double, Double) = {
     import org.apache.spark.sql.functions._

@@ -172,10 +172,129 @@ class TopKWindowRewriteSpec extends SparkSpec {
         .cast("long").desc)
     val lng = data.withColumn("rn", row_number().over(wLong)).filter(col("rn") <= 3)
     assert(planOf(lng).contains("Window"))
-    // rank() instead of row_number()
+    // percent_rank() — no bounded-buffer form exists (needs group size)
     val wRank = Window.partitionBy("g").orderBy(col("v").desc)
-    val rnk = data.withColumn("rn", rank().over(wRank)).filter(col("rn") <= 3)
-    assert(planOf(rnk).contains("Window"))
+    val prk = data.withColumn("rn", percent_rank().over(wRank))
+      .filter(col("rn") <= 0.1)
+    assert(planOf(prk).contains("Window"))
+    // rank() over an ascending DOUBLE primary — same NaN-reversal hole
+    val rnkAsc = data.withColumn("rn", rank().over(wAsc)).filter(col("rn") <= 3)
+    assert(planOf(rnkAsc).contains("Window"))
+  }
+
+  // ──────────────── rank() / dense_rank() (ties-aware) ────────────────
+
+  test("rewrites rank()<=k with MORE than k rows surviving at a tied boundary") {
+    // v has duplicates (id*37 % 1000 over 5000 ids → each value ~5×):
+    // ties at the k-th boundary must ALL survive — the exact semantics
+    // row_number's heap cannot express
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val df = data.withColumn("rn", rank().over(w)).filter(col("rn") <= 4)
+    val plan = planOf(df)
+    assert(plan.contains("rank_top_k") && !plan.contains("Window"),
+      s"session did not rewrite the rank idiom:\n$plan")
+    val truth = windowTruth(data.withColumn("rn", rank().over(w)), 4)
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == truth)
+    // the ties-aware guarantee actually exercised: some group emits > k
+    val perGroup = df.groupBy("g").count().as[(Long, Long)].collect()
+    assert(perGroup.exists(_._2 > 4),
+      s"fixture has no boundary tie — per-group counts: ${perGroup.toSeq}")
+  }
+
+  test("rank values SKIP after ties (competition ranking), exactly like the window") {
+    val rows = Seq(("a", 9.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L),
+      ("a", 7.0, 4L), ("a", 5.0, 5L), ("b", 1.0, 6L))
+      .toDF("g", "v", "id").repartition(3)
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val df = rows.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(planOf(df).contains("rank_top_k"))
+    // a-group: 9.0→rank 1,1; 7.0→rank 3,3 (skips 2); 5.0→rank 5 > 3 OUT
+    val got = df.orderBy("g", "rn", "id").select("g", "id", "rn")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(("a", 1L, 1), ("a", 2L, 1), ("a", 3L, 3),
+      ("a", 4L, 3), ("b", 6L, 1)))
+  }
+
+  test("rewrites dense_rank()<=k keeping ALL rows of the k largest distinct keys") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val df = data.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
+    val plan = planOf(df)
+    assert(plan.contains("dense_rank_top_k") && !plan.contains("Window"),
+      s"session did not rewrite the dense_rank idiom:\n$plan")
+    val truth = windowTruth(data.withColumn("rn", dense_rank().over(w)), 3)
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == truth)
+  }
+
+  test("dense_rank does NOT skip after ties") {
+    val rows = Seq(("a", 9.0, 1L), ("a", 9.0, 2L), ("a", 7.0, 3L),
+      ("a", 5.0, 4L), ("a", 3.0, 5L)).toDF("g", "v", "id").repartition(2)
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val df = rows.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 3)
+    assert(planOf(df).contains("dense_rank_top_k"))
+    val got = df.orderBy("rn", "id").select("id", "rn")
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("rank: null primaries are PEERS ranking last together (NULLS LAST)") {
+    val w = Window.partitionBy("g").orderBy(col("nv").desc)
+    val small = data.filter(col("id") < 400)
+    val df = small.withColumn("rn", rank().over(w)).filter(col("rn") <= 60)
+    assert(planOf(df).contains("rank_top_k"))
+    val truth = windowTruth(small.withColumn("rn", rank().over(w)), 60)
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == truth)
+  }
+
+  test("rank over a two-key order: ties require BOTH keys equal") {
+    // (v DESC, id % 3 DESC): composite ties — equality must be on the
+    // full pair, which the injective embeddings preserve
+    // % is nullable in Spark (div-by-zero) — coalesce proves the tie
+    // key non-null, the standard idiom the eligibility check demands
+    val d2 = data.withColumn("id3",
+      coalesce((col("id") % 3).cast("int"), lit(0)))
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id3").desc)
+    val df = d2.withColumn("rn", rank().over(w)).filter(col("rn") <= 5)
+    assert(planOf(df).contains("rank_top_k"))
+    val truth = windowTruth(d2.withColumn("rn", rank().over(w)), 5)
+    assert(df.collect().toSeq.map(_.toSeq).sortBy(_.toString) == truth)
+  }
+
+  test("rank: ASC integral primary (first-k-ranks idiom) and long primary") {
+    // ASC first-k with ties
+    val d3 = data.withColumn("idm", (col("id") % 40).cast("long"))
+      .withColumn("idm", coalesce(col("idm"), lit(0L)))
+    val wAscI = Window.partitionBy("g").orderBy(col("idm").asc)
+    val dfA = d3.withColumn("rn", rank().over(wAscI)).filter(col("rn") <= 3)
+    assert(planOf(dfA).contains("rank_top_k"))
+    assert(dfA.collect().toSeq.map(_.toSeq).sortBy(_.toString) ==
+      windowTruth(d3.withColumn("rn", rank().over(wAscI)), 3))
+    // non-nullable LONG DESC primary, exact above 2^53
+    val big = 1L << 53
+    val rows = Seq((big + 1, 1), (big, 2), (big, 3), (big - 1, 4))
+      .toDF("score", "id").withColumn("g", lit("x"))
+      .withColumn("score", coalesce(col("score"), lit(0L))).repartition(2)
+    val wL = Window.partitionBy("g").orderBy(col("score").desc)
+    val dfL = rows.withColumn("rn", rank().over(wL)).filter(col("rn") <= 2)
+    assert(planOf(dfL).contains("rank_top_k"))
+    val got = dfL.orderBy("rn", "id").select("id", "rn")
+      .as[(Int, Int)].collect().toSeq
+    assert(got == Seq((1, 1), (2, 2), (3, 2)))
+  }
+
+  test("rank: a full tie plateau (every row rank 1) emits the whole group") {
+    // the degenerate boundary case: the retained set IS the group — the
+    // buffer must grow past its compaction threshold without dropping
+    // anything (compaction keeps key >= T and every key == T)
+    val rows = spark.range(0, 500).selectExpr(
+      "CAST(7.0 AS DOUBLE) AS v", "id", "'x' AS g").repartition(5)
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val df = rows.withColumn("rn", rank().over(w)).filter(col("rn") <= 2)
+    assert(planOf(df).contains("rank_top_k"))
+    val got = df.select("id", "rn").as[(Long, Int)].collect()
+    assert(got.length == 500 && got.forall(_._2 == 1))
   }
 
   test("extensions inject the rule") {
