@@ -166,6 +166,19 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("prbisect")) {
+      prBisect(spark, args.lift(1).getOrElse("/root/repo/tmp/sf1"))
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("bpe")) {
+      bpeProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L),
+        args.lift(2).map(_.toInt).getOrElse(24))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("opqpolicy")) {
       opqPolicyProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L),
         args.lift(2).map(_.toDouble).getOrElse(0.05))
@@ -1285,6 +1298,69 @@ object DevProbe {
         f"${(dSample - dFull) / dFull * 100.0}%.2f%% for a " +
         f"${wFull / wSample}%.1fx fit-wall reduction")
     }
+  }
+
+  /** PageRank per-iteration bisect (`runMain graft.DevProbe prbisect
+    * [dir]`): the sf1 scale sweep measured q_x_pagerank at 16.6x for
+    * 10x edges — this rung times each iteration's checkpoint boundary
+    * over the same lineitem-derived graph to separate a growing
+    * per-iteration cost (lineage/pinned-block pathology) from a flat
+    * one (genuine per-iteration shuffle volume). */
+  private def prBisect(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val e = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((-col("l_suppkey")).as("src"), col("l_partkey").as("dst"))
+    println(f"[prbisect] edges=${e.count()} load: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    var last = System.nanoTime()
+    var i = 0
+    val cp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+      val r = df.localCheckpoint()
+      i += 1
+      println(f"[prbisect] iter $i: ${(System.nanoTime() - last) / 1e9}%.2f s")
+      last = System.nanoTime()
+      r
+    }
+    val t1 = System.nanoTime()
+    val out = graft.operators.Graph.pageRank(spark, e, iters = 5, cp)
+      .orderBy(col("rank").desc, col("node")).limit(30).collect()
+    println(f"[prbisect] total: ${(System.nanoTime() - t1) / 1e9}%.1f s top=${out.head.mkString(",")}")
+  }
+
+  /** BPE learn-loop rung (`runMain graft.DevProbe bpe [n] [merges]`):
+    * prices the per-round cache of the evolving symbolized word table —
+    * without it, merge round k re-derives a k-deep replace chain over
+    * the vocabulary (O(merges²) replace work total), the exact
+    * re-derivation class materializeDedup closed for the corpus
+    * pipeline. Synthetic zipf-ish corpus; same learn() both ways
+    * (checkpointEvery=1 vs 0), identical merge lists asserted. */
+  private def bpeProbe(spark: SparkSession, n: Long, merges: Int): Unit = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    // ~40k-word synthetic vocabulary with zipf-ish repetition: doc i
+    // holds 12 words drawn deterministically, word w = base-26 digits
+    val corpus = spark.range(n).map { i =>
+      val r = new scala.util.Random(i)
+      val words = (0 until 12).map { _ =>
+        val z = (math.pow(r.nextDouble(), 3.0) * 40000).toInt // skewed
+        java.lang.Integer.toString(z + 10, 26).flatMap(c =>
+          ('a' + java.lang.Character.digit(c, 26)).toChar.toString)
+      }
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint()
+    corpus.count()
+    println(f"[bpe $n] generate+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def run(label: String, checkpointEvery: Int): Seq[(Int, String, String, Long)] = {
+      val t = System.nanoTime()
+      val out = graft.operators.Bpe.learn(corpus, "text", merges, checkpointEvery)
+      println(f"[bpe $n] $label: ${(System.nanoTime() - t) / 1e9}%.1f s " +
+        f"(${out.size} merges learned)")
+      out
+    }
+    val chained = run(s"$merges merges, NO per-round checkpoint (k-deep chains)", 0)
+    val cached = run(s"$merges merges, per-round localCheckpoint", 1)
+    require(chained == cached, "checkpoint cadence changed the merge list")
+    println(s"[bpe $n] merge lists identical across cadences")
   }
 
   /** Keep-better-policy rung (`runMain graft.DevProbe opqpolicy [n]

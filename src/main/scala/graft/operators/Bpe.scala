@@ -50,9 +50,23 @@ object Bpe {
     filter(split(s, "[|]"), t => length(t) > 0)
 
   /** Learns `numMerges` merges; returns (rank, left, right, pairCount).
-    * Stops early when no adjacent pair remains. */
+    * Stops early when no adjacent pair remains.
+    *
+    * Each round localCheckpoints the evolving symbolized word table, so
+    * round k's pair count reads a lineage-CUT one-replace-deep plan
+    * instead of re-deriving a k-deep replace chain from the base table
+    * (O(numMerges²) replace work total, plus optimizer/plan-string cost
+    * that grows with chain depth every round). localCheckpoint, not
+    * cache(): an InMemoryRelation KEEPS its child plan, so per-round
+    * cache() nests numMerges plan towers whose canonicalization/
+    * rendering cost explodes (measured: the cached variant never
+    * finished the 24-merge rung the checkpointed one does in seconds).
+    * Checkpoint blocks release when the RDD is GC'd (ContextCleaner) —
+    * no reference survives the loop, so a long merge run stays bounded.
+    * `checkpointEvery` throttles the cadence (0 disables — the
+    * measured-against baseline of the `bpe` probe rung). */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 8): Seq[(Int, String, String, Long)] = {
+      checkpointEvery: Int = 1): Seq[(Int, String, String, Long)] = {
     val base = wordTable(docs, textCol).cache()
     var table: DataFrame = base
     table.count() // materialize before the loop
@@ -76,7 +90,8 @@ object Bpe {
         merges += ((i, l, r, cnt))
         table = table.withColumn("s",
           replace(col("s"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
-        if (i % checkpointEvery == 0) table = table.localCheckpoint()
+        if (checkpointEvery > 0 && i % checkpointEvery == 0)
+          table = table.localCheckpoint()
         i += 1
       }
     }

@@ -139,9 +139,13 @@ object Dedup {
       bands: Int): DataFrame = {
     require(k % bands == 0, s"signature length $k not divisible into $bands bands")
     val r = k / bands
-    df.select(col(idCol), posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col(sigCol), b * lit(r) + lit(1), lit(r)))))
+    // bands is a build-time constant: unroll the band ladder into a
+    // literal array of xxhash64(slice) calls instead of a transform()
+    // lambda — higher-order functions are CodegenFallback, and this
+    // projection runs once per document (the standing fuse-the-numeric-
+    // cases rule; same hash values, the band index enters as a literal)
+    df.select(col(idCol), posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col(sigCol), b * r + 1, r))): _*))
       .as(Seq("band_idx", "band_hash")))
   }
 

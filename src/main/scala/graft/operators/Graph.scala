@@ -41,8 +41,14 @@ object Graph {
     // per-iteration contribution merge join exchange- and sort-free on
     // the edge side — only the node-sized ranks relation moves each
     // round.
-    val adj = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src"))
+    // repartition(src) FIRST: HashPartitioning(src) satisfies the
+    // distinct's ClusteredDistribution(src, dst) (subset rule), so the
+    // dedup aggregate runs exchange-free and the whole build costs ONE
+    // full-edge shuffle instead of two (distinct-then-repartition
+    // re-shuffled the edge set; the sf1 scale sweep showed the
+    // adjacency build dominating q_x_pagerank's first iteration)
+    val adj = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct()
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .cache()
@@ -150,8 +156,9 @@ object Graph {
   def hits(spark: SparkSession, edges: DataFrame, iters: Int,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
-    val adj = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).cache()
+    // repartition-first: one full-edge shuffle (see pageRank's adj note)
+    val adj = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct().cache()
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct().cache()
     val nCount = nodes.agg(count(lit(1)).as("n"))
@@ -237,7 +244,7 @@ object Graph {
       .where(col("src") =!= col("dst"))
     val sym = dir0
       .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).cache()
+      .repartition(col("src")).distinct().cache() // one shuffle (see pageRank)
     val nodes = sym.select(col("src").as("node")).distinct().cache()
     var labels = nodes.select(col("node"), col("node").as("label"))
     val w = org.apache.spark.sql.expressions.Window
@@ -535,7 +542,7 @@ object Graph {
     require(maxDepth >= 1, s"need at least one hop, got $maxDepth")
     val adj = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct().repartition(col("src")).cache()
+      .repartition(col("src")).distinct().cache() // one shuffle (see pageRank)
     var dist = adj.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
     for (_ <- 1 to maxDepth) {

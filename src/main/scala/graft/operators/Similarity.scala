@@ -163,6 +163,23 @@ object Similarity {
     * output `cid` column is IntegerType regardless of the input id
     * type. Non-integral (e.g. string) or wider ids fail loudly below;
     * callers needing them should remap to a dense 0..k−1 codebook. */
+  /** Standard IVF codebook sizing: enough centroids that the EXPECTED
+    * cell holds ~`targetCell` vectors, floored at 1. Block-scoped
+    * refinement (mutual-NN, semantic dedup) is QUADRATIC in per-cell
+    * density, so a codebook that doesn't grow with the corpus turns a
+    * 10× corpus into ~100× refine work (measured at the sf1 scale
+    * sweep: q_x_pipeline3 with its gate-pinned 8-cell codebook) — size
+    * nlist with the data (√n is the common alternative; targetCell
+    * keeps refine cost per cell CONSTANT, which is what the
+    * requireBlocksWithin guard actually bounds). Skew note: this sizes
+    * the MEAN cell; a hot cell still needs the guard + sub-bucket
+    * machinery ([[Clustering.semanticDedupCapped]]). */
+  def suggestedNlist(n: Long, targetCell: Int = 256): Int = {
+    require(n >= 0, s"corpus size must be non-negative, got $n")
+    require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
+    math.max(1, math.ceil(n.toDouble / targetCell).toLong min Int.MaxValue).toInt
+  }
+
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centroidId: String = "cid",
       centroidVec: String = "cvec"): DataFrame = {

@@ -186,7 +186,9 @@ class FullBatteryPlanAudit extends SparkSpec {
     // q_x_boilerplate: REMOVED round 10 — segment construction and
     // reassembly fused (ChunkSegments / StructFieldJoin) after it
     // crossed the ~3 s revisit threshold (3.53 s this round's bench)
-    "q_x_minhash_bands" -> "[text] shingle+band transform ladder",
+    // q_x_minhash_bands: REMOVED round 11 — the band ladder unrolled
+    // into literal xxhash64(slice) calls (bands is a build-time
+    // constant); shingles/signature were already fused expressions
     "q_x_simhash_md5" -> "[text] simhash bit-vote zip_with ladder",
     "q_x_bpe_encode" -> "[text] BPE merge-apply transform over words",
     // q_x_setjoin / q_x_leakage: REMOVED round 10 — their one remaining

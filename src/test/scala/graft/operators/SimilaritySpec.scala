@@ -393,4 +393,15 @@ class SimilaritySpec extends SparkSpec {
         cents, queries, "vec_id", "embedding", 0, Seq(1))
     }
   }
+  test("suggestedNlist keeps expected cell size constant as the corpus grows") {
+    import graft.operators.Similarity
+    assert(Similarity.suggestedNlist(0) == 1)
+    assert(Similarity.suggestedNlist(255) == 1)
+    assert(Similarity.suggestedNlist(2000, 256) == 8)
+    // 10x the corpus -> ~10x the codebook -> per-cell refine cost flat
+    assert(Similarity.suggestedNlist(20000, 256) == 79)
+    assert(Similarity.suggestedNlist(1L << 40, 256) > 0) // no overflow
+    intercept[IllegalArgumentException](Similarity.suggestedNlist(-1))
+    intercept[IllegalArgumentException](Similarity.suggestedNlist(10, 0))
+  }
 }
