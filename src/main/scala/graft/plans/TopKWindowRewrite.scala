@@ -61,7 +61,7 @@ import graft.functions.{RankTopKAgg, TopKAgg}
   * match (float/double or nullable ascending primaries, NULLABLE long
   * primaries, extra window functions) keep their window plans.
   */
-object TopKWindowRewrite extends Rule[LogicalPlan] {
+object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val MaxK = 1024
 
@@ -108,6 +108,31 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
         !so.child.nullable) &&
       part.forall(_.isInstanceOf[Attribute])
 
+  /** The bound inside a CONJUNCTION: production filters are routinely
+    * `rn <= k AND other-predicates` (the optimizer can't push a
+    * non-partition-key predicate below a Window, so the conjunction
+    * stays in one Filter). Returns the SMALLEST k among bound conjuncts
+    * plus every other conjunct as a residual — safe to re-apply ON TOP
+    * of the rewritten plan because the rank attribute is restored under
+    * its original exprId (even residuals referencing it, e.g.
+    * `rn % 2 = 0`, filter the same values the plan's own output
+    * carries; redundant looser bounds just pass everything through). */
+  private def boundKConj(cond: Expression, rn: Attribute): Option[(Int, Seq[Expression])] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val ks = conjuncts.flatMap(c => boundK(c, rn))
+    if (ks.isEmpty) None
+    else {
+      val k = ks.min
+      // drop exactly ONE conjunct realizing the minimal bound; the rest
+      // (including other bounds) stay as a cheap residual row filter
+      val i = conjuncts.indexWhere(c => boundK(c, rn).contains(k))
+      Some((k, conjuncts.take(i) ++ conjuncts.drop(i + 1)))
+    }
+  }
+
+  private def withResidual(plan: LogicalPlan, residual: Seq[Expression]): LogicalPlan =
+    if (residual.isEmpty) plan else Filter(residual.reduce(And), plan)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, Window(
         Seq(alias @ Alias(WindowExpression(RowNumber(),
@@ -115,9 +140,9 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
         _, _, child, _)) =>
       val rnAttr = alias.toAttribute
-      boundK(cond, rnAttr) match {
-        case Some(k) if k > 0 && k <= MaxK && eligible(part, order) =>
-          rewrite(child, part, order, k, rnAttr)
+      boundKConj(cond, rnAttr) match {
+        case Some((k, rest)) if k > 0 && k <= MaxK && eligible(part, order) =>
+          withResidual(rewrite(child, part, order, k, rnAttr), rest)
         case _ => f
       }
     // rank()/dense_rank() <= k — the ties-aware siblings. NOT
@@ -135,10 +160,10 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
           WindowSpecDefinition(part, order, _)), _)),
         _, _, child, _)) =>
       val rkAttr = alias.toAttribute
-      boundK(cond, rkAttr) match {
-        case Some(k) if k > 0 && k <= MaxK && eligible(part, order) =>
-          rewriteRank(child, part, order, k, rkAttr,
-            dense = rk.isInstanceOf[DenseRank])
+      boundKConj(cond, rkAttr) match {
+        case Some((k, rest)) if k > 0 && k <= MaxK && eligible(part, order) =>
+          withResidual(rewriteRank(child, part, order, k, rkAttr,
+            dense = rk.isInstanceOf[DenseRank]), rest)
         case _ => f
       }
   }

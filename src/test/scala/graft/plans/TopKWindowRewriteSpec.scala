@@ -297,6 +297,52 @@ class TopKWindowRewriteSpec extends SparkSpec {
     assert(got.length == 500 && got.forall(_._2 == 1))
   }
 
+  // ──────────────── conjunctive filters around the bound ────────────────
+
+  test("rewrites when the bound sits in a conjunction; residual re-applies on top") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").desc)
+    val df = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4 && col("v") > 500.0)
+    val plan = planOf(df)
+    assert(plan.contains("top_k") && !plan.contains("Window"),
+      s"conjunction defeated the rewrite:\n$plan")
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    val truth = windowTruth(data.withColumn("rn", row_number().over(w)), 4)
+      .filter(_(2).asInstanceOf[Double] > 500.0) // (id, g, v, nv, rn)
+    assert(got == truth)
+  }
+
+  test("conjunction: residual may reference the rank attribute itself") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").desc)
+    val df = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4 && col("rn") =!= 2)
+    assert(planOf(df).contains("top_k"))
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    val truth = windowTruth(data.withColumn("rn", row_number().over(w)), 4)
+      .filter(_.last.asInstanceOf[Int] != 2)
+    assert(got == truth)
+  }
+
+  test("conjunction: several bounds take the smallest k, rest stay as residual") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").desc)
+    val df = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("rn") <= 3)
+    assert(planOf(df).contains("top_k"))
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == windowTruth(data.withColumn("rn", row_number().over(w)), 3))
+  }
+
+  test("conjunction works for rank() too, ties intact") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val df = data.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 4 && col("id") % 2 === 0)
+    assert(planOf(df).contains("rank_top_k"))
+    val got = df.collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    val truth = windowTruth(data.withColumn("rn", rank().over(w)), 4)
+      .filter(_(0).asInstanceOf[Long] % 2 == 0)
+    assert(got == truth)
+  }
+
   test("extensions inject the rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions()(ext)
