@@ -179,6 +179,13 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("graphskew")) {
+      graphSkewProbe(spark, args.lift(1).map(_.toLong).getOrElse(5000000L),
+        args.lift(2).map(_.toDouble).getOrElse(0.1))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("opqpolicy")) {
       opqPolicyProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L),
         args.lift(2).map(_.toDouble).getOrElse(0.05))
@@ -873,6 +880,51 @@ object DevProbe {
     * endpoints over `nodes` vertices, `edges` edges — expected degree
     * edges/nodes, so wedge volume stays ~deg²·nodes) through triangle
     * counting, 3-round HITS, and 3-round LPA. */
+  /** Hot-source-skew rung (`runMain graft.DevProbe graphskew [edges]
+    * [hotFrac]`): prices the single-shuffle adjacency build
+    * (`repartition(src).distinct()`) against the balanced two-shuffle
+    * one (`distinct().repartition(src)`) on a power-law-ish edge set
+    * where ONE source holds `hotFrac` of all edges — the skew trade the
+    * repartition-first ordering makes: the final dedup aggregate
+    * reduces on src-partitioned data, so a hot source's edges land in
+    * one task (map-side partial aggregation still dedups within input
+    * partitions first). Also drives 3 pageRank iterations on top of
+    * each build — the per-iteration merge join needs the src
+    * partitioning regardless, so the build choice is the ONLY plan
+    * difference. */
+  private def graphSkewProbe(spark: SparkSession, edges: Long,
+      hotFrac: Double): Unit = {
+    import org.apache.spark.sql.functions._
+    val nodes = edges / 10
+    // hotFrac of edges come out of node 0 (distinct dsts — the worst
+    // case for the src-local dedup: nothing collapses map-side), the
+    // rest uniform
+    val e = spark.range(edges).select(
+      when(col("id") < (edges * hotFrac).toLong, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(11)), lit(nodes))).as("src"),
+      pmod(xxhash64(col("id"), lit(13)), lit(nodes)).as("dst"))
+      .localCheckpoint()
+    e.count()
+    def timed(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[graphskew $edges/$hotFrac] $tag out=$out " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    def drain(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+    timed("build repartition-first (1 shuffle, hot src in one dedup task)") {
+      drain(e.select(col("src"), col("dst")).repartition(col("src")).distinct())
+    }
+    timed("build distinct-first (2 shuffles, balanced dedup)") {
+      drain(e.select(col("src"), col("dst")).distinct().repartition(col("src")))
+    }
+    timed("pagerank3 (repartition-first inside)") {
+      graft.operators.Graph.pageRank(spark, e, iters = 3).count()
+    }
+  }
+
   private def graphFamilyProbe(spark: SparkSession, nodes: Long,
       edges: Long): Unit = {
     import org.apache.spark.sql.functions._

@@ -102,8 +102,21 @@ object ScaleBench {
 
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // the marker records WHAT was generated (source dir + perturbation
+    // scheme version), not just that something finished: a bare marker
+    // silently reuses a stale fixture after the source or the scaling
+    // rules change, and the sweep then reports ratios against the wrong
+    // base. Bump SchemeVersion whenever perturbed() changes.
+    val SchemeVersion = "v2-tokensuffix-embshift"
+    val markerWant = s"src=$srcDir scheme=$SchemeVersion copies=10"
     val marker = new java.io.File(s"$outDir/_SCALE_OK")
-    if (!marker.exists()) {
+    val markerHave =
+      if (marker.exists())
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      else ""
+    if (markerHave != markerWant) {
+      if (marker.exists())
+        println(s"[scalebench] fixture stale ('$markerHave' != '$markerWant') — regenerating")
       println(s"[scalebench] generating 10x fixture at $outDir")
       tables.foreach { t =>
         val t0 = System.nanoTime()
@@ -111,8 +124,9 @@ object ScaleBench {
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
         println(f"[scalebench]   $t: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
-      marker.getParentFile.mkdirs(); marker.createNewFile()
-    } else println(s"[scalebench] reusing fixture at $outDir")
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath, (markerWant + "\n").getBytes("UTF-8"))
+    } else println(s"[scalebench] reusing fixture at $outDir ($markerHave)")
 
     def runOne(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

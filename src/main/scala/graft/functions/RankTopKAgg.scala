@@ -55,8 +55,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructField
   */
 object RankTopKAgg {
 
-  /** Candidate buffer: top-k key threshold + retained rows. */
-  final class Buffer(val k: Int, val dense: Boolean) {
+  /** Hard cap on the bytes one group's retained set may hold.
+    *
+    * `k` bounds the THRESHOLD structure, not the retained rows: boundary
+    * ties are legitimately unbounded (`rank() <= 1` over a constant key
+    * retains the whole group), and `dense_rank() <= k` admits every row
+    * of the k largest key values. The retained set lives in ONE
+    * in-memory buffer per group and serializes into a single byte array
+    * (2 GB wire limit, no spill within a group) — so an eligible query
+    * over a low-cardinality order key would silently change memory
+    * class at scale. Fail LOUDLY at 256 MB instead: the error names the
+    * assumption and the remediation, and 256 MB per group is already
+    * far past where the window formulation (which spills) is the right
+    * plan. The companion bound to [[TopKWindowRewrite.MaxK]]: MaxK
+    * bounds k, this bounds ties-volume, which k cannot. */
+  val MaxRetainedBytes: Long = 256L << 20
+
+  /** Candidate buffer: top-k key threshold + retained rows. The cap
+    * rides as a constructor param only so tests can exercise it without
+    * materializing 256 MB; production buffers always get the default. */
+  final class Buffer(val k: Int, val dense: Boolean,
+      maxRetainedBytes: Long = RankTopKAgg.MaxRetainedBytes) {
 
     /** Threshold key multiset — keys descending would be natural, but
       * TreeMap's firstKey (smallest) IS the threshold, so natural
@@ -81,6 +100,7 @@ object RankTopKAgg {
     val ties = new ArrayBuffer[Long]()
     val rows = new ArrayBuffer[UnsafeRow]()
     private var compactAt = math.max(2 * k, 64)
+    private var retainedBytes = 0L
 
     def size: Int = rows.length
 
@@ -119,10 +139,25 @@ object RankTopKAgg {
       // retention check AFTER the threshold update: the inserted key may
       // itself have pushed T past it (k-th duplicate of a higher key)
       if (belowT(o, t)) return
-      ords += o; ties += t; rows += row
+      val r = row
+      ords += o; ties += t; rows += r
+      retainedBytes += r.getSizeInBytes + 16L
       if (rows.length >= compactAt) {
         compact()
         compactAt = math.max(math.max(2 * rows.length, 2 * k), 64)
+      }
+      if (retainedBytes > maxRetainedBytes) {
+        compact() // ties at-or-above T are never droppable; try anyway
+        if (retainedBytes > maxRetainedBytes)
+          throw new IllegalStateException(
+            s"rank_top_k retained set exceeded ${maxRetainedBytes >> 20} MB " +
+              s"for one group (${rows.length} rows at-or-above the k-th key) " +
+              "— every retained row legitimately ranks <= k, so the order " +
+              "key has pervasive ties (e.g. constant / low-cardinality). " +
+              "The ties-aware top-k rewrite assumes bounded tie volume per " +
+              "group; for this data shape use the window formulation (add " +
+              "a high-cardinality tiebreaker to the ORDER BY, or filter on " +
+              "row_number() instead of rank()/dense_rank()).")
       }
     }
 
@@ -132,15 +167,18 @@ object RankTopKAgg {
       var w = 0
       var i = 0
       val n = rows.length
+      var bytes = 0L
       while (i < n) {
         if (!belowT(ords(i), ties(i))) {
           if (w != i) { ords(w) = ords(i); ties(w) = ties(i); rows(w) = rows(i) }
+          bytes += rows(w).getSizeInBytes + 16L
           w += 1
         }
         i += 1
       }
       ords.dropRightInPlace(n - w); ties.dropRightInPlace(n - w)
       rows.dropRightInPlace(n - w)
+      retainedBytes = bytes
     }
 
     /** Survivor indices in (ord, tie) DESCENDING order (compacted). */

@@ -46,7 +46,22 @@ object Graph {
     // dedup aggregate runs exchange-free and the whole build costs ONE
     // full-edge shuffle instead of two (distinct-then-repartition
     // re-shuffled the edge set; the sf1 scale sweep showed the
-    // adjacency build dominating q_x_pagerank's first iteration)
+    // adjacency build dominating q_x_pagerank's first iteration).
+    // Skew trade, measured (graphskew rung): the final dedup now
+    // reduces on src-partitioned data, so every DISTINCT out-edge of a
+    // hot source lands in ONE task where the old (src,dst)-hashed
+    // distinct spread them (map-side partials dedup within input
+    // partitions first, so only distinct survivors pile up). At 5M
+    // edges with one source holding 10% the builds cost 2.8 s vs 2.2 s
+    // — a wash; at 20M edges / 30% hot (6M distinct edges from one
+    // node) the straggler costs 17.3 s vs 6.3 s, BUT the per-iteration
+    // contribution join concentrates the same 6M rows in one task
+    // every round regardless of build order (3 iterations: 492 s) —
+    // on such graphs the hot node dominates the ITERATIONS, not the
+    // build, and needs upstream handling (pre-dedup, or cap/sample
+    // out-edges of super-nodes) that no build ordering can substitute
+    // for. Single-shuffle stays the default: it wins on every graph
+    // whose iterations are feasible at all.
     val adj = edges.select(col("src"), col("dst"))
       .repartition(col("src")).distinct()
       .withColumn("outdeg", count(lit(1)).over(

@@ -120,7 +120,9 @@ object Privacy {
     *     by `orderCol`, which must be an INTEGRAL, UNIQUE, NON-NULL key
     *     per user (the cap must be deterministic or the release isn't
     *     reproducible) — all three ENFORCED, not just documented: type
-    *     at build time, ties/nulls by a keyed validation aggregate;
+    *     at build time, ties/nulls by a keyed validation aggregate
+    *     (one eager pass; `validate = false` skips it for callers that
+    *     enforce the key contract upstream);
     *   - after the cap, adding/removing one user changes at most
     *     `maxPerUser` rows ANYWHERE in the group vector, so the L1
     *     sensitivity of the summed release is
@@ -137,7 +139,8 @@ object Privacy {
     * noise would have to scale with the heaviest user's row count. */
   def dpUserSums(df: DataFrame, userCol: String, orderCol: String,
       groupCol: String, valueCol: String, maxPerUser: Int,
-      lo: Double, hi: Double, eps: Double, salt: String): DataFrame = {
+      lo: Double, hi: Double, eps: Double, salt: String,
+      validate: Boolean = true): DataFrame = {
     require(maxPerUser >= 1, s"maxPerUser must be >= 1, got $maxPerUser")
     // the cap is deterministic ONLY under an integral, unique, non-null
     // order key: a string/double/decimal key would cast(long) to null or
@@ -155,18 +158,27 @@ object Privacy {
         s"${odt.catalogString}, whose cast to long is lossy, making the " +
         "per-user cap (and thus the DP release) nondeterministic")
     val inRows = df.where(col(valueCol).cast("double").isNotNull)
-    val badKey = inRows
-      .groupBy(col(userCol).as("__u"), col(orderCol).as("__o"))
-      .agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1 || col("__o").isNull)
-      .limit(1).collect()
-    require(badKey.isEmpty, {
-      val r = badKey.head
-      val what = if (r.isNullAt(1)) "a NULL order key" else s"a tied order key (${r.get(1)})"
-      s"orderCol '$orderCol' must be unique and non-null per ($userCol) — " +
-        s"found $what for user ${r.get(0)}: the per-user cap (and thus the " +
-        "DP release) would be nondeterministic across reruns/retries"
-    })
+    // the ties/nulls check is one eager keyed aggregate over the input —
+    // the right default for a privacy API (fail loudly beats a
+    // nondeterministic release), but an extra full pass on EVERY call;
+    // callers that enforce the key contract upstream (e.g. the order key
+    // is a storage-level primary key, or one release loop re-caps the
+    // same validated input) pass validate=false to keep the hot path
+    // one-pass. The TYPE check above stays unconditional (it's free).
+    if (validate) {
+      val badKey = inRows
+        .groupBy(col(userCol).as("__u"), col(orderCol).as("__o"))
+        .agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1 || col("__o").isNull)
+        .limit(1).collect()
+      require(badKey.isEmpty, {
+        val r = badKey.head
+        val what = if (r.isNullAt(1)) "a NULL order key" else s"a tied order key (${r.get(1)})"
+        s"orderCol '$orderCol' must be unique and non-null per ($userCol) — " +
+          s"found $what for user ${r.get(0)}: the per-user cap (and thus the " +
+          "DP release) would be nondeterministic across reruns/retries"
+      })
+    }
     // the coalesce proves the order key non-null to the optimizer
     // (validation above proves it to us), so the cap window is
     // TopKWindowRewrite's ASC "first k" shape (bounded heap, k rows per

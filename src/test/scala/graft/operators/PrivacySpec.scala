@@ -292,4 +292,29 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpNoisyCounts(df, "g", eps = 1.0, salt = "")
     }
   }
+
+  test("dp user sums: validate=false skips the keyed check but releases identically") {
+    import spark.implicits._
+    val df = Seq(("u0", 1, "g", 1.0), ("u0", 2, "g", 2.0),
+      ("u1", 1, "g", 3.0)).toDF("user", "ord", "g", "v")
+    val strict = Privacy.dpUserSums(df, "user", "ord", "g", "v",
+      maxPerUser = 2, 0.0, 10.0, 1.0, "s").collect().toSeq
+    val fast = Privacy.dpUserSums(df, "user", "ord", "g", "v",
+      maxPerUser = 2, 0.0, 10.0, 1.0, "s", validate = false).collect().toSeq
+    assert(strict == fast) // the escape hatch changes cost, never values
+    // ...and with validate=false a TIED key does NOT raise at build time
+    // (the caller took responsibility for the contract upstream)
+    val tied = Seq(("u0", 2, "g", 1.0), ("u0", 2, "g", 2.0))
+      .toDF("user", "ord", "g", "v")
+    Privacy.dpUserSums(tied, "user", "ord", "g", "v",
+      maxPerUser = 1, 0.0, 10.0, 1.0, "s", validate = false) // no throw
+    // the TYPE check stays unconditional: it is free and its failure
+    // mode (lossy cast) is silent even for upstream-validated callers
+    val str = Seq(("u0", "x", "g", 1.0)).toDF("user", "ord", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpUserSums(str, "user", "ord", "g", "v",
+        maxPerUser = 1, 0.0, 10.0, 1.0, "s", validate = false)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
