@@ -179,6 +179,13 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("bpegate")) {
+      bpeGateProbe(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(8))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("graphskew")) {
       graphSkewProbe(spark, args.lift(1).map(_.toLong).getOrElse(5000000L),
         args.lift(2).map(_.toDouble).getOrElse(0.1))
@@ -1386,6 +1393,37 @@ object DevProbe {
     * re-derivation class materializeDedup closed for the corpus
     * pipeline. Synthetic zipf-ish corpus; same learn() both ways
     * (checkpointEvery=1 vs 0), identical merge lists asserted. */
+  /** Gate-scale cadence adjudicator (`runMain graft.DevProbe bpegate
+    * [sfDir] [merges]`): times [[graft.operators.Bpe.learn]] on the
+    * ACTUAL gate input (documents.parquet) at gate merge depth,
+    * alternating checkpoint cadences within ONE JVM so window noise
+    * hits both arms — the r11 bench read q_x_bpe_encode at 2.3× and
+    * could not tell the new per-round checkpoint from the contended
+    * window; this can. */
+  private def bpeGateProbe(spark: SparkSession, sfDir: String,
+      merges: Int): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    docs.count()
+    def run(cadence: Int): Double = {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Bpe.learn(docs, "text", merges, cadence)
+      require(out.size == merges, s"expected $merges merges, got ${out.size}")
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(0) // warm-up, untimed
+    val reps = 5
+    val arms = Seq(0 -> "never", 1 -> "per-round")
+    val walls = (1 to reps).flatMap(_ => arms.map { case (c, lbl) =>
+      (lbl, run(c))
+    })
+    arms.foreach { case (_, lbl) =>
+      val xs = walls.filter(_._1 == lbl).map(_._2).sorted
+      println(f"[bpegate $sfDir/$merges] $lbl%-9s min=${xs.min}%.2f s " +
+        f"median=${xs(xs.size / 2)}%.2f s (all: ${xs.map(x => f"$x%.2f").mkString(", ")})")
+    }
+  }
+
   private def bpeProbe(spark: SparkSession, n: Long, merges: Int): Unit = {
     import spark.implicits._
     val t0 = System.nanoTime()

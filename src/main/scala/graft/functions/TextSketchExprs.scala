@@ -68,6 +68,52 @@ object TextSketches {
     out
   }
 
+  // MessageDigest is stateful and the static helpers run from generated
+  // code on every executor thread — one instance per thread
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5 SimHash over a token array — the fused engine side of
+    * the ORACLED md5 twin (the DuckDB oracle keeps the pure-SQL HOF
+    * formulation; this computes bit-identical values in one pass with
+    * no lambdas). Per token: the first 15 md5 hex digits parse to a
+    * 60-bit long — exactly the digest's first 8 bytes read big-endian
+    * and unsigned-shifted right 4; bit j of the fingerprint is set
+    * when the tokens' bit-j ±1 votes sum positive. A NULL token votes
+    * −1 on every bit (the HOF fold's `when(null ≡ 1).otherwise(−1)`
+    * lands in the otherwise branch — preserved bit-for-bit; real
+    * tokenizers never produce null elements). */
+  def simhash60Md5(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    val n = arr.numElements()
+    var e = 0
+    while (e < n) {
+      if (arr.isNullAt(e)) {
+        var j = 0
+        while (j < 60) { votes(j) -= 1; j += 1 }
+      } else {
+        val d = md.digest(arr.getUTF8String(e).getBytes)
+        var acc = 0L
+        var i = 0
+        while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+        val h = acc >>> 4
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      e += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** The k smallest distinct xxhash64 values of a string array, ascending —
     * a winnowing-style fingerprint sketch. Insertion into a k-slot buffer:
     * O(n·k) with k tiny, no full sort. */
@@ -389,6 +435,8 @@ object TextSketches {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(arr), k))
   def simhash(arr: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(arr)))
+  def simhashMd5(arr: Column): Column =
+    ColumnBridge.column(SimHash60Md5(ColumnBridge.expression(arr)))
   def fingerprintSketch(arr: Column, k: Int): Column =
     ColumnBridge.column(MinKHashes(ColumnBridge.expression(arr), k))
   def shingles(text: Column, n: Int): Column =
@@ -466,6 +514,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextSketches.simhash64($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<string> → long fused 60-bit md5 SimHash (the oracled twin's
+  * engine side — see [[TextSketches.simhash60Md5]]). */
+case class SimHash60Md5(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash60_md5"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(TextSketches.simhash60Md5(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketches.simhash60Md5($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -64,9 +64,24 @@ object Bpe {
     * Checkpoint blocks release when the RDD is GC'd (ContextCleaner) —
     * no reference survives the loop, so a long merge run stays bounded.
     * `checkpointEvery` throttles the cadence (0 disables — the
-    * measured-against baseline of the `bpe` probe rung). */
+    * measured-against baseline of the `bpe` probe rung; −1 = ADAPTIVE,
+    * the default): each localCheckpoint costs a fixed job+materialize
+    * overhead that dominates SHALLOW runs, while deep runs are
+    * dominated by the re-derivation chains the cut removes. Measured
+    * round 12 (`bpegate` probe — both arms interleaved in ONE JVM so
+    * window noise cancels): the 8-merge gate runs 1.85 s uncheckpointed
+    * vs 2.07 s per-round (the r11 bench's 2.3× read of this delta was
+    * window noise), while the 2M-doc 24-merge rung runs 11.8 s
+    * per-round vs 15.9 s uncheckpointed. Adaptive = no cuts up to 12
+    * merges, per-round past that (a deliberate compromise: 24 merges
+    * over a SMALL vocabulary mildly prefers uncheckpointed too — 3.65
+    * vs 4.06 s — but the deep-run failure mode the cut prevents is
+    * unbounded plan-tower cost, and deep runs are corpus-scale runs). */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 1): Seq[(Int, String, String, Long)] = {
+      checkpointEvery: Int = -1): Seq[(Int, String, String, Long)] = {
+    val cadence = if (checkpointEvery == -1) {
+      if (numMerges <= 12) 0 else 1
+    } else checkpointEvery
     val base = wordTable(docs, textCol).cache()
     var table: DataFrame = base
     table.count() // materialize before the loop
@@ -90,7 +105,7 @@ object Bpe {
         merges += ((i, l, r, cnt))
         table = table.withColumn("s",
           replace(col("s"), lit(s"|$l|$r|"), lit(s"|$l$r|")))
-        if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        if (cadence > 0 && i % cadence == 0)
           table = table.localCheckpoint()
         i += 1
       }
@@ -104,13 +119,26 @@ object Bpe {
   /** Applies a learned merge list to a text column; returns the token
     * array (the TOKENIZE side of the tokenizer, same scan-greedy merge
     * semantics as [[learn]]). Pure per-row expression work — no shuffle,
-    * no UDF; the merge list folds into a chain of `replace` calls. */
+    * no UDF, and (since round 12) NO higher-order functions: the whole
+    * normalized document symbolizes AT ONCE (`|a|b| |c|d|` — each space
+    * survives as its own one-char symbol), the merge list folds into a
+    * chain of codegen'd `replace` calls over that one string, and the
+    * final split drops the `""`/`" "` separators with `array_remove`.
+    *
+    * Whole-doc replace ≡ per-word replace: a merge pattern `|l|r|` is
+    * pipes and letters only, so it can never span the space symbol
+    * (the intermediate symbol would have to BE a space), matches land
+    * at exactly the per-word positions, the left-to-right scan visits
+    * words in order, and a replacement inside word i cannot alter word
+    * j. The earlier formulation mapped a replace-fold lambda over the
+    * word array — transform/filter/flatten are CodegenFallback, which
+    * dropped the whole projection to interpreted dispatch (the
+    * q_x_bpe_encode plan's last whitelisted lambda). */
   def segment(text: Column, merges: Seq[(String, String)]): Column = {
-    val words = filter(split(normalize(text), " "), w => length(w) > 0)
-    val merged = transform(words, w =>
-      merges.foldLeft(symbolize(w))((s, m) =>
-        replace(s, lit(s"|${m._1}|${m._2}|"), lit(s"|${m._1}${m._2}|"))))
-    flatten(transform(merged, s => symbols(s)))
+    val doc = concat(lit("|"), regexp_replace(normalize(text), "(.)", "$1|"))
+    val merged = merges.foldLeft(doc)((s, m) =>
+      replace(s, lit(s"|${m._1}|${m._2}|"), lit(s"|${m._1}${m._2}|")))
+    array_remove(array_remove(split(merged, "[|]"), ""), " ")
   }
 
   /** The shared learning-loop CTE prefix: word table + `numMerges`

@@ -236,11 +236,20 @@ object Dedup {
     * the minhash, fingerprint, and CDC sketches): per token, the first
     * 15 md5 hex chars parse to a 60-bit value (fits a signed BIGINT in
     * any engine); bit j of the fingerprint is set when the ±1 votes of
-    * the token hashes' bit j sum positive. Pure SQL-expressible
-    * higher-order functions, bit-identical cross-engine; the native
-    * expression remains the production path (this walks the hash array
-    * once per bit). */
-  def simhash60Md5(text: Column): Column = {
+    * the token hashes' bit j sum positive. Fused one-pass native
+    * expression ([[graft.functions.TextSketches.simhash60Md5]]) — the
+    * HOF ladder below ([[simhash60Md5Hof]]) remains the SQL-expressible
+    * reference the DuckDB oracle mirrors and the parity spec pins the
+    * fused path against (the q_x_simhash_md5 gate measured 1.0-3.5 s of
+    * interpreted zip_with dispatch; the fused scan is one md5 + 120
+    * integer ops per token inside whole-stage codegen). */
+  def simhash60Md5(text: Column): Column =
+    graft.functions.TextSketches.simhashMd5(tokens(text))
+
+  /** The pure-HOF formulation of [[simhash60Md5]] — kept as the
+    * cross-engine parity reference (it IS the oracle's SQL, expressed
+    * in Spark HOFs), exercised only by specs. */
+  def simhash60Md5Hof(text: Column): Column = {
     // Each stage binds its intermediate as a HOF lambda variable so it is
     // computed ONCE (an expression referenced inside a lambda body is a
     // subtree the engine re-evaluates per element — the naive

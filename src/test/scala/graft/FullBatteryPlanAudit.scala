@@ -189,8 +189,14 @@ class FullBatteryPlanAudit extends SparkSpec {
     // q_x_minhash_bands: REMOVED round 11 — the band ladder unrolled
     // into literal xxhash64(slice) calls (bands is a build-time
     // constant); shingles/signature were already fused expressions
-    "q_x_simhash_md5" -> "[text] simhash bit-vote zip_with ladder",
-    "q_x_bpe_encode" -> "[text] BPE merge-apply transform over words",
+    // q_x_simhash_md5: REMOVED round 12 — the bit-vote zip_with ladder
+    // is the fused SimHash60Md5 expression (one md5 + integer votes per
+    // token inside WSCG); the HOF ladder survives as simhash60Md5Hof,
+    // the oracle/parity twin (spec-pinned in WordNGramsFusedSpec)
+    // q_x_bpe_encode: REMOVED round 12 — segment() symbolizes the WHOLE
+    // normalized doc and folds the merge list into codegen'd replace
+    // calls (merges can't cross the space symbol), so the per-word
+    // transform/filter/flatten lambdas are gone
     // q_x_setjoin / q_x_leakage: REMOVED round 10 — their one remaining
     // lambda (the sorted-struct token extraction in SetSimJoin) is the
     // fused StructFieldExtract now

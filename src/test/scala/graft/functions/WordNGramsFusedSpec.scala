@@ -165,4 +165,55 @@ class WordNGramsFusedSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan.toString).isDefined,
       plan.toString)
   }
+
+  test("SimHash60Md5 fused expression matches the oracled HOF ladder bit-for-bit") {
+    import graft.operators.Dedup
+    val texts = Seq(
+      "the cat sat on the mat the cat sat again",
+      "a", "a a a a", "  padded   runs  ", "",
+      "punctuation, UTF-8 \u00fcml\u00e4uts and \u4e2d\u6587 tokens!",
+      "Mixed CASE Tokens repeated Mixed CASE Tokens")
+      .toDF("text").repartition(2)
+    val rows = texts.select(
+      Dedup.simhash60Md5(col("text")).as("fused"),
+      Dedup.simhash60Md5Hof(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // a 60-bit fingerprint never sets bits 60-63
+    rows.foreach(r => assert((r.getLong(0) >>> 60) == 0L, r.toString))
+  }
+
+  test("Bpe.segment whole-doc replace fold matches the per-word HOF formulation") {
+    import graft.operators.Bpe
+    // the exact pre-round-12 per-word formulation, HOF twin at spec scale
+    def segmentHof(text: Column, merges: Seq[(String, String)]): Column = {
+      val norm = regexp_replace(lower(text), "[^a-z ]", "")
+      def symbolize(w: Column) = concat(lit("|"), regexp_replace(w, "(.)", "$1|"))
+      val words = filter(split(norm, " "), w => length(w) > 0)
+      val merged = transform(words, w =>
+        merges.foldLeft(symbolize(w))((s, m) =>
+          replace(s, lit(s"|${m._1}|${m._2}|"), lit(s"|${m._1}${m._2}|"))))
+      flatten(transform(merged, s2 => filter(split(s2, "[|]"), t => length(t) > 0)))
+    }
+    val docs = Seq(
+      "banana banana bandana", "aaaa aa a", "The Quick! Brown? fox 123",
+      "  double  spaces  survive  normalization  ", "", "one",
+      "an anana banan anana ban")
+      .toDF("text").repartition(2)
+    val merges = Bpe.learn(docs, "text", 6).map(m => (m._2, m._3))
+    val rows = docs.select(
+      Bpe.segment(col("text"), merges).as("fused"),
+      segmentHof(col("text"), merges).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // and the fused path plans no lambdas
+    val plan = {
+      val df = docs.select(Bpe.segment(col("text"), merges).as("t"))
+      df.collect(); df.queryExecution.executedPlan
+    }
+    import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction}
+    assert(!plan.collectWithSubqueries { case n => n }
+      .exists(_.expressions.exists(_.exists {
+        case _: HigherOrderFunction | _: LambdaFunction => true
+        case _ => false
+      })))
+  }
 }
