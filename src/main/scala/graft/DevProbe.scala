@@ -179,6 +179,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("p4bisect")) {
+      p4Bisect(spark, args.lift(1).getOrElse("/root/repo/tmp/sf1"))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpegate")) {
       bpeGateProbe(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(8))
@@ -1393,6 +1399,58 @@ object DevProbe {
     * re-derivation class materializeDedup closed for the corpus
     * pipeline. Synthetic zipf-ish corpus; same learn() both ways
     * (checkpointEvery=1 vs 0), identical merge lists asserted. */
+  /** q_x_pipeline4 stage bisect (`runMain graft.DevProbe p4bisect
+    * [dir]`): the gate chains corpus-plant → block census → mutual-NN
+    * dedup → anti-join survivors (localCheckpoint) → greedy k-center;
+    * at the sf1 sweep it is the most expensive gate (86.9 s, ratio
+    * 10.24 — linear, but linear-at-the-top deserves a decomposition
+    * the way pagerank's 16.6× did). Times each stage against ONE
+    * materialized upstream so per-stage walls don't compound. */
+  private def p4Bisect(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val sim = graft.operators.Similarity
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      println(f"[p4bisect $dir] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val corpus = timed("stage 0: corpus plant + localCheckpoint") {
+      val c = e.unionByName(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+          col("embedding"))).localCheckpoint()
+      c.count(); c
+    }
+    timed("stage 1: requireBlocksWithin census") {
+      sim.requireBlocksWithin(corpus, "label", 4096, "p4bisect")
+    }
+    val drops = timed("stage 2: mutual-NN pairs -> drops (collect to cut)") {
+      val d = sim.mutualNearestPairs(corpus, "vec_id", "embedding",
+          "label", dim = 64)
+        .where(col("cos") >= 0.99)
+        .select(col("id1").as("vec_id")).distinct().localCheckpoint()
+      d.count(); d
+    }
+    timed("stage 2b: same MNN, maxBlock=256 (refinement bounds the quadratic)") {
+      sim.mutualNearestPairs(corpus, "vec_id", "embedding",
+          "label", maxBlock = 256, dim = 64)
+        .where(col("cos") >= 0.99)
+        .select(col("id1")).distinct().count()
+    }
+    val survivors = timed("stage 3: anti-join survivors + localCheckpoint") {
+      val s = corpus.join(drops, Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding").localCheckpoint()
+      s.count(); s
+    }
+    timed("stage 4: farthestFirst k=8 (8 selection rounds)") {
+      graft.operators.Selection.farthestFirst(
+          survivors, "vec_id", "embedding", k = 8)
+        .orderBy(col("rank")).collect().length
+    }
+  }
+
   /** Gate-scale cadence adjudicator (`runMain graft.DevProbe bpegate
     * [sfDir] [merges]`): times [[graft.operators.Bpe.learn]] on the
     * ACTUAL gate input (documents.parquet) at gate merge depth,

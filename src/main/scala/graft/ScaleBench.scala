@@ -74,10 +74,15 @@ object ScaleBench {
   }
 
   /** The 20 most expensive gates of the round-10 bench (BENCH_r10 per-
-    * query mins, descending) — the default sweep set. */
+    * query mins, descending) — the default sweep set — plus
+    * q_x_pipeline3_auto, the auto-sized production IVF path whose 10×
+    * ratio is the round-12 scale gate (the fixed-8-cell q_x_pipeline3
+    * measured 18.0× in round 11; the auto codebook must bring the same
+    * chain to ~linear). */
   val DefaultQueries: Seq[String] = Seq(
     "q_x_pipeline4", "q_x_pagerank", "q_x_golden", "q_x_dbscan",
-    "q_a_trimmed", "q_x_hits", "q_x_pipeline3", "q_x_entity",
+    "q_a_trimmed", "q_x_hits", "q_x_pipeline3", "q_x_pipeline3_auto",
+    "q_x_entity",
     "q_x_semdedup", "q_x_bpe", "q_x_mnn_ivf", "q_x_dedup_eval",
     "q_a_spearman", "q_x_mutual_nn", "q_a_wmedian", "q_x_setjoin",
     "q_f_scaling", "q_x_kmeans", "q_x_cluster_split", "q_x_fuzzy")
@@ -139,8 +144,25 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // contention sentinel (same probe as Bench.calibrate): one sample
+    // per query, committed — a sweep runs long enough to cross this
+    // VM's degraded windows, and a per-query sentinel tells a reader
+    // WHICH ratios were measured under contention
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42L) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // warm-up both fixtures (codegen, parquet footers) before timing
     runOne(names.last, srcDir); runOne(names.last, outDir)
+    calibrate() // JIT the probe loop
     def best(name: String, dir: String): Double = {
       val xs = (1 to reps).map(_ => runOne(name, dir)).filter(_ >= 0)
       if (xs.isEmpty) -1.0 else xs.min
@@ -148,13 +170,14 @@ object ScaleBench {
     val rows = names.map { n =>
       val a = best(n, srcDir)
       val b = best(n, outDir)
+      val c = calibrate()
       val ratio = if (a > 0 && b > 0) b / a else -1.0
-      println(f"[scalebench] $n%-22s sf0.1=$a%7.2f s  sf1=$b%7.2f s  ratio=$ratio%5.2f")
-      (n, a, b, ratio)
+      println(f"[scalebench] $n%-22s sf0.1=$a%7.2f s  sf1=$b%7.2f s  ratio=$ratio%5.2f calib=$c%4.2f")
+      (n, a, b, ratio, c)
     }
     def r2(v: Double) = f"$v%.2f"
-    val qjson = rows.map { case (n, a, b, r) =>
-      s""""$n":{"sf0_1":${r2(a)},"sf1":${r2(b)},"ratio":${r2(r)}}"""
+    val qjson = rows.map { case (n, a, b, r, c) =>
+      s""""$n":{"sf0_1":${r2(a)},"sf1":${r2(b)},"ratio":${r2(r)},"calib":${r2(c)}}"""
     }.mkString("{", ",", "}")
     val ta = rows.map(_._2).filter(_ >= 0).sum
     val tb = rows.map(_._3).filter(_ >= 0).sum

@@ -3696,6 +3696,19 @@ object SparkEntry {
       graft.operators.Similarity.pcaIvfMnnGate(t(s, dir, "embeddings"), dir)
         .orderBy(col("id1"))),
 
+    // X-pipeline3-auto: the PRODUCTION variant of the chain above —
+    // the IVF codebook AUTO-SIZES with the corpus (kIvf = 0 →
+    // trainCentroids → suggestedNlist: expected cell ~256 rows) so the
+    // quadratic block-scoped MNN stays constant-per-cell as the corpus
+    // grows. The fixed-8-cell gate above measured 18.0× wall for 10×
+    // data at the round-11 sf1 sweep — this path is what a user gets
+    // by DEFAULT now, and the sweep gates its ratio. Same dump-time
+    // oracle mechanics (the twin inlines the trained codebook).
+    "q_x_pipeline3_auto" -> ((s, dir) =>
+      graft.operators.Similarity.pcaIvfMnnGate(t(s, dir, "embeddings"), dir,
+          kIvf = 0)
+        .orderBy(col("id1"))),
+
     // T-forecast: seasonal-naive backtest — (dow, hour) profile fit on
     // the even half, MAE/bias scored on the odd half; the mandatory
     // forecasting baseline as one broadcast join + one aggregate
@@ -8791,6 +8804,12 @@ object SparkEntry {
     // PCA → trained IVF → block MNN: dump-time twin regenerating the
     // whole chain (projection literals → argmax assignment → MNN)
     "q_x_pipeline3" -> graft.operators.Similarity.pcaIvfMnnOracleSql(),
+
+    // the AUTO-SIZED production path: same dump-time twin, regenerated
+    // from the auto variant's memoized model + codebook (the twin
+    // inlines whatever centroid count training produced)
+    "q_x_pipeline3_auto" ->
+      graft.operators.Similarity.pcaIvfMnnOracleSql(auto = true),
 
     // q_d2_sample / q_d2b_stratified: intentionally no oracle —
     // engine-seeded sampling is engine/layout-specific; they get

@@ -175,7 +175,18 @@ object Clustering {
       k: Int, dim: Int, iters: Int, minCos: Double,
       maxBlock: Int = 4096, overflowWindow: Int = 16,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
-    val km = kMeans(corpus, idCol, vecCol, k, dim, iters)
+    // k = 0 auto-sizes the cluster count with the corpus (expected
+    // cell ~256 rows — Similarity.suggestedNlist): a FIXED k lets the
+    // within-cluster pair scope grow quadratically as the corpus does
+    // (the refinement guard then splits every cluster, which works but
+    // pays sub-bucketing for what right-sizing gets free). One count()
+    // action at build time; gates pass explicit k (the cluster count
+    // is part of their oracle contract).
+    val kEff =
+      if (k > 0) k
+      else math.max(1, math.min(
+        Similarity.suggestedNlist(corpus.count(), 256), 1 << 20))
+    val km = kMeans(corpus, idCol, vecCol, kEff, dim, iters)
     val withCid = corpus.select(col(idCol).as("__id"), col(vecCol).as("__e"))
       .join(km.assignments.select(col(idCol).as("__id"), col("cid")), "__id")
     val planes = Similarity.subBucketPlanes(dim)

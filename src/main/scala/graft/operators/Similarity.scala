@@ -226,9 +226,20 @@ object Similarity {
   /** Train IVF centroids with distributed k-means over the embedding
     * column: the real construction for [[ivfAssign]]'s coarse quantizer
     * (the tests' "every-100th-vector" centroids are a stand-in). Returns a
-    * small (cid, cvec) table — broadcastable config data. */
-  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
-      seed: Long = 42L, maxIter: Int = 10, trainCap: Int = 4096): DataFrame = {
+    * small (cid, cvec) table — broadcastable config data.
+    *
+    * `k = 0` (the production DEFAULT since round 12) auto-sizes the
+    * codebook via [[suggestedNlist]] so the EXPECTED cell stays at
+    * `targetCell` rows as the corpus grows — a fixed k lets per-cell
+    * density grow linearly with the corpus, and every block-scoped
+    * consumer (mutual-NN, semantic dedup) is QUADRATIC in that density
+    * (measured: the gate-pinned 8-cell codebook took q_x_pipeline3 to
+    * 18× wall for 10× data at the round-11 scale sweep). Pass an
+    * explicit k only when the codebook size is itself the contract
+    * (the oracle-reproducible gates do). */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int = 0,
+      seed: Long = 42L, maxIter: Int = 10, trainCap: Int = 4096,
+      targetCell: Int = 256): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -237,12 +248,20 @@ object Similarity {
     // cap the training set (seeded Bernoulli) so fit cost is bounded by
     // trainCap regardless of corpus size — the standard IVF construction
     val n = corpus.count()
+    // auto mode bounds k by trainCap/4: k-means cannot place more
+    // centroids than (a fraction of) its training points, and fit cost
+    // is O(sample·k·iters) — past ~262k rows at the defaults, callers
+    // raise trainCap together with the corpus (the sample must grow
+    // with the codebook; both knobs are one decision)
+    val kEff =
+      if (k > 0) k
+      else math.max(1, math.min(suggestedNlist(n, targetCell), trainCap / 4))
     val sampled =
       if (n <= trainCap) corpus
       else corpus.sample(withReplacement = false, trainCap.toDouble / n, seed)
     val featured = sampled
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+    val model = new KMeans().setK(kEff).setSeed(seed).setMaxIter(maxIter)
       .fit(featured)
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
@@ -369,17 +388,27 @@ object Similarity {
   private val p3Cache = new java.util.concurrent.ConcurrentHashMap[
     String, (Pca.PcaModel, Array[(Int, Array[Float])])]()
   @volatile private var p3LastDir: Option[String] = None
+  @volatile private var p3AutoLastDir: Option[String] = None
 
   /** The q_x_pipeline3 gate body: PCA fit + quantizer training memoized
     * per dir, then project → assign → mutual-NN, all map-side /
     * block-bounded (the only data-scale passes are the one moment
     * aggregate inside the fit, the projection scan, and the
-    * block-scoped MNN). */
+    * block-scoped MNN).
+    *
+    * `kIvf = 0` is the PRODUCTION path (q_x_pipeline3_auto): the
+    * codebook auto-sizes with the corpus ([[trainCentroids]] →
+    * [[suggestedNlist]]) so per-cell density — and with it the
+    * quadratic block-scoped MNN — stays CONSTANT as the corpus grows.
+    * The fixed-kIvf form stays for the original gate (the codebook
+    * size is part of that oracle's contract) and for callers pinning a
+    * serving-side codebook. */
   def pcaIvfMnnGate(emb: DataFrame, dir: String, dim: Int = 64,
       kPca: Int = 16, kIvf: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (model, cents) = p3Cache.computeIfAbsent(dir, _ => {
+    val key = s"$dir#k$kIvf"
+    val (model, cents) = p3Cache.computeIfAbsent(key, _ => {
       val m = Pca.fit(emb, "embedding", dim, kPca)
       val proj = Pca.projectedVec(emb, "vec_id", "embedding", m)
       val c = trainCentroids(proj, "pvec", kIvf).collect()
@@ -387,7 +416,7 @@ object Similarity {
         .sortBy(_._1)
       (m, c)
     })
-    p3LastDir = Some(dir)
+    if (kIvf == 0) p3AutoLastDir = Some(key) else p3LastDir = Some(key)
     val proj = Pca.projectedVec(emb, "vec_id", "embedding", model)
     val cdf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
@@ -401,8 +430,10 @@ object Similarity {
     * quantizes through `ROUND(·,6)::REAL` exactly like the engine's
     * array<float> cast, then the same raw-cosine argmax assignment and
     * block-scoped MNN as [[mnnIvfOracleSql]]. */
-  def pcaIvfMnnOracleSql(table: String = "embeddings"): String =
-    p3LastDir.flatMap(d => Option(p3Cache.get(d))) match {
+  def pcaIvfMnnOracleSql(table: String = "embeddings",
+      auto: Boolean = false): String =
+    (if (auto) p3AutoLastDir else p3LastDir)
+      .flatMap(d => Option(p3Cache.get(d))) match {
       case None =>
         "SELECT CAST(NULL AS INTEGER) AS cid, CAST(NULL AS BIGINT) AS id1, " +
           "CAST(NULL AS BIGINT) AS id2, CAST(NULL AS DOUBLE) AS cos WHERE FALSE"

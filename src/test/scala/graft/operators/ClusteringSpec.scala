@@ -160,4 +160,22 @@ class ClusteringSpec extends SparkSpec {
     assert(got(9L) == ("core", 7L))
     assert(got(11L) == ("noise", -1L))
   }
+
+  test("semanticDedup k=0 auto-sizes the cluster count (production default)") {
+    // 600 rows at targetCell 256 -> suggestedNlist = 3 clusters; the
+    // planted copy pair must still be found regardless of sizing
+    val pts = (0L until 600L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Seq.fill(4)(r.nextGaussian().toFloat))
+    } :+ (9000L, {
+      val r = new scala.util.Random(7L)
+      (7L, Seq.fill(4)(r.nextGaussian().toFloat))._2
+    })
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Clustering.semanticDedup(df, "vec_id", "embedding",
+        k = 0, dim = 4, iters = 2, minCos = 0.9999)
+      .as[(Long, Long, Double)].collect().toSeq
+    // 9000 duplicates vec 7 exactly -> it must be dropped toward 7
+    assert(out.exists(t => t._1 == 9000L && t._2 == 7L), out.toString)
+  }
 }

@@ -404,4 +404,23 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.suggestedNlist(-1))
     intercept[IllegalArgumentException](Similarity.suggestedNlist(10, 0))
   }
+
+  test("trainCentroids k=0 auto-sizes the codebook with the corpus") {
+    // 500-row fixture, targetCell 100 -> ceil(500/100) = 5 centroids;
+    // the auto default is the production path (a fixed k lets per-cell
+    // density — and the quadratic block-scoped consumers — grow with
+    // the corpus)
+    val auto = Similarity.trainCentroids(emb, "embedding",
+      maxIter = 3, targetCell = 100)
+    assert(auto.count() == math.ceil(emb.count() / 100.0).toLong)
+    // auto k is bounded by trainCap/4 (k-means cannot place more
+    // centroids than a fraction of its training points)
+    val capped = Similarity.trainCentroids(emb, "embedding",
+      maxIter = 1, trainCap = 8, targetCell = 1)
+    assert(capped.count() == 2) // min(500 wanted, 8/4)
+    // assignment still covers every row under the auto codebook
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", auto)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cid").distinct().count() <= auto.count())
+  }
 }
