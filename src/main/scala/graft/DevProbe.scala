@@ -1428,7 +1428,7 @@ object DevProbe {
     }
     val drops = timed("stage 2: mutual-NN pairs -> drops (collect to cut)") {
       val d = sim.mutualNearestPairs(corpus, "vec_id", "embedding",
-          "label", dim = 64)
+          "label", maxBlock = 4096, dim = 64)
         .where(col("cos") >= 0.99)
         .select(col("id1").as("vec_id")).distinct().localCheckpoint()
       d.count(); d

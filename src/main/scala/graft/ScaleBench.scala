@@ -80,7 +80,8 @@ object ScaleBench {
     * measured 18.0× in round 11; the auto codebook must bring the same
     * chain to ~linear). */
   val DefaultQueries: Seq[String] = Seq(
-    "q_x_pipeline4", "q_x_pagerank", "q_x_golden", "q_x_dbscan",
+    "q_x_pipeline4", "q_x_pipeline4_auto",
+    "q_x_pagerank", "q_x_golden", "q_x_dbscan",
     "q_a_trimmed", "q_x_hits", "q_x_pipeline3", "q_x_pipeline3_auto",
     "q_x_entity",
     "q_x_semdedup", "q_x_bpe", "q_x_mnn_ivf", "q_x_dedup_eval",

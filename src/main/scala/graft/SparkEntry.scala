@@ -3550,7 +3550,7 @@ object SparkEntry {
       graft.operators.Similarity.requireBlocksWithin(
         e, "label", 4096, "q_x_mutual_nn")
       graft.operators.Similarity.mutualNearestPairs(
-          e, "vec_id", "embedding", "label")
+          e, "vec_id", "embedding", "label", maxBlock = 4096)
         .orderBy(col("id1"))
     }),
 
@@ -3577,7 +3577,8 @@ object SparkEntry {
       graft.operators.Similarity.requireBlocksWithin(
         e, "label", 4096, "q_x_knn_graph")
       graft.operators.Similarity.knnGraph(
-          e, "vec_id", "embedding", "label", k = 3, dim = 64)
+          e, "vec_id", "embedding", "label", k = 3, maxBlock = 4096,
+          dim = 64)
         .orderBy(col("id"), col("rank"))
     }),
 
@@ -3635,7 +3636,7 @@ object SparkEntry {
           col("embedding")))
       sim.requireBlocksWithin(corpus, "label", 4096, "q_x_pipeline4")
       val drops = sim.mutualNearestPairs(corpus, "vec_id", "embedding",
-          "label", dim = 64)
+          "label", maxBlock = 4096, dim = 64)
         .where(col("cos") >= 0.99)
         .select(col("id1").as("vec_id")).distinct()
       // materialize the (tiny) survivor set once: the k selection
@@ -3674,7 +3675,7 @@ object SparkEntry {
           col("embedding")))
       sim.requireBlocksWithin(corpus, "label", 4096, "q_x_dedup_sweep")
       sim.dedupThresholdCurve(corpus, "vec_id", "embedding", "label",
-        thresholds = Seq(0.4, 0.45, 0.5, 0.999), dim = 64)
+        thresholds = Seq(0.4, 0.45, 0.5, 0.999), maxBlock = 4096, dim = 64)
     }),
 
     // X-mnnivf: the PRODUCTION MNN composition — quantizer training
@@ -3708,6 +3709,59 @@ object SparkEntry {
       graft.operators.Similarity.pcaIvfMnnGate(t(s, dir, "embeddings"), dir,
           kIvf = 0)
         .orderBy(col("id1"))),
+
+    // X-pipeline4-auto: the annotation-budget chain on the PRODUCTION
+    // defaults — mutualNearestPairs' maxBlock auto-resolves to
+    // DefaultMnnBlock (256), the cap the sf1 p4bisect rung priced at
+    // 7.1 s where the gate-pinned 4096 exact regime pays 40.5 s
+    // (labels are fixed-cardinality, so exact blocks grow with the
+    // corpus). NO fixture guard: the oracle is the stage-by-stage
+    // BOUNDED twin (census → bits → sub-bucket signs → overflow
+    // window → directed top-1 → mutual), which describes the engine
+    // exactly whether refinement engages or not — below the cap it
+    // degenerates to the all-pairs replay. ScaleBench runs this gate
+    // at the 10× fixture where refinement IS engaged.
+    "q_x_pipeline4_auto" -> ((s, dir) => {
+      val sim = graft.operators.Similarity
+      val e = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val corpus = e.unionByName(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+          col("embedding")))
+      val drops = sim.mutualNearestPairs(corpus, "vec_id", "embedding",
+          "label", dim = 64)
+        .where(col("cos") >= 0.99)
+        .select(col("id1").as("vec_id")).distinct()
+      val survivors = corpus.join(drops, Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding").localCheckpoint()
+      graft.operators.Selection.farthestFirst(
+          survivors, "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))
+    }),
+
+    // X-pipeline4-capped: the REFINEMENT PATH of the chain above under
+    // the gate at fixture scale — a deliberately tiny cap (maxBlock=16
+    // over ~65-row label blocks) forces sub-bucketing through the same
+    // stages the sf1 auto run takes, so the bounded twin's refinement
+    // SQL is verified non-vacuously (the q_x_semdedup_capped recipe
+    // extended to mutual-top-1 + k-center). The planted exact copies
+    // share every sub-bucket sign, so the dedup stays real under the
+    // cap.
+    "q_x_pipeline4_capped" -> ((s, dir) => {
+      val sim = graft.operators.Similarity
+      val e = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val corpus = e.unionByName(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+          col("embedding")))
+      val drops = sim.mutualNearestPairs(corpus, "vec_id", "embedding",
+          "label", maxBlock = 16, dim = 64)
+        .where(col("cos") >= 0.99)
+        .select(col("id1").as("vec_id")).distinct()
+      val survivors = corpus.join(drops, Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding").localCheckpoint()
+      graft.operators.Selection.farthestFirst(
+          survivors, "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))
+    }),
 
     // T-forecast: seasonal-naive backtest — (dow, hour) profile fit on
     // the even half, MAE/bias scored on the odd half; the mandatory
@@ -8270,6 +8324,17 @@ object SparkEntry {
           |  SELECT vec_id, embedding FROM base
           |  WHERE vec_id NOT IN (SELECT vec_id FROM drops))""".stripMargin),
 
+    // dedup → k-center pipeline, BOUNDED MNN: the stage-by-stage
+    // refinement twin (census → bits → signs → overflow window →
+    // directed top-1 → mutual) — describes the engine exactly at ANY
+    // fixture scale; below the cap it degenerates to all-pairs
+    "q_x_pipeline4_auto" -> pipeline4BoundedOracleSql(
+      graft.operators.Similarity.DefaultMnnBlock),
+
+    // same twin at the deliberately tiny cap — refinement engaged at
+    // gate scale, so the bounded SQL stages verify non-vacuously
+    "q_x_pipeline4_capped" -> pipeline4BoundedOracleSql(16),
+
     // MNN over trained IVF blocks: dump-time twin from the memoized
     // centroids — same raw-cosine argmax assignment (fold order, ties
     // to lowest cid) and the same block-scoped MNN
@@ -8823,6 +8888,30 @@ object SparkEntry {
   /** Shared twin for the two ANN contract gates (both probe the
     * vec_id=0 embedding at k=10): the exact brute-force top-10 plus
     * the literal contract columns. */
+  /** Twin of the q_x_pipeline4_auto / q_x_pipeline4_capped chain: the
+    * planted base corpus, [[graft.operators.Similarity.mnnBoundedOracleCtes]]
+    * at the gate's cap (the refinement replicated stage by stage),
+    * keep-the-newest drops over the mutual pairs, then the unrolled
+    * farthest-first selection CTEs over the survivor relation. */
+  private def pipeline4BoundedOracleSql(maxBlock: Int): String =
+    graft.operators.Selection.farthestFirstOracleSql(
+      "survivors", "vec_id", "embedding", k = 8, ctePrefix =
+        """base AS MATERIALIZED (
+          |  SELECT vec_id, label, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000, label, embedding FROM embeddings
+          |  WHERE vec_id < 20),
+          |""".stripMargin +
+        graft.operators.Similarity.mnnBoundedOracleCtes(
+          "base", "label", "vec_id", "embedding", dim = 64,
+          maxBlock = maxBlock, overflowWindow = 16) +
+        """,
+          |drops AS (
+          |  SELECT DISTINCT id1 AS vec_id FROM mnn WHERE cos >= 0.99),
+          |survivors AS MATERIALIZED (
+          |  SELECT vec_id, embedding FROM base
+          |  WHERE vec_id NOT IN (SELECT vec_id FROM drops))""".stripMargin)
+
   private def annContractOracleSql: String =
     """WITH brute AS (
       |  SELECT vec_id,

@@ -317,8 +317,11 @@ object Similarity {
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
     val assigned = ivfAssign(emb.select("vec_id", "embedding"),
       "vec_id", "embedding", cdf)
+    // explicit exact-regime cap: the dump-time twin replays ALL pairs
+    // within cells, valid only while nothing refines (guard above)
     requireBlocksWithin(assigned, "cid", 4096, "q_x_mnn_ivf")
-    mutualNearestPairs(assigned, "vec_id", "embedding", "cid", dim = dim)
+    mutualNearestPairs(assigned, "vec_id", "embedding", "cid",
+      maxBlock = 4096, dim = dim)
   }
 
   /** Generated twin of [[mnnIvfGate]]: the trained centroids inline as
@@ -421,8 +424,11 @@ object Similarity {
     val cdf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cvec")
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
     val assigned = ivfAssign(proj, "vec_id", "pvec", cdf)
+    // explicit exact-regime cap: both pipeline3 twins replay all pairs
+    // within cells (the auto path keeps cells ~targetCell-sized anyway)
     requireBlocksWithin(assigned, "cid", 4096, "q_x_pipeline3")
-    mutualNearestPairs(assigned, "vec_id", "pvec", "cid", dim = kPca)
+    mutualNearestPairs(assigned, "vec_id", "pvec", "cid",
+      maxBlock = 4096, dim = kPca)
   }
 
   /** Generated twin of [[pcaIvfMnnGate]]: the PCA components/offsets
@@ -516,6 +522,20 @@ object Similarity {
   // mutual-NN refinement) must bound the block size, because with a
   // fixed cluster/label/bucket count the blocks grow linearly with the
   // corpus and the within-block pair volume re-emerges as corpus².
+
+  /** Production block cap for the block-scoped quadratic operators
+    * ([[mutualNearestPairs]], [[knnGraph]], [[dedupThresholdCurve]]
+    * with `maxBlock = 0`): 256 candidates/row, the [[suggestedNlist]]
+    * targetCell twin for block keys the caller CANNOT resize (labels,
+    * pinned codebooks). Measured at the sf1 p4bisect rung: the 4096
+    * exact regime pays 40.5 s where this cap does the same label-block
+    * dedup in 7.1 s (§8.15); past the cap, recall follows the
+    * [[refineOversizedBlocks]] sub-bucket contract. */
+  val DefaultMnnBlock: Int = 256
+
+  /** `maxBlock = 0` → [[DefaultMnnBlock]]; explicit caps pass through. */
+  def resolvedBlockCap(maxBlock: Int): Int =
+    if (maxBlock > 0) maxBlock else DefaultMnnBlock
 
   /** Plane count reserved by [[refineOversizedBlocks]]: 12 sub-bucket
     * planes (splits up to 4096× over budget) + 1 overflow-sort
@@ -664,15 +684,17 @@ object Similarity {
     * threshold list, one keyed aggregate.
     *
     * Thresholds with zero drops emit no row (both engines agree).
+    * `maxBlock = 0` auto-resolves to [[DefaultMnnBlock]] (see
+    * [[mutualNearestPairs]]).
     * Output: (threshold, n_dropped). */
   def dedupThresholdCurve(df: DataFrame, idCol: String, vecCol: String,
-      groupCol: String, thresholds: Seq[Double], maxBlock: Int = 4096,
+      groupCol: String, thresholds: Seq[Double], maxBlock: Int = 0,
       overflowWindow: Int = 16, dim: Int = 0): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val planes = subBucketPlanes(d)
     val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
-      maxBlock, planes)
+      resolvedBlockCap(maxBlock), planes)
     val pairs = boundedBlockPairs(refined, overflowWindow, planes.last)
       .select(col("id2"),
         round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"))
@@ -714,9 +736,18 @@ object Similarity {
     * dimension with one 1-row job ([[inferDim]]); pass it explicitly
     * on action-free hot paths.
     *
+    * `maxBlock = 0` (the DEFAULT) auto-resolves to
+    * [[DefaultMnnBlock]]: a FIXED-cardinality block key (a label
+    * column, a pinned codebook) grows its blocks linearly with the
+    * corpus, and exact within-block search is block² — the p4bisect
+    * rung priced the 4096 exact regime at 40.5 s where the 256-bounded
+    * path does the same dedup in 7.1 s at sf1 (§8.15). Gates that need
+    * the exact regime (their oracles replay all pairs) pass an
+    * explicit cap and guard it with [[requireBlocksWithin]].
+    *
     * Output: (groupCol, id1, id2, cos) with id1 < id2. */
   def mutualNearestPairs(df: DataFrame, idCol: String, vecCol: String,
-      groupCol: String, maxBlock: Int = 4096, overflowWindow: Int = 16,
+      groupCol: String, maxBlock: Int = 0, overflowWindow: Int = 16,
       dim: Int = 0): DataFrame = {
     val top1 = rankedNeighbors(df, idCol, vecCol, groupCol, maxBlock,
         overflowWindow, dim)
@@ -730,6 +761,100 @@ object Similarity {
         col("x.__idb").as("id2"), col("x.cos").as("cos"))
   }
 
+  /** Generated oracle CTEs for the BOUNDED [[mutualNearestPairs]] —
+    * the refinement path itself under the gate, the
+    * [[Clustering.semanticDedupCappedOracleSql]] recipe extended to
+    * mutual-top-1: block census, integer-exact bit count, sub-bucket
+    * signs over the same plane literals, all-pairs inside fitting
+    * sub-buckets, the sorted-neighborhood window inside overflow ones,
+    * then DIRECTED round-6 scoring, the (cos DESC, idb) top-1 window,
+    * and the mutual join. Appends to a caller-provided CTE named
+    * `baseName` with columns (`blockCol`, `idCol`, `vecCol`); the
+    * final CTE `mnn` has columns (`blockCol`, id1, id2, cos) with
+    * id1 < id2 — exactly [[mutualNearestPairs]]' output. */
+  def mnnBoundedOracleCtes(baseName: String, blockCol: String,
+      idCol: String, vecCol: String, dim: Int, maxBlock: Int,
+      overflowWindow: Int): String = {
+    val planes = subBucketPlanes(dim)
+    val maxBits = planes.length - 1
+    def fold(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST($x.$vecCol[i] AS DOUBLE) * CAST($y.$vecCol[i] AS DOUBLE)),
+         |      (a, b) -> a + b)""".stripMargin
+    def cosExpr(x: String, y: String) =
+      s"""ROUND(${fold(x, y)}
+         |    / (sqrt(${fold(x, x)})
+         |     * sqrt(${fold(y, y)})), 6)""".stripMargin
+    def planeFold(v: String, p: Array[Float]) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST($v.$vecCol[i] AS DOUBLE) * ([${p.map(_.toDouble.toString).mkString(", ")}])[i]),
+         |        (a, b) -> a + b)""".stripMargin
+    val plRows = planes.init.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""pl AS (SELECT * FROM (VALUES
+       |    $plRows) t(pid, pv)),
+       |cs1 AS (SELECT $blockCol, count(*) AS n FROM $baseName GROUP BY 1),
+       |bt AS (
+       |  SELECT $blockCol, CASE WHEN n <= $maxBlock THEN 0
+       |    ELSE LEAST($maxBits,
+       |      length(printf('%b', (n + ${maxBlock - 1}) // $maxBlock - 1)))
+       |    END AS b
+       |  FROM cs1),
+       |sg AS (
+       |  SELECT e.$idCol, e.$blockCol,
+       |    SUM(CASE WHEN p.pid < b.b AND ROUND(
+       |        list_reduce(list_transform(range(1, ${dim + 1}),
+       |          i -> CAST(e.$vecCol[i] AS DOUBLE) * p.pv[i]),
+       |          (x, y) -> x + y), 9) > 0
+       |      THEN (1::BIGINT << p.pid) ELSE 0 END) AS sub
+       |  FROM $baseName e JOIN bt b USING ($blockCol)
+       |  CROSS JOIN pl p
+       |  GROUP BY e.$idCol, e.$blockCol),
+       |cs2 AS (SELECT $blockCol, sub, count(*) AS n2 FROM sg GROUP BY 1, 2),
+       |wc AS (
+       |  SELECT s.$idCol, s.$blockCol, s.sub, (c.n2 > $maxBlock) AS ovf,
+       |    e.$vecCol
+       |  FROM sg s JOIN cs2 c USING ($blockCol, sub)
+       |  JOIN $baseName e USING ($idCol)),
+       |np AS (
+       |  SELECT x.$blockCol, x.$idCol AS id1, y.$idCol AS id2,
+       |    ${cosExpr("x", "y")} AS cos
+       |  FROM wc x JOIN wc y
+       |    ON x.$blockCol = y.$blockCol AND x.sub = y.sub
+       |   AND x.$idCol < y.$idCol
+       |  WHERE NOT x.ovf),
+       |ovr AS (
+       |  SELECT $idCol, $blockCol, sub, $vecCol,
+       |    row_number() OVER (PARTITION BY $blockCol, sub
+       |      ORDER BY ROUND(${planeFold("wc", planes.last)}, 9), $idCol) AS rn
+       |  FROM wc WHERE ovf),
+       |op AS (
+       |  SELECT x.$blockCol,
+       |    LEAST(x.$idCol, y.$idCol) AS id1,
+       |    GREATEST(x.$idCol, y.$idCol) AS id2,
+       |    ${cosExpr("x", "y")} AS cos
+       |  FROM ovr x JOIN ovr y
+       |    ON x.$blockCol = y.$blockCol AND x.sub = y.sub
+       |   AND y.rn > x.rn AND y.rn <= x.rn + $overflowWindow),
+       |cand AS (SELECT * FROM np UNION ALL SELECT * FROM op),
+       |dirs AS (
+       |  SELECT $blockCol, id1 AS ida, id2 AS idb, cos FROM cand
+       |  UNION ALL
+       |  SELECT $blockCol, id2 AS ida, id1 AS idb, cos FROM cand),
+       |t1 AS (
+       |  SELECT $blockCol, ida, idb, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $blockCol, ida
+       |      ORDER BY cos DESC, idb) AS rn FROM dirs)
+       |  WHERE rn = 1),
+       |mnn AS (
+       |  SELECT x.$blockCol, x.ida AS id1, x.idb AS id2, x.cos AS cos
+       |  FROM t1 x JOIN t1 y
+       |    ON x.$blockCol = y.$blockCol
+       |   AND x.ida = y.idb AND x.idb = y.ida
+       |  WHERE x.ida < x.idb)""".stripMargin
+  }
+
   /** k-NN GRAPH within groups: per node, its top-`k` cosine neighbors
     * (rank 1..k, ties to the lowest neighbor id) — the adjacency that
     * downstream graph curation (connected-component dedup families,
@@ -739,12 +864,13 @@ object Similarity {
     * work never exceeds max(maxBlock, 2·overflowWindow) regardless of
     * group sizes; exact within groups below `maxBlock`. Nodes whose
     * block yields fewer than k candidates emit fewer rows; singleton
-    * blocks emit none.
+    * blocks emit none. `maxBlock = 0` auto-resolves to
+    * [[DefaultMnnBlock]] (see [[mutualNearestPairs]]).
     *
     * Output: (groupCol, id, rank, nbr, cos) ordered by nothing —
     * callers sort. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
-      groupCol: String, k: Int, maxBlock: Int = 4096,
+      groupCol: String, k: Int, maxBlock: Int = 0,
       overflowWindow: Int = 16, dim: Int = 0): DataFrame = {
     require(k >= 1 && k <= 100, s"need 1 <= k <= 100, got $k")
     rankedNeighbors(df, idCol, vecCol, groupCol, maxBlock,
@@ -767,7 +893,7 @@ object Similarity {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val planes = subBucketPlanes(d)
     val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
-      maxBlock, planes)
+      resolvedBlockCap(maxBlock), planes)
     val und = boundedBlockPairs(refined, overflowWindow, planes.last)
     val scored = und
       .select(col("__g"), col("id1").as("__ida"), col("id2").as("__idb"),

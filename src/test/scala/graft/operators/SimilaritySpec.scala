@@ -162,6 +162,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 2L), (10L, 11L)))
   }
 
+  test("maxBlock = 0 auto-resolves to DefaultMnnBlock; explicit caps pass through") {
+    assert(Similarity.DefaultMnnBlock == 256)
+    assert(Similarity.resolvedBlockCap(0) == Similarity.DefaultMnnBlock)
+    assert(Similarity.resolvedBlockCap(-3) == Similarity.DefaultMnnBlock)
+    assert(Similarity.resolvedBlockCap(16) == 16)
+    assert(Similarity.resolvedBlockCap(4096) == 4096)
+  }
+
+  test("auto-cap mutualNearestPairs is exact below DefaultMnnBlock (== explicit 4096)") {
+    // one 60-row label block (under the 256 auto cap): the production
+    // default must not refine, so its pairs equal the exact regime's
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, 0, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val auto = Similarity.mutualNearestPairs(rows, "vec_id", "embedding",
+        "label", dim = 8)
+      .select("id1", "id2", "cos").collect().map(_.toSeq).toSet
+    val exact = Similarity.mutualNearestPairs(rows, "vec_id", "embedding",
+        "label", maxBlock = 4096, dim = 8)
+      .select("id1", "id2", "cos").collect().map(_.toSeq).toSet
+    assert(auto == exact && auto.nonEmpty)
+  }
+
   test("mutualNearestPairs refines an oversized group; candidates stay bounded") {
     // one 302-row label group, cap 32: the hyperplane sub-split must
     // engage (no unrefined 302-row all-pairs), the planted exact-copy
