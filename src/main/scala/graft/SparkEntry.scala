@@ -1012,6 +1012,45 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // X-h264: COMPRESSED-video structural decode — Annex-B NAL walk,
+    // exp-Golomb SPS parse (profile/level/dims/crop/VUI-fps), per-picture
+    // frame counting via first_mb_in_slice, IDR detection, and the
+    // keyframe byte-range index (the seek table that makes keyframe
+    // sampling over object storage a range-GET, not a decode). ORACLED
+    // against closed-form goldens ([[H264.goldens]]: generation
+    // parameters + exp-Golomb length arithmetic, no parser in the loop);
+    // the index side is cross-checked in-plan (n_index_consistent: the
+    // NAL-walk frame count must equal the SPS-side parse's per media).
+    // Pixel-level slice decode stays behind the documented codec seam.
+    "q_x_h264" -> ((s, dir) => {
+      val h = graft.operators.H264
+      val media = h.syntheticH264(s, 120).cache()
+      val sizes = media.toDF().select(col("media_id"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+      val dec = h.decodeH264(media)
+      val kfAgg = h.keyframeIndex(media).groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_indexed"))
+      dec.join(sizes, Seq("media_id"))
+        .join(kfAgg, Seq("media_id"), "left")
+        .na.fill(0L, Seq("n_indexed"))
+        .groupBy(col("profile_idc"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("n_frames").cast("long")).as("n_frames"),
+          sum(col("n_idr").cast("long")).as("n_idr"),
+          sum(col("n_vcl").cast("long")).as("n_vcl"),
+          sum(col("duration_ms").cast("long")).as("duration_ms"),
+          round(sum(col("avg_vcl_bytes").cast("decimal(27,12)"))
+            .cast("double") / count(lit(1)), 3).as("avg_vcl_bytes"),
+          sum(when(col("n_frames") === col("n_indexed"), 1L).otherwise(0L))
+            .as("n_index_consistent"))
+        .orderBy(col("profile_idc"))
+    }),
+
     // X-sim: hyperplane-LSH ANN top-k, gated through its recall
     // contract (SimilaritySpec additionally asserts recall on planted
     // fixtures)
@@ -5189,6 +5228,13 @@ object SparkEntry {
     // hand-copied constants to drift)
     "q_x_multimodal" ->
       graft.operators.Multimodal.goldensAggregateSql(300),
+
+    // H.264 structural decode goldens: same engine-seeded closure pattern
+    // — dims/fps/frame counts ARE the generation parameters, VCL NAL
+    // lengths are closed-form exp-Golomb arithmetic, no parser in the
+    // oracle loop ([[graft.operators.H264.goldens]])
+    "q_x_h264" ->
+      graft.operators.H264.goldenAggregateSql(120),
 
     // native xxhash64 sketch paths: planted corpus + independently-
     // computed golden VALUES tables (same closure pattern as the

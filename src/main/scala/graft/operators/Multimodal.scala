@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` readers — no external codec dependency.
   * [[decodeMedia]] recovers the headers and computes genuine signal
   * statistics (mean pixel value, RMS amplitude, mean luma across frames).
-  * Compressed audio/video codecs (H.264/AAC) would plug into the same
-  * per-batch setup seam; [[decodeStub]] remains only as the deterministic
-  * feature-vector placeholder inside [[extractFeatures]].
+  * Compressed video gets a REAL structural decode too: [[H264]] parses
+  * Annex-B H.264 elementary streams (NAL walk, exp-Golomb SPS, VUI
+  * timing, per-picture frame counting) with pure bit arithmetic — only
+  * pixel-level slice-data decode (CABAC/CAVLC) remains behind the
+  * per-batch plug-in seam, as does AAC audio; [[decodeStub]] remains only
+  * as the deterministic feature-vector placeholder inside
+  * [[extractFeatures]].
   */
 object Multimodal {
 
@@ -493,6 +497,12 @@ object Multimodal {
             case "video" => parseY4m(r.bytes).map { case (w, h, nf, dur, luma) =>
               DecodedMedia(r.media_id, r.kind, ok = true, w, h, 12, // YUV420 bits/px
                 0, 0, dur, nf, luma) }
+            case "h264" => H264.parse(r.bytes).map { m =>
+              // structural decode: signal_stat is mean VCL NAL bytes (a
+              // bitrate proxy); pixel stats stay behind the codec seam
+              DecodedMedia(r.media_id, r.kind, ok = true,
+                m.sps.width, m.sps.height, 12,
+                0, 0, m.durationMs, m.nFrames, m.avgVclBytes) }
             case _ => None
           }
           parsed.getOrElse(DecodedMedia(r.media_id, r.kind, ok = false,
