@@ -1051,6 +1051,33 @@ object SparkEntry {
         .orderBy(col("profile_idc"))
     }),
 
+    // X-adts: COMPRESSED-audio structural decode — the AAC counterpart
+    // of q_x_h264: ADTS syncword walk, fixed-header parse (profile /
+    // sampling-frequency-index table / channel config), frame-length
+    // hop, 1024-samples-per-block duration. ORACLED against closed-form
+    // goldens ([[Adts.goldens]] — pure generation-parameter arithmetic,
+    // no parser in the loop). Spectral/Huffman decode stays behind the
+    // per-batch codec seam.
+    "q_x_adts" -> ((s, dir) => {
+      val a = graft.operators.Adts
+      val media = a.syntheticAdts(s, 150).cache()
+      val sizes = media.toDF().select(col("media_id"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+      a.decodeAdts(media).join(sizes, Seq("media_id"))
+        .groupBy(col("sample_rate"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_decoded"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("n_channels").cast("long")).as("sum_channels"),
+          sum(col("n_frames").cast("long")).as("n_frames"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("duration_ms").cast("long")).as("duration_ms"),
+          round(sum(col("avg_frame_bytes").cast("decimal(27,12)"))
+            .cast("double") / count(lit(1)), 3).as("avg_frame_bytes"))
+        .orderBy(col("sample_rate"))
+    }),
+
     // X-sim: hyperplane-LSH ANN top-k, gated through its recall
     // contract (SimilaritySpec additionally asserts recall on planted
     // fixtures)
@@ -5235,6 +5262,11 @@ object SparkEntry {
     // oracle loop ([[graft.operators.H264.goldens]])
     "q_x_h264" ->
       graft.operators.H264.goldenAggregateSql(120),
+
+    // AAC-ADTS goldens: everything is generation parameters + arithmetic
+    // (frame bytes = header + payload; duration = blocks·1024/rate)
+    "q_x_adts" ->
+      graft.operators.Adts.goldenAggregateSql(150),
 
     // native xxhash64 sketch paths: planted corpus + independently-
     // computed golden VALUES tables (same closure pattern as the

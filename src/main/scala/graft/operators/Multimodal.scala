@@ -497,6 +497,11 @@ object Multimodal {
             case "video" => parseY4m(r.bytes).map { case (w, h, nf, dur, luma) =>
               DecodedMedia(r.media_id, r.kind, ok = true, w, h, 12, // YUV420 bits/px
                 0, 0, dur, nf, luma) }
+            case "aac" => Adts.parse(r.bytes).map { m =>
+              // structural decode: signal_stat is mean ADTS frame bytes
+              DecodedMedia(r.media_id, r.kind, ok = true, 0, 0, 0,
+                m.sampleRate, m.channels, m.durationMs, m.nFrames,
+                m.avgFrameBytes) }
             case "h264" => H264.parse(r.bytes).map { m =>
               // structural decode: signal_stat is mean VCL NAL bytes (a
               // bitrate proxy); pixel stats stay behind the codec seam
