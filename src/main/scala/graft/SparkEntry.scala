@@ -1078,6 +1078,39 @@ object SparkEntry {
         .orderBy(col("sample_rate"))
     }),
 
+    // X-mp4: ISO-BMFF container probe — the at-rest format video
+    // corpora arrive in: box-tree walk (32/64-bit sizes), per-track
+    // tkhd/mdhd/hdlr/stsd/stts parse, and the avcC decoder-config
+    // record whose embedded SPS runs through H264.parseSps so
+    // container-declared dims are CROSS-CHECKED against the bitstream
+    // (`sps_consistent`). ORACLED against closed-form goldens
+    // ([[Mp4.goldens]]); sample data (mdat) is never read — the probe
+    // is the few-KB range-GET that inventories a 100 TB corpus.
+    "q_x_mp4" -> ((s, dir) => {
+      val m = graft.operators.Mp4
+      val media = m.syntheticMp4(s, 100).cache()
+      val sizes = media.toDF().select(col("media_id"),
+        length(col("bytes")).cast("long").as("file_bytes"))
+      m.probeMp4(media).join(sizes, Seq("media_id"))
+        .groupBy(col("codec"))
+        .agg(
+          count(lit(1)).as("n"),
+          // one file total per media item: attribute bytes to the video row
+          sum(when(col("codec") === "avc1", col("file_bytes"))
+            .otherwise(0L)).as("total_bytes"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("sample_rate").cast("long")).as("sum_rate"),
+          sum(col("n_channels").cast("long")).as("sum_channels"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("duration_ms").cast("long")).as("duration_ms"),
+          sum(when(col("codec") === "avc1" &&
+            col("sps_width") === col("width") &&
+            col("sps_height") === col("height"), 1L).otherwise(0L))
+            .as("sps_consistent"))
+        .orderBy(col("codec"))
+    }),
+
     // X-sim: hyperplane-LSH ANN top-k, gated through its recall
     // contract (SimilaritySpec additionally asserts recall on planted
     // fixtures)
@@ -2329,6 +2362,15 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))
     }),
+
+    // S-footers: parquet ROW-GROUP METADATA probe — per-column chunk
+    // census (value/null counts, compressed/uncompressed bytes) read
+    // from footers only, never data pages; one task per file batch, so
+    // a million-file lake inventories in a map pass. ORACLED against
+    // DuckDB's own parquet_metadata() over the SAME file — a genuinely
+    // independent footer reader, not a self-computed golden.
+    "q_s_footers" -> ((s, dir) =>
+      graft.sources.ParquetMeta.gateProfile(s, dir)),
 
     // J-range: band (range) join — points equi-joined to quantized range
     // buckets then refined, instead of the BroadcastNestedLoopJoin a raw
@@ -5267,6 +5309,16 @@ object SparkEntry {
     // (frame bytes = header + payload; duration = blocks·1024/rate)
     "q_x_adts" ->
       graft.operators.Adts.goldenAggregateSql(150),
+
+    // MP4 container goldens: per-track generation parameters; file bytes
+    // via the shared writer, probe never runs in the oracle loop
+    "q_x_mp4" ->
+      graft.operators.Mp4.goldenAggregateSql(100),
+
+    // parquet footers: DuckDB's parquet_metadata() over the memoized
+    // gate path — an independent footer reader over the same bytes
+    "q_s_footers" ->
+      graft.sources.ParquetMeta.gateOracleSql(),
 
     // native xxhash64 sketch paths: planted corpus + independently-
     // computed golden VALUES tables (same closure pattern as the
