@@ -30,7 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  final case class KMeansResult(centroids: DataFrame, assignments: DataFrame)
+  final case class KMeansResult(centroids: DataFrame, assignments: DataFrame,
+      finalCentroids: Array[(Int, Array[Double])] = Array.empty) {
+    /** The same map-side nearest-centroid expression `assignments`
+      * uses, over an arbitrary vector column — lets a consumer that
+      * already holds the corpus attach cids in its own projection
+      * instead of equi-joining `assignments` back on the id (that join
+      * re-scans the corpus AND shuffles both sides by id for values a
+      * single codegen pass produces). cid == array index, ties to the
+      * lowest cid — identical to the assignment the loop trained. */
+    def assignExpr(vec: Column): Column =
+      graft.functions.VectorExprs.nearestCentroid(
+        vec.cast("array<double>"), finalCentroids.map(_._2))
+  }
 
   private def assignCol(cents: Array[(Int, Array[Double])], dim: Int): Column =
     // fused native expression (functions/VectorExprs.scala): one
@@ -90,7 +102,7 @@ object Clustering {
       .flatMap { case (cid, cv) => cv.zipWithIndex.map { case (c, p) => (cid, p, c) } }
       .toDF("cid", "pos", "c")
     val assignments = emb.select(col("vid").as(idCol), assignCol(cents, dim).as("cid"))
-    KMeansResult(centroids, assignments)
+    KMeansResult(centroids, assignments, cents)
   }
 
   /** The unrolled-CTE prefix shared by both oracle twins: init from the
@@ -187,8 +199,13 @@ object Clustering {
       else math.max(1, math.min(
         Similarity.suggestedNlist(corpus.count(), 256), 1 << 20))
     val km = kMeans(corpus, idCol, vecCol, kEff, dim, iters)
-    val withCid = corpus.select(col(idCol).as("__id"), col(vecCol).as("__e"))
-      .join(km.assignments.select(col(idCol).as("__id"), col("cid")), "__id")
+    // attach cids map-side with the trained-centroid expression: the
+    // previous equi-join against km.assignments re-derived the
+    // assignment relation from a SECOND corpus scan and shuffled both
+    // sides (vectors included) by id, for values the projection below
+    // computes in the same scan that feeds the refinement
+    val withCid = corpus.select(col(idCol).as("__id"), col(vecCol).as("__e"),
+      km.assignExpr(col(vecCol)).as("cid"))
     val planes = Similarity.subBucketPlanes(dim)
     val refined = Similarity.refineOversizedBlocks(withCid, "cid", "__id",
       "__e", maxBlock, planes)

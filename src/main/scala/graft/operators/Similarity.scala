@@ -753,12 +753,24 @@ object Similarity {
         overflowWindow, dim)
       .where(col("__rn") === 1)
       .select(col("__g"), col("__ida"), col("__idb"), col("cos"))
-    top1.alias("x").join(top1.alias("y"),
-        col("x.__ida") === col("y.__idb") &&
-          col("x.__idb") === col("y.__ida"))
-      .where(col("x.__ida") < col("x.__idb"))
-      .select(col("x.__g").as(groupCol), col("x.__ida").as("id1"),
-        col("x.__idb").as("id2"), col("x.cos").as("cos"))
+    // mutual check WITHOUT a top1 ⋈ top1 self-join: a self-join plans
+    // the whole candidate-scoring subtree TWICE (refinement, pair join,
+    // cosines, the top-1 window — measured as a doubled 300-operator
+    // subtree in the r12 before-plan). Each (g, a) holds at most one
+    // top-1 edge, so the unordered pair key (g, min, max) carries
+    // exactly 1 row (one direction) or 2 (mutual) — count == 2 IS the
+    // reciprocity test, one aggregate over the group-sized top-1
+    // relation. Both directions score the same unordered pair row, so
+    // their `cos` is the same value (cosine is term-commutative and the
+    // two directed rows are now exploded from one scored pair) — min()
+    // just picks it deterministically.
+    top1.groupBy(col("__g").as(groupCol),
+        least(col("__ida"), col("__idb")).as("id1"),
+        greatest(col("__ida"), col("__idb")).as("id2"))
+      .agg(count(lit(1)).as("__dirs"), min(col("cos")).as("cos"))
+      .where(col("__dirs") === 2)
+      .drop("__dirs")
+      .select(col(groupCol), col("id1"), col("id2"), col("cos"))
   }
 
   /** Generated oracle CTEs for the BOUNDED [[mutualNearestPairs]] —
@@ -895,12 +907,22 @@ object Similarity {
     val refined = refineOversizedBlocks(df, groupCol, idCol, vecCol,
       resolvedBlockCap(maxBlock), planes)
     val und = boundedBlockPairs(refined, overflowWindow, planes.last)
+    // ONE pass over the undirected pairs: score each pair once, then
+    // explode it into its two directed rows. The previous
+    // union-of-two-projections referenced `und` twice, planning and
+    // EXECUTING the whole refinement + pair-join subtree once per
+    // direction (and paying every cosine twice); cosine is
+    // term-commutative (IEEE multiply + a fixed-order index fold), so
+    // round(cos(v1,v2),6) and round(cos(v2,v1),6) were the same bits —
+    // the exploded copy is value-identical to the old second branch.
     val scored = und
-      .select(col("__g"), col("id1").as("__ida"), col("id2").as("__idb"),
-        round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"))
-      .unionByName(und
-        .select(col("__g"), col("id2").as("__ida"), col("id1").as("__idb"),
-          round(VectorExprs.cosine(col("v2"), col("v1")), 6).as("cos")))
+      .select(col("__g"),
+        round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"),
+        explode(array(
+          struct(col("id1").as("a"), col("id2").as("b")),
+          struct(col("id2").as("a"), col("id1").as("b")))).as("__dir"))
+      .select(col("__g"), col("__dir.a").as("__ida"),
+        col("__dir.b").as("__idb"), col("cos"))
     val w = Window.partitionBy(col("__g"), col("__ida"))
       .orderBy(col("cos").desc, col("__idb"))
     scored.withColumn("__rn", row_number().over(w))
