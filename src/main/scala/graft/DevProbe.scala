@@ -172,6 +172,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("hitsbisect")) {
+      hitsBisect(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpe")) {
       bpeProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L),
         args.lift(2).map(_.toInt).getOrElse(24))
@@ -1390,6 +1396,33 @@ object DevProbe {
     val out = graft.operators.Graph.pageRank(spark, e, iters = 5, cp)
       .orderBy(col("rank").desc, col("node")).limit(30).collect()
     println(f"[prbisect] total: ${(System.nanoTime() - t1) / 1e9}%.1f s top=${out.head.mkString(",")}")
+  }
+
+  /** HITS per-half-step bisect (`runMain graft.DevProbe hitsbisect
+    * [dir]`): times every half-step's checkpoint boundary over the
+    * q_x_hits mod-50 lineitem graph — separates the one-time adjacency
+    * build from the steady per-half-step cost (and shows whether the
+    * dst-side gather re-shuffles the cached src-partitioned adjacency
+    * each round). */
+  private def hitsBisect(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_orderkey") % 50).as("src"),
+        (col("l_partkey") % 50).as("dst"))
+      .where(col("src") =!= col("dst"))
+    var last = System.nanoTime()
+    var i = 0
+    val cp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+      val r = df.localCheckpoint()
+      i += 1
+      println(f"[hitsbisect] half-step $i: ${(System.nanoTime() - last) / 1e9}%.2f s")
+      last = System.nanoTime()
+      r
+    }
+    val t1 = System.nanoTime()
+    val out = graft.operators.Graph.hits(spark, e, iters = 3, cp)
+      .orderBy(col("node")).collect()
+    println(f"[hitsbisect] total: ${(System.nanoTime() - t1) / 1e9}%.1f s rows=${out.length}")
   }
 
   /** BPE learn-loop rung (`runMain graft.DevProbe bpe [n] [merges]`):

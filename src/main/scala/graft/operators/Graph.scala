@@ -67,22 +67,33 @@ object Graph {
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .cache()
-    val nodes = adj.select(col("src").as("node"))
-      .union(adj.select(col("dst").as("node"))).distinct().cache()
-    val nCount = nodes.agg(count(lit(1)).as("n"))
-    // the dangling-node SET is static across iterations — resolve the
-    // anti-join once instead of once per round (no forced broadcast:
-    // web graphs have dangling sets proportional to the node count)
-    val danglingNodes = nodes
-      .join(adj, nodes("node") === adj("src"), "left_anti").cache()
+    // node set + dangling flag in ONE union-aggregate pass: the old
+    // build ran a nodes distinct (one shuffle) AND a nodes ⋈ adj
+    // anti-join (a second pass over the edge set) for information one
+    // (node → has out-edges?) aggregate already yields. The flag then
+    // RIDES ON the ranks relation through every update, so the
+    // per-iteration dangling mass is a filter + 1-row aggregate of the
+    // already-checkpointed ranks — the old per-round semi-join against
+    // a cached dangling set is gone entirely.
+    val roles = adj.select(col("src").as("node"), lit(true).as("__out"))
+      .unionByName(adj.select(col("dst").as("node"), lit(false).as("__out")))
+      .groupBy(col("node")).agg(max(col("__out")).as("__out"))
+      .cache()
+    // N is loop-invariant: resolve it ONCE as a driver literal instead
+    // of re-aggregating the node set into a 1-row broadcast every
+    // iteration (each broadcast build was its own job per round).
+    // lit(1.0)/lit(N) folds to the same IEEE double the in-plan
+    // division produced.
+    val n = roles.count().toDouble
 
-    // r0 = round(1/N, 12), computed in-plan from the broadcast scalar
-    var ranks = nodes.crossJoin(broadcast(nCount))
-      .select(col("node"), round(lit(1.0) / col("n"), 12).as("rank"))
+    // r0 = round(1/N, 12)
+    var ranks = roles
+      .select(col("node"), col("__out"),
+        round(lit(1.0) / lit(n), 12).as("rank"))
 
     for (i <- 1 to iters) {
       // dangling mass: ranks of nodes with no out-edges, summed exactly
-      val dangling = ranks.join(danglingNodes, Seq("node"), "left_semi")
+      val dangling = ranks.filter(!col("__out"))
         .agg(coalesce(sum(col("rank").cast("decimal(28,12)")), lit(0))
           .cast("double").as("dang"))
       // merge-join against the cached src-partitioned adjacency: the
@@ -99,13 +110,12 @@ object Graph {
       // contribs back onto ranks itself — no per-round nodes join
       ranks = ranks
         .join(contribs, ranks("node") === contribs("dst"), "left")
-        .crossJoin(broadcast(nCount))
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("__out"),
           round(
-            lit(0.15) / col("n") +
+            lit(0.15) / lit(n) +
               lit(0.85) * (coalesce(col("contrib"), lit(0.0)) +
-                col("dang") / col("n")),
+                col("dang") / lit(n)),
             12).as("rank"))
       // every update rounds to 12 places with decimal-accumulated sums,
       // so the cut cannot change values — only kill the doubled lineage
@@ -115,9 +125,8 @@ object Graph {
     // the returned ranks is checkpointed (lineage cut), so the loop's
     // caches can be released instead of pinning storage for the session
     adj.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    danglingNodes.unpersist(blocking = false)
-    ranks
+    roles.unpersist(blocking = false)
+    ranks.select(col("node"), col("rank"))
   }
 
   /** The same loop as `iters` generated DuckDB CTE stages over an
@@ -174,12 +183,20 @@ object Graph {
     // repartition-first: one full-edge shuffle (see pageRank's adj note)
     val adj = edges.select(col("src"), col("dst"))
       .repartition(col("src")).distinct().cache()
+    // dst-partitioned twin: the hub half-step joins the adjacency on
+    // `dst`, and a cached src-partitioned relation re-SHUFFLES the full
+    // edge set for that join EVERY round once the node relation is too
+    // big to broadcast (exchange reuse never crosses the checkpoint
+    // boundary between iterations). One extra build shuffle buys
+    // `iters` join-side exchanges of the edge set.
+    val adjByDst = adj.repartition(col("dst")).cache()
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct().cache()
     val nCount = nodes.agg(count(lit(1)).as("n"))
     def halfStep(scores: DataFrame, joinSide: String,
         groupSide: String): DataFrame = {
-      val raw = adj.join(scores.withColumnRenamed("node", joinSide), joinSide)
+      val a = if (joinSide == "dst") adjByDst else adj
+      val raw = a.join(scores.withColumnRenamed("node", joinSide), joinSide)
         .groupBy(col(groupSide).as("node"))
         .agg(sum(round(col("v"), 12).cast("decimal(28,12)"))
           .cast("double").as("__raw"))
@@ -200,6 +217,7 @@ object Graph {
     val out = auth.withColumnRenamed("v", "authority")
       .join(hub.withColumnRenamed("v", "hub"), "node")
     adj.unpersist(blocking = false)
+    adjByDst.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
   }
