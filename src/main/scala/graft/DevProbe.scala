@@ -178,6 +178,12 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("lshbisect")) {
+      lshBisect(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpe")) {
       bpeProbe(spark, args.lift(1).map(_.toLong).getOrElse(2000000L),
         args.lift(2).map(_.toInt).getOrElse(24))
@@ -1396,6 +1402,39 @@ object DevProbe {
     val out = graft.operators.Graph.pageRank(spark, e, iters = 5, cp)
       .orderBy(col("rank").desc, col("node")).limit(30).collect()
     println(f"[prbisect] total: ${(System.nanoTime() - t1) / 1e9}%.1f s top=${out.head.mkString(",")}")
+  }
+
+  /** MinHash-LSH chain bisect (`runMain graft.DevProbe lshbisect
+    * [dir]`): stage-times the q_x_cluster_split/dup_clusters chain —
+    * candidates, verified pairs, connected components — each run twice
+    * in the same JVM (warm number is the honest one on this host). */
+  private def lshBisect(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[lshbisect] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    for (round <- 1 to 2) {
+      time(s"r$round candidates") {
+        val sh = d.select(col("doc_id"),
+          graft.operators.Dedup.shingles(col("text"), 3).as("sh"))
+        val sig = sh.select(col("doc_id"),
+          graft.operators.Dedup.minhashSignature(col("sh"), 64).as("sig"))
+        noop(graft.operators.Dedup.lshCandidates(
+          graft.operators.Dedup.lshBands(sig, "doc_id", "sig", 64, 16),
+          "doc_id"))
+      }
+      time(s"r$round neardups") {
+        noop(graft.operators.Dedup.minhashNearDups(d, "doc_id", "text"))
+      }
+      time(s"r$round clusters") {
+        noop(graft.operators.Dedup.nearDupClusters(d, "doc_id", "text"))
+      }
+    }
   }
 
   /** HITS per-half-step bisect (`runMain graft.DevProbe hitsbisect

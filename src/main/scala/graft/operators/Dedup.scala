@@ -531,9 +531,13 @@ object Dedup {
         .join(l.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nbr"))
-      val hopped = l.join(nbrMin, "id")
+      // the pointer jump reads the hopped labels on BOTH join sides —
+      // un-materialized, the full-edge neighbor-min join + aggregate
+      // above would execute twice per round (once per plan reference),
+      // doubling the dominant per-round cost; cut it once here
+      val hopped = checkpoint(l.join(nbrMin, "id")
         .select(col("id"), least(col("cluster"), col("nbr")).as("cluster"),
-          (col("nbr") < col("cluster")).as("__chg"))
+          (col("nbr") < col("cluster")).as("__chg")))
       hopped.alias("a")
         .join(hopped.select(col("id").as("__pid"),
           col("cluster").as("__pc")).alias("b"),
