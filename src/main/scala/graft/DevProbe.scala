@@ -178,6 +178,14 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("mnnab")) {
+      mnnAb(spark, args.lift(1).map(_.toInt).getOrElse(22000),
+        args.lift(2).map(_.toInt).getOrElse(8),
+        args.lift(3).map(_.toInt).getOrElse(16))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("lshbisect")) {
       lshBisect(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
       spark.stop()
@@ -1402,6 +1410,68 @@ object DevProbe {
     val out = graft.operators.Graph.pageRank(spark, e, iters = 5, cp)
       .orderBy(col("rank").desc, col("node")).limit(30).collect()
     println(f"[prbisect] total: ${(System.nanoTime() - t1) / 1e9}%.1f s top=${out.head.mkString(",")}")
+  }
+
+  /** Old-vs-new mutual-NN formulation A/B (`runMain graft.DevProbe
+    * mnnab [n] [blocks] [dim]`): the round-12 rewrite (score each pair
+    * once + explode directions + count==2 mutual check) against the
+    * pre-round-12 shape (two directed projections unioned + a top1
+    * self-join), interleaved twice in ONE JVM on a synthetic blocked
+    * corpus shaped like q_x_pipeline3 at sf1. Outputs must match
+    * exactly. */
+  private def mnnAb(spark: SparkSession, n: Int, blocks: Int,
+      dim: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sim = graft.operators.Similarity
+    val df = spark.range(n.toLong).select(col("id").as("vec_id"),
+        (col("id") % blocks).cast("int").as("cid"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          (sin(col("id") * i * 0.7) + cos(col("id") + i)).cast("float"))
+          .as("v"))
+      .localCheckpoint()
+    def noop(d: org.apache.spark.sql.DataFrame): Long = {
+      d.write.format("noop").mode("overwrite").save(); 0L
+    }
+    val planes = sim.subBucketPlanes(dim)
+    def oldMnn(): org.apache.spark.sql.DataFrame = {
+      val refined = sim.refineOversizedBlocks(df, "cid", "vec_id", "v",
+        4096, planes)
+      val und = sim.boundedBlockPairs(refined, 16, planes.last)
+      val scored = und
+        .select(col("__g"), col("id1").as("__ida"), col("id2").as("__idb"),
+          round(graft.functions.VectorExprs.cosine(col("v1"), col("v2")), 6)
+            .as("cos"))
+        .unionByName(und
+          .select(col("__g"), col("id2").as("__ida"), col("id1").as("__idb"),
+            round(graft.functions.VectorExprs.cosine(col("v2"), col("v1")), 6)
+              .as("cos")))
+      val w = Window.partitionBy(col("__g"), col("__ida"))
+        .orderBy(col("cos").desc, col("__idb"))
+      val top1 = scored.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("__g"), col("__ida"), col("__idb"), col("cos"))
+      top1.alias("x").join(top1.alias("y"),
+          col("x.__ida") === col("y.__idb") &&
+            col("x.__idb") === col("y.__ida"))
+        .where(col("x.__ida") < col("x.__idb"))
+        .select(col("x.__g").as("cid"), col("x.__ida").as("id1"),
+          col("x.__idb").as("id2"), col("x.cos").as("cos"))
+    }
+    def newMnn(): org.apache.spark.sql.DataFrame =
+      sim.mutualNearestPairs(df, "vec_id", "v", "cid", maxBlock = 4096,
+        dim = dim)
+    for (r <- 1 to 2) {
+      var t0 = System.nanoTime()
+      noop(oldMnn())
+      println(f"[mnnab] r$r old: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      noop(newMnn())
+      println(f"[mnnab] r$r new: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val a = oldMnn().orderBy(col("id1"), col("id2")).collect().toSeq
+    val b = newMnn().orderBy(col("id1"), col("id2")).collect().toSeq
+    println(s"[mnnab] rows old=${a.size} new=${b.size} equal=${a == b}")
   }
 
   /** MinHash-LSH chain bisect (`runMain graft.DevProbe lshbisect
