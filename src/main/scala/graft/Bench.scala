@@ -105,10 +105,6 @@ object Bench {
     }
     val results = names.map(n =>
       n -> samples(n).minOption.getOrElse(-1.0))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val meds = names.map(n => "\"" + n + "\":" + median(samples(n)))
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-REP totals: the sum of each full pass, in run order. A contended
     // driver window shows up as a rep spread (r9: 1.49× median/min) —
@@ -119,12 +115,24 @@ object Bench {
     // the sentinel samples bracket the reps: calib[0] before rep 1,
     // calib[i] right after rep i — reps+1 samples total
     val calibJson = calib.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val medPart = if (reps >= 3) s""","queries_median":$meds""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"rep_totals":$repsJson,"calib_sec":$calibJson,"queries":$qs$medPart,"sf":"$sfDir"}"""
+    // FULL per-query artifact: the SAME [min,median] pair format the
+    // compact line uses, over EVERY query (no byte budget) — the round-12
+    // driver comparison covered only the ~57 slowest because the compact
+    // line is capped at ~1900 bytes and the old full line used a
+    // different (min-only + separate medians) layout. One format, two
+    // sizes: a consumer that parses the compact line parses this file.
+    def r3v(v: Double): String = f"$v%.3f"
+    val totalMedAll = names.map(n => median(samples(n))).filter(_ >= 0).sum
+    val allPairs = results.sortBy(-_._2).map { case (k, v) =>
+      "\"" + k + "\":[" + r3v(v) + "," + r3v(median(samples(k))) + "]"
+    }.mkString(",")
+    val line = s"""{"metric":"total","value":${r3v(total)},"unit":"sec","reps":$reps,"rep_totals":$repsJson,"calib_sec":$calibJson,"total_median":${r3v(totalMedAll)},"n_queries":${names.size},"q_format":"[min,median]","sf":"$sfDir","queries":{$allPairs}}"""
     println(line)
     // the stdout line gets [info]-decorated under sbt, which defeats a
     // machine parse — also write the bare JSON to a file (SPARK_GRAFT_OUT
-    // overrides the default repo-root location)
+    // overrides the default repo-root location). The default lands in
+    // the repo root and IS committed each round, so the full per-query
+    // map travels with the round artifacts.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

@@ -205,6 +205,13 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("mnnstage")) {
+      mnnStageProbe(spark, args.lift(1).getOrElse("/root/repo/tmp/sf1"),
+        args.lift(2).map(_.toInt).getOrElse(4096))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("bpegate")) {
       bpeGateProbe(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
         args.lift(2).map(_.toInt).getOrElse(8))
@@ -1591,6 +1598,60 @@ object DevProbe {
           survivors, "vec_id", "embedding", k = 8)
         .orderBy(col("rank")).collect().length
     }
+  }
+
+  /** MNN stage-2 decomposition (`runMain graft.DevProbe mnnstage [dir]
+    * [maxBlock]`): the p4bisect rung names stage 2 (mutual-NN pairs) as
+    * the sf1 wall (42.9 s of 57.5); this times the SUB-stages of that
+    * stage against one materialized corpus — candidate pair volume and
+    * generation, +cosine scoring, +directed explode, +top-1 window —
+    * so the fix targets the dominant sub-stage, not a guess. Each rung
+    * replicates rankedNeighbors' exact expressions. */
+  private def mnnStageProbe(spark: SparkSession, dir: String,
+      maxBlock: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity
+    import graft.functions.VectorExprs
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      println(f"[mnnstage $dir/$maxBlock] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val corpus = e.unionByName(e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+        col("embedding"))).localCheckpoint()
+    corpus.count()
+    val planes = Similarity.subBucketPlanes(64)
+    def refined = Similarity.refineOversizedBlocks(corpus, "label",
+      "vec_id", "embedding", maxBlock, planes)
+    def und = Similarity.boundedBlockPairs(refined, 16, planes.last)
+    timed("a: refine census only")(noop(refined))
+    val nPairs = timed("b: candidate pair count")(und.count())
+    println(s"[mnnstage $dir/$maxBlock]    pairs = $nPairs")
+    timed("c: pairs, full noop (materialize pair rows + vectors)")(noop(und))
+    def scored = und
+      .select(col("__g"),
+        round(VectorExprs.cosine(col("v1"), col("v2")), 6).as("cos"),
+        explode(array(
+          struct(col("id1").as("a"), col("id2").as("b")),
+          struct(col("id2").as("a"), col("id1").as("b")))).as("__dir"))
+      .select(col("__g"), col("__dir.a").as("__ida"),
+        col("__dir.b").as("__idb"), col("cos"))
+    timed("d: + cosine + directed explode")(noop(scored))
+    val w = Window.partitionBy(col("__g"), col("__ida"))
+      .orderBy(col("cos").desc,
+        coalesce(col("__idb"), lit(Long.MinValue)).asc)
+    timed("e: + top-1 (rn == 1; TopK-rewritten)")(
+      noop(scored.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)))
+    timed("f: full mutualNearestPairs")(
+      noop(Similarity.mutualNearestPairs(corpus, "vec_id", "embedding",
+        "label", maxBlock = maxBlock, dim = 64)))
   }
 
   /** Gate-scale cadence adjudicator (`runMain graft.DevProbe bpegate

@@ -39,9 +39,15 @@ object Clustering {
       * re-scans the corpus AND shuffles both sides by id for values a
       * single codegen pass produces). cid == array index, ties to the
       * lowest cid — identical to the assignment the loop trained. */
-    def assignExpr(vec: Column): Column =
+    def assignExpr(vec: Column): Column = {
+      // fail at BUILD time, not deep inside an executor task: a result
+      // constructed without finalCentroids (the Array.empty default)
+      // would otherwise produce a nearest-of-zero-centroids expression
+      require(finalCentroids.nonEmpty,
+        "assignExpr needs finalCentroids — construct KMeansResult via kMeans()")
       graft.functions.VectorExprs.nearestCentroid(
         vec.cast("array<double>"), finalCentroids.map(_._2))
+    }
   }
 
   private def assignCol(cents: Array[(Int, Array[Double])], dim: Int): Column =

@@ -368,6 +368,15 @@ object Dedup {
     // explicitly rather than silently dropped by the null block key
     val rows = df.filter(col(strCol).isNotNull)
     val w = maxDist + 1
+    // the distincts below are LOAD-BEARING, not defensive: a pair CAN
+    // reach verify() more than once. The round-13 candidate "each pair
+    // meets exactly one final block" was property-tested
+    // (FuzzyPairUniqueSpec) and is FALSE — a short string's exact-group
+    // map entry is keyed by the whole string, which is also a PREFIX of
+    // longer chains whose parent block went oversized, so one row can
+    // cross two map entries for the same bucket (measured: 36 duplicate
+    // pairs on a 250-row adversarial corpus at maxBlock=3). Removing
+    // any of the three distincts changes hash-gated outputs.
     val verify = (cand: DataFrame) => cand
       .filter(col("id1") < col("id2") &&
         abs(length(col("s1")) - length(col("s2"))) <= maxDist)
@@ -505,10 +514,16 @@ object Dedup {
     * Each round is a bucket-keyed shuffle join + a labels-sized
     * self-join, never anything O(n²). The symmetric edge list is cached
     * once and labels are checkpointed per round through `checkpoint` to
-    * cut the iterative lineage. The default is `localCheckpoint` (fast,
-    * executor-local — fine single-node); a multi-executor deployment
-    * passes `IO.durableCheckpoint(_, dir)` so per-round state lands on
-    * durable shared storage and survives executor loss.
+    * cut the iterative lineage. `checkpoint` runs TWICE per round — once
+    * on the hopped labels (both pointer-jump sides read them; see
+    * round()) and once on the round output — so a durable checkpoint
+    * function pays two node-sized writes per round; the mid-round
+    * materialization is explicitly unpersisted as soon as the round
+    * output is materialized, so local blocks never accumulate across
+    * rounds. The default is `localCheckpoint` (fast, executor-local —
+    * fine single-node); a multi-executor deployment passes
+    * `IO.durableCheckpoint(_, dir)` so per-round state lands on durable
+    * shared storage and survives executor loss.
     *
     * Returns one row per node: (`id`, `cluster`) with `cluster` = the
     * minimum id reachable from `id`.
@@ -525,8 +540,10 @@ object Dedup {
       .agg(least(min(col("dst")), col("src")).as("cluster")))
 
     // one round: neighbor-min hop, then pointer jump through the
-    // hopped labels (label := min(label, label[label]))
-    def round(l: DataFrame): DataFrame = {
+    // hopped labels (label := min(label, label[label])). Returns the
+    // jumped relation plus the mid-round materialization so the loop
+    // can release it once the round's output exists.
+    def round(l: DataFrame): (DataFrame, DataFrame) = {
       val nbrMin = sym
         .join(l.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("id"))
@@ -538,7 +555,7 @@ object Dedup {
       val hopped = checkpoint(l.join(nbrMin, "id")
         .select(col("id"), least(col("cluster"), col("nbr")).as("cluster"),
           (col("nbr") < col("cluster")).as("__chg")))
-      hopped.alias("a")
+      val jumped = hopped.alias("a")
         .join(hopped.select(col("id").as("__pid"),
           col("cluster").as("__pc")).alias("b"),
           col("a.cluster") === col("b.__pid"), "left")
@@ -548,13 +565,19 @@ object Dedup {
           (col("a.__chg") ||
             (coalesce(col("b.__pc"), col("a.cluster")) < col("a.cluster")))
             .as("__chg"))
+      (jumped, hopped)
     }
 
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = checkpoint(round(labels))
+      val (jumped, hopped) = round(labels)
+      val next = checkpoint(jumped)
       converged = next.filter(col("__chg")).isEmpty
+      // next is materialized (the action above at the latest) — the
+      // mid-round hopped blocks are dead now; without this they pile
+      // up for the whole loop until ContextCleaner GC
+      hopped.unpersist(blocking = false)
       labels.unpersist()
       labels = next.drop("__chg")
       iter += 1

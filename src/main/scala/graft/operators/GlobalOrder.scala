@@ -32,33 +32,62 @@ object GlobalOrder {
     * the per-partition counting pass, so consumers needing n (ntile)
     * don't pay a second action. */
   def withGlobalIndexAndCount(df: DataFrame, orderCols: Seq[String],
-      out: String = "gidx", partitions: Int = 0): (DataFrame, Long) = {
+      out: String = "gidx", partitions: Int = 0): (DataFrame, Long) =
+    withRunningTotal(df, orderCols, out, partitions, weightIdx = -1)
+
+  /** Shared engine for [[withGlobalIndexAndCount]] (`weightIdx` < 0:
+    * every row weighs 1) and [[withPrefixSumAndTotal]] (`weightIdx` ≥ 0:
+    * the row's weight column): range-partition + local sort, one
+    * partition-count-sized counting job, then attach the running total
+    * per partition.
+    *
+    * Both passes stay at the catalyst [[InternalRow]] layer
+    * (graftbridge): the previous `.rdd` round-trip deserialized EVERY
+    * row to an external Row (encoder per field) and re-serialized it
+    * through `Row.fromSeq` + `createDataFrame`'s converter — two
+    * per-row boxing walks the appended-long column never needed. The
+    * counting job and the attach job run on the SAME RDD, so the range
+    * shuffle is written once and its files reused. */
+  private def withRunningTotal(df: DataFrame, orderCols: Seq[String],
+      out: String, partitions: Int, weightIdx: Int): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(out),
-      s"withGlobalIndex emits `$out` — rename the input's first")
+      s"global-order helpers emit `$out` — rename the input's first")
     val cols = orderCols.map(col)
     val p = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(p, cols: _*)
       .sortWithinPartitions(cols: _*)
-    val rdd = ranged.rdd
-    val counts = rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val starts = counts.scanLeft(0L)(_ + _)
+    val rdd = org.apache.spark.sql.graftbridge.ColumnBridge.internalRdd(ranged)
+    val wi = weightIdx
+    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L
+      if (wi < 0) it.foreach(_ => s += 1L)
+      else it.foreach(r => s += r.getLong(wi))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val starts = totals.scanLeft(0L)(_ + _)
     val schema = org.apache.spark.sql.types.StructType(
       ranged.schema.fields :+
         org.apache.spark.sql.types.StructField(out,
           org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+    val attached = rdd.mapPartitionsWithIndex[
+        org.apache.spark.sql.catalyst.InternalRow] { case (i, it) =>
+      // one mutable holder + one JoinedRow per PARTITION: the scan node
+      // downstream projects every row into its own buffer, so reused
+      // instances are safe (the InternalRow producer contract)
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .SpecificInternalRow(Seq(org.apache.spark.sql.types.LongType))
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var g = starts(i)
       it.map { row =>
-        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ g)
-        g += 1
-        r
+        extra.setLong(0, g)
+        g += (if (wi < 0) 1L else row.getLong(wi))
+        joined(row, extra)
       }
     }
-    (df.sparkSession.createDataFrame(indexed, schema), starts.last)
+    (org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(
+      df.sparkSession, attached, schema), starts.last)
   }
 
   /** Adds `out` = the EXCLUSIVE running total of `weightCol` in the
@@ -83,36 +112,12 @@ object GlobalOrder {
   def withPrefixSumAndTotal(df: DataFrame, orderCols: Seq[String],
       weightCol: String, out: String = "prefix_sum",
       partitions: Int = 0): (DataFrame, Long) = {
-    require(orderCols.nonEmpty, "need at least one order column")
-    require(!df.columns.contains(out),
-      s"withPrefixSum emits `$out` — rename the input's first")
-    val cols = orderCols.map(col)
-    val p = if (partitions > 0) partitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val wIdx = df.columns.indexOf(weightCol)
     require(wIdx >= 0, s"no column `$weightCol` in ${df.columns.mkString(", ")}")
-    val ranged = df.repartitionByRange(p, cols: _*)
-      .sortWithinPartitions(cols: _*)
-    val rdd = ranged.rdd
-    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(wIdx))
-      Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val starts = totals.scanLeft(0L)(_ + _)
-    val schema = org.apache.spark.sql.types.StructType(
-      ranged.schema.fields :+
-        org.apache.spark.sql.types.StructField(out,
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val summed = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var g = starts(i)
-      it.map { row =>
-        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ g)
-        g += row.getLong(wIdx)
-        r
-      }
-    }
-    (df.sparkSession.createDataFrame(summed, schema), starts.last)
+    require(df.schema(wIdx).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"`$weightCol` must be BIGINT (got ${df.schema(wIdx).dataType.sql})")
+    withRunningTotal(df, orderCols, out, partitions, wIdx)
   }
 
   /** Exact global CDF of `valueCol`: one row per distinct value with

@@ -188,24 +188,43 @@ object Graph {
     // edge set for that join EVERY round once the node relation is too
     // big to broadcast (exchange reuse never crosses the checkpoint
     // boundary between iterations). One extra build shuffle buys
-    // `iters` join-side exchanges of the edge set.
-    val adjByDst = adj.repartition(col("dst")).cache()
+    // `iters` join-side exchanges of the edge set. The twin DOUBLES the
+    // cached edge footprint — MEMORY_AND_DISK rather than the cache()
+    // default, so on memory-pressed executors the twin spills instead
+    // of evicting other cached relations and re-deriving per round.
+    val adjByDst = adj.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct().cache()
     val nCount = nodes.agg(count(lit(1)).as("n"))
     def halfStep(scores: DataFrame, joinSide: String,
         groupSide: String): DataFrame = {
       val a = if (joinSide == "dst") adjByDst else adj
-      val raw = a.join(scores.withColumnRenamed("node", joinSide), joinSide)
-        .groupBy(col(groupSide).as("node"))
-        .agg(sum(round(col("v"), 12).cast("decimal(28,12)"))
-          .cast("double").as("__raw"))
-      val all = nodes.join(raw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__raw"), lit(0.0)).as("__raw"))
+      // zero-carrier rows ride INTO the gather aggregate (one union
+      // branch per node) instead of a per-half-step nodes LEFT JOIN:
+      // the old join ran over the aggregate output AND — because the
+      // joined relation was consumed twice (normalizer + update) with
+      // only the exchange below it reused — executed twice per
+      // half-step. A zero term does not change the decimal sum, so
+      // __raw is value-identical; nodes with no gathered contribution
+      // still emit a row (sum of the zero carrier alone).
+      val gathered = a
+        .join(scores.withColumnRenamed("node", joinSide), joinSide)
+        .select(col(groupSide).as("node"),
+          round(col("v"), 12).cast("decimal(28,12)").as("__c"))
+        .unionByName(nodes.select(col("node"),
+          lit(BigDecimal(0)).cast("decimal(28,12)").as("__c")))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).cast("double").as("__raw"))
+      // materialize the node-sized raw relation ONCE: the normalizer
+      // aggregate and the per-node division both consume it, and
+      // un-materialized the edge gather above would plan (and its
+      // post-exchange half execute) twice per half-step
+      val all = checkpoint(gathered)
       val tot = all.agg(
         sum(col("__raw").cast("decimal(28,12)")).cast("double").as("__t"))
-      checkpoint(all.crossJoin(broadcast(tot))
-        .select(col("node"), round(col("__raw") / col("__t"), 12).as("v")))
+      all.crossJoin(broadcast(tot))
+        .select(col("node"), round(col("__raw") / col("__t"), 12).as("v"))
     }
     var hub = nodes.crossJoin(broadcast(nCount))
       .select(col("node"), round(lit(1.0) / col("n"), 12).as("v"))

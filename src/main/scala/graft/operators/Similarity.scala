@@ -603,11 +603,14 @@ object Similarity {
     val census2 = withSub
       .groupBy(col("__g").as("__cg"), col("__sub").as("__cs"))
       .agg(count(lit(1)).as("__n2"))
+    // __n2 (the sub-block's row count) rides along: boundedBlockPairs
+    // sizes its pair-work salting from it (a block's all-pairs volume
+    // is __n2², known here for free from the census join)
     withSub
       .join(maybeB(census2),
         col("__g") <=> col("__cg") && col("__sub") === col("__cs"))
       .select(col("__g"), col("__id"), col("__v"), col("__sub"),
-        (col("__n2") > maxBlock).as("__ovf"))
+        (col("__n2") > maxBlock).as("__ovf"), col("__n2"))
   }
 
   /** Undirected candidate pairs over [[refineOversizedBlocks]] output:
@@ -621,19 +624,40 @@ object Similarity {
     *
     * Output: (`__g`, `id1`, `v1`, `id2`, `v2`) with id1 < id2; every
     * unordered pair appears at most once (its block is unique). */
+  /** Pair-work slice budget for [[boundedBlockPairs]]: an all-pairs
+    * block of n rows is n² join-output work in ONE task, and blocking
+    * keys with few distinct values (10 labels at the sf1 rung) strand
+    * the cluster at ≤(distinct keys) busy tasks. Blocks whose pair
+    * volume exceeds this budget split into ceil(n²/budget) deterministic
+    * id-hash slices — the pair MULTISET is unchanged (each unordered
+    * pair meets exactly once, at the a-row's slice), only its task
+    * placement; blocks under ~1k rows (every IVF cell at the 256
+    * default cap) get slice count 1 and pay nothing. */
+  val PairSliceTarget: Long = 1000000L
+
   def boundedBlockPairs(refined: DataFrame, overflowWindow: Int,
       projPlane: Array[Float]): DataFrame = {
     require(overflowWindow >= 1,
       s"overflowWindow must be >= 1, got $overflowWindow")
     val fit = refined.filter(!col("__ovf"))
+    // guide §2.5 salting, value-free: slice count from the census count
+    // the refinement already carries; a-side rows take ONE slice (a pure
+    // function of id), the b-side explodes across all of them, so the
+    // join's task count scales with pair volume instead of key count
+    val nSlice = least(lit(64L), greatest(lit(1L),
+      ceil(col("__n2").cast("double") * col("__n2").cast("double") /
+        lit(PairSliceTarget.toDouble)).cast("long"))).cast("int")
     val a = fit.select(col("__g"), col("__sub"),
+      pmod(xxhash64(col("__id")), nSlice.cast("long")).cast("int").as("__sl"),
       col("__id").as("id1"), col("__v").as("v1"))
     val b = fit.select(col("__g").as("__gb"), col("__sub").as("__subb"),
+      explode(sequence(lit(0), nSlice - 1)).as("__slb"),
       col("__id").as("id2"), col("__v").as("v2"))
     // null-safe on the block key: a null block is one more block (the
     // refineOversizedBlocks contract), so its rows must still pair
     val normal = a.join(b,
-        col("__g") <=> col("__gb") && col("__sub") === col("__subb"))
+        col("__g") <=> col("__gb") && col("__sub") === col("__subb") &&
+          col("__sl") === col("__slb"))
       .filter(col("id1") < col("id2"))
       .select(col("__g"), col("id1"), col("v1"), col("id2"), col("v2"))
     val w = Window.partitionBy(col("__g"), col("__sub"))
@@ -923,8 +947,19 @@ object Similarity {
           struct(col("id2").as("a"), col("id1").as("b")))).as("__dir"))
       .select(col("__g"), col("__dir.a").as("__ida"),
         col("__dir.b").as("__idb"), col("cos"))
+    // the tie key is wrapped non-nullable (ids are never null on this
+    // path; a hypothetical null sorted NULLS FIRST before, and MinValue
+    // sorts first too) so the TopKWindowRewrite's eligibility proof
+    // holds and the rank filter above becomes a bounded-heap AGGREGATE:
+    // map-side k-element heaps per (__g, __ida) combine before the
+    // exchange, so the directed-pair relation (2× the candidate volume
+    // — the job's largest) is never sorted and never shuffled. With the
+    // nullable tie this stayed a Sort + WindowGroupLimit + Exchange +
+    // Sort chain — measured at the sf1 mnnstage rung as +17 s of the
+    // 33 s stage.
     val w = Window.partitionBy(col("__g"), col("__ida"))
-      .orderBy(col("cos").desc, col("__idb"))
+      .orderBy(col("cos").desc,
+        coalesce(col("__idb"), lit(Long.MinValue)).asc)
     scored.withColumn("__rn", row_number().over(w))
   }
 

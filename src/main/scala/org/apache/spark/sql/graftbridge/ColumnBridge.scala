@@ -38,6 +38,26 @@ object ColumnBridge {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(spark)
 
+  /** The query's physical output as catalyst [[InternalRow]]s — the
+    * zero-conversion twin of `df.rdd` (which deserializes EVERY row to
+    * an external Row through the encoder). Rows follow the standard
+    * SparkPlan contract: instances may be reused by the producing
+    * iterator, so consumers that buffer must copy. */
+  def internalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Wrap catalyst [[InternalRow]]s as a DataFrame without the external-
+    * Row encoder pass `createDataFrame(RDD[Row], schema)` pays per row —
+    * the inverse of [[internalRdd]]. The scan node applies its own
+    * UnsafeProjection per row, so the input may reuse row instances. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a temp SQL function on an EXISTING session (the
     * `SparkSessionExtensions` path only applies at session construction;
     * the registry itself is `private[sql]`). */

@@ -162,6 +162,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((1L, 2L), (10L, 11L)))
   }
 
+  test("mutualNearestPairs requires reciprocity within the SAME group") {
+    // Pins the (intentional) round-12 semantics change: reciprocity is
+    // checked per (group, unordered pair), matching the generated
+    // DuckDB twins' same-block join. Pre-r12, the top1 ⋈ top1 self-join
+    // matched directed edges on ids ALONE, so an id appearing in two
+    // groups could close a "mutual" pair across groups. Here ids 1 and
+    // 2 both appear in g1 and g2; 1's top-1 in g1 is 2, and 2's top-1
+    // in g2 is 1 — ids-only reciprocity would emit (1,2), same-group
+    // reciprocity must not. The true per-group mutual pairs are (2,3)
+    // in g1 and (1,4) in g2.
+    val rows = Seq(
+      // g1: 1 → 2 (cos .8 beats .790); 2 ↔ 3 mutual
+      (1L, "g1", Seq(1.0f, 0.0f)),
+      (2L, "g1", Seq(0.8f, 0.6f)),
+      (3L, "g1", Seq(0.79f, 0.613f)),
+      // g2: 2 → 1 (same geometry, roles swapped); 1 ↔ 4 mutual
+      (2L, "g2", Seq(1.0f, 0.0f)),
+      (1L, "g2", Seq(0.8f, 0.6f)),
+      (4L, "g2", Seq(0.79f, 0.613f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.mutualNearestPairs(rows, "vec_id", "embedding",
+        "label", dim = 2)
+      .select("label", "id1", "id2").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("g1", 2L, 3L), ("g2", 1L, 4L)),
+      s"cross-group reciprocity must not count, got $got")
+  }
+
   test("maxBlock = 0 auto-resolves to DefaultMnnBlock; explicit caps pass through") {
     assert(Similarity.DefaultMnnBlock == 256)
     assert(Similarity.resolvedBlockCap(0) == Similarity.DefaultMnnBlock)
