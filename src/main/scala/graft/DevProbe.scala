@@ -205,6 +205,13 @@ object DevProbe {
       return
     }
 
+    if (args.headOption.contains("kmeansbisect")) {
+      kmeansBisect(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).map(_.toInt).getOrElse(3))
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("mnnstage")) {
       mnnStageProbe(spark, args.lift(1).getOrElse("/root/repo/tmp/sf1"),
         args.lift(2).map(_.toInt).getOrElse(4096))
@@ -1598,6 +1605,60 @@ object DevProbe {
           survivors, "vec_id", "embedding", k = 8)
         .orderBy(col("rank")).collect().length
     }
+  }
+
+  /** q_x_kmeans cost split (`runMain graft.DevProbe kmeansbisect [dir]
+    * [iters]`): the gate is 2.2 s at sf0.1 over a 2,000-row corpus —
+    * obviously not compute. Splits each iteration's wall into PLANNING
+    * (analyze/optimize/plan the 65-column decimal aggregate) vs
+    * EXECUTION (the collect), plus the end-to-end kMeans wall, twice in
+    * one JVM (cold plan-cache, then warm). */
+  private def kmeansBisect(spark: SparkSession, dir: String,
+      iters: Int): Unit = {
+    import graft.operators.Clustering
+    import graft.functions.VectorExprs
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    emb.count()
+    val dim = 64
+    def assignCol(cents: Array[(Int, Array[Double])]) =
+      VectorExprs.nearestCentroid(col("v"), cents.map(_._2))
+    for (rep <- 1 to 2) {
+      var cents: Array[(Int, Array[Double])] = emb.orderBy(col("vid")).limit(8)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+      var planNs = 0L; var execNs = 0L
+      val t0 = System.nanoTime()
+      for (_ <- 1 to iters) {
+        val df = emb
+          .select(assignCol(cents).as("cid"), col("v"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            (0 until dim).map(i =>
+              sum(col("v").getItem(i).cast("decimal(38,9)")).as(s"s$i")): _*)
+          .select(col("cid") +: (0 until dim).map(i =>
+            round(col(s"s$i").cast("double") / col("n").cast("double"), 12)
+              .as(s"c$i")): _*)
+        val p0 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimization+planning
+        planNs += System.nanoTime() - p0
+        val e0 = System.nanoTime()
+        val sums = df.collect()
+          .map(r => r.getInt(0) -> Array.tabulate(dim)(p => r.getDouble(p + 1)))
+          .toMap
+        execNs += System.nanoTime() - e0
+        cents = cents.map { case (cid, cv) => (cid, sums.getOrElse(cid, cv)) }
+      }
+      println(f"[kmeansbisect $dir rep$rep] total=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"plan=${planNs / 1e9}%.2f s exec=${execNs / 1e9}%.2f s")
+    }
+    val t1 = System.nanoTime()
+    Clustering.kMeans(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", 8, dim, iters)
+      .assignments.write.format("noop").mode("overwrite").save()
+    println(f"[kmeansbisect $dir] full kMeans+assignments noop: ${(System.nanoTime() - t1) / 1e9}%.2f s")
   }
 
   /** MNN stage-2 decomposition (`runMain graft.DevProbe mnnstage [dir]

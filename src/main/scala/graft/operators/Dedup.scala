@@ -394,8 +394,14 @@ object Dedup {
           expr(s"(length(`$strCol`) + $maxDist) div $w"))).as("__b"))
       return verify(a.join(b, Seq("__b")))
     }
+    // localCheckpoint, not persist: both sides' chain joins reference
+    // the map, and persist keeps the FULL lineage — the map's level-
+    // by-level construction (a recursive union/join tower; 263 KB of
+    // the 2025-08 q_x_fuzzy plan) would be planned once per reference
+    // and re-planned per canonicalization pass. The checkpoint
+    // truncates it to a scan of the block-cardinality-sized rows.
     val blockMap = fuzzyBlockMap(rows, strCol, w, maxBlock, maxPrefix)
-      .persist()
+      .localCheckpoint()
     // each row joins exactly one map entry per bucket it touches: its
     // prefix chain p_1 ⊂ … ⊂ p_maxPrefix crosses the chain's single
     // final (or overflow) block once
@@ -447,10 +453,17 @@ object Dedup {
     * fits `maxBlock`. */
   private def fuzzyBlockMap(rows: DataFrame, strCol: String, w: Int,
       maxBlock: Int, maxPrefix: Int): DataFrame = {
+    // the ONLY data-scale pass of the census — materialized once:
+    // every census level (cnts) re-aggregates this relation, so un-cut
+    // it would re-run the corpus scan + leaf aggregate `maxPrefix`
+    // times (and the `over` chain's nested references re-plan it
+    // quadratically in depth). The checkpoint is (deep prefix, bucket)-
+    // cardinality-sized.
     val deep = rows.select(
         substring(col(strCol), 1, maxPrefix).as("__p"),
         expr(s"length(`$strCol`) div $w").as("__b"))
       .groupBy(col("__p"), col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val cnts = (1 to maxPrefix).map { k =>
       if (k == maxPrefix) deep
       else deep.groupBy(substring(col("__p"), 1, k).as("__p"), col("__b"))

@@ -53,9 +53,20 @@ object Repetition {
       .otherwise(split(trim(text), "\\s+"))
     val lines = split(text, java.util.regex.Pattern.quote(lineSep))
 
+    // materialized ONCE: the line branch and the gram branch both read
+    // this relation, and un-cut the corpus is SCANNED twice and the
+    // tokenization (plus whatever expression the caller passed as
+    // textCol — q_x_repetition feeds a chunk_join derivation) is
+    // re-evaluated per branch; the optimizer additionally pushes the
+    // explode's non-empty filter below the projection, duplicating the
+    // derivation AGAIN inside the filter (r12 before-plan operators
+    // 2/4). One row-format doc-sized materialization (tokens + lines
+    // arrays) feeds both aggregates; guide §2.4 / the round-7
+    // multi-consumer rule.
     val base = docs.select(col(idCol).as("__doc"),
       length(text).cast("long").as("__chars"),
       toks.as("__toks"), lines.as("__lines"))
+      .localCheckpoint()
 
     // ── line stats: one doc-keyed aggregate over (doc, line) counts ──
     val lineCounts = base

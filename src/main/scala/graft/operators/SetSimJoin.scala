@@ -42,7 +42,11 @@ object SetSimJoin {
       .select(col(idCol).as("__id"),
         explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("__t"))
       .where(length(col("__t")) > 0)
-    pairsFromTokens(toks, threshold)
+    // word-token sets are compact (distinct words per doc), so cutting
+    // the 4x sets-subtree re-execution with one materialization wins —
+    // measured at the 10x rung: q_x_setjoin 4.38→3.36 s sf0.1,
+    // q_x_leakage 3.63→1.56 s sf0.1 / 2.36→1.48 s sf1
+    pairsFromTokens(toks, threshold, _.localCheckpoint())
   }
 
   /** [[jaccardJoin]] in word-SHINGLE space (distinct n-gram shingles,
@@ -56,18 +60,24 @@ object SetSimJoin {
     val toks = df
       .select(col(idCol).as("__id"),
         explode(Dedup.shingles(col(textCol), shingleN)).as("__t"))
-    pairsFromTokens(toks, threshold)
+    // NO sets materialization here, deliberately: shingle arrays are
+    // ~3x the text bytes per doc, and the same-window 10x A/B showed
+    // the checkpoint LOSING to re-derivation for this space
+    // (q_x_dedup_eval 2.74→4.15 s sf0.1 / 6.23→10.39 s sf1 with it) —
+    // storing heavy arrays costs more than re-running the compact
+    // explode+join subtree
+    pairsFromTokens(toks, threshold, identity)
   }
 
-  private def pairsFromTokens(toks: DataFrame,
-      threshold: Double): DataFrame = {
+  private def pairsFromTokens(toks: DataFrame, threshold: Double,
+      materializeSets: DataFrame => DataFrame): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val dfs = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     // per-doc token array in global (df, token) rarity order — struct
     // sort is lexicographic by field, so no dense global rank is needed
     // (a rank would be a full-vocabulary window: a single-partition sort)
-    val sets = toks.join(dfs, "__t")
+    val sets = materializeSets(toks.join(dfs, "__t")
       .groupBy(col("__id"))
       // sort_array, NOT array_sort: array_sort's default comparator is a
       // LambdaFunction (a higher-order function even unparameterized);
@@ -79,7 +89,15 @@ object SetSimJoin {
         // CodegenFallback (parity spec: WordNGramsFusedSpec)
         graft.functions.StructFieldExtract.column(col("__sd"), "__t")
           .as("__set"),
-        size(col("__sd")).as("__n"))
+        size(col("__sd")).as("__n")))
+    // three plan references consume `sets` (the prefix explode and both
+    // verification joins), and the round-12 q_x_setjoin plan shows ZERO
+    // exchange reuse across them — the scan → explode → df-join →
+    // collect_list subtree planned and EXECUTED four times (the corpus
+    // scan eight times, counting the df aggregate's copies). Whether one
+    // materialization beats three re-derivations depends on the SET
+    // WIDTH — the callers choose via materializeSets (see jaccardJoin
+    // vs jaccardShingleJoin).
     val pref = sets
       .withColumn("__p",
         col("__n") - ceil(lit(threshold) * col("__n")).cast("int") + 1)
