@@ -26,43 +26,35 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** `iters` PageRank rounds over `edges(src, dst)` (duplicate edges are
-    * collapsed; self-loops kept). Returns (`node`, `rank`). Damping is
-    * expressed as the literal 0.85/0.15 pair inline so both engines fold
-    * the same constants. */
+    * collapsed; self-loops kept; edges with a null endpoint are dropped —
+    * mirrored in the generated oracle). Returns (`node`, `rank`).
+    * Damping is expressed as the literal 0.85/0.15 pair inline so both
+    * engines fold the same constants. */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     // Static weighted adjacency (src, dst, outdeg): outdeg is
     // loop-invariant, so resolve it ONCE as a window count over the
     // src-partitioned distinct edges — one shuffle + sort of the edge
-    // set total (a groupBy+join formulation would shuffle the edges AND
-    // the node-sized outdeg relation again; a per-round aggregation
-    // would re-scan the largest table in the job every iteration). The
-    // cached src partitioning and sort order also make the
-    // per-iteration contribution merge join exchange- and sort-free on
-    // the edge side — only the node-sized ranks relation moves each
-    // round.
-    // repartition(src) FIRST: HashPartitioning(src) satisfies the
-    // distinct's ClusteredDistribution(src, dst) (subset rule), so the
-    // dedup aggregate runs exchange-free and the whole build costs ONE
-    // full-edge shuffle instead of two (distinct-then-repartition
-    // re-shuffled the edge set; the sf1 scale sweep showed the
-    // adjacency build dominating q_x_pagerank's first iteration).
-    // Skew trade, measured (graphskew rung): the final dedup now
-    // reduces on src-partitioned data, so every DISTINCT out-edge of a
-    // hot source lands in ONE task where the old (src,dst)-hashed
-    // distinct spread them (map-side partials dedup within input
-    // partitions first, so only distinct survivors pile up). At 5M
-    // edges with one source holding 10% the builds cost 2.8 s vs 2.2 s
-    // — a wash; at 20M edges / 30% hot (6M distinct edges from one
-    // node) the straggler costs 17.3 s vs 6.3 s, BUT the per-iteration
-    // contribution join concentrates the same 6M rows in one task
-    // every round regardless of build order (3 iterations: 492 s) —
-    // on such graphs the hot node dominates the ITERATIONS, not the
-    // build, and needs upstream handling (pre-dedup, or cap/sample
-    // out-edges of super-nodes) that no build ordering can substitute
-    // for. Single-shuffle stays the default: it wins on every graph
-    // whose iterations are feasible at all.
+    // set total. repartition(src) FIRST: HashPartitioning(src)
+    // satisfies the distinct's ClusteredDistribution(src, dst) (subset
+    // rule), so the dedup aggregate runs exchange-free; the cached src
+    // partitioning and sort order also make the per-iteration
+    // contribution merge join exchange- and sort-free on the edge side.
+    //
+    // BUILD REGIME, measured round 13: the alternative combined-shuffle
+    // build (groupBy(src) + collect_set(dst) + explode — see hits/lpa/
+    // bfs) shrinks the exchange to per-partition DISTINCT edges, which
+    // wins ONLY on duplicate-heavy edge multisets. PageRank's gate
+    // graph is 98.5% unique (590,973 distinct of 600,000 raw at
+    // sf0.1), and there the set aggregation is pure object-churn
+    // overhead: prbisect iter-1 (build-dominated) 7.83 s → 11.82 s
+    // with collect_set. Unique-ish edge lists keep this single
+    // uncombined shuffle; duplicate-heavy linkage graphs (mod-key
+    // fixtures, crawl logs) should pre-dedup upstream or use the
+    // combined build. Null-endpoint edges drop explicitly (mirrored in
+    // the generated oracle).
     val adj = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("src")).distinct()
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
@@ -134,7 +126,8 @@ object Graph {
     * cross-engine oracle for [[pageRank]]; generated, never hand-copied. */
   def pageRankOracleSql(edgesSql: String, iters: Int): String = {
     val base =
-      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |nc AS (SELECT COUNT(*) AS n FROM nodes),
          |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
@@ -180,9 +173,13 @@ object Graph {
   def hits(spark: SparkSession, edges: DataFrame, iters: Int,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
-    // repartition-first: one full-edge shuffle (see pageRank's adj note)
+    // combined-shuffle dedup build (see pageRank's adj note): the
+    // exchange carries per-partition DISTINCT edges, not the multiset;
+    // null-endpoint edges drop explicitly, mirrored in the oracle
     val adj = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).distinct().cache()
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("__dsts"))
+      .select(col("src"), explode(col("__dsts")).as("dst")).cache()
     // dst-partitioned twin: the hub half-step joins the adjacency on
     // `dst`, and a cached src-partitioned relation re-SHUFFLES the full
     // edge set for that join EVERY round once the node relation is too
@@ -246,7 +243,8 @@ object Graph {
     * hand-copied. */
   def hitsOracleSql(edgesSql: String, iters: Int): String = {
     val base =
-      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |nc AS (SELECT COUNT(*) AS n FROM nodes),
          |h0 AS (SELECT node, ROUND(1.0 / n, 12) AS v FROM nodes, nc)""".stripMargin
@@ -294,10 +292,15 @@ object Graph {
     require(iters >= 1, s"need at least one round, got $iters")
     val dir0 = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val sym = dir0
+    // combined-shuffle dedup build (see pageRank's adj note); the
+    // grouped relation is one row per src — the node set for free
+    val grouped = dir0
       .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).distinct().cache() // one shuffle (see pageRank)
-    val nodes = sym.select(col("src").as("node")).distinct().cache()
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("__dsts"))
+      .cache()
+    val sym = grouped
+      .select(col("src"), explode(col("__dsts")).as("dst")).cache()
+    val nodes = grouped.select(col("src").as("node")).cache()
     var labels = nodes.select(col("node"), col("node").as("label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
@@ -311,6 +314,7 @@ object Graph {
           .select(col("node"), col("label")))
     }
     val out = labels.withColumnRenamed("label", "community")
+    grouped.unpersist(blocking = false)
     sym.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -592,9 +596,11 @@ object Graph {
       maxDepth: Int,
       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(maxDepth >= 1, s"need at least one hop, got $maxDepth")
+    // combined-shuffle dedup build (see pageRank's adj note)
     val adj = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-      .repartition(col("src")).distinct().cache() // one shuffle (see pageRank)
+      .groupBy(col("src")).agg(collect_set(col("dst")).as("__dsts"))
+      .select(col("src"), explode(col("__dsts")).as("dst")).cache()
     var dist = adj.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
     for (_ <- 1 to maxDepth) {
