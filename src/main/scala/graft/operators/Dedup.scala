@@ -394,14 +394,17 @@ object Dedup {
           expr(s"(length(`$strCol`) + $maxDist) div $w"))).as("__b"))
       return verify(a.join(b, Seq("__b")))
     }
-    // localCheckpoint, not persist: both sides' chain joins reference
-    // the map, and persist keeps the FULL lineage — the map's level-
-    // by-level construction (a recursive union/join tower; 263 KB of
-    // the 2025-08 q_x_fuzzy plan) would be planned once per reference
-    // and re-planned per canonicalization pass. The checkpoint
-    // truncates it to a scan of the block-cardinality-sized rows.
+    // persist (lazy), not localCheckpoint: round 13 measured the eager
+    // variant — it truncates the census tower's plan (263 KB → 20 KB)
+    // but pays two eager materialization jobs per call, a net LOSS of
+    // ~0.5 s/gate on the committed fixtures where the census input is
+    // KB-sized (q_x_fuzzy 2.25 → 3.0 s; golden/entity likewise); the
+    // 10× rung showed no reliable win either (the census is block-
+    // cardinality-sized). On a data-scale corpus the right cut is a
+    // checkpoint of `deep` below (the one corpus-sized pass) — revisit
+    // with a corpus-scale fixture, not this one.
     val blockMap = fuzzyBlockMap(rows, strCol, w, maxBlock, maxPrefix)
-      .localCheckpoint()
+      .persist()
     // each row joins exactly one map entry per bucket it touches: its
     // prefix chain p_1 ⊂ … ⊂ p_maxPrefix crosses the chain's single
     // final (or overflow) block once
@@ -453,17 +456,17 @@ object Dedup {
     * fits `maxBlock`. */
   private def fuzzyBlockMap(rows: DataFrame, strCol: String, w: Int,
       maxBlock: Int, maxPrefix: Int): DataFrame = {
-    // the ONLY data-scale pass of the census — materialized once:
-    // every census level (cnts) re-aggregates this relation, so un-cut
-    // it would re-run the corpus scan + leaf aggregate `maxPrefix`
-    // times (and the `over` chain's nested references re-plan it
-    // quadratically in depth). The checkpoint is (deep prefix, bucket)-
-    // cardinality-sized.
+    // the ONLY data-scale pass of the census: every census level (cnts)
+    // re-aggregates this relation — `maxPrefix` corpus scans when the
+    // corpus is data-scale. A localCheckpoint here is the scale-correct
+    // cut, but on the committed fixtures (KB-sized census inputs) the
+    // eager job costs more than the re-scans it saves (measured round
+    // 13, see fuzzyPairs' blockMap note) — left uncut with the trade
+    // documented.
     val deep = rows.select(
         substring(col(strCol), 1, maxPrefix).as("__p"),
         expr(s"length(`$strCol`) div $w").as("__b"))
       .groupBy(col("__p"), col("__b")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
     val cnts = (1 to maxPrefix).map { k =>
       if (k == maxPrefix) deep
       else deep.groupBy(substring(col("__p"), 1, k).as("__p"), col("__b"))
